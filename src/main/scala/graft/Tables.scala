@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet tables plus the numeric
+  * conventions that keep Spark results bit-identical to the DuckDB
+  * oracle.
+  *
+  * Determinism convention: every floating aggregate is computed as an
+  * exact DECIMAL sum and only then cast back to DOUBLE. A plain
+  * `sum(double)` depends on partition order (IEEE addition is not
+  * associative), so Spark-at-32-partitions and single-threaded DuckDB
+  * would drift in the last bits; decimal sums are exact in both
+  * engines, and the final decimal->double cast plus any division is a
+  * single deterministic IEEE operation on identical inputs.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read natively; read it as raw nanos (legacy conf) and truncate to
+    * microseconds — exactly what DuckDB does when it loads the same
+    * file, so oracle comparisons stay bit-identical.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+
+  /** Exact sum of a double column: decimal-accumulate, emit double.
+    * Oracle equivalent: CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE).
+    */
+  def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Deterministic average built from the exact sum.
+    * Oracle: CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x).
+    */
+  def davg(c: Column): Column =
+    dsum(c) / count(c)
+
+  /** Exact sum of a product of two doubles (price * (1-disc) style).
+    * Both factors are decimal-cast BEFORE multiplying so the product
+    * is exact and identical in DuckDB:
+    * SUM(CAST(a AS DECIMAL(18,4)) * CAST(b AS DECIMAL(18,4))).
+    */
+  def dsumProd(a: Column, b: Column): Column =
+    sum(a.cast("decimal(18,4)") * b.cast("decimal(18,4)")).cast("double")
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Query + oracle registry for the relational core (SURVEY §2.2).
+  *
+  * Oracle-parity conventions (see Tables.scala): exact decimal sums
+  * cast back to double; identical column aliases; explicit ORDER BY on
+  * both sides.
+  */
+object RelationalRegistry {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DSUM_Q = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q_filter_project" -> (Relational.qFilterProject _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier" -> (Relational.q5LocalSupplier _),
+    "q_top_customers" -> (Relational.qTopCustomers _),
+    "q_distinct_parts" -> (Relational.qDistinctParts _),
+    "q_semi_join" -> (Relational.qSemiJoin _),
+    "q_anti_join" -> (Relational.qAntiJoin _),
+    "q_window_rank" -> (Relational.qWindowRank _),
+    "running_sum" -> (Relational.runningSum _),
+    "q_conditional_agg" -> (Relational.qConditionalAgg _),
+    "q_order_above_avg" -> (Relational.qOrderAboveAvg _),
+    "q_rollup" -> (Relational.qRollup _),
+    "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    "q_events_tumbling" -> (Windows.qEventsTumbling _),
+    "q_events_sliding" -> (Windows.qEventsSliding _),
+    "q_sessionize" -> (Windows.qSessionize _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spent DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_distinct_parts" ->
+      """SELECT DISTINCT p_brand, p_type FROM part
+        |ORDER BY p_brand, p_type""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT l_partkey, l_suppkey, vol, rnk FROM (
+        |  SELECT l_partkey, l_suppkey, vol,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |      ORDER BY vol DESC, l_suppkey) AS rnk
+        |  FROM (
+        |    SELECT l_partkey, l_suppkey,
+        |      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS vol
+        |    FROM lineitem GROUP BY l_partkey, l_suppkey))
+        |WHERE rnk <= 3
+        |ORDER BY l_partkey, rnk, l_suppkey""".stripMargin,
+    "running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS run_total
+        |FROM orders
+        |QUALIFY o_custkey < 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+        | CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+        |FROM events
+        |GROUP BY user_id
+        |HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 5
+        |ORDER BY user_id""".stripMargin,
+    "q_order_above_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(o_totalprice) FROM orders) * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_events_sliding" ->
+      """WITH e AS (
+        | SELECT *, date_trunc('hour', ts) +
+        |   CASE WHEN EXTRACT(minute FROM ts) >= 30
+        |        THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS f30
+        | FROM events)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT *, f30 AS window_start FROM e
+        |  UNION ALL
+        |  SELECT *, f30 - INTERVAL 30 MINUTE AS window_start FROM e)
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT)
+        |            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}
