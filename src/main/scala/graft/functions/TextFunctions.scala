@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text analysis (SURVEY §2.5). Everything here composes
+  * built-in codegen'd functions — no UDF closures — so these stay
+  * inside WholeStageCodegen at 100 TB.
+  *
+  * Language stopword lists are mirrored verbatim in the DuckDB oracle
+  * SQL (TextRegistry); change them in both places or parity breaks.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; trims first so clean text never yields
+    * empty tokens.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: runs of letters / digits / single other
+    * symbols — the standard pre-tokenizer split.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+
+  /** Punctuation character count (explicit ASCII class — identical
+    * in Java regex and RE2).
+    */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "un"))
+
+  /** Number of token occurrences that are stopwords of `lang`. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(
+      array(stopwords(lang).map(lit): _*), t)))
+
+  /** Distinct stopword *types* of `lang` present — the language-ID
+    * signal (type overlap is more robust than occurrence counts for
+    * short docs).
+    */
+  def stopwordTypes(toks: Column, lang: String): Column =
+    size(array_intersect(array_distinct(toks),
+      array(stopwords(lang).map(lit): _*)))
+
+  /** Heuristic language ID: argmax of per-language distinct-stopword
+    * hits, ties broken in fixed order en > de > es > fr; no hits →
+    * 'und'. Deterministic and SQL-expressible for the oracle.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = Seq("en", "de", "es", "fr").map(l => stopwordTypes(t, l))
+    val best = greatest(scores: _*)
+    when(best === 0, lit("und"))
+      .when(scores(0) === best, lit("en"))
+      .when(scores(1) === best, lit("de"))
+      .when(scores(2) === best, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Quality score in [0,1]: blend of length band, stopword presence
+    * and punctuation sanity — the usual cheap pre-filter before
+    * expensive dedup. Computed in exact integer/decimal arithmetic
+    * then one double division per term, for oracle determinism.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val swRatio = stopwordHits(tokens(text), "en").cast("double") / nTok
+    val punctRatio = punctCount(text).cast("double") / nChar
+    val lenScore = when(nTok >= 20 && nTok <= 1000, lit(1.0))
+      .when(nTok >= 5, lit(0.5)).otherwise(lit(0.0))
+    val swScore = when(swRatio >= 0.01 && swRatio <= 0.5, lit(1.0))
+      .otherwise(lit(0.0))
+    val punctScore = when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(0.0))
+    (lenScore * 0.5 + swScore * 0.3 + punctScore * 0.2)
+  }
+
+  /** Canonical-form md5 fingerprint: collapse whitespace, trim, hash.
+    * Identical builtin in DuckDB → oracle-checkable.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Word n-gram shingles (space-joined), the dedup unit. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents` (SURVEY §2.5) plus the
+  * reference's WordCount pipeline (§2.1 C9) as batch queries.
+  */
+object TextOps {
+
+  /** T1 — token counting: whitespace tokens + BPE-ish pre-tokenizer
+    * runs. Pure projection → trivially parallel, scan-bound at scale.
+    */
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** T2 — quality scoring: length band + stopword ratio + punctuation
+    * sanity. */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        stopwordHits(tokens(col("text")), "en").as("sw_hits"),
+        punctCount(col("text")).as("punct_cnt"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** T3 — heuristic language ID. */
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** T4 — canonical md5 fingerprint per document. */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** T5 — word-trigram shingling stats (the dedup unit). */
+  def textShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = wordShingles(col("text"), 3)
+    documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(sh).as("n_shingles"),
+        size(array_distinct(sh)).as("n_distinct_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C9 — the reference WordCount (examples/wordcount/WordCount.java:17):
+    * flatMap to words → keyBy → count, as explode + hash aggregation
+    * (map-side partial agg replaces Flink's keyed state).
+    */
+  def wordcount(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Query + oracle registry for text analysis and dedup (SURVEY §2.3,
+  * §2.5). The DuckDB SQL mirrors TextFunctions exactly — tokenizer
+  * regex, stopword lists, shingle construction — keep in sync.
+  */
+object TextRegistry {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> (TextOps.textTokens _),
+    "text_quality" -> (TextOps.textQuality _),
+    "text_langid" -> (TextOps.textLangId _),
+    "text_fingerprint" -> (TextOps.textFingerprint _),
+    "text_shingles" -> (TextOps.textShingles _),
+    "wordcount" -> (TextOps.wordcount _),
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d))
+  )
+
+  // Shared SQL fragments (DuckDB): tokens and trigram shingles.
+  private val TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+  private val SH =
+    s"""list_distinct(list_transform(range(1, greatest(len($TOKS)-1, 1)),
+       | i -> concat_ws(' ', ($TOKS)[i], ($TOKS)[i+1], ($TOKS)[i+2])))""".stripMargin
+
+  private val EN = "('the','a','of','and','to','in','is')"
+  private val ENL = "['the','a','of','and','to','in','is']"
+  private val DEL = "['der','die','das','und','ist','ein']"
+  private val ESL = "['el','la','de','los','y','es','un']"
+  private val FRL = "['le','la','les','et','des','est','un']"
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         | len($TOKS) AS n_tokens,
+         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  len(list_filter(toks, t -> t IN $EN)) AS sw_hits,
+         |  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct_cnt,
+         |  length(text) AS n_chars
+         | FROM t)
+         |SELECT doc_id, n_tokens, sw_hits, punct_cnt,
+         | CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0
+         |       WHEN n_tokens >= 5 THEN 0.5 ELSE 0.0 END AS DOUBLE) * 0.5
+         | + CAST(CASE WHEN sw_hits::DOUBLE / n_tokens >= 0.01
+         |          AND sw_hits::DOUBLE / n_tokens <= 0.5
+         |     THEN 1.0 ELSE 0.0 END AS DOUBLE) * 0.3
+         | + CAST(CASE WHEN punct_cnt::DOUBLE / n_chars <= 0.2
+         |     THEN 1.0 ELSE 0.0 END AS DOUBLE) * 0.2 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, list_distinct($TOKS) AS dt
+         | FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  len(list_intersect(dt, $ENL)) AS s_en,
+         |  len(list_intersect(dt, $DEL)) AS s_de,
+         |  len(list_intersect(dt, $ESL)) AS s_es,
+         |  len(list_intersect(dt, $FRL)) AS s_fr
+         | FROM t)
+         |SELECT doc_id, lang AS lang_label,
+         | CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |      WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |      ELSE 'fr' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_shingles" ->
+      s"""SELECT doc_id,
+         | CASE WHEN len($TOKS) < 3 THEN 0 ELSE len($TOKS) - 2 END AS n_shingles,
+         | CASE WHEN len($TOKS) < 3 THEN 0 ELSE len($SH) END AS n_distinct_shingles
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "wordcount" ->
+      s"""SELECT word, COUNT(*) AS n FROM (
+         | SELECT unnest($TOKS) AS word FROM documents)
+         |GROUP BY word ORDER BY n DESC, word""".stripMargin,
+    "dedup_exact" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        | FROM documents)
+        |SELECT doc_id, fp,
+        | MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+        | COUNT(*) OVER (PARTITION BY fp) AS group_size,
+        | CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fp)
+        |      THEN 1 ELSE 0 END AS is_dup
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, source, $SH AS sh FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | len(list_intersect(a.sh, b.sh))::DOUBLE
+         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |   AS jaccard
+         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+         |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

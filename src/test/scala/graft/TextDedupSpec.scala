@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, TextOps}
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("token counts are positive and bpe >= ws tokens for clean text") {
+    val df = TextOps.textTokens(spark, sf)
+    assert(df.filter(col("n_tokens") <= 0).count() == 0)
+    assert(df.filter(col("n_bpe_tokens") < col("n_tokens")).count() == 0)
+  }
+
+  test("langid predicts a known language code") {
+    val preds = TextOps.textLangId(spark, sf)
+      .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "de", "es", "fr", "und")))
+  }
+
+  test("quality score is within [0,1]") {
+    val df = TextOps.textQuality(spark, sf)
+    assert(df.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+  }
+
+  test("fingerprint is stable across identical normalized text") {
+    val df = TextOps.textFingerprint(spark, sf)
+    assert(df.select("fp").distinct().count() <= df.count())
+    assert(df.filter(length(col("fp")) =!= 32).count() == 0)
+  }
+
+  test("dedup_exact canonical ids are minimal per group") {
+    val df = Dedup.dedupExact(spark, sf)
+    assert(df.filter(col("canonical_id") > col("doc_id")).count() == 0)
+  }
+
+  test("jaccard pairs are symmetric-free, thresholded, in [0,1]") {
+    val df = Dedup.jaccardPairs(spark, sf, 0.02)
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(df.filter(col("jaccard") < 0.02 || col("jaccard") > 1.0).count() == 0)
+  }
+
+  test("wordcount total equals token total") {
+    val total = TextOps.wordcount(spark, sf)
+      .agg(sum("n")).head().getLong(0)
+    val tokens = TextOps.textTokens(spark, sf)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(total == tokens)
+  }
+}
