@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{RelationalRegistry, TextRegistry}
+import graft.operators.{RelationalRegistry, SimilarityRegistry, TextRegistry}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,8 +17,10 @@ object SparkEntry {
     operators.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalRegistry.queries ++ TextRegistry.queries
+    RelationalRegistry.queries ++ TextRegistry.queries ++
+      SimilarityRegistry.queries
 
   def oracleSql: Map[String, String] =
-    RelationalRegistry.oracle ++ TextRegistry.oracle
+    RelationalRegistry.oracle ++ TextRegistry.oracle ++
+      SimilarityRegistry.oracle
 }

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (SURVEY §2.4).
+  *
+  * Scale shape: the query set is always the small side → broadcast;
+  * the corpus streams through a single scan partition-parallel, and
+  * the per-query top-k is a windowed rank (partial top-k per
+  * partition via AQE, no global sort of the corpus). The LSH / IVF
+  * variants bound candidate generation by bucket so nothing is O(n²)
+  * in the corpus.
+  */
+object Similarity {
+
+  /** S1 — brute-force cosine top-k: exact baseline (and the verifier
+    * for the approximate paths). Queries = vec_id < 10, k = 5.
+    */
+  def annBruteForce(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("emb"), col("q_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** S4/D5 — blocked pairwise similarity join: all pairs within the
+    * same label block with cosine ≥ threshold. The block key stands in
+    * for an LSH/IVF bucket id at 100 TB — the join shape (shuffle both
+    * sides on block key, pair within block) is the scalable one.
+    */
+  def simJoin(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("emb"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("label"),
+      col("emb").as("emb_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("label"),
+      col("emb").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** S2 — random-hyperplane LSH ANN. Hyperplane weights are derived
+    * from a hash of (plane, dim) → deterministic, no Math.random, no
+    * driver-side state; signature = packed sign bits; candidates =
+    * same (band, signature) bucket; exact cosine re-rank inside
+    * buckets. Rows-only (sketch internals are engine-specific).
+    */
+  def annLsh(spark: SparkSession, sfDir: String,
+      nPlanes: Int = 16, nBands: Int = 4, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+
+    // signature bit p = sign(sum_d emb[d] * w(p,d)), w in [-1,1] from
+    // xxhash64 — computed fully inside codegen'd array functions.
+    def planeDot(p: Int): Column = {
+      val weights = transform(sequence(lit(0), size(col("emb")) - 1),
+        d => (xxhash64(lit(p) * 4096 + d) % 20001).cast("double") / 10000.0)
+      aggregate(zip_with(col("emb"), weights, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val sigBits: Seq[Column] = (0 until nPlanes).map(p =>
+      when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+    val withSig = emb.withColumn("sig", sigBits.reduce(_ + _))
+
+    val bitsPerBand = nPlanes / nBands
+    val mask = (1L << bitsPerBand) - 1
+    val banded = withSig.select(col("vec_id"), col("emb"),
+      explode(array((0 until nBands).map(bd =>
+        struct(lit(bd).as("band"),
+          shiftright(col("sig"), bd * bitsPerBand).bitwiseAND(mask)
+            .as("bsig"))): _*)).as("bk"))
+      .select(col("vec_id"), col("emb"),
+        col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+
+    val queries = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("band"), col("bsig"))
+    val cands = banded.join(queries, Seq("band", "bsig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("emb"), col("q_emb"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.withColumn("cosine", cosine(col("emb"), col("q_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** S3 — IVF-style ANN: fixed seed centroids (first `nCells` vectors
+    * — deterministic stand-in for a k-means fit; the collect is
+    * nCells·dim doubles, broadcast back), assign corpus to nearest
+    * cell, probe the query's `nProbe` nearest cells only. Rows-only.
+    */
+  def annIvf(spark: SparkSession, sfDir: String,
+      nCells: Int = 8, nProbe: Int = 2, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    val centroids = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("emb").as("c_emb"))
+
+    // nearest cell per corpus vector (broadcast centroids, one pass)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist").desc, col("cell_id"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(col("emb"), col("c_emb")))
+      .withColumn("crnk", row_number().over(wAssign))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("emb"), col("cell_id"))
+
+    // queries probe their nProbe nearest cells
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist").desc, col("cell_id"))))
+      .filter(col("crnk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell_id"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(probes, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("emb"), col("q_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** D5 — embedding-cosine near-dup pairs: simJoin at a high
+    * threshold, emitting only the id pairs a dedup pipeline would
+    * collapse.
+    */
+  def dedupEmbedding(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.45): DataFrame =
+    simJoin(spark, sfDir, threshold)
+}
