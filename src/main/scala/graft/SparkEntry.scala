@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{RelationalRegistry, SimilarityRegistry, TextRegistry}
+import graft.operators.{ConnectorRegistry, RelationalRegistry, SimilarityRegistry, TextRegistry}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,9 +18,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalRegistry.queries ++ TextRegistry.queries ++
-      SimilarityRegistry.queries
+      SimilarityRegistry.queries ++ ConnectorRegistry.queries
 
   def oracleSql: Map[String, String] =
     RelationalRegistry.oracle ++ TextRegistry.oracle ++
-      SimilarityRegistry.oracle
+      SimilarityRegistry.oracle ++ ConnectorRegistry.oracle
 }

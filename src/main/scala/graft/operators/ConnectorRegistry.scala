@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry for the connector-surface batch queries (SURVEY §2.1). */
+object ConnectorRegistry {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "emqx_envelope" -> (ConnectorOps.emqxEnvelope _),
+    "emqx_decode" -> (ConnectorOps.emqxDecode _),
+    "emqx_topic_filter" -> (ConnectorOps.emqxTopicFilter _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "emqx_envelope" ->
+      """SELECT event_id,
+        | 't/' || event_type || '/' || CAST(user_id % 5 AS VARCHAR) AS topic,
+        | event_id % 3 AS qos,
+        | event_id % 10 = 0 AS retained,
+        | octet_length(encode(props)) AS payload_len
+        |FROM events ORDER BY event_id""".stripMargin,
+    "emqx_decode" ->
+      """SELECT event_id,
+        | length(props) AS decoded_len,
+        | TRY_CAST(regexp_extract(props, '"k":\s*"?([^",}]*)"?', 1) AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "emqx_topic_filter" ->
+      """SELECT event_id,
+        | 't/' || event_type || '/' || CAST(user_id % 5 AS VARCHAR) AS topic,
+        | TRUE AS m_all,
+        | event_type = 'purchase' AS m_purchase,
+        | user_id % 5 = 3 AS m_user3
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,207 @@
+package graft.sources.broker
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.mutable
+import graft.model.EmqxMessage
+import graft.sources.TopicMatcher
+
+/** An embeddable MQTT-semantics broker backing the `emqx` source and
+  * sink in tests — the container has no MQTT client library or
+  * broker, so the network path is behind the MqttBroker trait and
+  * this is the in-JVM implementation (fine under local[*]: executor
+  * threads share the JVM; a cluster deployment would swap in a
+  * network-client implementation).
+  *
+  * Semantics modeled after what the reference relies on
+  * (EMQXSourceReader.java):
+  *   - per-client sessions that survive disconnect within the expiry
+  *     window (cleanStart=false resume, :103)
+  *   - shared subscriptions `$share/<group>/<filter>` load-balancing
+  *     messages round-robin across the group's members
+  *   - manual acknowledgement: messages stay pending until acked
+  *     (ack-on-checkpoint, :186); un-acked messages are redelivered
+  *     to a resumed session
+  *   - retained messages delivered on new non-shared subscriptions
+  *   - effective delivery qos = min(publish qos, subscription qos)
+  */
+class InMemoryBroker {
+
+  case class Delivery(seq: Long, msg: EmqxMessage)
+
+  final class Session(val clientid: String) {
+    var connected = false
+    var expiresAtMs: Long = Long.MaxValue
+    /** (filter, maxQos); shared filters keep their $share prefix. */
+    val subscriptions = mutable.LinkedHashMap[String, Int]()
+    /** undelivered + unacked messages, in arrival order */
+    val log = mutable.ArrayBuffer[Delivery]()
+    /** absolute seq of the first entry still in `log` */
+    var baseSeq: Long = 0L
+    def endSeq: Long = baseSeq + log.length
+  }
+
+  private val sessions = mutable.LinkedHashMap[String, Session]()
+  private val retained = mutable.LinkedHashMap[String, EmqxMessage]()
+  /** shared-group round-robin cursors keyed by raw shared filter */
+  private val rr = mutable.LinkedHashMap[(String, String), Int]()
+  private val seqGen = new AtomicLong(0)
+
+  /** Connect (or resume) a session. Returns sessionPresent, like a
+    * CONNACK (reference checks it before re-subscribing, :106).
+    */
+  def connect(clientid: String, cleanStart: Boolean,
+      sessionExpirySec: Long = 3600): Boolean = synchronized {
+    expireSessions()
+    val present = sessions.contains(clientid) && !cleanStart
+    if (!present) sessions.put(clientid, new Session(clientid))
+    val s = sessions(clientid)
+    s.connected = true
+    s.expiresAtMs = Long.MaxValue // while connected
+    // on resume: pending messages in s.log are redelivered and the
+    // session's subscriptions stay active — nothing to do here.
+    expirySec.put(clientid, sessionExpirySec)
+    present
+  }
+
+  private val expirySec = mutable.LinkedHashMap[String, Long]()
+
+  def disconnect(clientid: String): Unit = synchronized {
+    sessions.get(clientid).foreach { s =>
+      s.connected = false
+      val exp = expirySec.getOrElse(clientid, 3600L)
+      s.expiresAtMs =
+        if (exp <= 0) 0L else System.currentTimeMillis() + exp * 1000
+    }
+    expireSessions()
+  }
+
+  private def expireSessions(): Unit = {
+    val now = System.currentTimeMillis()
+    val dead = sessions.collect {
+      case (id, s) if !s.connected && s.expiresAtMs <= now => id
+    }.toSeq
+    dead.foreach(sessions.remove)
+  }
+
+  def subscribe(clientid: String, filter: String, qos: Int): Unit =
+    synchronized {
+      val s = sessions.getOrElse(clientid,
+        throw new IllegalStateException(s"not connected: $clientid"))
+      val isNew = !s.subscriptions.contains(filter)
+      s.subscriptions.put(filter, qos)
+      // retained delivery on new non-shared subscriptions (MQTT:
+      // shared subscriptions do not receive retained messages)
+      if (isNew && !filter.startsWith("$share/")) {
+        retained.values.toSeq
+          .filter(m => TopicMatcher.matches(m.topic, filter))
+          .foreach(m => enqueue(s, m.copy(qos = math.min(m.qos, qos),
+            retained = true)))
+      }
+    }
+
+  def unsubscribe(clientid: String, filter: String): Unit = synchronized {
+    sessions.get(clientid).foreach(_.subscriptions.remove(filter))
+  }
+
+  private def enqueue(s: Session, msg: EmqxMessage): Unit =
+    s.log += Delivery(seqGen.getAndIncrement(), msg)
+
+  /** Publish: route to every matching non-shared subscription, and to
+    * exactly one member per matching shared group (round-robin —
+    * the broker-side load balancing the reference's shared
+    * subscription gets from EMQX).
+    */
+  def publish(msg: EmqxMessage): Unit = synchronized {
+    if (msg.retained) {
+      if (msg.payload == null || msg.payload.isEmpty) retained.remove(msg.topic)
+      else retained.put(msg.topic, msg)
+    }
+    // non-shared subscriptions: all sessions, all matching filters
+    sessions.values.foreach { s =>
+      s.subscriptions.foreach { case (filter, subQos) =>
+        if (!filter.startsWith("$share/") &&
+          TopicMatcher.matches(msg.topic, filter))
+          enqueue(s, msg.copy(qos = math.min(msg.qos, subQos),
+            retained = false))
+      }
+    }
+    // shared subscriptions: group by (group, effective filter)
+    val sharedMembers = mutable.LinkedHashMap[(String, String),
+      mutable.ArrayBuffer[(Session, Int)]]()
+    sessions.values.foreach { s =>
+      s.subscriptions.foreach { case (filter, subQos) =>
+        if (filter.startsWith("$share/") &&
+          TopicMatcher.matches(msg.topic, filter)) {
+          val key = (filter, TopicMatcher.unshare(filter))
+          sharedMembers.getOrElseUpdate(key, mutable.ArrayBuffer())
+            .append((s, subQos))
+        }
+      }
+    }
+    sharedMembers.foreach { case (key, members) =>
+      val cursor = rr.getOrElse(key, 0)
+      val (target, subQos) = members(cursor % members.length)
+      rr.put(key, cursor + 1)
+      enqueue(target, msg.copy(qos = math.min(msg.qos, subQos),
+        retained = false))
+    }
+  }
+
+  /** Absolute end sequence of a session's delivery log (next offset a
+    * reader would observe).
+    */
+  def endOffset(clientid: String): Long = synchronized {
+    sessions.get(clientid).map(_.endSeq).getOrElse(0L)
+  }
+
+  /** First un-acked offset (the replay point after recovery). */
+  def committedOffset(clientid: String): Long = synchronized {
+    sessions.get(clientid).map(_.baseSeq).getOrElse(0L)
+  }
+
+  /** Read deliveries in session-local offset range [from, until). */
+  def fetch(clientid: String, from: Long, until: Long): Seq[EmqxMessage] =
+    synchronized {
+      sessions.get(clientid) match {
+        case None => Seq.empty
+        case Some(s) =>
+          val lo = math.max(from, s.baseSeq)
+          (lo until math.min(until, s.endSeq))
+            .map(i => s.log((i - s.baseSeq).toInt).msg)
+      }
+    }
+
+  /** Acknowledge everything below `upTo` — messages are dropped from
+    * the session and will not be redelivered (the reference acks on
+    * checkpoint-complete; the Spark source calls this from
+    * MicroBatchStream.commit).
+    */
+  def ack(clientid: String, upTo: Long): Unit = synchronized {
+    sessions.get(clientid).foreach { s =>
+      val n = math.min(math.max(upTo - s.baseSeq, 0), s.log.length).toInt
+      s.log.remove(0, n)
+      s.baseSeq += n
+    }
+  }
+
+  def sessionPresent(clientid: String): Boolean = synchronized {
+    expireSessions(); sessions.contains(clientid)
+  }
+
+  def retainedCount: Int = synchronized(retained.size)
+}
+
+/** JVM-wide named broker registry so DataSourceV2 readers (running in
+  * executor threads) and test drivers reach the same instance by
+  * option string — the same indirection a host:port pair provides for
+  * a network broker.
+  */
+object BrokerRegistry {
+  private val brokers =
+    new java.util.concurrent.ConcurrentHashMap[String, InMemoryBroker]()
+
+  def get(name: String): InMemoryBroker =
+    brokers.computeIfAbsent(name, _ => new InMemoryBroker)
+
+  def remove(name: String): Unit = brokers.remove(name)
+}
