@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the sketch expressions. Kept as plain JVM
+  * methods so the generated code (doGenCode below) calls straight
+  * into them — one virtual-free call per row inside
+  * WholeStageCodegen, no boxing of the array elements beyond what
+  * ArrayData already does.
+  *
+  * Hash family: h_j(x) = (a_j * x + b_j) mod p over a 61-bit Mersenne
+  * prime, with x = a 64-bit FNV-1a of the shingle bytes — standard
+  * tabulation-free MinHash (Broder '97), deterministic across
+  * executors, no RNG state.
+  */
+object HashKernels {
+  final val P: Long = (1L << 61) - 1
+
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv1a(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private def mulmodP(a: Long, b: Long): Long = {
+    // 61-bit Mersenne modular multiply via 128-bit split
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold 128-bit product mod 2^61-1
+    var r = (lo & P) + ((lo >>> 61) | (hi << 3)) // hi*2^64 mod p folds
+    if (r >= P) r -= P
+    r
+  }
+
+  /** a_j, b_j derived from splitmix64 of the permutation index —
+    * deterministic, well-mixed.
+    */
+  def coeff(j: Long): Long = {
+    var z = j + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    val r = (z ^ (z >>> 31)) % P
+    if (r < 0) r + P else r
+  }
+
+  /** MinHash signature: k minima of (a_j*x + b_j) mod p. */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      hashes(i) = if (s == null) 0L else {
+        val h = fnv1a(s) % P
+        if (h < 0) h + P else h
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < k) {
+      val a = coeff(2L * j) | 1L // odd a, non-zero
+      val b = coeff(2L * j + 1)
+      var m = Long.MaxValue
+      var i2 = 0
+      while (i2 < n) {
+        var v = mulmodP(a, hashes(i2)) + b
+        if (v >= P) v -= P
+        if (v < m) m = v
+        i2 += 1
+      }
+      sig(j) = m
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over token hashes (Charikar '02): per-bit vote of
+    * every token's FNV hash, sign → bit.
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      if (s != null) {
+        val h = fnv1a(s)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Karp-Rabin rolling-hash document fingerprint: minimum polynomial
+    * hash over all `w`-char windows (winnowing's global minimum —
+    * robust to edits outside the minimal window).
+    */
+  def rollingFingerprint(text: UTF8String, w: Int): Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n == 0) return 0L
+    val win = math.min(w, n)
+    val B = 257L
+    var powW = 1L // B^(win-1) mod P
+    var i = 0
+    while (i < win - 1) { powW = mulmodP(powW, B); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < win) {
+      h = mulmodP(h, B) + (bytes(i) & 0xffL)
+      if (h >= P) h -= P
+      i += 1
+    }
+    var min = h
+    i = win
+    while (i < n) {
+      val out = mulmodP(bytes(i - win) & 0xffL, powW)
+      h = h - out
+      if (h < 0) h += P
+      h = mulmodP(h, B) + (bytes(i) & 0xffL)
+      if (h >= P) h -= P
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+/** minhash_signature(shingles, k) → array<bigint> */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhash(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.minhash($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** simhash64(tokens) → bigint */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** rolling_fingerprint(text, window) → bigint */
+case class RollingFingerprint(child: Expression, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.rollingFingerprint(input.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.rollingFingerprint($c, $window)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HashFunctions {
+  def minhash_signature(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  def rolling_fingerprint(text: Column, window: Int): Column =
+    ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(text), window))
+}

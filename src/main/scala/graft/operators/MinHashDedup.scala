@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.HashFunctions._
+import graft.functions.TextFunctions._
+
+/** Sketch-based near-duplicate detection (SURVEY §2.3 D2/D3 + §2.5
+  * T4's rolling hash).
+  *
+  * Scale shape (the whole point of MinHash-LSH): the only shuffles are
+  * (a) explode+groupBy on (band, band-signature) — key cardinality ≈
+  * corpus × bands, uniformly hashed, no skew — and (b) the verify
+  * join on doc ids. Candidate pairs are generated strictly within
+  * buckets, so cost is Σ bucket² instead of n²; everything upstream
+  * is a projection with the sketch kernels inlined in codegen.
+  */
+object MinHashDedup {
+
+  /** D2 — MinHash(k=32) + LSH(8 bands × 4 rows) candidate pairs with
+    * signature-estimated and exact-verified Jaccard. Emits pairs with
+    * est ≥ `minEst`; `jaccard` is the exact value computed only for
+    * the candidates (the expensive step is bounded by bucket sizes).
+    */
+  def minhashPairs(spark: SparkSession, sfDir: String,
+      k: Int = 32, bands: Int = 8, minEst: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val docs = documents(spark, sfDir).select(col("doc_id"),
+      array_distinct(wordShingles(col("text"), 3)).as("sh"))
+      .withColumn("sig", minhash_signature(col("sh"), k))
+
+    val banded = docs.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          hash(slice(col("sig"), j * rows + 1, rows)).as("bsig"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+
+    // estimate: fraction of agreeing signature components
+    val est = aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / k
+
+    val estimated = cand.withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+
+    // exact verification join — only for surviving candidates
+    val sets = docs.select(col("doc_id"), col("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    estimated
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** D3 — SimHash near-dup pairs: 64-bit signature, candidates =
+    * equal 16-bit chunk (4 chunks → Hamming ≤ 3 guaranteed recall at
+    * ≥ 1 exact chunk), verified by popcount of the XOR.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = documents(spark, sfDir).select(col("doc_id"),
+      simhash64(tokens(col("text"))).as("sig"))
+    val chunked = docs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * 16).bitwiseAND(0xffffL)
+            .as("csig"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sig"),
+        col("ck.chunk").as("chunk"), col("ck.csig").as("csig"))
+
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.csig") === col("y.csig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** T4b — rolling-hash (Karp-Rabin) fingerprints: robust 64-char
+    * window minimum, alongside the doc's simhash for triage.
+    */
+  def rollingFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).select(col("doc_id"),
+      rolling_fingerprint(col("text"), 64).as("roll_fp"),
+      simhash64(tokens(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+}

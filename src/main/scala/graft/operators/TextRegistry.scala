@@ -17,7 +17,12 @@ object TextRegistry {
     "text_shingles" -> (TextOps.textShingles _),
     "wordcount" -> (TextOps.wordcount _),
     "dedup_exact" -> (Dedup.dedupExact _),
-    "dedup_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d))
+    "dedup_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    // rows-only: sketch internals (hash family) are engine-specific;
+    // MinHashSpec verifies estimates against exact jaccard instead.
+    "dedup_minhash_pairs" -> ((s, d) => MinHashDedup.minhashPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => MinHashDedup.simhashPairs(s, d)),
+    "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _)
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.

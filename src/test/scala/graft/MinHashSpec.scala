@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.HashKernels
+import graft.operators.{Dedup, MinHashDedup}
+import org.apache.spark.unsafe.types.UTF8String
+
+class MinHashSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("kernels are deterministic and well-typed") {
+    val h1 = HashKernels.fnv1a(UTF8String.fromString("hello world"))
+    val h2 = HashKernels.fnv1a(UTF8String.fromString("hello world"))
+    assert(h1 == h2)
+    assert(HashKernels.rollingFingerprint(
+      UTF8String.fromString("abcdefgh" * 20), 64) ==
+      HashKernels.rollingFingerprint(
+        UTF8String.fromString("abcdefgh" * 20), 64))
+    // rolling fp is window-local: a suffix edit far from the minimal
+    // window usually keeps the fingerprint; identical prefix strings
+    // with same min window must agree
+    assert(HashKernels.rollingFingerprint(UTF8String.fromString(""), 64) == 0L)
+  }
+
+  test("minhash estimate tracks exact jaccard for high-sim pairs") {
+    val pairs = MinHashDedup.minhashPairs(spark, sf, minEst = 0.3).collect()
+    pairs.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("jaccard")
+      assert(math.abs(est - exact) < 0.35,
+        s"est $est vs exact $exact for ${r.getLong(0)},${r.getLong(1)}")
+    }
+  }
+
+  test("minhash-LSH finds every exact near-dup pair (recall at 0.5)") {
+    // ground truth: blocked exact jaccard >= 0.5 (same-source blocks
+    // contain the planted near-dups)
+    val exact = Dedup.jaccardPairs(spark, sf, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = MinHashDedup.minhashPairs(spark, sf, minEst = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh),
+      s"LSH missed planted near-dups: ${exact -- lsh}")
+  }
+
+  test("simhash pairs have low hamming distance and include near-dups") {
+    val df = MinHashDedup.simhashPairs(spark, sf)
+    assert(df.filter(col("hamming") > 3).count() == 0)
+  }
+
+  test("rolling fingerprints are stable across runs") {
+    val a = MinHashDedup.rollingFingerprints(spark, sf).collect()
+    val b = MinHashDedup.rollingFingerprints(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+}
