@@ -9,7 +9,8 @@ object ConnectorRegistry {
   val queries: Map[String, Q] = Map(
     "emqx_envelope" -> (ConnectorOps.emqxEnvelope _),
     "emqx_decode" -> (ConnectorOps.emqxDecode _),
-    "emqx_topic_filter" -> (ConnectorOps.emqxTopicFilter _)
+    "emqx_topic_filter" -> (ConnectorOps.emqxTopicFilter _),
+    "multimodal_meta" -> (graft.multimodal.Multimodal.multimodalMeta _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -31,6 +32,15 @@ object ConnectorRegistry {
         | TRUE AS m_all,
         | event_type = 'purchase' AS m_purchase,
         | user_id % 5 = 3 AS m_user3
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |   ELSE 'webp' END AS fmt,
+        | CAST(doc_id % 640 + 64 AS INT) AS width,
+        | CAST(doc_id % 480 + 48 AS INT) AS height,
+        | octet_length(encode(text)) AS byte_len,
+        | CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

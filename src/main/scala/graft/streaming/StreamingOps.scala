@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2.7) — the reference's
+  * execution model (unbounded keyed streams with checkpointed state,
+  * WordCount.java's keyBy→sum) re-expressed on Spark's engine.
+  * Transform-only functions: callers bind any source (the emqx DSv2
+  * source, MemoryStream in tests, Kafka in production) and any sink —
+  * the operator is the plan, which is what scales.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** X1 — tumbling event-time window with watermark: late data beyond
+    * 10 minutes is dropped, state is bounded (Spark evicts windows
+    * below the watermark — the scale-critical property).
+    */
+  def windowedCounts(events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** X1b — sliding window variant (1h length, 30m slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(
+        col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"))
+
+  /** X2a — built-in session windows (gap-based). */
+  def sessionWindowAgg(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** X2b — custom keyed state via flatMapGroupsWithState: the direct
+    * analogue of Flink keyed state + timers (what the reference's
+    * keyBy feeds). Sessions close after `gapMs` of event-time silence,
+    * enforced with an event-time timeout so state is evicted by the
+    * watermark, never unbounded.
+    */
+  def statefulSessionize(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      var st = state.getOption.orNull
+      if (state.hasTimedOut) {
+        if (st != null)
+          out ::= SessionOut(userId, new Timestamp(st.start),
+            new Timestamp(st.end), st.n, st.total)
+        state.remove()
+        return out.iterator
+      }
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        if (st == null) st = SessionState(t, t, 1, e.value)
+        else if (t - st.end > gapMs) {
+          out ::= SessionOut(userId, new Timestamp(st.start),
+            new Timestamp(st.end), st.n, st.total)
+          st = SessionState(t, t, 1, e.value)
+        } else st = SessionState(st.start, math.max(st.end, t), st.n + 1,
+          st.total + e.value)
+      }
+      state.update(st)
+      state.setTimeoutTimestamp(st.end + gapMs)
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** X3 — stream–static enrichment join: the static side is planned
+    * per micro-batch (broadcast when small — dims at 100 TB stream
+    * scale are still dimension-sized).
+    */
+  def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
+  /** C10 — the WordCount running aggregation (keyBy→sum) on a
+    * payload-bearing stream.
+    */
+  def runningWordCount(payloads: DataFrame): DataFrame =
+    payloads
+      .select(explode(split(col("payload").cast("string"), "\\s+"))
+        .as("word"))
+      .groupBy(col("word")).count()
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** X1–X3: watermark windows, custom keyed state, stream-static join —
+  * each driven through a real streaming query over MemoryStream.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(min: Int) = new Timestamp(3600_000L * 10 + min * 60_000L)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+      name: String, mode: String = "append") = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q
+  }
+
+  test("windowed counts aggregate per tumbling window with watermark") {
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(5), 1, "a", 1.0), Event(2, ts(10), 1, "a", 2.0),
+      Event(3, ts(65), 2, "b", 3.0))
+    val q = runToMemory(
+      StreamingOps.windowedCounts(in.toDF()), "win_counts", "update")
+    try {
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").getTime / 60000 % 1440,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+      assert(rows.contains((600, "a", 2L))) // 10:00 window, 2 events
+      assert(rows.contains((660, "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize emits closed sessions after gap + watermark") {
+    val in = MemoryStream[Event]
+    val q = StreamingOps.statefulSessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // session 1: two events close together; then 40-minute gap;
+      // then an event far ahead that moves the watermark past the gap
+      in.addData(Event(1, ts(0), 7, "a", 1.0), Event(2, ts(5), 7, "a", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(120), 7, "a", 5.0)) // advances watermark
+      q.processAllAvailable()
+      in.addData(Event(4, ts(240), 7, "a", 0.0)) // flush further
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      assert(sessions.contains((2L, 3.0)),
+        s"first session not closed: ${sessions.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("session_window builtin groups events by gap") {
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 2.0),
+      Event(3, ts(120), 1, "a", 4.0), Event(4, ts(300), 9, "z", 9.0))
+    val q = runToMemory(
+      StreamingOps.sessionWindowAgg(in.toDF()), "sess_win", "append")
+    try {
+      // the 300-minute event pushes the watermark so earlier sessions close
+      val rows = spark.table("sess_win").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSet
+      assert(rows.contains((1L, 2L)), s"got $rows") // events at 0,10
+      assert(rows.contains((1L, 1L))) // isolated event at 120
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins dimension attributes") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    in.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 3, "b", 2.0))
+    val q = runToMemory(
+      StreamingOps.enrich(in.toDF(), dim), "enriched", "append")
+    try {
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getAs[Long]("user_id"), Option(r.getAs[String]("tier"))))
+        .toSet
+      assert(rows == Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("running word count matches WordCount semantics") {
+    val in = MemoryStream[String]
+    in.addData("spark flink spark", "flink spark")
+    val q = runToMemory(
+      StreamingOps.runningWordCount(
+        in.toDF().select(encode(col("value"), "UTF-8").as("payload"))),
+      "wc_run", "complete")
+    try {
+      val counts = spark.table("wc_run").collect()
+        .map(r => r.getAs[String]("word") -> r.getAs[Long]("count")).toMap
+      assert(counts == Map("spark" -> 3L, "flink" -> 2L))
+    } finally q.stop()
+  }
+}
