@@ -67,13 +67,14 @@ object TextFunctions {
 
   /** Quality score in [0,1]: blend of length band, stopword presence
     * and punctuation sanity — the usual cheap pre-filter before
-    * expensive dedup. Computed in exact integer/decimal arithmetic
-    * then one double division per term, for oracle determinism.
+    * expensive dedup. Takes the pre-split token array so callers
+    * tokenize once per row. One double division per term, for oracle
+    * determinism.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScoreFrom(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
     val nChar = length(text).cast("double")
-    val swRatio = stopwordHits(tokens(text), "en").cast("double") / nTok
+    val swRatio = stopwordHits(toks, "en").cast("double") / nTok
     val punctRatio = punctCount(text).cast("double") / nChar
     val lenScore = when(nTok >= 20 && nTok <= 1000, lit(1.0))
       .when(nTok >= 5, lit(0.5)).otherwise(lit(0.0))
@@ -83,17 +84,32 @@ object TextFunctions {
     (lenScore * 0.5 + swScore * 0.3 + punctScore * 0.2)
   }
 
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(text, tokens(text))
+
   /** Canonical-form md5 fingerprint: collapse whitespace, trim, hash.
     * Identical builtin in DuckDB → oracle-checkable.
     */
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(trim(text), "\\s+", " "))
 
-  /** Word n-gram shingles (space-joined), the dedup unit. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-  }
+  /** Word n-gram shingles (space-joined), the dedup unit, from a
+    * pre-split token column.
+    *
+    * IMPORTANT: pass an attribute (a materialized `withColumn`), not
+    * a computed expression — the lambda body references `toks` from
+    * outside the lambda, so Catalyst re-evaluates it per element: a
+    * split() argument turns O(tokens) into O(tokens²) per row (measured
+    * 55 s → 3 s on dedup_jaccard_pairs at sf0.1).
+    */
+  def wordShinglesFrom(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Convenience for one-shot use on short texts; prefer
+    * `wordShinglesFrom` over a materialized token column in hot paths.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFrom(tokens(text), n)
 }

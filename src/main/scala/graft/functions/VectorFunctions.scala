@@ -1,23 +1,54 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Vector math over `array<float>` embedding columns (SURVEY §2.4).
   *
-  * Everything is built from Spark's higher-order array functions
-  * (`zip_with`/`aggregate`), which are codegen'd — the fold is a tight
-  * sequential loop per row, no UDF serialization. Elements are cast
-  * to double before arithmetic so the fold is bit-identical to the
-  * DuckDB oracle's sequential double accumulation.
+  * The dot product is a native Catalyst expression whose generated
+  * code calls a tight primitive loop (no intermediate zipped array,
+  * no boxing) — the hot path of every ANN/similarity operator. The
+  * fold is sequential left-to-right over doubles, bit-identical to
+  * DuckDB's list_dot_product on DOUBLE[] (verified by the oracle).
   */
+object VectorKernels {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
+/** dot_product(array<double>, array<double>) → double */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Sequential-fold dot product: sum_i a_i * b_i. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

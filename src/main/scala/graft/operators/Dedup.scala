@@ -34,24 +34,58 @@ object Dedup {
 
   /** D4 — exact n-gram Jaccard over blocked candidate pairs (block =
     * source). At 100 TB the block key comes from LSH buckets instead
-    * (MinHashDedup); the verification join is identical. The jaccard
-    * division is int/int → double: bit-identical in the oracle.
+    * (MinHashDedup); the verification join is identical.
+    *
+    * Inverted-index formulation, NOT pairwise array_intersect: explode
+    * to (shingle, doc) postings, self-join on (source, shingle), count
+    * shared shingles per pair. Cost is Σ posting-list² per shingle —
+    * sparse-data cheap — instead of block² full-array intersections;
+    * pairs sharing zero shingles (jaccard 0) never materialize. The
+    * jaccard division is int/int → double: bit-identical in the
+    * oracle, which states the same semantics pairwise.
     */
   def jaccardPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.02): DataFrame = {
-    val docs = documents(spark, sfDir)
+    // Single scan: shingle set per doc, then postings carrying the
+    // doc's set size so no later join back is needed. The explode is
+    // a typed flatMap, NOT explode(): Catalyst inlines a computed
+    // array into the Generate input and re-evaluates it per OUTPUT
+    // row (O(shingles²) per doc — measured 8.6 s vs 1.4 s at sf0.1);
+    // flatMap forces one evaluation per input row.
+    import spark.implicits._
+    val postings = documents(spark, sfDir)
+      .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("source"),
-        array_distinct(wordShingles(col("text"), 3)).as("sh"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("source"),
-      col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("source"),
-      col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    a.join(b, Seq("source"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter))
+        array_distinct(wordShinglesFrom(col("toks"), 3)).as("sh"))
+      .as[(Long, String, Seq[String])]
+      .flatMap { case (id, src, sh) =>
+        sh.map(s => (id, src, sh.length, s))
+      }
+      .toDF("doc_id", "source", "n_sh", "shingle")
+
+    // bucket per (source, shingle): tiny sorted member lists (posting
+    // lists are bounded by block size), pairs generated inside the
+    // bucket with array lambdas — one shuffle, no self-join re-scan.
+    val buckets = postings
+      .groupBy(col("source"), col("shingle"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("ids"))
+      .filter(size(col("ids")) > 1)
+
+    val pairGen = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+        struct(a.getField("doc_id").as("doc_a"),
+          b.getField("doc_id").as("doc_b"),
+          a.getField("n_sh").as("n_a"),
+          b.getField("n_sh").as("n_b")))))
+
+    buckets
+      .select(explode(pairGen).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

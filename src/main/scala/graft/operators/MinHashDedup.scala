@@ -26,17 +26,28 @@ object MinHashDedup {
   def minhashPairs(spark: SparkSession, sfDir: String,
       k: Int = 32, bands: Int = 8, minEst: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val docs = documents(spark, sfDir).select(col("doc_id"),
-      array_distinct(wordShingles(col("text"), 3)).as("sh"))
+    import spark.implicits._
+    val docs = documents(spark, sfDir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        array_distinct(wordShinglesFrom(col("toks"), 3)).as("sh"))
       .withColumn("sig", minhash_signature(col("sh"), k))
 
-    val banded = docs.select(col("doc_id"), col("sig"),
-      explode(array((0 until bands).map(j =>
-        struct(lit(j).as("band"),
-          hash(slice(col("sig"), j * rows + 1, rows)).as("bsig"))): _*))
-        .as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+    // banding via typed flatMap (one signature evaluation per doc;
+    // explode() would re-run the minhash kernel per band row — see
+    // Dedup.jaccardPairs). Band bucket key = fold-hash of the band's
+    // signature slice.
+    val banded = docs.select(col("doc_id"), col("sig"))
+      .as[(Long, Seq[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until bands).map { j =>
+          var h = 1125899906842597L
+          var i = j * rows
+          while (i < (j + 1) * rows) { h = h * 31 + sig(i); i += 1 }
+          (id, sig, j, h)
+        }
+      }
+      .toDF("doc_id", "sig", "band", "bsig")
 
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
@@ -72,15 +83,16 @@ object MinHashDedup {
     */
   def simhashPairs(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
     val docs = documents(spark, sfDir).select(col("doc_id"),
       simhash64(tokens(col("text"))).as("sig"))
-    val chunked = docs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sig"), c * 16).bitwiseAND(0xffffL)
-            .as("csig"))): _*)).as("ck"))
-      .select(col("doc_id"), col("sig"),
-        col("ck.chunk").as("chunk"), col("ck.csig").as("csig"))
+    // chunking via flatMap for the same one-evaluation reason as the
+    // minhash banding above.
+    val chunked = docs.as[(Long, Long)]
+      .flatMap { case (id, sig) =>
+        (0 until 4).map(c => (id, sig, c, (sig >>> (c * 16)) & 0xffffL))
+      }
+      .toDF("doc_id", "sig", "chunk", "csig")
 
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.csig") === col("y.csig") &&

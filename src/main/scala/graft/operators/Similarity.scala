@@ -72,27 +72,38 @@ object Similarity {
     val emb = embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
 
-    // signature bit p = sign(sum_d emb[d] * w(p,d)), w in [-1,1] from
-    // xxhash64 — computed fully inside codegen'd array functions.
-    def planeDot(p: Int): Column = {
-      val weights = transform(sequence(lit(0), size(col("emb")) - 1),
-        d => (xxhash64(lit(p) * 4096 + d) % 20001).cast("double") / 10000.0)
-      aggregate(zip_with(col("emb"), weights, (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-    }
-    val sigBits: Seq[Column] = (0 until nPlanes).map(p =>
-      when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
-    val withSig = emb.withColumn("sig", sigBits.reduce(_ + _))
-
+    // Random-hyperplane signature + banding in one typed flatMap:
+    // plane weights are splitmix-derived from (plane, dim) —
+    // deterministic, no RNG state, no broadcast needed — and the
+    // signature is computed exactly once per vector (an explode()
+    // over a computed signature would re-run all planes per band
+    // row — see Dedup.jaccardPairs).
+    import spark.implicits._
     val bitsPerBand = nPlanes / nBands
     val mask = (1L << bitsPerBand) - 1
-    val banded = withSig.select(col("vec_id"), col("emb"),
-      explode(array((0 until nBands).map(bd =>
-        struct(lit(bd).as("band"),
-          shiftright(col("sig"), bd * bitsPerBand).bitwiseAND(mask)
-            .as("bsig"))): _*)).as("bk"))
-      .select(col("vec_id"), col("emb"),
-        col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+    val banded = emb.as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        var sig = 0L
+        var p = 0
+        while (p < nPlanes) {
+          var acc = 0.0
+          var d = 0
+          while (d < v.length) {
+            // splitmix64 of (p, d) → weight in [-1, 1]
+            var z = (p * 4096L + d) + 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            z = z ^ (z >>> 31)
+            acc += v(d) * ((z % 20001L) / 10000.0)
+            d += 1
+          }
+          if (acc >= 0) sig |= (1L << p)
+          p += 1
+        }
+        (0 until nBands).map(bd =>
+          (id, v, bd, (sig >>> (bd * bitsPerBand)) & mask))
+      }
+      .toDF("vec_id", "emb", "band", "bsig")
 
     val queries = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),

@@ -21,14 +21,17 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   /** T2 — quality scoring: length band + stopword ratio + punctuation
-    * sanity. */
+    * sanity. Tokenizes once per row (toks column reused by every
+    * derived metric).
+    */
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
+      .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        stopwordHits(tokens(col("text")), "en").as("sw_hits"),
+        size(col("toks")).as("n_tokens"),
+        stopwordHits(col("toks"), "en").as("sw_hits"),
         punctCount(col("text")).as("punct_cnt"),
-        qualityScore(col("text")).as("quality"))
+        qualityScoreFrom(col("text"), col("toks")).as("quality"))
       .orderBy(col("doc_id"))
 
   /** T3 — heuristic language ID. */
@@ -45,14 +48,14 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   /** T5 — word-trigram shingling stats (the dedup unit). */
-  def textShingles(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = wordShingles(col("text"), 3)
+  def textShingles(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", wordShinglesFrom(col("toks"), 3))
       .select(col("doc_id"),
-        size(sh).as("n_shingles"),
-        size(array_distinct(sh)).as("n_distinct_shingles"))
+        size(col("sh")).as("n_shingles"),
+        size(array_distinct(col("sh"))).as("n_distinct_shingles"))
       .orderBy(col("doc_id"))
-  }
 
   /** C9 — the reference WordCount (examples/wordcount/WordCount.java:17):
     * flatMap to words → keyBy → count, as explode + hash aggregation
