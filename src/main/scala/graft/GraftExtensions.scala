@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.Literal
+import graft.functions._
+
+/** Library entry point for SQL users: registers every graft function
+  * in the session's function registry, so the whole surface is
+  * reachable from `spark.sql(...)` as well as the Column API.
+  *
+  * Use either
+  *   `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  *   `GraftFunctions.registerAll(spark)` on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            "graft", name),
+          builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** name → expression builder, shared by the extension injection and
+    * the imperative registration path.
+    */
+  val injections: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "mqtt_topic_matches" ->
+      ((es: Seq[Expression]) => MqttTopicMatches(es(0), es(1))),
+    "minhash_signature" ->
+      ((es: Seq[Expression]) =>
+        MinHashSignature(es(0), intArg(es(1), "k"))),
+    "simhash64" -> ((es: Seq[Expression]) => SimHash64(es(0))),
+    "rolling_fingerprint" ->
+      ((es: Seq[Expression]) =>
+        RollingFingerprint(es(0), intArg(es(1), "window"))),
+    "dot_product" ->
+      ((es: Seq[Expression]) => DotProduct(es(0), es(1))))
+
+  /** Imperative registration on a live session. */
+  def registerAll(spark: SparkSession): Unit =
+    injections.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}

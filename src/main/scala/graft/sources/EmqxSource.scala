@@ -3,10 +3,12 @@ package graft.sources
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,12 +44,19 @@ class EmqxSourceProvider extends TableProvider with DataSourceRegister {
 }
 
 class EmqxTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"emqx:${options.get("broker")}/${options.get("topicfilter")}"
   override def schema(): StructType = EmqxMessage.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new EmqxWrite(options.get("broker"), info.schema())
+    }
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = EmqxMessage.schema
@@ -160,4 +169,67 @@ class EmqxPartitionReaderFactory extends PartitionReaderFactory {
     InternalRow(UTF8String.fromString(m.topic), m.qos, m.retained,
       props, m.payload)
   }
+}
+
+/** DSv2 write path: `df.writeStream.format("emqx")` /
+  * `df.write.format("emqx")` publish envelope rows (any column other
+  * than `topic` may be omitted). Publishes are per-row as a real MQTT
+  * client would; epoch commit is a no-op because MQTT publish has no
+  * transactional abort — at-least-once, matching the source side.
+  */
+class EmqxWrite(brokerName: String, schema: StructType)
+    extends Write with BatchWrite with StreamingWrite {
+
+  override def useCommitCoordinator(): Boolean = false
+  override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new EmqxWriterFactory(brokerName, schema)
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new EmqxWriterFactory(brokerName, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private case object EmqxCommit extends WriterCommitMessage
+
+class EmqxWriterFactory(brokerName: String, schema: StructType)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    mkWriter()
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = mkWriter()
+
+  private val idx: Map[String, Int] =
+    schema.fieldNames.zipWithIndex.toMap
+
+  private def mkWriter(): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val broker = BrokerRegistry.get(brokerName)
+      override def write(row: InternalRow): Unit = {
+        def opt[T](name: String, get: Int => T, dflt: T): T =
+          idx.get(name).filterNot(row.isNullAt).map(get).getOrElse(dflt)
+        val props = opt[Map[String, String]]("properties", i => {
+          val m = row.getMap(i)
+          val ks = m.keyArray(); val vs = m.valueArray()
+          (0 until m.numElements()).map(j =>
+            ks.getUTF8String(j).toString -> vs.getUTF8String(j).toString)
+            .toMap
+        }, Map.empty)
+        broker.publish(EmqxMessage(
+          topic = row.getUTF8String(idx("topic")).toString,
+          qos = opt("qos", row.getInt, 0),
+          retained = opt("retained", row.getBoolean, false),
+          properties = props,
+          payload = opt("payload", row.getBinary, Array.empty[Byte])))
+      }
+      override def commit(): WriterCommitMessage = EmqxCommit
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }

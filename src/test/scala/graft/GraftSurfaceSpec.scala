@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.EmqxMessage
+import graft.sources.broker.BrokerRegistry
+
+/** SQL-surface registration + DSv2 write path + QoS parametrization
+  * (the reference's @ParameterizedTest over qos).
+  */
+class GraftSurfaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("all graft functions are callable from SQL") {
+    GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT
+        | mqtt_topic_matches('t/a/b', 't/+/#') AS m,
+        | minhash_signature(array('a b c','b c d'), 8) AS mh,
+        | simhash64(array('tok1','tok2')) AS sh,
+        | rolling_fingerprint('some document text here', 8) AS rf,
+        | dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |""".stripMargin).head()
+    assert(row.getAs[Boolean]("m"))
+    assert(row.getSeq[Long](row.fieldIndex("mh")).length == 8)
+    assert(row.getAs[Double]("dp") == 11.0)
+  }
+
+  test("batch DSv2 write publishes envelope rows via format(emqx)") {
+    val name = "surface-batch-write"
+    val b = BrokerRegistry.get(name)
+    b.connect("w", cleanStart = true)
+    b.subscribe("w", "#", 2)
+    import spark.implicits._
+    Seq(("bt/1", 1, false, "one"), ("bt/2", 2, false, "two"))
+      .toDF("topic", "qos", "retained", "body")
+      .withColumn("payload", encode(col("body"), "UTF-8"))
+      .withColumn("properties",
+        map(lit("origin"), lit("dsv2")))
+      .select("topic", "qos", "retained", "properties", "payload")
+      .write.format("emqx").option("broker", name).mode("append").save()
+    val got = b.fetch("w", 0, b.endOffset("w"))
+    assert(got.map(m => m.topic -> new String(m.payload, UTF_8)).toSet ==
+      Set("bt/1" -> "one", "bt/2" -> "two"))
+    assert(got.forall(_.properties("origin") == "dsv2"))
+  }
+
+  test("streaming DSv2 write: source -> transform -> format(emqx) sink") {
+    val src = "surface-stream-src"
+    val dst = "surface-stream-dst"
+    val bs = BrokerRegistry.get(src)
+    val bd = BrokerRegistry.get(dst)
+    bd.connect("watch", cleanStart = true)
+    bd.subscribe("watch", "echo/#", 1)
+    val ckpt = Files.createTempDirectory("emqx-w-").toString
+
+    val q = spark.readStream.format("emqx")
+      .option("broker", src).option("clientid", "s-")
+      .option("group", "g").option("topicfilter", "in/#")
+      .option("readers", 2).load()
+      .select(concat(lit("echo/"), expr("substring(topic, 4)")).as("topic"),
+        col("qos"), col("retained"), col("properties"), col("payload"))
+      .writeStream.format("emqx").option("broker", dst)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!(0 to 1).forall(i => bs.sessionPresent(s"s-$i")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      bs.publish(EmqxMessage("in/x", 1, retained = false, Map.empty,
+        "ping".getBytes(UTF_8)))
+      q.processAllAvailable()
+      val got = bd.fetch("watch", 0, bd.endOffset("watch"))
+      assert(got.map(_.topic) == Seq("echo/x"))
+      assert(new String(got.head.payload, UTF_8) == "ping")
+    } finally q.stop()
+  }
+
+  test("qos 0/1/2 subscriptions all deliver (reference qos parametrization)") {
+    for (qos <- 0 to 2) {
+      val name = s"surface-qos-$qos"
+      val b = BrokerRegistry.get(name)
+      b.connect("c", cleanStart = true)
+      b.subscribe("c", "t/#", qos)
+      b.publish(EmqxMessage("t/q", 2, retained = false, Map.empty,
+        s"m$qos".getBytes(UTF_8)))
+      val got = b.fetch("c", 0, b.endOffset("c"))
+      assert(got.length == 1)
+      assert(got.head.qos == qos) // min(pub=2, sub=qos)
+      assert(new String(got.head.payload, UTF_8) == s"m$qos")
+    }
+  }
+}
