@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** Advanced relational operators: as-of join, skew-salted
+  * aggregation, approximate percentiles.
+  */
+object AdvancedOps {
+
+  /** As-of join — for each event, the user's most recent order at or
+    * before the event time. Spark lacks the operator; rather than a
+    * per-key loop or a range cross-join, this is the scalable
+    * union+window formulation: one shuffle on the key, one ordered
+    * pass per key partition (orders and events interleaved by time,
+    * `last_value(ignoreNulls)` carries the latest order forward).
+    *
+    * Orders are pre-deduped to one per (custkey, orderdate) — max
+    * orderkey — so as-of ties are deterministic in both engines
+    * (the oracle uses DuckDB's native ASOF JOIN, which leaves ties
+    * unspecified otherwise).
+    */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord1 = orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .join(orders(spark, sfDir), Seq("o_custkey", "o_orderdate", "o_orderkey"))
+      .select(col("o_custkey").as("key"), col("o_orderdate").as("t"),
+        lit(1).as("is_order"), col("o_orderkey"), col("o_totalprice"))
+
+    val ev = events(spark, sfDir)
+      .select(col("user_id").as("key"), col("ts").as("t"),
+        lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"),
+        col("event_id"))
+
+    val unioned = ord1
+      .withColumn("event_id", lit(null).cast("long"))
+      .unionByName(ev)
+
+    // at equal t, the order row sorts first (is_order desc) so an
+    // order exactly at the event time is visible to the event.
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t"), col("is_order").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    unioned
+      .withColumn("last_orderkey",
+        last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("last_price",
+        last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0)
+      .select(col("event_id"), col("key").as("user_id"), col("t").as("ts"),
+        col("last_orderkey"), col("last_price"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Skew-salted two-phase aggregation: wordcount where phase 1
+    * aggregates on (word, salt) — spreading a hot key over N reducers
+    * — and phase 2 merges the partials. Same result as the direct
+    * groupBy (the oracle is identical SQL); at 100 TB this is the
+    * shape that survives a power-law token distribution.
+    */
+  def wordcountSalted(spark: SparkSession, sfDir: String,
+      salts: Int = 16): DataFrame =
+    documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .withColumn("salt", pmod(crc32(monotonically_increasing_id()
+        .cast("string")), lit(salts)))
+      .groupBy(col("word"), col("salt"))
+      .agg(count(lit(1)).as("pn"))
+      .groupBy(col("word"))
+      .agg(sum(col("pn")).as("n"))
+      .orderBy(col("n").desc, col("word"))
+
+  /** Approximate percentiles of order value per priority (rows-only:
+    * the sketch is engine-specific; the spec bounds its error against
+    * exact percentiles).
+    */
+  def qApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+          .as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000))
+          .as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+}

@@ -30,7 +30,12 @@ object RelationalRegistry {
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     "q_events_tumbling" -> (Windows.qEventsTumbling _),
     "q_events_sliding" -> (Windows.qEventsSliding _),
-    "q_sessionize" -> (Windows.qSessionize _)
+    "q_sessionize" -> (Windows.qSessionize _),
+    "q_asof_join" -> (AdvancedOps.qAsofJoin _),
+    "wordcount_salted" -> ((s, d) => AdvancedOps.wordcountSalted(s, d)),
+    // rows-only: percentile sketch is engine-specific; error bound
+    // asserted in AdvancedSpec.
+    "q_approx_percentile" -> (AdvancedOps.qApproxPercentile _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -159,6 +164,25 @@ object RelationalRegistry {
         |  SELECT *, f30 - INTERVAL 30 MINUTE AS window_start FROM e)
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+    "q_asof_join" ->
+      """WITH o1 AS (
+        |  SELECT o.o_custkey, o.o_orderdate, o.o_orderkey, o.o_totalprice
+        |  FROM orders o
+        |  JOIN (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |        FROM orders GROUP BY o_custkey, o_orderdate) m
+        |  USING (o_custkey, o_orderdate, o_orderkey))
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  o1.o_orderkey AS last_orderkey,
+        |  o1.o_totalprice AS last_price
+        |FROM events e
+        |ASOF LEFT JOIN o1
+        |  ON e.user_id = o1.o_custkey AND o1.o_orderdate <= e.ts
+        |ORDER BY event_id""".stripMargin,
+    "wordcount_salted" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        | FROM documents)
+        |GROUP BY word ORDER BY n DESC, word""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,
