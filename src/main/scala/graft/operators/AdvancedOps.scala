@@ -76,6 +76,38 @@ object AdvancedOps {
       .agg(sum(col("pn")).as("n"))
       .orderBy(col("n").desc, col("word"))
 
+  /** Range (band) join — pairs of events from the same user within
+    * 5 minutes of each other. A naive inequality join is a nested
+    * loop over the key group; the scalable shape is the binned band
+    * join: bucket each event into its 5-minute bin, join each event
+    * against its own and the next bin (every |Δt| ≤ 5 min pair shares
+    * a bin boundary), then apply the exact predicate. Joins are
+    * equi-joins on (user, bin) → hash-partitioned, no nested loop.
+    */
+  def qRangeJoin(spark: SparkSession, sfDir: String,
+      bandSec: Long = 300): DataFrame = {
+    val e = events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (unix_timestamp(col("ts")) / bandSec).cast("long").as("bin"))
+    val left = e.select(col("event_id").as("id_a"),
+      col("user_id"), col("ts").as("ts_a"), col("bin"))
+    // right side joins at bin-1/bin/bin+1: two timestamps within the
+    // band are always in same-or-adjacent bins, regardless of how
+    // event ids order relative to time; distinct() collapses the
+    // same-bin double match.
+    val right = e.select(col("event_id").as("id_b"), col("user_id"),
+        col("ts").as("ts_b"), col("bin").as("rbin"))
+      .withColumn("bin",
+        explode(array(col("rbin") - 1, col("rbin"), col("rbin") + 1)))
+    left.join(right, Seq("user_id", "bin"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a")))
+          <= bandSec)
+      .select(col("user_id"), col("id_a"), col("id_b"))
+      .distinct()
+      .orderBy(col("user_id"), col("id_a"), col("id_b"))
+  }
+
   /** Approximate percentiles of order value per priority (rows-only:
     * the sketch is engine-specific; the spec bounds its error against
     * exact percentiles).

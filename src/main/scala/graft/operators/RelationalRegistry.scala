@@ -32,6 +32,7 @@ object RelationalRegistry {
     "q_events_sliding" -> (Windows.qEventsSliding _),
     "q_sessionize" -> (Windows.qSessionize _),
     "q_asof_join" -> (AdvancedOps.qAsofJoin _),
+    "q_range_join" -> ((s, d) => AdvancedOps.qRangeJoin(s, d)),
     "wordcount_salted" -> ((s, d) => AdvancedOps.wordcountSalted(s, d)),
     // rows-only: percentile sketch is engine-specific; error bound
     // asserted in AdvancedSpec.
@@ -178,6 +179,13 @@ object RelationalRegistry {
         |ASOF LEFT JOIN o1
         |  ON e.user_id = o1.o_custkey AND o1.o_orderdate <= e.ts
         |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(CAST(floor(epoch(b.ts)) AS BIGINT)
+        |       - CAST(floor(epoch(a.ts)) AS BIGINT)) <= 300
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     "wordcount_salted" ->
       """SELECT word, COUNT(*) AS n FROM (
         | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
