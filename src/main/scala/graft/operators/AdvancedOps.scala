@@ -108,6 +108,52 @@ object AdvancedOps {
       .orderBy(col("user_id"), col("id_a"), col("id_b"))
   }
 
+  /** Pivot — event counts per user across event types (dynamic
+    * columns from a bounded domain; the oracle states the CASE
+    * expansion explicitly).
+    */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Set operations: segments of customers via UNION / EXCEPT /
+    * INTERSECT — each leg oracle-stated with the same ANSI operators.
+    */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = customer(spark, sfDir)
+    val building = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val rich = cust.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"))
+    val both = building.intersect(rich).withColumn("segment", lit("both"))
+    val onlyB = building.except(rich).withColumn("segment", lit("building_only"))
+    val onlyR = rich.except(building).withColumn("segment", lit("rich_only"))
+    both.unionByName(onlyB).unionByName(onlyR)
+      .orderBy(col("segment"), col("c_custkey"))
+  }
+
+  /** ntile + percent_rank window functions over customer balances. */
+  def qNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** CUBE over (returnflag, linestatus). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Approximate percentiles of order value per priority (rows-only:
     * the sketch is engine-specific; the spec bounds its error against
     * exact percentiles).

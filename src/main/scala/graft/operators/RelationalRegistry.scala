@@ -33,6 +33,10 @@ object RelationalRegistry {
     "q_sessionize" -> (Windows.qSessionize _),
     "q_asof_join" -> (AdvancedOps.qAsofJoin _),
     "q_range_join" -> ((s, d) => AdvancedOps.qRangeJoin(s, d)),
+    "q_pivot" -> (AdvancedOps.qPivot _),
+    "q_set_ops" -> (AdvancedOps.qSetOps _),
+    "q_ntile" -> (AdvancedOps.qNtile _),
+    "q_cube" -> (AdvancedOps.qCube _),
     "wordcount_salted" -> ((s, d) => AdvancedOps.wordcountSalted(s, d)),
     // rows-only: percentile sketch is engine-specific; error bound
     // asserted in AdvancedSpec.
@@ -186,6 +190,42 @@ object RelationalRegistry {
         | AND abs(CAST(floor(epoch(b.ts)) AS BIGINT)
         |       - CAST(floor(epoch(a.ts)) AS BIGINT)) <= 300
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_set_ops" ->
+      """WITH building AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT c_custkey, 'both' AS segment
+        |  FROM (SELECT c_custkey FROM building
+        |        INTERSECT SELECT c_custkey FROM rich)
+        |UNION ALL
+        |SELECT c_custkey, 'building_only' AS segment
+        |  FROM (SELECT c_custkey FROM building
+        |        EXCEPT SELECT c_custkey FROM rich)
+        |UNION ALL
+        |SELECT c_custkey, 'rich_only' AS segment
+        |  FROM (SELECT c_custkey FROM rich
+        |        EXCEPT SELECT c_custkey FROM building)
+        |ORDER BY segment, c_custkey""".stripMargin,
+    "q_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        | NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile,
+        | round(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6)
+        |   AS pct_rank
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        | l_linestatus ASC NULLS FIRST""".stripMargin,
     "wordcount_salted" ->
       """SELECT word, COUNT(*) AS n FROM (
         | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word

@@ -108,6 +108,34 @@ object StreamingOps {
   def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** X5 — stream–stream join: purchases joined to the same user's
+    * clicks within the preceding 10 minutes. Both sides are
+    * watermarked so the join state is evicted once the time-range
+    * condition can no longer match — bounded state, the only safe
+    * shape for an unbounded×unbounded join.
+    */
+  def streamStreamJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("p_ts"), col("value"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("p_ts"), col("c_ts"), col("value"))
+  }
+
+  /** X6 — streaming deduplication: drop duplicate event ids with a
+    * watermark so the dedup state ages out instead of growing
+    * unboundedly (the streaming twin of Dedup.dedupExact).
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** C10 — the WordCount running aggregation (keyBy→sum) on a
     * payload-bearing stream.
     */

@@ -92,6 +92,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs purchases with preceding clicks") {
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    purchases.addData(Event(100, ts(20), 1, "purchase", 9.99))
+    clicks.addData(
+      Event(1, ts(15), 1, "click", 0), // within 10 min -> joins
+      Event(2, ts(5), 1, "click", 0), // too early -> no join
+      Event(3, ts(16), 2, "click", 0)) // other user -> no join
+    val q = runToMemory(
+      StreamingOps.streamStreamJoin(purchases.toDF(), clicks.toDF()),
+      "ss_join", "append")
+    try {
+      val rows = spark.table("ss_join").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
+        .toSet
+      assert(rows == Set((100L, 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids within watermark") {
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 1, "a", 1.0), Event(1, ts(1), 1, "a", 1.0),
+      Event(2, ts(2), 1, "b", 2.0))
+    val q = runToMemory(
+      StreamingOps.streamingDedup(in.toDF()), "dedup_stream", "append")
+    try {
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("event_id")).sorted
+      assert(ids.sameElements(Array(1L, 2L)), s"got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("running word count matches WordCount semantics") {
     val in = MemoryStream[String]
     in.addData("spark flink spark", "flink spark")
