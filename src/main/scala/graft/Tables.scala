@@ -40,23 +40,32 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
 
-  /** Exact sum of a double column: decimal-accumulate, emit double.
-    * Oracle equivalent: CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE).
+  /** Exact sum of a double column: decimal-accumulate, ROUND to 2
+    * places, then emit double. The round matters at scale: DuckDB
+    * casts DECIMAL→DOUBLE via the int128 raw value (inexact above
+    * 2^53 ≈ 9e15 scaled units), so a scale-4/scale-8 sum above ~1e9
+    * drifts in the last bits vs Spark's correctly-rounded
+    * BigDecimal.toDouble. After rounding to 2 decimals the scaled
+    * integer fits a double exactly in both engines up to ~9e13.
+    * Oracle: CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE).
     */
   def dsum(c: Column): Column =
-    sum(c.cast("decimal(18,4)")).cast("double")
+    round(sum(c.cast("decimal(18,4)")), 2).cast("double")
 
-  /** Deterministic average built from the exact sum.
-    * Oracle: CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x).
+  /** Deterministic average built from the exact rounded sum.
+    * Oracle: CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE)
+    *         / COUNT(x).
     */
   def davg(c: Column): Column =
     dsum(c) / count(c)
 
   /** Exact sum of a product of two doubles (price * (1-disc) style).
     * Both factors are decimal-cast BEFORE multiplying so the product
-    * is exact and identical in DuckDB:
-    * SUM(CAST(a AS DECIMAL(18,4)) * CAST(b AS DECIMAL(18,4))).
+    * is exact; rounded like dsum. Oracle:
+    * CAST(ROUND(SUM(CAST(a AS DECIMAL(18,4)) * CAST(b AS
+    * DECIMAL(18,4))), 2) AS DOUBLE).
     */
   def dsumProd(a: Column, b: Column): Column =
-    sum(a.cast("decimal(18,4)") * b.cast("decimal(18,4)")).cast("double")
+    round(sum(a.cast("decimal(18,4)") * b.cast("decimal(18,4)")), 2)
+      .cast("double")
 }

@@ -164,7 +164,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     orders(spark, sfDir)
       .withColumn("run_total",
-        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
           .cast("double"))
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("run_total"))

@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object RelationalRegistry {
   type Q = (SparkSession, String) => DataFrame
 
-  private val DSUM_Q = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+  private val DSUM_Q = "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)"
 
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
@@ -46,11 +46,11 @@ object RelationalRegistry {
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-        | CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        | CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -62,7 +62,7 @@ object RelationalRegistry {
         |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -74,7 +74,7 @@ object RelationalRegistry {
         |LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -88,7 +88,7 @@ object RelationalRegistry {
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_top_customers" ->
       """SELECT c_custkey, c_name,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_spent,
         | COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
@@ -114,15 +114,15 @@ object RelationalRegistry {
         |      ORDER BY vol DESC, l_suppkey) AS rnk
         |  FROM (
         |    SELECT l_partkey, l_suppkey,
-        |      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS vol
+        |      CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS vol
         |    FROM lineitem GROUP BY l_partkey, l_suppkey))
         |WHERE rnk <= 3
         |ORDER BY l_partkey, rnk, l_suppkey""".stripMargin,
     "running_sum" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
         |   AS run_total
         |FROM orders
         |QUALIFY o_custkey < 100
@@ -130,7 +130,7 @@ object RelationalRegistry {
     "q_conditional_agg" ->
       """SELECT user_id, COUNT(*) AS n_events,
         | SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-        | CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+        | CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,4))), 2) AS DOUBLE) AS purchase_value
         |FROM events
         |GROUP BY user_id
         |HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 5
@@ -138,12 +138,12 @@ object RelationalRegistry {
     "q_order_above_avg" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (
-        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |  SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
         |    / COUNT(o_totalprice) FROM orders) * 1.5
         |ORDER BY o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
         | COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -151,7 +151,7 @@ object RelationalRegistry {
     "q_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY window_start, event_type""".stripMargin,
@@ -162,7 +162,7 @@ object RelationalRegistry {
         |        THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS f30
         | FROM events)
         |SELECT window_start, event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT *, f30 AS window_start FROM e
         |  UNION ALL
@@ -247,7 +247,7 @@ object RelationalRegistry {
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin
