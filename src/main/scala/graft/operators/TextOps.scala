@@ -57,6 +57,28 @@ object TextOps {
         size(array_distinct(col("sh"))).as("n_distinct_shingles"))
       .orderBy(col("doc_id"))
 
+  /** Composed cleaning pipeline — the operators above chained the way
+    * a training-data run would: quality gate → exact dedup (keep the
+    * lowest doc_id per fingerprint) → language selection. One scan,
+    * one window shuffle; every stage oracle-stated in SQL.
+    */
+  def pipelineClean(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFp = Window.partitionBy(col("fp"))
+    documents(spark, sfDir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        qualityScoreFrom(col("text"), col("toks")).as("quality"),
+        langId(col("text")).as("lang_pred"),
+        fingerprintMd5(col("text")).as("fp"))
+      .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C9 — the reference WordCount (examples/wordcount/WordCount.java:17):
     * flatMap to words → keyBy → count, as explode + hash aggregation
     * (map-side partial agg replaces Flink's keyed state).

@@ -16,6 +16,7 @@ object TextRegistry {
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "text_shingles" -> (TextOps.textShingles _),
     "wordcount" -> (TextOps.wordcount _),
+    "pipeline_clean" -> (TextOps.pipelineClean _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d)),
     // rows-only: sketch internals (hash family) are engine-specific;
@@ -76,6 +77,37 @@ object TextRegistry {
          |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
          |      ELSE 'fr' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
+    "pipeline_clean" ->
+      s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  len(list_filter(toks, t -> t IN $EN)) AS sw_hits,
+         |  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct_cnt,
+         |  length(text) AS n_chars,
+         |  len(list_intersect(list_distinct(toks), $ENL)) AS s_en,
+         |  len(list_intersect(list_distinct(toks), $DEL)) AS s_de,
+         |  len(list_intersect(list_distinct(toks), $ESL)) AS s_es,
+         |  len(list_intersect(list_distinct(toks), $FRL)) AS s_fr,
+         |  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+         | FROM t),
+         |q AS (SELECT doc_id, n_tokens, fp,
+         |  CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0
+         |        WHEN n_tokens >= 5 THEN 0.5 ELSE 0.0 END AS DOUBLE) * 0.5
+         |  + CAST(CASE WHEN sw_hits::DOUBLE / n_tokens >= 0.01
+         |           AND sw_hits::DOUBLE / n_tokens <= 0.5
+         |      THEN 1.0 ELSE 0.0 END AS DOUBLE) * 0.3
+         |  + CAST(CASE WHEN punct_cnt::DOUBLE / n_chars <= 0.2
+         |      THEN 1.0 ELSE 0.0 END AS DOUBLE) * 0.2 AS quality,
+         |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         | FROM m)
+         |SELECT doc_id, n_tokens, quality FROM q
+         |WHERE quality >= 0.5 AND lang_pred = 'en'
+         |QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+         |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
