@@ -122,18 +122,19 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** S3 — IVF-style ANN: fixed seed centroids (first `nCells` vectors
-    * — deterministic stand-in for a k-means fit; the collect is
-    * nCells·dim doubles, broadcast back), assign corpus to nearest
-    * cell, probe the query's `nProbe` nearest cells only. Rows-only.
+  /** S3 — IVF ANN: k-means centroids fit with `lloydIters` Lloyd
+    * iterations (deterministic seed = first `nCells` vectors; each
+    * iteration is one distributed assign + one aggregation, and only
+    * nCells·dim doubles ever reach the driver, broadcast back),
+    * assign corpus to nearest cell, probe the query's `nProbe`
+    * nearest cells only. Rows-only.
     */
   def annIvf(spark: SparkSession, sfDir: String,
       nCells: Int = 8, nProbe: Int = 2, k: Int = 5,
-      nQueries: Int = 10): DataFrame = {
+      nQueries: Int = 10, lloydIters: Int = 2): DataFrame = {
     val emb = embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-    val centroids = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("emb").as("c_emb"))
+    val centroids = fitCentroids(spark, emb, nCells, lloydIters)
 
     // nearest cell per corpus vector (broadcast centroids, one pass)
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -165,6 +166,43 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cosine"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Lloyd's k-means on the driver-broadcast pattern: assignment is a
+    * distributed crossJoin(broadcast(centroids)) + max_by, the update
+    * step aggregates per-dimension means with
+    * `array_agg`-free posexplode (cell, dim, value) — one shuffle of
+    * corpus·dim scalars per iteration, centroids (nCells·dim doubles)
+    * are the only driver traffic.
+    */
+  private def fitCentroids(spark: SparkSession,
+      emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    var centroids = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("emb").as("c_emb"))
+    var it = 0
+    while (it < iters) {
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("cdist", cosine(col("emb"), col("c_emb")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell_id"), struct(col("cdist"), -col("cell_id")))
+          .as("cell_id"), first(col("emb")).as("emb"))
+      val updated = assigned
+        .select(col("cell_id"), posexplode(col("emb")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cell_id"),
+          transform(col("pm"), x => x.getField("m")).as("c_emb"))
+      // small: nCells rows; materialize to the driver and back so the
+      // next iteration's plan doesn't recompute the whole lineage
+      val rows = updated.as[(Long, Seq[Double])].collect().toSeq
+      centroids = rows.toDF("cell_id", "c_emb")
+      it += 1
+    }
+    centroids
   }
 
   /** D5 — embedding-cosine near-dup pairs: simJoin at a high

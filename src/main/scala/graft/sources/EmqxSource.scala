@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -67,7 +67,8 @@ class EmqxTable(options: CaseInsensitiveStringMap)
           Option(options.get("group")).getOrElse("spark"),
           Option(options.get("topicfilter")).getOrElse("#"),
           options.getInt("qos", 1),
-          options.getInt("readers", 2))
+          options.getInt("readers", 2),
+          options.getLong("maxmessagesperbatch", Long.MaxValue))
     }
 }
 
@@ -93,8 +94,9 @@ object EmqxOffset {
 }
 
 class EmqxMicroBatchStream(brokerName: String, baseClientid: String,
-    group: String, topicFilter: String, qos: Int, numReaders: Int)
-    extends MicroBatchStream {
+    group: String, topicFilter: String, qos: Int, numReaders: Int,
+    maxPerBatch: Long = Long.MaxValue)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def broker = BrokerRegistry.get(brokerName)
   private val clientids =
@@ -115,6 +117,30 @@ class EmqxMicroBatchStream(brokerName: String, baseClientid: String,
 
   override def latestOffset(): Offset =
     EmqxOffset(clientids.map(c => c -> broker.endOffset(c)).toMap)
+
+  /** Admission control (backpressure): cap each micro-batch at
+    * `maxmessagesperbatch` rows, split evenly across readers — the
+    * maxOffsetsPerTrigger analogue; an un-capped burst otherwise
+    * becomes one giant batch after downtime.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerBatch == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EmqxOffset].positions
+    val cap = limit match {
+      case m: ReadMaxRows => math.max(m.maxRows / numReaders, 1L)
+      case _ => Long.MaxValue
+    }
+    EmqxOffset(clientids.map { c =>
+      val from = s.getOrElse(c, broker.committedOffset(c))
+      val end = broker.endOffset(c)
+      c -> math.min(end, if (cap == Long.MaxValue) end else from + cap)
+    }.toMap)
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     EmqxOffset.fromJson(json)

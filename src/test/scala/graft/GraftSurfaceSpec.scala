@@ -77,6 +77,32 @@ class GraftSurfaceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admission control caps batch size at maxmessagesperbatch") {
+    val name = "surface-admission"
+    val b = BrokerRegistry.get(name)
+    val ckpt = Files.createTempDirectory("emqx-adm-").toString
+    val q = spark.readStream.format("emqx")
+      .option("broker", name).option("clientid", "a-")
+      .option("group", "g").option("topicfilter", "t/#")
+      .option("readers", 2).option("maxmessagesperbatch", 4)
+      .load()
+      .writeStream.format("memory").queryName("adm_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!(0 to 1).forall(i => b.sessionPresent(s"a-$i")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      (0 until 20).foreach(i => b.publish(EmqxMessage("t/x", 1,
+        retained = false, Map.empty, s"m$i".getBytes(UTF_8))))
+      q.processAllAvailable()
+      // all 20 arrive, but over multiple capped batches
+      assert(spark.table("adm_sink").count() == 20)
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.length >= 4, s"batches: ${batches.mkString(",")}")
+      assert(batches.forall(_ <= 4), s"batch too large: ${batches.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("qos 0/1/2 subscriptions all deliver (reference qos parametrization)") {
     for (qos <- 0 to 2) {
       val name = s"surface-qos-$qos"
