@@ -41,6 +41,13 @@ class EmqxConnectorSpec extends AnyFunSuite {
     assert(TopicMatcher.matches("t//b", "t/+/b")) // empty level
   }
 
+  test("offset JSON serde round-trips (the split-serializer analogue)") {
+    import graft.sources.EmqxOffset
+    val o = EmqxOffset(Map("r-0" -> 17L, "r-1" -> 0L, "base_client.2" -> 9L))
+    assert(EmqxOffset.fromJson(o.json()) == o)
+    assert(EmqxOffset.fromJson(EmqxOffset(Map.empty).json()).positions.isEmpty)
+  }
+
   // ---- Broker semantics (C5, C6, C7) ----
 
   test("shared subscription load-balances round-robin") {
