@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{BooleanType, DataType}
-import org.apache.spark.unsafe.types.UTF8String
+
 import graft.sources.TopicMatcher
 
 /** `mqtt_topic_matches(topic, filter)` as a native Catalyst expression
