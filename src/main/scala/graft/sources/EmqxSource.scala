@@ -104,19 +104,35 @@ class EmqxMicroBatchStream(brokerName: String, baseClientid: String,
   private val sharedFilter = s"$$share/$group/$topicFilter"
 
   // connect+subscribe all readers (cleanStart=false: resume pending
-  // sessions after a restart, like EMQXSourceReader.startClient2)
+  // sessions after a restart, like EMQXSourceReader.startClient2).
+  // Connection failures are swallowed and retried on every offset
+  // poll — the automaticReconnect behavior the reference relies on:
+  // a query started while the broker is down begins consuming as
+  // soon as it comes up.
+  @volatile private var subscribed = false
   ensureSubscribed()
 
-  private def ensureSubscribed(): Unit = clientids.foreach { cid =>
-    val present = broker.connect(cid, cleanStart = false)
-    if (!present) broker.subscribe(cid, sharedFilter, qos)
+  private def ensureSubscribed(): Unit = synchronized {
+    if (!subscribed) {
+      try {
+        clientids.foreach { cid =>
+          val present = broker.connect(cid, cleanStart = false)
+          if (!present) broker.subscribe(cid, sharedFilter, qos)
+        }
+        subscribed = true
+      } catch { case _: IllegalStateException => () /* broker down */ }
+    }
   }
 
-  override def initialOffset(): Offset =
+  override def initialOffset(): Offset = {
+    ensureSubscribed()
     EmqxOffset(clientids.map(c => c -> broker.committedOffset(c)).toMap)
+  }
 
-  override def latestOffset(): Offset =
+  override def latestOffset(): Offset = {
+    ensureSubscribed()
     EmqxOffset(clientids.map(c => c -> broker.endOffset(c)).toMap)
+  }
 
   /** Admission control (backpressure): cap each micro-batch at
     * `maxmessagesperbatch` rows, split evenly across readers — the
@@ -128,6 +144,7 @@ class EmqxMicroBatchStream(brokerName: String, baseClientid: String,
     else ReadLimit.maxRows(maxPerBatch)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    ensureSubscribed()
     val s = start.asInstanceOf[EmqxOffset].positions
     val cap = limit match {
       case m: ReadMaxRows => math.max(m.maxRows / numReaders, 1L)

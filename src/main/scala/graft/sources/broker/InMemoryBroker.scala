@@ -40,6 +40,15 @@ class InMemoryBroker {
     def endSeq: Long = baseSeq + log.length
   }
 
+  /** Simulates broker downtime (the reference's startWithBrokerOffline
+    * test): while offline, connect/subscribe/publish fail like a
+    * refused TCP connection; clients are expected to retry.
+    */
+  @volatile var offline: Boolean = false
+
+  private def requireOnline(): Unit =
+    if (offline) throw new IllegalStateException("broker offline")
+
   private val sessions = mutable.LinkedHashMap[String, Session]()
   private val retained = mutable.LinkedHashMap[String, EmqxMessage]()
   /** shared-group round-robin cursors keyed by raw shared filter */
@@ -51,6 +60,7 @@ class InMemoryBroker {
     */
   def connect(clientid: String, cleanStart: Boolean,
       sessionExpirySec: Long = 3600): Boolean = synchronized {
+    requireOnline()
     expireSessions()
     val present = sessions.contains(clientid) && !cleanStart
     if (!present) sessions.put(clientid, new Session(clientid))
@@ -112,6 +122,7 @@ class InMemoryBroker {
     * subscription gets from EMQX).
     */
   def publish(msg: EmqxMessage): Unit = synchronized {
+    requireOnline()
     if (msg.retained) {
       if (msg.payload == null || msg.payload.isEmpty) retained.remove(msg.topic)
       else retained.put(msg.topic, msg)

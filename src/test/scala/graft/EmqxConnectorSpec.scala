@@ -177,6 +177,59 @@ class EmqxConnectorSpec extends AnyFunSuite {
       s"lost messages: ${(0 until 20).map(i => s"m$i").toSet -- seen}")
   }
 
+  test("start with broker offline: source retries and consumes once up") {
+    val name = freshBroker()
+    val b = BrokerRegistry.get(name)
+    b.offline = true
+    val ckpt = Files.createTempDirectory("emqx-off-").toString
+    val q = spark.readStream.format("emqx")
+      .option("broker", name).option("clientid", "off-")
+      .option("group", "g").option("topicfilter", "t/#")
+      .option("readers", 2).load()
+      .writeStream.format("memory").queryName("emqx_offline")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable() // runs against a down broker: no data, no crash
+      assert(spark.table("emqx_offline").count() == 0)
+      assert(q.isActive, "query died while broker offline")
+      b.offline = false
+      waitForSessions(b, Seq("off-0", "off-1"))
+      b.publish(msg("t/late", "hello"))
+      q.processAllAvailable()
+      assert(spark.table("emqx_offline").count() == 1)
+    } finally q.stop()
+  }
+
+  test("crash mid-stream: restart from checkpoint loses no messages") {
+    val name = freshBroker()
+    val b = BrokerRegistry.get(name)
+    val ckpt = Files.createTempDirectory("emqx-crash-").toString
+    RecoveryCollector.clear()
+    CrashOnce.reset()
+
+    def start(crash: Boolean) = spark.readStream.format("emqx")
+      .option("broker", name).option("clientid", "cr-")
+      .option("group", "g").option("topicfilter", "t/#")
+      .option("readers", 2).load()
+      .writeStream
+      .foreach(if (crash) new CrashingCollector else new RecoveryCollector)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start(crash = true)
+    waitForSessions(b, Seq("cr-0", "cr-1"))
+    (0 until 10).foreach(i => b.publish(msg("t/a", s"c$i")))
+    // the sink throws mid-batch (the reference's CrashingTestEMQXSource)
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    val q2 = start(crash = false)
+    q2.processAllAvailable()
+    q2.stop()
+    // at-least-once: everything published must be seen after recovery
+    val seen = RecoveryCollector.seen()
+    val expected = (0 until 10).map(i => s"c$i").toSet
+    assert(expected.subsetOf(seen), s"lost after crash: ${expected -- seen}")
+  }
+
   // ---- Sink (C8) + end-to-end pipeline (X4) ----
 
   test("batch sink publishes rows; subscriber receives them") {
@@ -224,6 +277,23 @@ class EmqxConnectorSpec extends AnyFunSuite {
       assert(got.get("counts/flink").contains("2"), s"got: $got")
     } finally q.stop()
   }
+}
+
+/** Crashes the first epoch that sees data, then behaves like
+  * RecoveryCollector — the reference's CrashingTestEMQXSource
+  * (throws in snapshotState) moved to the sink side.
+  */
+class CrashingCollector extends RecoveryCollector {
+  override def process(row: org.apache.spark.sql.Row): Unit = {
+    if (CrashOnce.shouldCrash()) throw new RuntimeException("Mocked error")
+    super.process(row)
+  }
+}
+
+object CrashOnce {
+  private val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = crashed.set(false)
+  def shouldCrash(): Boolean = crashed.compareAndSet(false, true)
 }
 
 /** Same-JVM collecting foreach sink (the reference's CollectSink). */
