@@ -108,6 +108,62 @@ object AdvancedOps {
       .orderBy(col("user_id"), col("id_a"), col("id_b"))
   }
 
+  /** Deterministic train/val/test split — hash-based, reproducible
+    * across engines and runs (no RNG): first hex char of the content
+    * md5 buckets 16 ways → 12/2/2 split. The split must be a pure
+    * function of content so re-runs and backfills land rows
+    * identically — the property a training pipeline actually needs.
+    */
+  def qTrainSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = substring(md5(col("text")), 1, 1)
+    documents(spark, sfDir)
+      .withColumn("split",
+        when(h.isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9",
+          "a", "b"), "train")
+          .when(h.isin("c", "d"), "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** Histogram — fixed-width binning of event values (the
+    * width_bucket shape; bin arithmetic stated identically in the
+    * oracle).
+    */
+  def qHistogram(spark: SparkSession, sfDir: String,
+      binWidth: Double = 25.0): DataFrame =
+    events(spark, sfDir)
+      .withColumn("bin", floor(col("value") / binWidth).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("bin"))
+
+  /** Pearson correlation of quantity vs discount per return flag,
+    * assembled from exact decimal sums (sum x, y, xy, x², y²) so the
+    * result is bit-identical in the oracle — Spark's corr() and
+    * DuckDB's corr() accumulate floats in different orders, so the
+    * built-in aggregates would NOT hash-match.
+    */
+  def qCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_discount")
+    lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsumProd(x, y).as("sxy"),
+        dsumProd(x, x).as("sxx"),
+        dsumProd(y, y).as("syy"))
+      .withColumn("corr_qd",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+      .select(col("l_returnflag"), col("n"), col("corr_qd"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Pivot — event counts per user across event types (dynamic
     * columns from a bounded domain; the oracle states the CASE
     * expansion explicitly).

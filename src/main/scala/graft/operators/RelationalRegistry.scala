@@ -37,6 +37,9 @@ object RelationalRegistry {
     "q_set_ops" -> (AdvancedOps.qSetOps _),
     "q_ntile" -> (AdvancedOps.qNtile _),
     "q_cube" -> (AdvancedOps.qCube _),
+    "q_train_split" -> (AdvancedOps.qTrainSplit _),
+    "q_histogram" -> ((s, d) => AdvancedOps.qHistogram(s, d)),
+    "q_corr" -> (AdvancedOps.qCorr _),
     "wordcount_salted" -> ((s, d) => AdvancedOps.wordcountSalted(s, d)),
     // rows-only: percentile sketch is engine-specific; error bound
     // asserted in AdvancedSpec.
@@ -190,6 +193,33 @@ object RelationalRegistry {
         | AND abs(CAST(floor(epoch(b.ts)) AS BIGINT)
         |       - CAST(floor(epoch(a.ts)) AS BIGINT)) <= 300
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
+    "q_train_split" ->
+      """SELECT lang,
+        | CASE WHEN substring(md5(text), 1, 1) IN
+        |        ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |      THEN 'train'
+        |      WHEN substring(md5(text), 1, 1) IN ('c','d') THEN 'val'
+        |      ELSE 'test' END AS split,
+        | COUNT(*) AS n
+        |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+        | COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_value
+        |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_corr" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sx,
+        |  CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sy,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sxy,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sxx,
+        |  CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS syy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | (n * sxy - sx * sy) /
+        |   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qd
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
