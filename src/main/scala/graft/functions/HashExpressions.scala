@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
+
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels for the sketch expressions. Kept as plain JVM
@@ -153,7 +154,8 @@ object HashKernels {
 
 /** minhash_signature(shingles, k) → array<bigint> */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashKernels.minhash(input.asInstanceOf[ArrayData], k)
@@ -165,7 +167,9 @@ case class MinHashSignature(child: Expression, k: Int)
 }
 
 /** simhash64(tokens) → bigint */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     HashKernels.simhash(input.asInstanceOf[ArrayData])
@@ -177,7 +181,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 /** rolling_fingerprint(text, window) → bigint */
 case class RollingFingerprint(child: Expression, window: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     HashKernels.rollingFingerprint(input.asInstanceOf[UTF8String], window)

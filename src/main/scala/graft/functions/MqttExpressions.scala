@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 
 import graft.sources.TopicMatcher
 
@@ -16,8 +16,10 @@ import graft.sources.TopicMatcher
   * null-safety from BinaryExpression's nullSafeCodegen scaffolding.
   */
 case class MqttTopicMatches(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[ColumnBridge.AbstractType] =
+    Seq(StringType, StringType)
   override def dataType: DataType = BooleanType
   override def nullSafeEval(topic: Any, filter: Any): Any =
     TopicMatcher.matches(topic.toString, filter.toString)

@@ -25,7 +25,8 @@ object Payloads {
     */
   def jsonField(payload: Column, field: String): Column =
     regexp_extract(payload.cast("string"),
-      "\"" + field + "\":\\s*\"?([^\",}]*)\"?", 1)
+      "\"" + java.util.regex.Pattern.quote(field) + "\":\\s*\"?([^\",}]*)\"?",
+      1)
 
   /** CSV payload → array of fields. */
   def asCsv(payload: Column): Column = split(payload.cast("string"), ",")

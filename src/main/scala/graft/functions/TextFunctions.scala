@@ -23,7 +23,7 @@ object TextFunctions {
     * symbols — the standard pre-tokenizer split.
     */
   def bpeTokenCount(text: Column): Column =
-    size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
   /** Punctuation character count (explicit ASCII class — identical
     * in Java regex and RE2).

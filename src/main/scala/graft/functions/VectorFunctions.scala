@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Vector math over `array<float>` embedding columns (SURVEY §2.4).
   *
@@ -26,9 +26,16 @@ object VectorKernels {
   }
 }
 
-/** dot_product(array<double>, array<double>) → double */
+/** dot_product(array<double>, array<double>) → double.
+  * ImplicitCastInputTypes: an array<float> embedding column passed
+  * directly (e.g. via the SQL function, skipping toDouble) is cast to
+  * array<double> by the analyzer instead of mis-reading 4-byte floats
+  * as 8-byte doubles at runtime.
+  */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -57,6 +57,7 @@ object Dedup {
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("source"),
         array_distinct(wordShinglesFrom(col("toks"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0) // shingle-less docs have no pairs
       .as[(Long, String, Seq[String])]
       .flatMap { case (id, src, sh) =>
         sh.map(s => (id, src, sh.length, s))

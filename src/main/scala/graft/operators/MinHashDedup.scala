@@ -31,6 +31,12 @@ object MinHashDedup {
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         array_distinct(wordShinglesFrom(col("toks"), 3)).as("sh"))
+      // a doc with no shingles (< 3 tokens) has no MinHash identity:
+      // every such doc would share the all-sentinel signature and the
+      // whole short-doc set would collapse into one quadratic bucket
+      // with est=1.0 and exact jaccard 0/0. They cannot be shingle
+      // near-dups by definition — drop them before banding.
+      .filter(size(col("sh")) > 0)
       .withColumn("sig", minhash_signature(col("sh"), k))
 
     // banding via typed flatMap (one signature evaluation per doc;

@@ -11,8 +11,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object RelationalRegistry {
   type Q = (SparkSession, String) => DataFrame
 
-  private val DSUM_Q = "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)"
-
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q_filter_project" -> (Relational.qFilterProject _),

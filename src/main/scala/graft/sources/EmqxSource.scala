@@ -49,8 +49,13 @@ class EmqxTable(options: CaseInsensitiveStringMap)
     s"emqx:${options.get("broker")}/${options.get("topicfilter")}"
   override def schema(): StructType = EmqxMessage.schema
   override def capabilities(): util.Set[TableCapability] =
+    // ACCEPT_ANY_SCHEMA: writes may provide a subset of the envelope
+    // columns (only `topic` is required; EmqxWriterFactory defaults
+    // the rest) — without it Spark validates against the fixed
+    // 5-column schema and rejects partial writes at analysis time.
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -83,14 +88,13 @@ case class EmqxOffset(positions: Map[String, Long]) extends Offset {
 }
 
 object EmqxOffset {
-  def fromJson(s: String): EmqxOffset = {
-    val body = s.trim.stripPrefix("{").stripSuffix("}").trim
-    if (body.isEmpty) EmqxOffset(Map.empty)
-    else EmqxOffset(body.split(",").map { kv =>
-      val Array(k, v) = kv.split(":", 2)
-      k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
-    }.toMap)
-  }
+  // quoted key (with escapes) : long — tolerant of ':' or ',' inside
+  // clientids, which a naive split would corrupt on checkpoint restore
+  private val Entry = """"((?:[^"\\]|\\.)*)"\s*:\s*(-?\d+)""".r
+
+  def fromJson(s: String): EmqxOffset =
+    EmqxOffset(Entry.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap)
 }
 
 class EmqxMicroBatchStream(brokerName: String, baseClientid: String,
@@ -117,6 +121,11 @@ class EmqxMicroBatchStream(brokerName: String, baseClientid: String,
       try {
         clientids.foreach { cid =>
           val present = broker.connect(cid, cleanStart = false)
+          // NOTE: like the reference (EMQXSourceReader.java:113 "session
+          // already present; will NOT subscribe explicitly"), a resumed
+          // session keeps its original subscription — changing
+          // topicfilter/group across restarts of the same clientid
+          // requires a new clientid base or an expired session.
           if (!present) broker.subscribe(cid, sharedFilter, qos)
         }
         subscribed = true

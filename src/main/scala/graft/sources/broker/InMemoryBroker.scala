@@ -1,6 +1,5 @@
 package graft.sources.broker
 
-import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable
 import graft.model.EmqxMessage
 import graft.sources.TopicMatcher
@@ -26,15 +25,13 @@ import graft.sources.TopicMatcher
   */
 class InMemoryBroker {
 
-  case class Delivery(seq: Long, msg: EmqxMessage)
-
   final class Session(val clientid: String) {
     var connected = false
     var expiresAtMs: Long = Long.MaxValue
     /** (filter, maxQos); shared filters keep their $share prefix. */
     val subscriptions = mutable.LinkedHashMap[String, Int]()
     /** undelivered + unacked messages, in arrival order */
-    val log = mutable.ArrayBuffer[Delivery]()
+    val log = mutable.ArrayBuffer[EmqxMessage]()
     /** absolute seq of the first entry still in `log` */
     var baseSeq: Long = 0L
     def endSeq: Long = baseSeq + log.length
@@ -53,7 +50,6 @@ class InMemoryBroker {
   private val retained = mutable.LinkedHashMap[String, EmqxMessage]()
   /** shared-group round-robin cursors keyed by raw shared filter */
   private val rr = mutable.LinkedHashMap[(String, String), Int]()
-  private val seqGen = new AtomicLong(0)
 
   /** Connect (or resume) a session. Returns sessionPresent, like a
     * CONNACK (reference checks it before re-subscribing, :106).
@@ -114,7 +110,7 @@ class InMemoryBroker {
   }
 
   private def enqueue(s: Session, msg: EmqxMessage): Unit =
-    s.log += Delivery(seqGen.getAndIncrement(), msg)
+    s.log += msg
 
   /** Publish: route to every matching non-shared subscription, and to
     * exactly one member per matching shared group (round-robin —
@@ -178,7 +174,7 @@ class InMemoryBroker {
         case Some(s) =>
           val lo = math.max(from, s.baseSeq)
           (lo until math.min(until, s.endSeq))
-            .map(i => s.log((i - s.baseSeq).toInt).msg)
+            .map(i => s.log((i - s.baseSeq).toInt))
       }
     }
 

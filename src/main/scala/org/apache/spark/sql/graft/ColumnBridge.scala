@@ -13,4 +13,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** AbstractDataType is private[sql] in Spark 4; expressions outside
+    * the sql package need this alias to declare `inputTypes` for
+    * ImplicitCastInputTypes.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

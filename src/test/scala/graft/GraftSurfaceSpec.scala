@@ -47,6 +47,40 @@ class GraftSurfaceSpec extends AnyFunSuite {
     assert(got.forall(_.properties("origin") == "dsv2"))
   }
 
+  test("partial-schema DSv2 write: topic+payload only, defaults applied") {
+    val name = "surface-partial-write"
+    val b = BrokerRegistry.get(name)
+    b.connect("pw", cleanStart = true)
+    b.subscribe("pw", "#", 2)
+    import spark.implicits._
+    Seq(("p/1", "only-two-cols"))
+      .toDF("topic", "body")
+      .withColumn("payload", encode(col("body"), "UTF-8"))
+      .select("topic", "payload")
+      .write.format("emqx").option("broker", name).mode("append").save()
+    val got = b.fetch("pw", 0, b.endOffset("pw"))
+    assert(got.map(_.topic) == Seq("p/1"))
+    assert(got.head.qos == 0 && !got.head.retained &&
+      got.head.properties.isEmpty)
+  }
+
+  test("SQL dot_product on raw float arrays casts instead of corrupting") {
+    GraftFunctions.registerAll(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    emb.createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      "SELECT vec_id, dot_product(embedding, embedding) AS d FROM emb_v ORDER BY vec_id LIMIT 5")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    import graft.functions.VectorFunctions
+    val viaCol = emb.select(col("vec_id"),
+      VectorFunctions.dot(VectorFunctions.toDouble(col("embedding")),
+        VectorFunctions.toDouble(col("embedding"))).as("d"))
+      .orderBy("vec_id").limit(5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaCol)
+    assert(viaSql.values.forall(v => v > 0 && !v.isNaN))
+  }
+
   test("streaming DSv2 write: source -> transform -> format(emqx) sink") {
     val src = "surface-stream-src"
     val dst = "surface-stream-dst"
