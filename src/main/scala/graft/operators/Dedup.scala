@@ -57,7 +57,9 @@ object Dedup {
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("source"),
         array_distinct(wordShinglesFrom(col("toks"), 3)).as("sh"))
-      .filter(size(col("sh")) > 0) // shingle-less docs have no pairs
+      // (shingle-less docs emit no postings from the flatMap below, so
+      // they need no explicit filter — a Filter(size(sh)>0) here would
+      // force `sh` to evaluate twice per row)
       .as[(Long, String, Seq[String])]
       .flatMap { case (id, src, sh) =>
         sh.map(s => (id, src, sh.length, s))

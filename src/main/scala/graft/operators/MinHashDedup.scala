@@ -31,22 +31,22 @@ object MinHashDedup {
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         array_distinct(wordShinglesFrom(col("toks"), 3)).as("sh"))
-      // a doc with no shingles (< 3 tokens) has no MinHash identity:
-      // every such doc would share the all-sentinel signature and the
-      // whole short-doc set would collapse into one quadratic bucket
-      // with est=1.0 and exact jaccard 0/0. They cannot be shingle
-      // near-dups by definition — drop them before banding.
-      .filter(size(col("sh")) > 0)
       .withColumn("sig", minhash_signature(col("sh"), k))
 
     // banding via typed flatMap (one signature evaluation per doc;
     // explode() would re-run the minhash kernel per band row — see
     // Dedup.jaccardPairs). Band bucket key = fold-hash of the band's
-    // signature slice.
-    val banded = docs.select(col("doc_id"), col("sig"))
-      .as[(Long, Seq[Long])]
-      .flatMap { case (id, sig) =>
-        (0 until bands).map { j =>
+    // signature slice. Shingle-less docs (< 3 tokens) are skipped
+    // HERE, inside the flatMap: they have no MinHash identity — all
+    // of them share the sentinel signature and would collapse into
+    // one quadratic bucket with est=1.0, jaccard=NaN. (A DataFrame
+    // filter(size(sh)>0) would instead force sh to evaluate twice.)
+    val banded = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        col("sig"))
+      .as[(Long, Int, Seq[Long])]
+      .flatMap { case (id, nSh, sig) =>
+        if (nSh == 0) Seq.empty
+        else (0 until bands).map { j =>
           var h = 1125899906842597L
           var i = j * rows
           while (i < (j + 1) * rows) { h = h * 31 + sig(i); i += 1 }
