@@ -79,6 +79,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T7 — text normalization: lowercase, strip ASCII punctuation,
+    * collapse whitespace — the canonical form feeding fingerprints
+    * and dedup (explicit char classes keep Java regex and RE2
+    * byte-identical).
+    */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(trim(lower(col("text"))),
+          "[!-/:-@\\[-`{-~]", ""), "\\s+", " ").as("norm_text"))
+      .select(col("doc_id"), length(col("norm_text")).as("norm_len"),
+        md5(col("norm_text")).as("norm_fp"))
+      .orderBy(col("doc_id"))
+
+  /** T8 — deterministic stratified sampling: N docs per language,
+    * selected by md5 order — reproducible across runs/backfills (no
+    * RNG), evenly spread by the hash. The shape is one window shuffle
+    * on the stratum key.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String,
+      perLang: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    documents(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perLang)
+      .select(col("lang"), col("doc_id"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** C9 — the reference WordCount (examples/wordcount/WordCount.java:17):
     * flatMap to words → keyBy → count, as explode + hash aggregation
     * (map-side partial agg replaces Flink's keyed state).

@@ -17,6 +17,8 @@ object TextRegistry {
     "text_shingles" -> (TextOps.textShingles _),
     "wordcount" -> (TextOps.wordcount _),
     "pipeline_clean" -> (TextOps.pipelineClean _),
+    "text_normalize" -> (TextOps.textNormalize _),
+    "sample_stratified" -> ((s, d) => TextOps.sampleStratified(s, d)),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d)),
     // rows-only: sketch internals (hash family) are engine-specific;
@@ -77,6 +79,21 @@ object TextRegistry {
          |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
          |      ELSE 'fr' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(trim(lower(text)),
+        |    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g') AS norm_text
+        | FROM documents)
+        |SELECT doc_id, length(norm_text) AS norm_len,
+        | md5(norm_text) AS norm_fp
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, doc_id, rn FROM (
+        | SELECT lang, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(text), doc_id) AS rn
+        | FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
     "pipeline_clean" ->
       s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
          |m AS (SELECT doc_id,

@@ -52,4 +52,13 @@ class BucketingSpec extends AnyFunSuite {
       .select(col("j.k"), col("j.tag")).head()
     assert(out.getInt(0) == 42 && out.getString(1) == "x")
   }
+
+  test("payload CSV decode via Payloads.asCsv") {
+    import spark.implicits._
+    val fields = Seq("7,temp,21.5").toDF("s")
+      .select(encode(col("s"), "UTF-8").as("payload"))
+      .select(graft.functions.Payloads.asCsv(col("payload")).as("f"))
+      .head().getSeq[String](0)
+    assert(fields == Seq("7", "temp", "21.5"))
+  }
 }
