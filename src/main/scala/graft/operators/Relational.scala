@@ -172,6 +172,38 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** R26 — left outer join: every customer with their order count and
+    * exact total, including order-less customers (NULL-safe zero).
+    */
+  def qLeftJoin(spark: SparkSession, sfDir: String): DataFrame =
+    customer(spark, sfDir)
+      .join(orders(spark, sfDir), col("c_custkey") === col("o_custkey"),
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
+      .orderBy(col("c_custkey"))
+
+  /** R27 — full outer join: reconcile two derived aggregates (urgent
+    * vs low-priority spend per customer), keeping customers present
+    * on either side only.
+    */
+  def qFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("cust_u"))
+      .agg(dsum(col("o_totalprice")).as("urgent_total"))
+    val low = orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "5-LOW")
+      .groupBy(col("o_custkey").as("cust_l"))
+      .agg(dsum(col("o_totalprice")).as("low_total"))
+    urgent.join(low, col("cust_u") === col("cust_l"), "full_outer")
+      .select(coalesce(col("cust_u"), col("cust_l")).as("custkey"),
+        coalesce(col("urgent_total"), lit(0.0)).as("urgent_total"),
+        coalesce(col("low_total"), lit(0.0)).as("low_total"))
+      .orderBy(col("custkey"))
+  }
+
   /** R12 — conditional aggregation + HAVING. */
   def qConditionalAgg(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir)

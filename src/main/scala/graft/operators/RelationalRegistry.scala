@@ -20,6 +20,8 @@ object RelationalRegistry {
     "q_distinct_parts" -> (Relational.qDistinctParts _),
     "q_semi_join" -> (Relational.qSemiJoin _),
     "q_anti_join" -> (Relational.qAntiJoin _),
+    "q_left_join" -> (Relational.qLeftJoin _),
+    "q_full_outer" -> (Relational.qFullOuterJoin _),
     "q_window_rank" -> (Relational.qWindowRank _),
     "running_sum" -> (Relational.runningSum _),
     "q_conditional_agg" -> (Relational.qConditionalAgg _),
@@ -108,6 +110,26 @@ object RelationalRegistry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "q_left_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        | COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |   AS DOUBLE), 0.0) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_full_outer" ->
+      """WITH u AS (SELECT o_custkey AS cust_u,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS urgent_total
+        | FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+        |l AS (SELECT o_custkey AS cust_l,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS low_total
+        | FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey)
+        |SELECT COALESCE(cust_u, cust_l) AS custkey,
+        | COALESCE(urgent_total, 0.0) AS urgent_total,
+        | COALESCE(low_total, 0.0) AS low_total
+        |FROM u FULL OUTER JOIN l ON cust_u = cust_l
+        |ORDER BY custkey""".stripMargin,
     "q_window_rank" ->
       """SELECT l_partkey, l_suppkey, vol, rnk FROM (
         |  SELECT l_partkey, l_suppkey, vol,

@@ -248,6 +248,39 @@ class EmqxConnectorSpec extends AnyFunSuite {
     assert(got == Set("out/1" -> "hello", "out/2" -> "world"))
   }
 
+  test("end-to-end: emqx source -> watermarked windowed agg") {
+    val name = freshBroker()
+    val b = BrokerRegistry.get(name)
+    val ckpt = Files.createTempDirectory("emqx-win-").toString
+    val windowed = spark.readStream.format("emqx")
+      .option("broker", name).option("clientid", "win-")
+      .option("group", "g").option("topicfilter", "m/#")
+      .option("readers", 2).load()
+      .select(col("topic"),
+        // event time carried in the payload (epoch minutes)
+        timestamp_seconds(col("payload").cast("string").cast("long") * 60)
+          .as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+        col("topic"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    val q = windowed.writeStream.format("memory").queryName("emqx_win")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      waitForSessions(b, Seq("win-0", "win-1"))
+      // 3 messages in hour 10, 1 in hour 11 (minutes since epoch)
+      Seq(600, 610, 620, 660).foreach(m =>
+        b.publish(msg("m/x", m.toString)))
+      q.processAllAvailable()
+      val rows = spark.table("emqx_win").collect()
+        .map(r => (r.getAs[org.apache.spark.sql.Row]("window")
+          .getAs[java.sql.Timestamp]("start").getTime / 3600000,
+          r.getAs[Long]("n"))).toMap
+      assert(rows.get(10L).contains(3L), s"got $rows")
+      assert(rows.get(11L).contains(1L), s"got $rows")
+    } finally q.stop()
+  }
+
   test("end-to-end: emqx source -> wordcount -> emqx sink (the reference example)") {
     val name = freshBroker()
     val b = BrokerRegistry.get(name)
