@@ -117,6 +117,56 @@ object HashKernels {
     out
   }
 
+  /** Winnowing sketch (Schleimer/Wilkerson/Aiken '03): Karp-Rabin
+    * hashes of all `k`-char grams; within every window of `win`
+    * consecutive gram hashes keep the minimum (rightmost on ties).
+    * Guarantees: any shared substring of length ≥ win+k-1 yields a
+    * shared fingerprint. Returns the distinct selected minima,
+    * sorted — the document's plagiarism/near-dup sketch.
+    */
+  def winnow(text: UTF8String, k: Int, win: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length - k + 1 // number of k-grams
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val B = 257L
+    var powK = 1L
+    var i = 0
+    while (i < k - 1) { powK = mulmodP(powK, B); i += 1 }
+    val grams = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) {
+      h = mulmodP(h, B) + (bytes(i) & 0xffL); if (h >= P) h -= P; i += 1
+    }
+    grams(0) = h
+    i = 1
+    while (i < n) {
+      val out = mulmodP(bytes(i - 1) & 0xffL, powK)
+      h = h - out; if (h < 0) h += P
+      h = mulmodP(h, B) + (bytes(i + k - 1) & 0xffL); if (h >= P) h -= P
+      grams(i) = h
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val w = math.min(win, n)
+    var start = 0
+    while (start + w <= n) {
+      var mi = start
+      var j = start + 1
+      while (j < start + w) { // rightmost minimum
+        if (grams(j) <= grams(mi)) mi = j
+        j += 1
+      }
+      sel.add(grams(mi))
+      start += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Karp-Rabin rolling-hash document fingerprint: minimum polynomial
     * hash over all `w`-char windows (winnowing's global minimum —
     * robust to edits outside the minimal window).
@@ -193,6 +243,20 @@ case class RollingFingerprint(child: Expression, window: Int)
     copy(child = c)
 }
 
+/** winnow_sketch(text, k, window) → array<bigint> (sorted distinct). */
+case class WinnowSketch(child: Expression, k: Int, window: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.winnow(input.asInstanceOf[UTF8String], k, window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.winnow($c, $k, $window)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object HashFunctions {
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
@@ -200,4 +264,6 @@ object HashFunctions {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   def rolling_fingerprint(text: Column, window: Int): Column =
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(text), window))
+  def winnow_sketch(text: Column, k: Int, window: Int): Column =
+    ColumnBridge.column(WinnowSketch(ColumnBridge.expression(text), k, window))
 }

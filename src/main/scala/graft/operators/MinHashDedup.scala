@@ -113,6 +113,43 @@ object MinHashDedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** D6 — winnowing near-dup pairs: per-doc winnow sketch (k-gram
+    * rolling hashes, windowed minima), inverted index on fingerprint,
+    * pairs ranked by shared-fingerprint overlap ratio. Any shared
+    * run of ≥ win+k-1 chars guarantees a shared fingerprint, so
+    * copied passages surface even when global similarity is low —
+    * the property MinHash (whole-set resemblance) can't give.
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String,
+      k: Int = 16, win: Int = 8, minOverlap: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, sfDir).select(col("doc_id"),
+      winnow_sketch(col("text"), k, win).as("sketch"))
+    val postings = docs.as[(Long, Seq[Long])]
+      .flatMap { case (id, sk) => sk.map(f => (id, sk.length, f)) }
+      .toDF("doc_id", "n_fp", "fp")
+    val buckets = postings
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_fp"))))
+        .as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairGen = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+        struct(a.getField("doc_id").as("doc_a"),
+          b.getField("doc_id").as("doc_b"),
+          a.getField("n_fp").as("n_a"),
+          b.getField("n_fp").as("n_b")))))
+    buckets.select(explode(pairGen).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("overlap",
+        col("shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** T4b — rolling-hash (Karp-Rabin) fingerprints: robust 64-char
     * window minimum, alongside the doc's simhash for triage.
     */

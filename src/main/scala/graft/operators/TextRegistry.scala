@@ -25,6 +25,7 @@ object TextRegistry {
     // MinHashSpec verifies estimates against exact jaccard instead.
     "dedup_minhash_pairs" -> ((s, d) => MinHashDedup.minhashPairs(s, d)),
     "dedup_simhash" -> ((s, d) => MinHashDedup.simhashPairs(s, d)),
+    "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),
     "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _)
   )
 

@@ -52,6 +52,32 @@ class MinHashSpec extends AnyFunSuite {
     assert(df.filter(col("hamming") > 3).count() == 0)
   }
 
+  test("winnowing guarantees shared fingerprints for shared substrings") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val base = "the quick brown fox jumps over the lazy dog repeatedly today"
+    val a = HashKernels.winnow(u8("PREFIX " + base), 16, 8)
+      .toLongArray().toSet
+    val b = HashKernels.winnow(u8(base + " SUFFIX"), 16, 8)
+      .toLongArray().toSet
+    // both contain the full base string (len >> win+k-1=23) -> must share
+    assert((a intersect b).nonEmpty)
+    // disjoint strings share nothing
+    val c = HashKernels.winnow(u8("completely different content here entirely"),
+      16, 8).toLongArray().toSet
+    assert((a intersect c).isEmpty)
+  }
+
+  test("winnow pairs find the planted near-dups") {
+    val exact = Dedup.jaccardPairs(spark, sf, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = MinHashDedup.winnowPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(winnow),
+      s"winnowing missed planted near-dups: ${exact -- winnow}")
+  }
+
   test("rolling fingerprints are stable across runs") {
     val a = MinHashDedup.rollingFingerprints(spark, sf).collect()
     val b = MinHashDedup.rollingFingerprints(spark, sf).collect()
