@@ -10,9 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen paths on the smallest SF so per-query
-    // timings measure the query, not JIT + classloading.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm EVERY query's codegen/JIT path on a small SF before timing.
+    // A single-query warmup leaves window/decimal/sketch codegen compiling
+    // inside the first timed run (measured: q_window_rank 21.3s cold vs
+    // 1.8s warm at local[32]), which makes the bench signal noise.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -45,7 +45,7 @@ object Dedup {
     * oracle, which states the same semantics pairwise.
     */
   def jaccardPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.02): DataFrame = {
+      threshold: Double = 0.02, maxDf: Int = 100): DataFrame = {
     // Single scan: shingle set per doc, then postings carrying the
     // doc's set size so no later join back is needed. The explode is
     // a typed flatMap, NOT explode(): Catalyst inlines a computed
@@ -69,11 +69,22 @@ object Dedup {
     // bucket per (source, shingle): tiny sorted member lists (posting
     // lists are bounded by block size), pairs generated inside the
     // bucket with array lambdas — one shuffle, no self-join re-scan.
+    // A document-frequency ceiling (`maxDf`) drops stop-shingle
+    // buckets — one shingle shared by 10⁵ docs would otherwise form a
+    // single 10¹⁰-pair bucket; a shingle that common carries no
+    // near-dup signal anyway (standard stop-shingle treatment).
+    // Coverage loss is observable: observe("jaccard_bucket_cap")
+    // reports dropped_buckets per run. maxDf=100 ≫ the max df of 6
+    // seen at sf0.1, so the oracle sees zero drops at test scale.
     val buckets = postings
       .groupBy(col("source"), col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
         .as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe("jaccard_bucket_cap",
+        sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("ids")) <= maxDf)
 
     val pairGen = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))), b =>

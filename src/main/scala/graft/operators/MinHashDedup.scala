@@ -121,18 +121,27 @@ object MinHashDedup {
     * the property MinHash (whole-set resemblance) can't give.
     */
   def winnowPairs(spark: SparkSession, sfDir: String,
-      k: Int = 16, win: Int = 8, minOverlap: Double = 0.3): DataFrame = {
+      k: Int = 16, win: Int = 8, minOverlap: Double = 0.3,
+      maxDf: Int = 100): DataFrame = {
     import spark.implicits._
     val docs = documents(spark, sfDir).select(col("doc_id"),
       winnow_sketch(col("text"), k, win).as("sketch"))
     val postings = docs.as[(Long, Seq[Long])]
       .flatMap { case (id, sk) => sk.map(f => (id, sk.length, f)) }
       .toDF("doc_id", "n_fp", "fp")
+    // document-frequency ceiling on fingerprint buckets — same
+    // stop-shingle rationale and observability as Dedup.jaccardPairs
+    // (a boilerplate fingerprint shared corpus-wide must not form one
+    // quadratic bucket); drops counted via observe().
     val buckets = postings
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_fp"))))
         .as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe("winnow_bucket_cap",
+        sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("ids")) <= maxDf)
     val pairGen = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
         struct(a.getField("doc_id").as("doc_a"),

@@ -152,7 +152,7 @@ object RelationalRegistry {
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_conditional_agg" ->
       """SELECT user_id, COUNT(*) AS n_events,
-        | SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
         | CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,4))), 2) AS DOUBLE) AS purchase_value
         |FROM events
         |GROUP BY user_id
@@ -291,9 +291,9 @@ object RelationalRegistry {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
-        |  SELECT *, SUM(new_session) OVER (
+        |  SELECT *, CAST(SUM(new_session) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,

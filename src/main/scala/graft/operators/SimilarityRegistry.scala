@@ -17,6 +17,9 @@ object SimilarityRegistry {
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "sim_join" -> ((s, d) => Similarity.simJoin(s, d)),
+    // production path: LSH-banded blocking, rows-only (bucket
+    // internals engine-specific); recall vs sim_join spec'd ≥ 0.9
+    "sim_join_lsh" -> ((s, d) => Similarity.simJoinLsh(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.dedupEmbedding(s, d))

@@ -40,4 +40,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
     assert(df.filter(col("cosine") < 0.3).count() == 0)
   }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("sim_join_lsh recall vs label-blocked verifier >= 0.9 at 0.45") {
+    // the production path must find (nearly) everything the
+    // oracle-checkable label-blocked verifier finds — at sf0.01 so
+    // there are enough qualifying pairs to make recall meaningful
+    val sf01 = "/root/testdata/sf0.01"
+    val verifier = pairSet(Similarity.simJoin(spark, sf01, 0.45))
+    val lsh = pairSet(Similarity.simJoinLsh(spark, sf01, 0.45))
+    assert(verifier.nonEmpty)
+    val recall = (lsh intersect verifier).size.toDouble / verifier.size
+    assert(recall >= 0.9, s"sim_join_lsh recall $recall too low")
+  }
+
+  test("sim_join_lsh pairs are exact cosines above threshold") {
+    import org.apache.spark.sql.functions._
+    val df = Similarity.simJoinLsh(spark, "/root/testdata/sf0.01", 0.45)
+    assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(df.filter(col("cosine") < 0.45).count() == 0)
+    // no duplicate pairs despite multi-band candidate generation
+    val n = df.count()
+    assert(df.select("vec_a", "vec_b").distinct().count() == n)
+  }
+
+  test("sim_join_lsh bucket cap bounds pair generation") {
+    // with a tiny cap every bucket at sf0.01 is dropped or bounded:
+    // the join must still run and emit only pairs from small buckets
+    val capped = Similarity.simJoinLsh(spark, "/root/testdata/sf0.01",
+      threshold = 0.0, maxBucket = 2)
+    // threshold 0 with cap 2: every surviving bucket emits exactly
+    // one pair, so output is finite and far below n^2/2
+    assert(capped.count() < 500L * 499 / 2)
+  }
 }

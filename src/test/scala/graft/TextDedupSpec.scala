@@ -42,6 +42,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(df.filter(col("jaccard") < 0.02 || col("jaccard") > 1.0).count() == 0)
   }
 
+  test("df ceiling drops hot-shingle buckets and bounds pair count") {
+    // plant a corpus where one 3-gram shingle is shared by ALL docs
+    // (a boilerplate header): without the maxDf cap this forms one
+    // quadratic bucket; with it, only the genuinely-shared pairs with
+    // df <= cap survive.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hotshingle").toString
+    val hot = "common boilerplate header"
+    val docs = (0L until 200L).map { i =>
+      // each doc: the hot shingle + a unique tail; docs 0 and 1 also
+      // share a private shingle pair so one real dup pair remains
+      val tail = if (i < 2) "shared private trigram here" else s"unique tail $i words ${i * 7}"
+      (i, s"$hot $tail", "en", "src0", 40L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.jaccardPairs(spark, tmp, threshold = 0.0, maxDf = 50)
+    // the hot shingle's bucket (df=200 > 50) is dropped, so the
+    // 200*199/2 all-pairs explosion never happens; docs 0/1 still
+    // pair via their private shingles
+    val n = pairs.count()
+    assert(n < 200L * 199 / 2, s"pair count $n not bounded by df cap")
+    assert(pairs.filter(col("doc_a") === 0 && col("doc_b") === 1).count() == 1)
+  }
+
   test("wordcount total equals token total") {
     val total = TextOps.wordcount(spark, sf)
       .agg(sum("n")).head().getLong(0)
