@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+import org.apache.spark.sql.types.StructType
 import graft.model.EmqxMessage
 import graft.sources.broker.BrokerRegistry
 
@@ -16,33 +17,63 @@ import graft.sources.broker.BrokerRegistry
   * Batch: `EmqxSink.publish(df, name)` via foreachPartition.
   */
 class EmqxForeachWriter(brokerName: String) extends ForeachWriter[Row] {
-  override def open(partitionId: Long, epochId: Long): Boolean = true
-  override def process(row: Row): Unit =
-    BrokerRegistry.get(brokerName).publish(EmqxSink.rowToMessage(row))
+  // field positions resolved once from the first row's schema (fixed
+  // per query) — not a per-row linear scan over schema.names
+  @transient private var resolver: EmqxSink.EnvelopeResolver = _
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    resolver = null; true
+  }
+  override def process(row: Row): Unit = {
+    if (resolver == null) resolver = new EmqxSink.EnvelopeResolver(row.schema)
+    BrokerRegistry.get(brokerName).publish(resolver.toMessage(row))
+  }
   override def close(errorOrNull: Throwable): Unit = ()
 }
 
 object EmqxSink {
 
-  def rowToMessage(row: Row): EmqxMessage = {
-    def has(n: String) = row.schema != null && row.schema.names.contains(n)
-    EmqxMessage(
-      topic = row.getAs[String]("topic"),
-      qos = if (has("qos")) row.getAs[Int]("qos") else 0,
-      retained = if (has("retained")) row.getAs[Boolean]("retained") else false,
-      properties =
-        if (has("properties")) row.getAs[Map[String, String]]("properties")
-        else Map.empty,
-      payload = if (has("payload")) row.getAs[Array[Byte]]("payload")
-        else Array.empty[Byte])
+  /** Resolves envelope column positions once per schema, so the
+    * per-row path is positional gets only (the DSv2 writer does the
+    * same at EmqxWriterFactory.idx).
+    */
+  final class EnvelopeResolver(schema: StructType) extends Serializable {
+    private val idx: Map[String, Int] =
+      if (schema == null) Map.empty
+      else schema.fieldNames.zipWithIndex.toMap
+    private val topicI = idx.getOrElse("topic",
+      throw new IllegalArgumentException(
+        "emqx publish requires a 'topic' column; got: " +
+          (if (schema == null) "<no schema>"
+           else schema.fieldNames.mkString(", "))))
+    private val qosI = idx.getOrElse("qos", -1)
+    private val retainedI = idx.getOrElse("retained", -1)
+    private val propsI = idx.getOrElse("properties", -1)
+    private val payloadI = idx.getOrElse("payload", -1)
+
+    private def opt[T](i: Int, row: Row, get: Int => T, dflt: T): T =
+      if (i < 0 || row.isNullAt(i)) dflt else get(i)
+
+    def toMessage(row: Row): EmqxMessage = EmqxMessage(
+      topic = row.getString(topicI),
+      qos = opt(qosI, row, row.getInt, 0),
+      retained = opt(retainedI, row, row.getBoolean, false),
+      properties = opt(propsI, row,
+        i => row.getAs[Map[String, String]](i), Map.empty),
+      payload = opt(payloadI, row,
+        i => row.getAs[Array[Byte]](i), Array.empty[Byte]))
   }
 
+  def rowToMessage(row: Row): EmqxMessage =
+    new EnvelopeResolver(row.schema).toMessage(row)
+
   /** Batch publish: distributed foreachPartition, one broker handle
-    * per partition.
+    * and one schema resolution per partition.
     */
-  def publish(df: DataFrame, brokerName: String): Unit =
+  def publish(df: DataFrame, brokerName: String): Unit = {
+    val resolver = new EnvelopeResolver(df.schema)
     df.foreachPartition { rows: Iterator[Row] =>
       val broker = BrokerRegistry.get(brokerName)
-      rows.foreach(r => broker.publish(rowToMessage(r)))
+      rows.foreach(r => broker.publish(resolver.toMessage(r)))
     }
+  }
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import graft.model.EmqxMessage
-import graft.sources.broker.BrokerRegistry
+import graft.sources.broker.{BrokerConf, BrokerRegistry}
 
 /** Structured Streaming source for EMQX — the Spark-first counterpart
   * of the reference's EMQXSource (EMQXSource.java:34).
@@ -45,6 +45,23 @@ class EmqxSourceProvider extends TableProvider with DataSourceRegister {
 
 class EmqxTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite {
+
+  /** Connection conf from DataSource options: `broker` (mem name or
+    * tcp://host:port or ssl://host:port), `username`, `password`,
+    * `sessionexpirysec`, `keepalivesec`, `connecttimeoutms` — the
+    * production surface the reference leaves to HiveMQ client config
+    * (EMQXSourceReader.java:92–105, incl. its hardcoded
+    * sessionExpiryInterval(60) TODO).
+    */
+  private[sources] def brokerConf: BrokerConf = BrokerConf(
+    uri = Option(options.get("broker")).getOrElse(
+      throw new IllegalArgumentException("emqx requires option 'broker'")),
+    username = Option(options.get("username")),
+    password = Option(options.get("password")),
+    sessionExpirySec = options.getLong("sessionexpirysec", 3600L),
+    keepAliveSec = options.getInt("keepalivesec", 30),
+    connectTimeoutMs = options.getInt("connecttimeoutms", 5000))
+
   override def name(): String =
     s"emqx:${options.get("broker")}/${options.get("topicfilter")}"
   override def schema(): StructType = EmqxMessage.schema
@@ -59,15 +76,24 @@ class EmqxTable(options: CaseInsensitiveStringMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write =
-        new EmqxWrite(options.get("broker"), info.schema())
+      override def build(): Write = {
+        // ACCEPT_ANY_SCHEMA skips Spark's schema validation, so check
+        // the one genuinely required column here (analysis/planning
+        // time, driver) — otherwise a missing `topic` surfaces as a
+        // bare NoSuchElementException per-row on executors.
+        if (!info.schema().fieldNames.contains("topic"))
+          throw new IllegalArgumentException(
+            "emqx write requires a 'topic' column (string); got schema: " +
+              info.schema().fieldNames.mkString(", "))
+        new EmqxWrite(brokerConf, info.schema())
+      }
     }
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = EmqxMessage.schema
       override def toMicroBatchStream(loc: String): MicroBatchStream =
         new EmqxMicroBatchStream(
-          options.get("broker"),
+          brokerConf,
           Option(options.get("clientid")).getOrElse("spark-emqx-"),
           Option(options.get("group")).getOrElse("spark"),
           Option(options.get("topicfilter")).getOrElse("#"),
@@ -83,7 +109,7 @@ class EmqxTable(options: CaseInsensitiveStringMap)
 case class EmqxOffset(positions: Map[String, Long]) extends Offset {
   override def json(): String =
     positions.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":$v""" }
+      .map { case (k, v) => s""""${EmqxOffset.escape(k)}":$v""" }
       .mkString("{", ",", "}")
 }
 
@@ -92,17 +118,23 @@ object EmqxOffset {
   // clientids, which a naive split would corrupt on checkpoint restore
   private val Entry = """"((?:[^"\\]|\\.)*)"\s*:\s*(-?\d+)""".r
 
+  private[sources] def escape(k: String): String =
+    k.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def unescape(k: String): String =
+    k.replace("\\\"", "\"").replace("\\\\", "\\")
+
   def fromJson(s: String): EmqxOffset =
     EmqxOffset(Entry.findAllMatchIn(s)
-      .map(m => m.group(1) -> m.group(2).toLong).toMap)
+      .map(m => unescape(m.group(1)) -> m.group(2).toLong).toMap)
 }
 
-class EmqxMicroBatchStream(brokerName: String, baseClientid: String,
+class EmqxMicroBatchStream(conf: BrokerConf, baseClientid: String,
     group: String, topicFilter: String, qos: Int, numReaders: Int,
     maxPerBatch: Long = Long.MaxValue)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  private def broker = BrokerRegistry.get(brokerName)
+  private def broker = BrokerRegistry.resolve(conf)
   private val clientids =
     (0 until numReaders).map(i => s"$baseClientid$i")
   private val sharedFilter = s"$$share/$group/$topicFilter"
@@ -120,7 +152,8 @@ class EmqxMicroBatchStream(brokerName: String, baseClientid: String,
     if (!subscribed) {
       try {
         clientids.foreach { cid =>
-          val present = broker.connect(cid, cleanStart = false)
+          val present = broker.connect(cid, cleanStart = false,
+            conf.sessionExpirySec, conf.username, conf.password)
           // NOTE: like the reference (EMQXSourceReader.java:113 "session
           // already present; will NOT subscribe explicitly"), a resumed
           // session keeps its original subscription — changing
@@ -155,15 +188,43 @@ class EmqxMicroBatchStream(brokerName: String, baseClientid: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     ensureSubscribed()
     val s = start.asInstanceOf[EmqxOffset].positions
-    val cap = limit match {
-      case m: ReadMaxRows => math.max(m.maxRows / numReaders, 1L)
+    val budget = limit match {
+      case m: ReadMaxRows => m.maxRows
       case _ => Long.MaxValue
     }
-    EmqxOffset(clientids.map { c =>
+    val ranges = clientids.map { c =>
       val from = s.getOrElse(c, broker.committedOffset(c))
-      val end = broker.endOffset(c)
-      c -> math.min(end, if (cap == Long.MaxValue) end else from + cap)
-    }.toMap)
+      (c, from, broker.endOffset(c))
+    }
+    if (budget == Long.MaxValue)
+      EmqxOffset(ranges.map { case (c, _, end) => c -> end }.toMap)
+    else {
+      // Allocate the GLOBAL row budget across readers in proportion to
+      // each reader's remaining backlog (a fixed per-reader quota both
+      // overshoots the cap when readers outnumber rows and strands
+      // budget on idle readers while a hot one is throttled). Floor
+      // division first, then leftover distributed one row at a time to
+      // the largest backlogs — deterministic, Σ allocated ≤ budget.
+      val backlogs = ranges.map { case (_, from, end) =>
+        math.max(end - from, 0L) }
+      val total = backlogs.sum
+      val alloc =
+        if (total <= budget) backlogs
+        else {
+          val base = backlogs.map(b => budget * b / total)
+          var leftover = budget - base.sum
+          val order = backlogs.indices
+            .sortBy(i => (-(backlogs(i) - base(i)), i))
+          val out = base.toArray
+          for (i <- order if leftover > 0 && out(i) < backlogs(i)) {
+            out(i) += 1; leftover -= 1
+          }
+          out.toSeq
+        }
+      EmqxOffset(ranges.zip(alloc).map { case ((c, from, _), a) =>
+        c -> (from + a)
+      }.toMap)
+    }
   }
 
   override def reportLatestOffset(): Offset = latestOffset()
@@ -176,8 +237,16 @@ class EmqxMicroBatchStream(brokerName: String, baseClientid: String,
     val s = start.asInstanceOf[EmqxOffset].positions
     val e = end.asInstanceOf[EmqxOffset].positions
     clientids.map { cid =>
-      EmqxInputPartition(brokerName, cid,
-        s.getOrElse(cid, 0L), e.getOrElse(cid, 0L))
+      // A clientid absent from a checkpointed offset map (e.g.
+      // `readers` increased across a restart) starts from its
+      // committed position, matching latestOffset's default — a 0L
+      // default would re-fetch the already-acked history.
+      val from = s.getOrElse(cid, broker.committedOffset(cid))
+      // align a network client's fresh local sequence with the
+      // checkpointed offsets (no-op for the in-memory broker, whose
+      // sequences are server-side and survive the restart)
+      broker.rebase(cid, from)
+      EmqxInputPartition(conf, cid, from, e.getOrElse(cid, from))
         .asInstanceOf[InputPartition]
     }.toArray
   }
@@ -196,14 +265,14 @@ class EmqxMicroBatchStream(brokerName: String, baseClientid: String,
   override def stop(): Unit = clientids.foreach(broker.disconnect)
 }
 
-case class EmqxInputPartition(brokerName: String, clientid: String,
+case class EmqxInputPartition(conf: BrokerConf, clientid: String,
     from: Long, until: Long) extends InputPartition
 
 class EmqxPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[EmqxInputPartition]
     new PartitionReader[InternalRow] {
-      private val msgs = BrokerRegistry.get(part.brokerName)
+      private val msgs = BrokerRegistry.resolve(part.conf)
         .fetch(part.clientid, part.from, part.until).iterator
       private var current: EmqxMessage = _
       override def next(): Boolean =
@@ -229,7 +298,7 @@ class EmqxPartitionReaderFactory extends PartitionReaderFactory {
   * client would; epoch commit is a no-op because MQTT publish has no
   * transactional abort — at-least-once, matching the source side.
   */
-class EmqxWrite(brokerName: String, schema: StructType)
+class EmqxWrite(conf: BrokerConf, schema: StructType)
     extends Write with BatchWrite with StreamingWrite {
 
   override def useCommitCoordinator(): Boolean = false
@@ -237,9 +306,9 @@ class EmqxWrite(brokerName: String, schema: StructType)
   override def toStreaming: StreamingWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new EmqxWriterFactory(brokerName, schema)
+    new EmqxWriterFactory(conf, schema)
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new EmqxWriterFactory(brokerName, schema)
+    new EmqxWriterFactory(conf, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -249,7 +318,7 @@ class EmqxWrite(brokerName: String, schema: StructType)
 
 private case object EmqxCommit extends WriterCommitMessage
 
-class EmqxWriterFactory(brokerName: String, schema: StructType)
+class EmqxWriterFactory(conf: BrokerConf, schema: StructType)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -262,7 +331,7 @@ class EmqxWriterFactory(brokerName: String, schema: StructType)
 
   private def mkWriter(): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val broker = BrokerRegistry.get(brokerName)
+      private val broker = BrokerRegistry.resolve(conf)
       override def write(row: InternalRow): Unit = {
         def opt[T](name: String, get: Int => T, dflt: T): T =
           idx.get(name).filterNot(row.isNullAt).map(get).getOrElse(dflt)

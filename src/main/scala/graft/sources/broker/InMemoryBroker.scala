@@ -23,7 +23,7 @@ import graft.sources.TopicMatcher
   *   - retained messages delivered on new non-shared subscriptions
   *   - effective delivery qos = min(publish qos, subscription qos)
   */
-class InMemoryBroker {
+class InMemoryBroker extends MqttBroker {
 
   final class Session(val clientid: String) {
     var connected = false
@@ -51,12 +51,36 @@ class InMemoryBroker {
   /** shared-group round-robin cursors keyed by raw shared filter */
   private val rr = mutable.LinkedHashMap[(String, String), Int]()
 
+  /** Broker-side credential requirement: when set, connects must
+    * present exactly these (the EMQX username/password auth a
+    * production deployment enforces — reference exposes the same
+    * fields via Mqtt5Client simpleAuth).
+    */
+  @volatile private var credentials: Option[(String, String)] = None
+  def requireCredentials(username: String, password: String): Unit =
+    credentials = Some((username, password))
+
+  /** Auth presented at the client's most recent connect — lets specs
+    * assert the option plumbing reaches the broker.
+    */
+  private val lastAuthByClient =
+    mutable.LinkedHashMap[String, (Option[String], Option[String])]()
+  def lastAuth(clientid: String): Option[(Option[String], Option[String])] =
+    synchronized(lastAuthByClient.get(clientid))
+
   /** Connect (or resume) a session. Returns sessionPresent, like a
     * CONNACK (reference checks it before re-subscribing, :106).
     */
-  def connect(clientid: String, cleanStart: Boolean,
-      sessionExpirySec: Long = 3600): Boolean = synchronized {
+  override def connect(clientid: String, cleanStart: Boolean,
+      sessionExpirySec: Long, username: Option[String],
+      password: Option[String]): Boolean = synchronized {
     requireOnline()
+    lastAuthByClient.put(clientid, (username, password))
+    credentials.foreach { case (u, p) =>
+      if (!username.contains(u) || !password.contains(p))
+        throw new IllegalStateException(
+          s"not authorized: $clientid") // CONNACK 0x86/0x87 analogue
+    }
     expireSessions()
     val present = sessions.contains(clientid) && !cleanStart
     if (!present) sessions.put(clientid, new Session(clientid))
@@ -198,17 +222,30 @@ class InMemoryBroker {
   def retainedCount: Int = synchronized(retained.size)
 }
 
-/** JVM-wide named broker registry so DataSourceV2 readers (running in
+/** JVM-wide broker registry so DataSourceV2 readers (running in
   * executor threads) and test drivers reach the same instance by
-  * option string — the same indirection a host:port pair provides for
-  * a network broker.
+  * option string. `mem:<name>` (or a bare name) resolves to a shared
+  * in-JVM [[InMemoryBroker]]; `tcp://host:port` / `ssl://host:port`
+  * resolves to a cached [[NetworkMqttBroker]] speaking real MQTT 5.
   */
 object BrokerRegistry {
   private val brokers =
     new java.util.concurrent.ConcurrentHashMap[String, InMemoryBroker]()
+  private val network =
+    new java.util.concurrent.ConcurrentHashMap[BrokerConf, NetworkMqttBroker]()
 
+  private def stripMem(n: String) =
+    if (n.startsWith("mem:")) n.substring(4) else n
+
+  /** The in-memory broker by name (tests, local default). */
   def get(name: String): InMemoryBroker =
-    brokers.computeIfAbsent(name, _ => new InMemoryBroker)
+    brokers.computeIfAbsent(stripMem(name), _ => new InMemoryBroker)
 
-  def remove(name: String): Unit = brokers.remove(name)
+  /** Resolve by full connection conf — the source/sink path. */
+  def resolve(conf: BrokerConf): MqttBroker =
+    if (conf.isNetwork)
+      network.computeIfAbsent(conf, c => new NetworkMqttBroker(c))
+    else get(conf.uri)
+
+  def remove(name: String): Unit = brokers.remove(stripMem(name))
 }

@@ -1,0 +1,186 @@
+package graft.sources.broker
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException}
+import java.net.{ServerSocket, Socket, SocketException}
+import scala.collection.mutable
+import graft.model.EmqxMessage
+import Mqtt5Codec._
+
+/** A TCP MQTT 5 broker server fronting an [[InMemoryBroker]] — real
+  * MQTT 5 packets over real sockets, so the network client
+  * ([[NetworkMqttBroker]]) and the `emqx` source/sink can be
+  * integration-tested end-to-end without any external broker or
+  * client library. Routing/session/shared-subscription semantics live
+  * entirely in the backing InMemoryBroker; this layer speaks the wire
+  * protocol: CONNECT auth → CONNACK reason codes, per-connection
+  * delivery with QoS 1 (PUBACK) and QoS 2 (PUBREC/PUBREL/PUBCOMP)
+  * manual-ack flows mapped onto the broker's offset ack model.
+  */
+class Mqtt5Server(backing: InMemoryBroker, port: Int = 0) {
+
+  private val server = new ServerSocket(port)
+  @volatile private var closed = false
+  private val conns = mutable.ArrayBuffer[Socket]()
+
+  def actualPort: Int = server.getLocalPort
+
+  private val acceptThread = new Thread(() => {
+    while (!closed) {
+      try {
+        val s = server.accept()
+        s.setTcpNoDelay(true)
+        synchronized { conns += s }
+        new Thread(() => handle(s), s"mqtt5-conn-${s.getPort}").start()
+      } catch {
+        case _: SocketException => () // closed
+        case _: Throwable if closed => ()
+      }
+    }
+  }, "mqtt5-accept")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  def close(): Unit = {
+    closed = true
+    server.close()
+    synchronized { conns.foreach(s => try s.close() catch { case _: Throwable => () }) }
+  }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    val writeLock = new Object
+    def send(p: Packet): Unit = writeLock.synchronized { Mqtt5Codec.write(out, p) }
+
+    var clientid: String = null
+    val open = new java.util.concurrent.atomic.AtomicBoolean(true)
+
+    // delivery bookkeeping: seq → pid for in-flight qos>0 deliveries;
+    // acked seqs accumulate until the contiguous watermark advances,
+    // then the backing broker acks (= messages drop from the session)
+    val inflight = mutable.LinkedHashMap[Int, Long]() // pid → seq
+    val acked = mutable.TreeSet[Long]()
+    var nextPid = 1
+    var deliverFrom = 0L
+    var watermark = 0L
+    val deliveryLock = new Object
+
+    def advanceWatermark(): Unit = deliveryLock.synchronized {
+      var w = watermark
+      while (acked.contains(w)) { acked.remove(w); w += 1 }
+      if (w != watermark) { watermark = w; backing.ack(clientid, w) }
+    }
+
+    def deliveryLoop(): Unit = {
+      try {
+        while (open.get && !closed) {
+          val end = backing.endOffset(clientid)
+          if (deliverFrom < end) {
+            val msgs = backing.fetch(clientid, deliverFrom, end)
+            msgs.zipWithIndex.foreach { case (m, i) =>
+              val seq = deliverFrom + i
+              val qos = m.qos
+              val pid = deliveryLock.synchronized {
+                if (qos > 0) {
+                  val p = nextPid
+                  nextPid = if (nextPid >= 65535) 1 else nextPid + 1
+                  inflight.put(p, seq); p
+                } else {
+                  acked.add(seq) // qos0: no wire ack will come
+                  0
+                }
+              }
+              send(Publish(m.topic, qos, m.retained, dup = false, pid,
+                m.properties, m.payload))
+            }
+            deliverFrom = end
+            advanceWatermark()
+          } else Thread.sleep(2)
+        }
+      } catch { case _: Throwable => () }
+    }
+
+    // qos2 inbound publishes held until PUBREL (exactly-once receive)
+    val pendingQos2 = mutable.LinkedHashMap[Int, EmqxMessage]()
+
+    try {
+      Mqtt5Codec.read(in) match {
+        case Connect(cid, clean, _, expiry, user, pass) =>
+          clientid = cid
+          val auth = (user, pass.map(b => new String(b, "UTF-8")))
+          val present =
+            try backing.connect(cid, clean,
+              if (expiry > 0) expiry else 3600, auth._1, auth._2)
+            catch {
+              case e: IllegalStateException =>
+                // 0x87 Not authorized / 0x88 Server unavailable
+                val rc = if (e.getMessage != null &&
+                  e.getMessage.startsWith("not authorized")) 0x87 else 0x88
+                send(Connack(sessionPresent = false, rc))
+                sock.close()
+                return
+            }
+          send(Connack(present, 0))
+          deliverFrom = backing.committedOffset(cid)
+          watermark = deliverFrom
+          val dt = new Thread(() => deliveryLoop(), s"mqtt5-deliver-$cid")
+          dt.setDaemon(true)
+          dt.start()
+        case other =>
+          throw new IllegalStateException(s"expected CONNECT, got $other")
+      }
+
+      while (open.get && !closed) {
+        Mqtt5Codec.read(in) match {
+          case Subscribe(pid, subs) =>
+            val codes = subs.map { case (filter, qos) =>
+              backing.subscribe(clientid, filter, qos); qos
+            }
+            send(Suback(pid, codes))
+          case Unsubscribe(pid, filters) =>
+            filters.foreach(backing.unsubscribe(clientid, _))
+            send(Unsuback(pid, filters.map(_ => 0)))
+          case Publish(topic, qos, retain, _, pid, props, payload) =>
+            val msg = EmqxMessage(topic, qos, retain, props, payload)
+            if (qos == 2) {
+              // hold until PUBREL so a re-sent PUBLISH (dup) with the
+              // same pid is not routed twice
+              if (!pendingQos2.contains(pid)) pendingQos2.put(pid, msg)
+              send(PubRec(pid, 0))
+            } else {
+              backing.publish(msg)
+              if (qos == 1) send(PubAck(pid, 0))
+            }
+          case PubRel(pid, _) =>
+            pendingQos2.remove(pid).foreach(backing.publish)
+            send(PubComp(pid, 0))
+          case PubAck(pid, _) => // qos1 delivery acked
+            deliveryLock.synchronized {
+              inflight.remove(pid).foreach(acked.add)
+            }
+            advanceWatermark()
+          case PubRec(pid, _) => // qos2 delivery: treat as the ack point
+            deliveryLock.synchronized {
+              inflight.remove(pid).foreach(acked.add)
+            }
+            advanceWatermark()
+            send(PubRel(pid, 0))
+          case PubComp(_, _) => () // qos2 delivery flow complete
+          case PingReq => send(PingResp)
+          case Disconnect(_) =>
+            open.set(false)
+          case _ => () // Connack/Suback/etc. from a client: ignore
+        }
+      }
+    } catch {
+      case _: EOFException => ()
+      case _: SocketException => ()
+      case _: Throwable => ()
+    } finally {
+      open.set(false)
+      if (clientid != null)
+        try backing.disconnect(clientid) catch { case _: Throwable => () }
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
+}
