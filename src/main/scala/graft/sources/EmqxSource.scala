@@ -85,7 +85,8 @@ class EmqxTable(options: CaseInsensitiveStringMap)
           throw new IllegalArgumentException(
             "emqx write requires a 'topic' column (string); got schema: " +
               info.schema().fieldNames.mkString(", "))
-        new EmqxWrite(brokerConf, info.schema())
+        new EmqxWrite(brokerConf, info.schema(),
+          options.getBoolean("idempotent", false), info.queryId())
       }
     }
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
@@ -297,8 +298,16 @@ class EmqxPartitionReaderFactory extends PartitionReaderFactory {
   * than `topic` may be omitted). Publishes are per-row as a real MQTT
   * client would; epoch commit is a no-op because MQTT publish has no
   * transactional abort — at-least-once, matching the source side.
+  *
+  * `idempotent=true` upgrades replays to effectively-once: each row
+  * is stamped with a `<queryId>/<epoch>/<partition>/<rowIndex>` key
+  * in the reserved [[graft.sources.broker.InMemoryBroker.DedupKeyProp]]
+  * user property and the broker drops keys it has already routed, so
+  * a retried epoch/task publishes no duplicates (SURVEY §9; the
+  * reference is plain at-least-once).
   */
-class EmqxWrite(conf: BrokerConf, schema: StructType)
+class EmqxWrite(conf: BrokerConf, schema: StructType,
+    idempotent: Boolean = false, queryId: String = "")
     extends Write with BatchWrite with StreamingWrite {
 
   override def useCommitCoordinator(): Boolean = false
@@ -306,9 +315,9 @@ class EmqxWrite(conf: BrokerConf, schema: StructType)
   override def toStreaming: StreamingWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new EmqxWriterFactory(conf, schema)
+    new EmqxWriterFactory(conf, schema, idempotent, queryId)
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new EmqxWriterFactory(conf, schema)
+    new EmqxWriterFactory(conf, schema, idempotent, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -318,30 +327,40 @@ class EmqxWrite(conf: BrokerConf, schema: StructType)
 
 private case object EmqxCommit extends WriterCommitMessage
 
-class EmqxWriterFactory(conf: BrokerConf, schema: StructType)
+class EmqxWriterFactory(conf: BrokerConf, schema: StructType,
+    idempotent: Boolean = false, queryId: String = "")
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    mkWriter()
+    mkWriter(partitionId, epochId = -1L)
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] = mkWriter()
+      epochId: Long): DataWriter[InternalRow] = mkWriter(partitionId, epochId)
 
   private val idx: Map[String, Int] =
     schema.fieldNames.zipWithIndex.toMap
 
-  private def mkWriter(): DataWriter[InternalRow] =
+  private def mkWriter(partitionId: Int, epochId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val broker = BrokerRegistry.resolve(conf)
+      // row index within (query, epoch, partition): deterministic
+      // across task retries because Spark replays the partition's
+      // rows in order — the triple is the idempotence key
+      private var rowIndex = 0L
       override def write(row: InternalRow): Unit = {
         def opt[T](name: String, get: Int => T, dflt: T): T =
           idx.get(name).filterNot(row.isNullAt).map(get).getOrElse(dflt)
-        val props = opt[Map[String, String]]("properties", i => {
+        var props = opt[Map[String, String]]("properties", i => {
           val m = row.getMap(i)
           val ks = m.keyArray(); val vs = m.valueArray()
           (0 until m.numElements()).map(j =>
             ks.getUTF8String(j).toString -> vs.getUTF8String(j).toString)
             .toMap
         }, Map.empty)
+        if (idempotent) {
+          props += (graft.sources.broker.InMemoryBroker.DedupKeyProp ->
+            s"$queryId/$epochId/$partitionId/$rowIndex")
+          rowIndex += 1
+        }
         broker.publish(EmqxMessage(
           topic = row.getUTF8String(idx("topic")).toString,
           qos = opt("qos", row.getInt, 0),

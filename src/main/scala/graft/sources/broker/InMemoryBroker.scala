@@ -136,6 +136,19 @@ class InMemoryBroker extends MqttBroker {
   private def enqueue(s: Session, msg: EmqxMessage): Unit =
     s.log += msg
 
+  /** Broker-side publish dedup window (the idempotent-sink contract,
+    * SURVEY §9): a publish carrying the reserved
+    * [[InMemoryBroker.DedupKeyProp]] user property is routed at most
+    * once per key — a replayed Spark epoch re-sends the same keys and
+    * the broker drops them. The window is bounded (FIFO eviction) so
+    * broker memory stays O(window), not O(history); a replay must
+    * arrive within `dedupWindow` publishes of the original, which
+    * epoch-level retries do.
+    */
+  private val seenDedup = mutable.LinkedHashSet[String]()
+  @volatile var dedupWindow: Int = 100000
+  def dedupSeenCount: Int = synchronized(seenDedup.size)
+
   /** Publish: route to every matching non-shared subscription, and to
     * exactly one member per matching shared group (round-robin —
     * the broker-side load balancing the reference's shared
@@ -143,6 +156,14 @@ class InMemoryBroker extends MqttBroker {
     */
   def publish(msg: EmqxMessage): Unit = synchronized {
     requireOnline()
+    msg.properties.get(InMemoryBroker.DedupKeyProp) match {
+      case Some(key) =>
+        if (seenDedup.contains(key)) return // duplicate epoch replay
+        seenDedup.add(key)
+        while (seenDedup.size > dedupWindow)
+          seenDedup.remove(seenDedup.head)
+      case None => ()
+    }
     if (msg.retained) {
       if (msg.payload == null || msg.payload.isEmpty) retained.remove(msg.topic)
       else retained.put(msg.topic, msg)
@@ -220,6 +241,15 @@ class InMemoryBroker extends MqttBroker {
   }
 
   def retainedCount: Int = synchronized(retained.size)
+}
+
+object InMemoryBroker {
+  /** Reserved user property carrying a publish's idempotence key
+    * (`<queryId>/<epoch>/<partition>/<rowIndex>` from the Spark
+    * sink). Travels as an ordinary MQTT 5 user property, so the
+    * dedup works identically through the wire path.
+    */
+  val DedupKeyProp = "graft.dedup.key"
 }
 
 /** JVM-wide broker registry so DataSourceV2 readers (running in

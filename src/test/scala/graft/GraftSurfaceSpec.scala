@@ -137,6 +137,48 @@ class GraftSurfaceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotent sink: a replayed epoch publishes no duplicates") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.{EmqxWriterFactory}
+    import graft.sources.broker.BrokerConf
+
+    val name = "surface-idem"
+    val b = BrokerRegistry.get(name)
+    b.connect("iw", cleanStart = true)
+    b.subscribe("iw", "i/#", 1)
+
+    val factory = new EmqxWriterFactory(BrokerConf(name),
+      EmqxMessage.schema, idempotent = true, queryId = "test-query-1")
+    // the same epoch's partition 0 written twice = Spark retrying a
+    // failed epoch/task (the sink's commit is a no-op, so without the
+    // dedup key every row would publish twice)
+    def writeEpoch(epochId: Long): Unit = {
+      val w = factory.createWriter(0, taskId = 1L, epochId = epochId)
+      (0 until 5).foreach { i =>
+        w.write(InternalRow(UTF8String.fromString(s"i/$i"), 1, false,
+          null, s"m$i".getBytes(UTF_8)))
+      }
+      w.commit(); w.close()
+    }
+    writeEpoch(7L)
+    writeEpoch(7L) // replay
+    val got = b.fetch("iw", 0, b.endOffset("iw"))
+    assert(got.length == 5, s"expected 5 uniques, got ${got.length}")
+    assert(got.map(_.topic) == (0 until 5).map(i => s"i/$i"))
+    // the dedup key rides as an ordinary user property
+    assert(got.head.properties.keySet ==
+      Set(graft.sources.broker.InMemoryBroker.DedupKeyProp))
+
+    writeEpoch(8L) // a NEW epoch is not deduped
+    assert(b.endOffset("iw") == 10)
+
+    // bounded window: broker memory does not grow with history
+    b.dedupWindow = 8
+    writeEpoch(9L)
+    assert(b.dedupSeenCount <= 8)
+  }
+
   test("qos 0/1/2 subscriptions all deliver (reference qos parametrization)") {
     for (qos <- 0 to 2) {
       val name = s"surface-qos-$qos"
