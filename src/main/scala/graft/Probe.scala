@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.Similarity
+
+/** Large-scale probe runner (SURVEY §8): times the operators whose
+  * scaling actually needs demonstrating — dedup, similarity, text,
+  * and event-window paths — against a replica-scaled corpus built by
+  * `tools/make_probe.py` (default 100× sf0.1 = sf10-equivalent:
+  * 500k docs / 200k vectors / 10M events).
+  *
+  * The label-blocked sim_join / dedup_embedding verifiers are
+  * deliberately excluded: they are documented-quadratic small-scale
+  * oracles; their production route (sim_join_lsh) runs here with
+  * scale-appropriate parameters instead — 4 bands × 16 bits (the
+  * 64-bit signature budget) at a near-dup threshold, where bucket
+  * sizes stay bounded by true-duplicate group size rather than
+  * growing with the corpus.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sfbig2")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fromRegistry = Seq(
+      "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_pairs",
+      "dedup_simhash", "dedup_winnow",
+      "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+      "text_shingles", "pipeline_clean", "wordcount_salted",
+      "ann_bruteforce", "ann_lsh", "ann_ivf",
+      "q_events_tumbling", "q_events_sliding", "q_sessionize",
+      "q_conditional_agg")
+
+    val scaled: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      // near-dup regime: 16-bit bands -> ~corpus/65536 per bucket +
+      // true-duplicate groups; exact pairs (cosine 1.0) recall is 1.0
+      // at any scale because identical vectors share every signature
+      "sim_join_lsh_scaled" -> (() =>
+        Similarity.simJoinLsh(spark, sfDir, threshold = 0.99,
+          nPlanes = 64, nBands = 4, maxBucket = 5000)))
+
+    // warm codegen/JIT on the small SF so timings are steady-state
+    val warmDir = "/root/testdata/sf0.01"
+    fromRegistry.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
+
+    val results =
+      fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) ++
+        scaled.map { case (n, f) => n -> f }
+    results.foreach { case (name, mk) =>
+      val t0 = System.nanoTime()
+      val rows =
+        try mk().count()
+        catch { case e: Throwable =>
+          println(s"""{"query":"$name","error":"${e.getClass.getSimpleName}"}""")
+          -1L
+        }
+      if (rows >= 0) {
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"query":"$name","sec":$sec%.2f,"rows":$rows}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -7,13 +7,16 @@ import graft.Tables._
 /** Multimodal column plumbing (SURVEY §2.6): media as opaque `binary`
   * columns with typed metadata, processed partition-wise in batches.
   *
-  * The actual image/audio decode is STUBBED (this container has no
-  * media libraries): `StubDecoder.decode` derives deterministic fake
-  * features from the bytes. Everything around it — the schema, the
-  * batched partition-wise processing shape, chunking/frame-sampling,
-  * and the feature join-back — is the real production plumbing and is
-  * what the tests exercise. Swap `StubDecoder` for a JNI/library-backed
-  * decoder without touching the Spark side.
+  * Decode is REAL for the formats the JDK can parse — PNG/BMP/GIF via
+  * javax.imageio and RIFF/WAVE PCM via javax.sound.sampled (see
+  * [[MediaCodecs]]): [[realMediaTable]] encodes genuine PNG/WAV
+  * payloads (real codecs, deterministic content) and
+  * [[decodeMediaFeatures]] decodes them back partition-wise into
+  * typed features, with [[resizeImages]] as the normalize-to-model-
+  * input step. Formats outside the JDK's reach (mp4/webp/opus) fall
+  * back to [[StubDecoder]] — detected by magic bytes, labeled
+  * `opaque` — which is also what [[decodeFeatures]] uses for the
+  * legacy synthetic (non-media-bytes) table.
   */
 object Multimodal {
 
@@ -79,6 +82,102 @@ object Multimodal {
         // model weights); the stub needs none.
         it.map(StubDecoder.decode)
       }
+  }
+
+  /** A real media table: every even doc_id carries an actual PNG
+    * (encoded by the JDK's PNG codec from pixels seeded by the doc's
+    * text bytes), every odd doc_id an actual RIFF/WAVE PCM clip.
+    * Deterministic, so decode features are exactly reproducible.
+    */
+  def realMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, 256).as("seed"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, seed) =>
+          val bytes = seed.getBytes("UTF-8")
+          if (id % 2 == 0) {
+            val w = (id % 32 + 16).toInt; val h = (id % 16 + 12).toInt
+            (id, "png", MediaCodecs.encodePng(w, h, bytes))
+          } else {
+            (id, "wav", MediaCodecs.encodeWav(8000, 1600, bytes))
+          }
+        }
+      }
+      .toDF("doc_id", "fmt", "content")
+  }
+
+  /** Unified typed features from the real decode path: image rows
+    * fill dimensions + luminance histogram, audio rows fill sample
+    * rate/duration + RMS envelope, unknown formats fall back to the
+    * stub's checksum features under kind `opaque`.
+    */
+  case class DecodedFeatures(doc_id: Long, kind: String, byte_len: Int,
+      width: Int, height: Int, channels: Int, sample_rate: Int,
+      duration_ms: Double, mean_level: Double, feature: Array[Float])
+
+  /** M2 — REAL partition-wise batched decode over [[realMediaTable]]:
+    * mapPartitions amortizes codec setup per partition (ImageIO /
+    * AudioSystem plumbing, the mapInPandas batching shape in Scala);
+    * routing is by sniffed magic bytes, not the declared fmt column —
+    * ingests lie about formats.
+    */
+  def decodeMediaFeatures(spark: SparkSession, sfDir: String): Dataset[DecodedFeatures] = {
+    import spark.implicits._
+    realMediaTable(spark, sfDir)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          MediaCodecs.sniffFormat(bytes) match {
+            case "png" | "jpeg" | "bmp" =>
+              MediaCodecs.decodeImage(bytes) match {
+                case Some(img) =>
+                  DecodedFeatures(id, "image", bytes.length, img.width,
+                    img.height, img.channels, 0, 0.0, img.meanLum / 255.0,
+                    img.lumHistogram)
+                case None => opaqueFallback(id, bytes)
+              }
+            case "wav" =>
+              MediaCodecs.decodeWav(bytes) match {
+                case Some(a) =>
+                  DecodedFeatures(id, "audio", bytes.length, 0, 0,
+                    a.channels, a.sampleRate, a.durationMs, a.rms,
+                    a.windowRms)
+                case None => opaqueFallback(id, bytes)
+              }
+            case _ => opaqueFallback(id, bytes)
+          }
+        }
+      }
+  }
+
+  private def opaqueFallback(id: Long, bytes: Array[Byte]): DecodedFeatures = {
+    val f = StubDecoder.decode(MediaRecord(id, "opaque", 0, 0, bytes))
+    DecodedFeatures(id, "opaque", bytes.length, 0, 0, 0, 0, 0.0, 0.0,
+      f.feature)
+  }
+
+  /** Image normalization: real bilinear resize + PNG re-encode of
+    * every image row (audio passes through untouched) — the
+    * resize-to-model-input stage of a vision pipeline.
+    */
+  def resizeImages(spark: SparkSession, sfDir: String,
+      width: Int = 16, height: Int = 12): DataFrame = {
+    import spark.implicits._
+    realMediaTable(spark, sfDir)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (MediaCodecs.sniffFormat(bytes) == "png")
+            MediaCodecs.resizePng(bytes, width, height)
+              .map(r => (id, r, width, height))
+          else None
+        }
+      }
+      .toDF("doc_id", "content", "width", "height")
   }
 
   /** M3 — chunk / frame-sample the binary payload: fixed 256-byte

@@ -10,7 +10,11 @@ object ConnectorRegistry {
     "emqx_envelope" -> (ConnectorOps.emqxEnvelope _),
     "emqx_decode" -> (ConnectorOps.emqxDecode _),
     "emqx_topic_filter" -> (ConnectorOps.emqxTopicFilter _),
-    "multimodal_meta" -> (graft.multimodal.Multimodal.multimodalMeta _)
+    "multimodal_meta" -> (graft.multimodal.Multimodal.multimodalMeta _),
+    // rows-only: features come from real JDK codec decodes (PNG
+    // luminance histograms, WAV RMS envelopes) — not SQL-expressible
+    "multimodal_decode" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.decodeMediaFeatures(s, d).toDF())
   )
 
   val oracle: Map[String, String] = Map(
