@@ -53,9 +53,13 @@ object Probe {
       catch { case _: Throwable => () }
     }
 
-    val results =
+    val all =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) ++
         scaled.map { case (n, f) => n -> f }
+    // optional args = subset of query names to run (re-measure one
+    // operator without paying for the whole probe)
+    val results =
+      if (args.isEmpty) all else all.filter(r => args.contains(r._1))
     results.foreach { case (name, mk) =>
       val t0 = System.nanoTime()
       val rows =

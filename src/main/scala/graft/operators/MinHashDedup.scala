@@ -24,7 +24,8 @@ object MinHashDedup {
     * the candidates (the expensive step is bounded by bucket sizes).
     */
   def minhashPairs(spark: SparkSession, sfDir: String,
-      k: Int = 32, bands: Int = 8, minEst: Double = 0.5): DataFrame = {
+      k: Int = 32, bands: Int = 8, minEst: Double = 0.5,
+      maxBucket: Int = 5000): DataFrame = {
     val rows = k / bands
     import spark.implicits._
     val docs = documents(spark, sfDir)
@@ -55,21 +56,51 @@ object MinHashDedup {
       }
       .toDF("doc_id", "sig", "band", "bsig")
 
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+    // In-bucket pair generation via groupBy + flatMap, NOT a banded
+    // self-join: the join form shuffles the signature arrays twice
+    // and lets Catalyst push the est filter into the join condition,
+    // where `aggregate(zip_with(...))` runs INTERPRETED per candidate
+    // pair — measured wedging a 100× probe (≈80M candidate pairs of a
+    // duplicate-heavy corpus on one skewed task). Here the signature
+    // agreement runs as a tight unboxed loop inside the bucket, only
+    // survivors (est ≥ minEst) reach the shuffle, and `maxBucket`
+    // bounds a degenerate bucket exactly like simJoinLsh.
+    val estimated = banded
+      .groupBy(col("band"), col("bsig"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
+        .as("members"))
+      .filter(size(col("members")) > 1)
+      .observe("minhash_bucket_cap",
+        sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("members")) <= maxBucket)
+      .select(col("members"))
+      .as[Seq[(Long, Seq[Long])]]
+      .flatMap { members =>
+        val ids = members.map(_._1).toArray
+        val sigs = members.map(_._2.toArray).toArray
+        val n = ids.length
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val sa = sigs(i); val sb = sigs(j)
+            var agree = 0; var c = 0
+            while (c < sa.length) {
+              if (sa(c) == sb(c)) agree += 1
+              c += 1
+            }
+            val est = agree.toDouble / k
+            if (est >= minEst) out += ((ids(i), ids(j), est))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("doc_a", "doc_b", "est_jaccard")
       .distinct()
-
-    // estimate: fraction of agreeing signature components
-    val est = aggregate(zip_with(col("sig_a"), col("sig_b"),
-        (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / k
-
-    val estimated = cand.withColumn("est_jaccard", est)
-      .filter(col("est_jaccard") >= minEst)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
 
     // exact verification join — only for surviving candidates
     val sets = docs.select(col("doc_id"), col("sh"))
@@ -88,7 +119,7 @@ object MinHashDedup {
     * ≥ 1 exact chunk), verified by popcount of the XOR.
     */
   def simhashPairs(spark: SparkSession, sfDir: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 5000): DataFrame = {
     import spark.implicits._
     val docs = documents(spark, sfDir).select(col("doc_id"),
       simhash64(tokens(col("text"))).as("sig"))
@@ -100,16 +131,38 @@ object MinHashDedup {
       }
       .toDF("doc_id", "sig", "chunk", "csig")
 
-    chunked.as("x").join(chunked.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.csig") === col("y.csig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+    // bucketed pair generation with popcount verify inside the
+    // flatMap (same shape + rationale as minhashPairs above): only
+    // pairs within hamming ≤ maxHamming ever reach a shuffle, and a
+    // degenerate chunk bucket is capped, not quadratic.
+    chunked
+      .groupBy(col("chunk"), col("csig"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
+        .as("members"))
+      .filter(size(col("members")) > 1)
+      .observe("simhash_bucket_cap",
+        sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("members")) <= maxBucket)
+      .select(col("members"))
+      .as[Seq[(Long, Long)]]
+      .flatMap { members =>
+        val arr = members.toArray
+        val out = Seq.newBuilder[(Long, Long, Int)]
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            val h = java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2)
+            if (h <= maxHamming) out += ((arr(i)._1, arr(j)._1, h))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("doc_a", "doc_b", "hamming")
       .distinct()
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -71,18 +71,25 @@ object Similarity {
       nQueries: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    // bucket join and candidate dedup run on SKINNY id rows (3
+    // longs); vectors re-attach only after distinct. Shuffling the
+    // 64-double embeddings through the multi-band join + distinct
+    // was the dominant cost at the 100× probe (82s → ids-only).
     val banded = bandedVectors(spark, emb, nPlanes, nBands)
-
+      .select(col("vec_id"), col("band"), col("bsig"))
     val queries = banded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("band"), col("bsig"))
-    val cands = banded.join(queries, Seq("band", "bsig"))
+      .select(col("vec_id").as("query_id"), col("band"), col("bsig"))
+    val candIds = banded.join(queries, Seq("band", "bsig"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("emb"), col("q_emb"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
+    val qEmb = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    cands.withColumn("cosine", cosine(col("emb"), col("q_emb")))
+    candIds.join(emb, "vec_id")
+      .join(broadcast(qEmb), "query_id")
+      .withColumn("cosine", cosine(col("emb"), col("q_emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -102,10 +109,14 @@ object Similarity {
       emb: DataFrame, nPlanes: Int, nBands: Int): DataFrame = {
     import spark.implicits._
     val bitsPerBand = nPlanes / nBands
-    val mask = (1L << bitsPerBand) - 1
+    require(bitsPerBand >= 1 && bitsPerBand <= 63,
+      s"bitsPerBand must be in [1,63], got $bitsPerBand")
+    val nWords = (nPlanes + 63) / 64
     emb.as[(Long, Seq[Double])]
       .flatMap { case (id, v) =>
-        var sig = 0L
+        // signature packed across words, so nPlanes is NOT capped at
+        // 64 — recall-heavy configs (128 planes × 16 bands) need it
+        val words = new Array[Long](nWords)
         var p = 0
         while (p < nPlanes) {
           var acc = 0.0
@@ -119,11 +130,20 @@ object Similarity {
             acc += v(d) * ((z % 20001L) / 10000.0)
             d += 1
           }
-          if (acc >= 0) sig |= (1L << p)
+          if (acc >= 0) words(p >> 6) |= (1L << (p & 63))
           p += 1
         }
-        (0 until nBands).map(bd =>
-          (id, v, bd, (sig >>> (bd * bitsPerBand)) & mask))
+        (0 until nBands).map { bd =>
+          var sig = 0L
+          var i = 0
+          while (i < bitsPerBand) {
+            val plane = bd * bitsPerBand + i
+            if ((words(plane >> 6) & (1L << (plane & 63))) != 0)
+              sig |= (1L << i)
+            i += 1
+          }
+          (id, v, bd, sig)
+        }
       }
       .toDF("vec_id", "emb", "band", "bsig")
   }

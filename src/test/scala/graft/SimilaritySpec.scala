@@ -67,6 +67,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.select("vec_a", "vec_b").distinct().count() == n)
   }
 
+  test("multi-word banding (128 planes) finds planted exact duplicates") {
+    import spark.implicits._
+    // identical vectors share every band signature whatever the
+    // plane count, so a >64-plane config must find all planted
+    // duplicate pairs at a near-1.0 threshold
+    val tmp = java.nio.file.Files.createTempDirectory("dupvec").toString
+    val base = (0 until 50).map(i =>
+      Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat))
+    val rows = (0L until 100L).map(i =>
+      (i, base((i % 50).toInt), s"l${i % 5}"))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val pairs = pairSet(Similarity.simJoinLsh(spark, tmp,
+      threshold = 0.999, nPlanes = 128, nBands = 16))
+    val expected = (0L until 50L).map(i => (i, i + 50)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing: ${(expected -- pairs).take(5)}")
+  }
+
   test("sim_join_lsh bucket cap bounds pair generation") {
     // with a tiny cap every bucket at sf0.01 is dropped or bounded:
     // the join must still run and emit only pairs from small buckets
