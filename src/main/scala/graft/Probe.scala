@@ -63,7 +63,13 @@ object Probe {
     results.foreach { case (name, mk) =>
       val t0 = System.nanoTime()
       val rows =
-        try mk().count()
+        try
+          // force FULL evaluation: count() on the DataFrame lets the
+          // optimizer skip pure projections entirely (timing the
+          // scan, not the operator); counting the physical plan's
+          // InternalRow RDD runs every operator and still yields the
+          // row count in one pass
+          mk().queryExecution.toRdd.count()
         catch { case e: Throwable =>
           println(s"""{"query":"$name","error":"${e.getClass.getSimpleName}"}""")
           -1L

@@ -200,6 +200,86 @@ object HashKernels {
     }
     min
   }
+
+  /** Single-pass count of `[a-z]+|[0-9]+|[^a-z0-9\\s]` matches — the
+    * BPE-ish pre-tokenizer count — without materializing the match
+    * array the way regexp_extract_all does (the dominant text-op cost
+    * at the 100x probe). Byte-level UTF-8 walk: continuation bytes
+    * belong to a preceding non-ASCII code point, which (like every
+    * other non-letter/digit/space char) counts as one single-char
+    * match; letter/digit runs count once. Matches Java regex and RE2
+    * semantics for the oracle (ASCII \\s set is identical in both).
+    */
+  def bpeTokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var count = 0
+    var prev = -1 // 0=a-z run, 1=digit run, 2=space, 3=other
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if ((b & 0xc0) == 0x80) {
+        // UTF-8 continuation: same code point as its lead byte
+      } else {
+        val cls =
+          if (b >= 'a' && b <= 'z') 0
+          else if (b >= '0' && b <= '9') 1
+          else if (b == 0x20 || (b >= 0x09 && b <= 0x0d)) 2
+          else 3
+        if (cls == 3) count += 1
+        else if (cls != 2 && cls != prev) count += 1
+        prev = cls
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** Single-pass `size(split(trim(text), "\\s+"))` — whitespace
+    * token count without materializing the token array. Matches
+    * Spark's split exactly (Java split with limit -1): trim strips
+    * 0x20 only; a leading or trailing \\s separator the trim left
+    * behind (tab etc.) yields an empty element on that side; an
+    * empty input yields one (empty) element.
+    */
+  def wsTokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == 0x20) lo += 1
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    if (lo == hi) return 1
+    def isWs(b: Int): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    var count = 0
+    if (isWs(bytes(lo) & 0xff)) count += 1 // leading empty element
+    if (isWs(bytes(hi - 1) & 0xff)) count += 1 // trailing empty element
+    var inRun = false
+    var i = lo
+    while (i < hi) {
+      val ws = isWs(bytes(i) & 0xff)
+      if (!ws && !inRun) count += 1
+      inRun = !ws
+      i += 1
+    }
+    count
+  }
+
+  /** Single-pass ASCII punctuation count (`[!-/:-@\\[-`{-~]`) — the
+    * two-regexp_replace length-difference idiom walks the text twice
+    * and allocates a rewritten copy; this counts in place. Punct
+    * chars are single-byte ASCII, so bytes == code points here.
+    */
+  def punctCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var count = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if ((b >= '!' && b <= '/') || (b >= ':' && b <= '@') ||
+        (b >= '[' && b <= '`') || (b >= '{' && b <= '~')) count += 1
+      i += 1
+    }
+    count
+  }
 }
 
 /** minhash_signature(shingles, k) → array<bigint> */
@@ -257,6 +337,48 @@ case class WinnowSketch(child: Expression, k: Int, window: Int)
     copy(child = c)
 }
 
+/** bpe_token_count(text) → int — codegen'd single-pass counter. */
+case class BpeTokenCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bpeTokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.bpeTokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ws_token_count(text) → int — codegen'd split-free token count. */
+case class WsTokenCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.wsTokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.wsTokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** punct_count(text) → int — codegen'd in-place punctuation count. */
+case class PunctCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.punctCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.punctCount($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object HashFunctions {
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
@@ -266,4 +388,10 @@ object HashFunctions {
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(text), window))
   def winnow_sketch(text: Column, k: Int, window: Int): Column =
     ColumnBridge.column(WinnowSketch(ColumnBridge.expression(text), k, window))
+  def bpe_token_count(text: Column): Column =
+    ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text)))
+  def ws_token_count(text: Column): Column =
+    ColumnBridge.column(WsTokenCount(ColumnBridge.expression(text)))
+  def punct_count(text: Column): Column =
+    ColumnBridge.column(PunctCount(ColumnBridge.expression(text)))
 }

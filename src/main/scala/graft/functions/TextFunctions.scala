@@ -17,19 +17,28 @@ object TextFunctions {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Split-free codegen'd count (HashExpressions.WsTokenCount) —
+    * size(split(...)) materializes the token array to measure it.
+    * Use `size(toks)` instead when the array is needed anyway.
+    */
+  def tokenCount(text: Column): Column =
+    graft.functions.HashFunctions.ws_token_count(text)
 
   /** BPE-ish subword proxy: runs of letters / digits / single other
-    * symbols — the standard pre-tokenizer split.
+    * symbols — the standard pre-tokenizer split. Codegen'd
+    * single-pass kernel (HashExpressions.BpeTokenCount): the
+    * regexp_extract_all form materializes every match into an array
+    * just to count it — the dominant text-op cost at the 100× probe.
     */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    graft.functions.HashFunctions.bpe_token_count(text)
 
   /** Punctuation character count (explicit ASCII class — identical
-    * in Java regex and RE2).
+    * in Java regex and RE2). Codegen'd in-place counter: the
+    * length-difference idiom rewrites the string per row.
     */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))
+    graft.functions.HashFunctions.punct_count(text)
 
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),

@@ -62,7 +62,22 @@ object Dedup {
       // force `sh` to evaluate twice per row)
       .as[(Long, String, Seq[String])]
       .flatMap { case (id, src, sh) =>
-        sh.map(s => (id, src, sh.length, s))
+        // postings carry a 64-bit FNV-1a of the shingle, not the
+        // string: the posting shuffle is the operator's dominant cost
+        // at scale (~10⁸ rows at the 100× probe) and the ~30-byte
+        // shingle text is pure key weight. Distinct-shingle counts
+        // (n_sh) come from the true strings; intersection-by-hash is
+        // exact up to 64-bit collisions (≈ d²/2⁶⁵ expected spurious
+        // shared shingles corpus-wide — vanishing at any real scale,
+        // zero at oracle scale).
+        sh.map { s =>
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < s.length) {
+            h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1
+          }
+          (id, src, sh.length, h)
+        }
       }
       .toDF("doc_id", "source", "n_sh", "shingle")
 

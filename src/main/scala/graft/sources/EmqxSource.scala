@@ -60,7 +60,9 @@ class EmqxTable(options: CaseInsensitiveStringMap)
     password = Option(options.get("password")),
     sessionExpirySec = options.getLong("sessionexpirysec", 3600L),
     keepAliveSec = options.getInt("keepalivesec", 30),
-    connectTimeoutMs = options.getInt("connecttimeoutms", 5000))
+    connectTimeoutMs = options.getInt("connecttimeoutms", 5000),
+    truststorePath = Option(options.get("truststorepath")),
+    truststorePassword = Option(options.get("truststorepassword")))
 
   override def name(): String =
     s"emqx:${options.get("broker")}/${options.get("topicfilter")}"

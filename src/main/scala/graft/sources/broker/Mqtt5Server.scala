@@ -16,9 +16,23 @@ import Mqtt5Codec._
   * delivery with QoS 1 (PUBACK) and QoS 2 (PUBREC/PUBREL/PUBCOMP)
   * manual-ack flows mapped onto the broker's offset ack model.
   */
-class Mqtt5Server(backing: InMemoryBroker, port: Int = 0) {
+class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
+    sslKeystore: Option[(String, String)] = None) {
 
-  private val server = new ServerSocket(port)
+  private val server: ServerSocket = sslKeystore match {
+    case None => new ServerSocket(port)
+    case Some((path, password)) =>
+      // TLS listener from an explicit PKCS12/JKS keystore (the
+      // broker's server certificate) — no global system properties
+      val ks = java.security.KeyStore.getInstance(
+        new java.io.File(path), password.toCharArray)
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, password.toCharArray)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(kmf.getKeyManagers, null, null)
+      ctx.getServerSocketFactory.createServerSocket(port)
+  }
   @volatile private var closed = false
   private val conns = mutable.ArrayBuffer[Socket]()
 

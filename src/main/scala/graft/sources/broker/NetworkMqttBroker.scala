@@ -24,7 +24,9 @@ case class BrokerConf(
     password: Option[String] = None,
     sessionExpirySec: Long = 3600,
     keepAliveSec: Int = 30,
-    connectTimeoutMs: Int = 5000) {
+    connectTimeoutMs: Int = 5000,
+    truststorePath: Option[String] = None,
+    truststorePassword: Option[String] = None) {
   def isNetwork: Boolean =
     uri.startsWith("tcp://") || uri.startsWith("ssl://")
 }
@@ -129,6 +131,27 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
 
   private val conns = new ConcurrentHashMap[String, Conn]()
 
+  /** ssl:// sockets trust either the JVM default truststore or, when
+    * `truststorePath` is set, that file (PKCS12/JKS) — the standard
+    * per-connection CA config a broker with a private CA needs,
+    * without touching global javax.net.ssl system properties.
+    */
+  private def sslSocketFactory(): javax.net.ssl.SSLSocketFactory =
+    conf.truststorePath match {
+      case None => javax.net.ssl.SSLSocketFactory.getDefault
+        .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+      case Some(path) =>
+        val ks = java.security.KeyStore.getInstance(
+          new java.io.File(path),
+          conf.truststorePassword.getOrElse("").toCharArray)
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(null, tmf.getTrustManagers, null)
+        ctx.getSocketFactory
+    }
+
   private def connOf(clientid: String): Conn = {
     val c = conns.get(clientid)
     if (c == null || !c.alive)
@@ -143,7 +166,7 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     if (existing != null && existing.alive) return existing.sessionPresent
     val c = new Conn(clientid)
     val sock =
-      if (tls) javax.net.ssl.SSLSocketFactory.getDefault.createSocket()
+      if (tls) sslSocketFactory().createSocket()
       else new Socket()
     sock.connect(new InetSocketAddress(host, port), conf.connectTimeoutMs)
     sock.setTcpNoDelay(true)

@@ -245,6 +245,48 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("TLS: full round trip over ssl:// with a generated certificate") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("mqtt-tls").toString
+    val keystore = s"$dir/server.p12"
+    // self-signed server cert via the JDK's keytool; client trusts
+    // the same store (it holds the cert) as its truststore
+    val cmd = Seq("keytool", "-genkeypair", "-alias", "mqtt",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "1",
+      "-dname", "CN=localhost", "-keystore", keystore,
+      "-storetype", "PKCS12", "-storepass", "changeit")
+    assert(cmd.! == 0, "keytool failed")
+
+    val backing = new InMemoryBroker
+    val server = new Mqtt5Server(backing, 0,
+      sslKeystore = Some((keystore, "changeit")))
+    try {
+      val conf = BrokerConf(s"ssl://localhost:${server.actualPort}",
+        truststorePath = Some(keystore),
+        truststorePassword = Some("changeit"))
+      val client = new NetworkMqttBroker(conf)
+      assert(!client.connect("tls-c0", cleanStart = true, 60, None, None))
+      client.subscribe("tls-c0", "sec/#", 1)
+      val producer = new NetworkMqttBroker(conf)
+      producer.publish(EmqxMessage("sec/x", 1, retained = false,
+        Map("enc" -> "tls"), "secret".getBytes("UTF-8")))
+      eventually() { assert(client.endOffset("tls-c0") == 1) }
+      val got = client.fetch("tls-c0", 0, 1)
+      assert(got.head.topic == "sec/x" &&
+        new String(got.head.payload, "UTF-8") == "secret")
+      client.ack("tls-c0", 1)
+      assert(client.committedOffset("tls-c0") == 1)
+      // a client withOUT the truststore must be REJECTED by the
+      // handshake (untrusted self-signed cert)
+      val untrusting = new NetworkMqttBroker(
+        BrokerConf(s"ssl://localhost:${server.actualPort}"))
+      intercept[Exception] {
+        untrusting.connect("tls-bad", cleanStart = true, 60, None, None)
+      }
+      client.closeAll(); producer.closeAll()
+    } finally server.close()
+  }
+
   test("spark batch write publishes to the network broker") {
     withServer { (_, _, conf) =>
       val spark = SparkTestSession.spark
