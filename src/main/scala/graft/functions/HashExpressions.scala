@@ -280,6 +280,100 @@ object HashKernels {
     }
     count
   }
+
+  /** Stopword tables for the single-pass text kernels (mirrors
+    * TextFunctions.stopwords; UTF-8 byte forms, all ASCII).
+    */
+  private val stopwordTable: Map[String, Array[Array[Byte]]] = Map(
+    "en" -> Array("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Array("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Array("el", "la", "de", "los", "y", "es", "un"),
+    "fr" -> Array("le", "la", "les", "et", "des", "est", "un"))
+    .map { case (k, v) => k -> v.map(_.getBytes("UTF-8")) }
+
+  private def tokenEquals(bytes: Array[Byte], from: Int, to: Int,
+      w: Array[Byte]): Boolean = {
+    if (to - from != w.length) return false
+    var i = 0
+    while (i < w.length) {
+      if (bytes(from + i) != w(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def isWsByte(b: Int): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** Single-pass `size(filter(split-tokens, t -> t IN stopwords))` —
+    * stopword occurrence count without the token array or the
+    * per-element lambda. Token = maximal non-\\s run (empty tokens
+    * from split never match a stopword, so they are skippable).
+    */
+  def stopwordHits(s: UTF8String, lang: String): Int = {
+    val words = stopwordTable(lang)
+    val bytes = s.getBytes
+    var count = 0
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWsByte(bytes(i) & 0xff)) i += 1
+      val start = i
+      while (i < n && !isWsByte(bytes(i) & 0xff)) i += 1
+      if (i > start) {
+        var w = 0
+        while (w < words.length) {
+          if (tokenEquals(bytes, start, i, words(w))) {
+            count += 1; w = words.length
+          } else w += 1
+        }
+      }
+    }
+    count
+  }
+
+  private val langs = Array("en", "de", "es", "fr")
+
+  /** Single-pass language ID: distinct stopword TYPES per language
+    * (bitmask per lang) over one token walk, argmax with fixed tie
+    * order en > de > es > fr, zero hits → "und" — exactly the
+    * argmax-of-array_intersect formulation the oracle states.
+    */
+  def langId(s: UTF8String): UTF8String = {
+    val tables = langs.map(stopwordTable)
+    val masks = new Array[Int](langs.length)
+    val bytes = s.getBytes
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWsByte(bytes(i) & 0xff)) i += 1
+      val start = i
+      while (i < n && !isWsByte(bytes(i) & 0xff)) i += 1
+      if (i > start) {
+        var l = 0
+        while (l < tables.length) {
+          val words = tables(l)
+          var w = 0
+          while (w < words.length) {
+            if ((masks(l) & (1 << w)) == 0 &&
+              tokenEquals(bytes, start, i, words(w)))
+              masks(l) |= 1 << w
+            w += 1
+          }
+          l += 1
+        }
+      }
+    }
+    var best = 0
+    var bestIdx = -1
+    var l = 0
+    while (l < masks.length) {
+      val score = Integer.bitCount(masks(l))
+      if (score > best) { best = score; bestIdx = l } // strict > keeps tie order
+      l += 1
+    }
+    UTF8String.fromString(if (bestIdx < 0) "und" else langs(bestIdx))
+  }
 }
 
 /** minhash_signature(shingles, k) → array<bigint> */
@@ -379,6 +473,33 @@ case class PunctCount(child: Expression)
     copy(child = c)
 }
 
+/** stopword_hits(text, lang) → int — codegen'd array-free counter. */
+case class StopwordHits(child: Expression, lang: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.stopwordHits(input.asInstanceOf[UTF8String], lang)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.HashKernels.stopwordHits($c, "$lang")""")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** lang_id(text) → string — codegen'd one-pass language ID. */
+case class LangId(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.langId(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.langId($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object HashFunctions {
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
@@ -394,4 +515,8 @@ object HashFunctions {
     ColumnBridge.column(WsTokenCount(ColumnBridge.expression(text)))
   def punct_count(text: Column): Column =
     ColumnBridge.column(PunctCount(ColumnBridge.expression(text)))
+  def stopword_hits(text: Column, lang: String): Column =
+    ColumnBridge.column(StopwordHits(ColumnBridge.expression(text), lang))
+  def lang_id(text: Column): Column =
+    ColumnBridge.column(LangId(ColumnBridge.expression(text)))
 }

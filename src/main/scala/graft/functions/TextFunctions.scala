@@ -47,9 +47,14 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "des", "est", "un"))
 
   /** Number of token occurrences that are stopwords of `lang`. */
-  def stopwordHits(toks: Column, lang: String): Column =
-    size(filter(toks, t => array_contains(
-      array(stopwords(lang).map(lit): _*), t)))
+  /** Stopword occurrence count. Codegen'd single-pass kernel over the
+    * raw text (HashExpressions.StopwordHits): the
+    * filter+array_contains form walks the materialized token array
+    * with a per-element lambda. Semantics identical — a token is a
+    * maximal non-\s run; empty tokens never match.
+    */
+  def stopwordHits(text: Column, lang: String): Column =
+    graft.functions.HashFunctions.stopword_hits(text, lang)
 
   /** Distinct stopword *types* of `lang` present — the language-ID
     * signal (type overlap is more robust than occurrence counts for
@@ -61,29 +66,24 @@ object TextFunctions {
 
   /** Heuristic language ID: argmax of per-language distinct-stopword
     * hits, ties broken in fixed order en > de > es > fr; no hits →
-    * 'und'. Deterministic and SQL-expressible for the oracle.
+    * 'und'. Codegen'd one-pass kernel (HashExpressions.LangId): the
+    * 4×(array_distinct + array_intersect) column formulation
+    * materialized and re-walked the token array nine times per row.
+    * Deterministic and SQL-expressible for the oracle.
     */
-  def langId(text: Column): Column = {
-    val t = tokens(text)
-    val scores = Seq("en", "de", "es", "fr").map(l => stopwordTypes(t, l))
-    val best = greatest(scores: _*)
-    when(best === 0, lit("und"))
-      .when(scores(0) === best, lit("en"))
-      .when(scores(1) === best, lit("de"))
-      .when(scores(2) === best, lit("es"))
-      .otherwise(lit("fr"))
-  }
+  def langId(text: Column): Column =
+    graft.functions.HashFunctions.lang_id(text)
 
   /** Quality score in [0,1]: blend of length band, stopword presence
     * and punctuation sanity — the usual cheap pre-filter before
-    * expensive dedup. Takes the pre-split token array so callers
-    * tokenize once per row. One double division per term, for oracle
-    * determinism.
+    * expensive dedup. Fully array-free: every count is a single-pass
+    * codegen kernel over the raw text. One double division per term,
+    * for oracle determinism.
     */
-  def qualityScoreFrom(text: Column, toks: Column): Column = {
-    val nTok = size(toks).cast("double")
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
     val nChar = length(text).cast("double")
-    val swRatio = stopwordHits(toks, "en").cast("double") / nTok
+    val swRatio = stopwordHits(text, "en").cast("double") / nTok
     val punctRatio = punctCount(text).cast("double") / nChar
     val lenScore = when(nTok >= 20 && nTok <= 1000, lit(1.0))
       .when(nTok >= 5, lit(0.5)).otherwise(lit(0.0))
@@ -93,8 +93,9 @@ object TextFunctions {
     (lenScore * 0.5 + swScore * 0.3 + punctScore * 0.2)
   }
 
-  def qualityScore(text: Column): Column =
-    qualityScoreFrom(text, tokens(text))
+  /** Back-compat shim: the token array is no longer needed. */
+  def qualityScoreFrom(text: Column, toks: Column): Column =
+    qualityScore(text)
 
   /** Canonical-form md5 fingerprint: collapse whitespace, trim, hash.
     * Identical builtin in DuckDB → oracle-checkable.

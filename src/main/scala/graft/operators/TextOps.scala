@@ -26,12 +26,11 @@ object TextOps {
     */
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
-      .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        stopwordHits(col("toks"), "en").as("sw_hits"),
+        tokenCount(col("text")).as("n_tokens"),
+        stopwordHits(col("text"), "en").as("sw_hits"),
         punctCount(col("text")).as("punct_cnt"),
-        qualityScoreFrom(col("text"), col("toks")).as("quality"))
+        qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
   /** T3 — heuristic language ID. */
@@ -66,10 +65,9 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val byFp = Window.partitionBy(col("fp"))
     documents(spark, sfDir)
-      .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        qualityScoreFrom(col("text"), col("toks")).as("quality"),
+        tokenCount(col("text")).as("n_tokens"),
+        qualityScore(col("text")).as("quality"),
         langId(col("text")).as("lang_pred"),
         fingerprintMd5(col("text")).as("fp"))
       .filter(col("quality") >= 0.5 && col("lang_pred") === "en")

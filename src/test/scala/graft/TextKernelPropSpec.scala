@@ -43,6 +43,43 @@ object TextKernelPropSpec extends Properties("TextKernels") {
       HashKernels.punctCount(u(s)) == ref
     }
 
+  // stopword-heavy generator so the stopword/langid properties hit
+  // real matches, not just empty scores
+  private val wordy: Gen[String] = Gen.listOf(Gen.frequency(
+    3 -> Gen.oneOf("the", "a", "of", "and", "der", "die", "el", "la",
+      "le", "les", "est", "un", "y", "foo", "bar", "xyzzy"),
+    1 -> Gen.listOf(Gen.alphaLowerChar).map(_.mkString),
+    1 -> Gen.const("\t"))).map(_.mkString(" "))
+
+  private val langTables = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "un"))
+
+  private def refTokens(s: String): Array[String] = {
+    var lo = 0; var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s.substring(lo, hi).split("\\s+", -1)
+  }
+
+  property("stopword_hits == size(filter(tokens, in stopwords))") =
+    forAll(wordy) { s =>
+      val ref = refTokens(s).count(langTables("en").contains)
+      HashKernels.stopwordHits(u(s), "en") == ref
+    }
+
+  property("lang_id == argmax of distinct stopword types (tie order en>de>es>fr)") =
+    forAll(wordy) { s =>
+      val toks = refTokens(s).toSet
+      val scores = Seq("en", "de", "es", "fr")
+        .map(l => l -> (toks intersect langTables(l).toSet).size)
+      val best = scores.map(_._2).max
+      val ref = if (best == 0) "und" else scores.find(_._2 == best).get._1
+      HashKernels.langId(u(s)).toString == ref
+    }
+
   private val bpePattern =
     java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
 
