@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Physical-plan audits: the scale properties §5 claims — column
+  * pruning to the parquet scan, predicate pushdown, broadcast of
+  * small sides, bounded shuffle counts — asserted on the actual
+  * planned strings so a regression (a new column dragged through a
+  * shuffle, a lost pushdown) fails CI instead of surfacing at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("jaccard document scan prunes to the three used columns") {
+    val plan = planOf(Dedup.jaccardPairs(spark, sf))
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("doc_id") && scanLine.contains("text") &&
+      scanLine.contains("source"))
+    assert(!scanLine.contains("n_chars") && !scanLine.contains("lang"),
+      s"unpruned scan: $scanLine")
+  }
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val plan = planOf(Relational.q1PricingSummary(spark, sf))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("l_shipdate"), "filter not pushed to scan")
+  }
+
+  test("annLsh broadcasts query embeddings, never the corpus") {
+    val plan = planOf(Similarity.annLsh(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), "no broadcast in annLsh plan")
+  }
+
+  test("simJoinLsh bounded shuffles: bucket groupBy + pair distinct + sort") {
+    val plan = planOf(Similarity.simJoinLsh(spark, sf))
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    // banding flatMap -> ONE hash exchange into the bucket groupBy,
+    // ONE into the pair distinct, plus the final orderBy's range
+    // exchange; anything more means embeddings started riding extra
+    // shuffles again
+    assert(exchanges <= 4, s"$exchanges shuffle exchanges:\n$plan")
+  }
+
+  test("grouped aggregation is partial (map-side combine) before the shuffle") {
+    val plan = planOf(Relational.q1PricingSummary(spark, sf))
+    val firstAgg = plan.linesIterator.find(_.contains("HashAggregate")).get
+    // executed plans list the final agg first; the partial agg must
+    // exist below the exchange
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "no partial aggregation")
+  }
+
+  test("wordcount_salted two-phase agg keeps partial aggregation") {
+    val plan = planOf(graft.operators.AdvancedOps.wordcountSalted(spark, sf))
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+}
