@@ -74,7 +74,15 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     // local delivery buffer: (message, wire packetId, qos)
     val buffer = mutable.ArrayBuffer[(EmqxMessage, Int, Int)]()
     var baseSeq = 0L
-    var consumed = false // a fetch/ack happened since (re)connect
+    var consumed = false // a fetch happened since (re)connect
+    // highest offset handed out by fetch(): acks are capped here —
+    // ack-on-checkpoint may only acknowledge data this session
+    // actually consumed. Without the cap, Spark's restored
+    // commit(lastBatchEnd) on restart (absolute checkpoint numbering)
+    // lands on a fresh client still numbering from zero and silently
+    // acks away the just-redelivered backlog before rebase() aligns
+    // the sequences (observed: first offline message lost).
+    var fetchedUpTo = Long.MinValue
     var sessionPresent = false
     val waiters = new ConcurrentHashMap[Int, CountDownLatch]()
     var nextPid = 1
@@ -274,8 +282,9 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
       else {
         c.consumed = true
         val lo = math.max(from, c.baseSeq)
-        (lo until math.min(until, c.baseSeq + c.buffer.length))
-          .map(i => c.buffer((i - c.baseSeq).toInt)._1)
+        val hi = math.min(until, c.baseSeq + c.buffer.length)
+        if (hi > c.fetchedUpTo) c.fetchedUpTo = hi
+        (lo until hi).map(i => c.buffer((i - c.baseSeq).toInt)._1)
       }
     }
 
@@ -283,8 +292,9 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     val (conn, toAck) = synchronized {
       val c = conns.get(clientid)
       if (c == null) return
-      c.consumed = true
-      val n = math.min(math.max(upTo - c.baseSeq, 0), c.buffer.length).toInt
+      val eff = math.min(upTo, c.fetchedUpTo) // only fetched data
+      val n = math.min(math.max(eff - c.baseSeq, 0), c.buffer.length).toInt
+      if (n == 0) return
       val slice = c.buffer.take(n).toSeq
       c.buffer.remove(0, n)
       c.baseSeq += n

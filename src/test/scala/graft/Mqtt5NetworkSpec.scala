@@ -130,6 +130,9 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 5).foreach(i => producer.publish(EmqxMessage(s"r/$i", 1,
         retained = false, Map.empty, s"m$i".getBytes("UTF-8"))))
       eventually() { assert(client.endOffset("net-r0") == 5) }
+      // consume then checkpoint-ack the first 3 (acks only ever
+      // follow fetches — un-fetched data is never ackable)
+      assert(client.fetch("net-r0", 0, 5).length == 5)
       client.ack("net-r0", 3) // PUBACKs for the first 3
 
       // simulate the consuming process dying: a FRESH client object
@@ -285,6 +288,63 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       client.closeAll(); producer.closeAll()
     } finally server.close()
+  }
+
+  test("spark checkpoint restart over tcp://: no loss across a stopped query") {
+    withServer { (_, _, conf) =>
+      val spark = SparkTestSession.spark
+      val ckpt = java.nio.file.Files.createTempDirectory("net-ckpt").toString
+      RecoveryCollector.clear()
+      // memory sink can't recover from a checkpoint; collect via
+      // foreach (same-JVM global set), as the mem-broker recovery
+      // tests do
+      def startQuery() = spark.readStream.format("emqx")
+        .option("broker", conf.uri)
+        .option("clientid", "ckpt-net-")
+        .option("group", "gc").option("topicfilter", "ck/#")
+        .option("qos", 1).option("readers", 1)
+        .load()
+        .writeStream.foreach(new RecoveryCollector)
+        .option("checkpointLocation", ckpt).start()
+
+      val producer = new NetworkMqttBroker(conf)
+      val q1 = startQuery()
+      try {
+        eventually(15000) {
+          producer.publish(EmqxMessage("ck/warm", 1, retained = false,
+            Map.empty, "w".getBytes("UTF-8")))
+          q1.processAllAvailable()
+          assert(RecoveryCollector.seen().nonEmpty)
+        }
+        (0 until 5).foreach(i => producer.publish(EmqxMessage(s"ck/a$i", 1,
+          retained = false, Map.empty, s"a$i".getBytes("UTF-8"))))
+        eventually(15000) {
+          q1.processAllAvailable()
+          assert((0 until 5).forall(i =>
+            RecoveryCollector.seen().contains(s"a$i")))
+        }
+      } finally q1.stop()
+
+      // while the query is DOWN, more messages arrive at the broker;
+      // the resumed session must deliver them after restart (the
+      // NetworkMqttBroker rebase path: fresh client buffer renumbered
+      // to the checkpointed offsets)
+      (0 until 5).foreach(i => producer.publish(EmqxMessage(s"ck/b$i", 1,
+        retained = false, Map.empty, s"b$i".getBytes("UTF-8"))))
+
+      val q2 = startQuery()
+      try {
+        eventually(20000) {
+          q2.processAllAvailable()
+          val seen = RecoveryCollector.seen()
+          (0 until 5).foreach { i =>
+            assert(seen.contains(s"a$i"), s"lost pre-stop a$i")
+            assert(seen.contains(s"b$i"), s"lost offline b$i")
+          }
+        }
+      } finally q2.stop()
+      producer.closeAll()
+    }
   }
 
   test("spark batch write publishes to the network broker") {
