@@ -75,6 +75,11 @@ object MinHashDedup {
           .as("dropped_buckets"))
       .filter(size(col("members")) <= maxBucket)
       .select(col("members"))
+      // identical member sets across bands (e.g. every band of an
+      // exact-duplicate group) pair-generate once, not bands× — on a
+      // duplicate-heavy corpus this is a bands-fold cut in pair work
+      // for one extra shuffle of the (already shuffled) bucket lists
+      .distinct()
       .as[Seq[(Long, Seq[Long])]]
       .flatMap { members =>
         val ids = members.map(_._1).toArray
@@ -145,6 +150,11 @@ object MinHashDedup {
           .as("dropped_buckets"))
       .filter(size(col("members")) <= maxBucket)
       .select(col("members"))
+      // identical member sets across bands (e.g. every band of an
+      // exact-duplicate group) pair-generate once, not bands× — on a
+      // duplicate-heavy corpus this is a bands-fold cut in pair work
+      // for one extra shuffle of the (already shuffled) bucket lists
+      .distinct()
       .as[Seq[(Long, Long)]]
       .flatMap { members =>
         val arr = members.toArray

@@ -180,6 +180,11 @@ object Similarity {
           .as("dropped_buckets"))
       .filter(size(col("members")) <= maxBucket)
       .select(col("members"))
+      // identical member sets across bands (e.g. every band of an
+      // exact-duplicate group) pair-generate once, not bands× — on a
+      // duplicate-heavy corpus this is a bands-fold cut in pair work
+      // for one extra shuffle of the (already shuffled) bucket lists
+      .distinct()
       .as[Seq[(Long, Seq[Double])]]
       .flatMap { members =>
         // unbox once: the O(bucket²·dim) inner loops then run on raw
