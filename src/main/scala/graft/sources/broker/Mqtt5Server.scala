@@ -80,7 +80,10 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
     val deliveryLock = new Object
 
     def advanceWatermark(): Unit = deliveryLock.synchronized {
-      var w = watermark
+      // start from the session's actual base: seqs below it were
+      // acked by a previous connection and will never be acked here
+      var w = math.max(watermark, backing.committedOffset(clientid))
+      acked.rangeUntil(w).toList.foreach(acked.remove) // below-base: stale
       while (acked.contains(w)) { acked.remove(w); w += 1 }
       if (w != watermark) { watermark = w; backing.ack(clientid, w) }
     }
@@ -89,10 +92,16 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
       try {
         while (open.get && !closed) {
           val end = backing.endOffset(clientid)
-          if (deliverFrom < end) {
-            val msgs = backing.fetch(clientid, deliverFrom, end)
+          // clamp to the session's replay point: a reconnect race can
+          // leave a previous connection's late acks having advanced
+          // the session base past deliverFrom — fetch would clamp the
+          // same way, and labeling from the unclamped deliverFrom
+          // would misnumber every in-flight ack after it
+          val lo = math.max(deliverFrom, backing.committedOffset(clientid))
+          if (lo < end) {
+            val msgs = backing.fetch(clientid, lo, end)
             msgs.zipWithIndex.foreach { case (m, i) =>
-              val seq = deliverFrom + i
+              val seq = lo + i
               val qos = m.qos
               val pid = deliveryLock.synchronized {
                 if (qos > 0) {
