@@ -153,6 +153,34 @@ object Multimodal {
       }
   }
 
+  /** Driver-comparable projection of [[DecodedFeatures]]: the raw
+    * `feature: array&lt;float&gt;` column is not sortable by the harness,
+    * so the registered query digests it (FNV-64 over the IEEE-754
+    * bits of each element, order-sensitive) into one BIGINT. The
+    * typed Dataset API keeps the raw array for downstream pipelines.
+    */
+  case class DecodedFeaturesDigest(doc_id: Long, kind: String,
+      byte_len: Int, width: Int, height: Int, channels: Int,
+      sample_rate: Int, duration_ms: Double, mean_level: Double,
+      feature_digest: Long)
+
+  def decodeMediaFeaturesDigest(spark: SparkSession,
+      sfDir: String): Dataset[DecodedFeaturesDigest] = {
+    import spark.implicits._
+    decodeMediaFeatures(spark, sfDir).map { d =>
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < d.feature.length) {
+        h ^= java.lang.Float.floatToIntBits(d.feature(i)) & 0xffffffffL
+        h *= 0x100000001b3L
+        i += 1
+      }
+      DecodedFeaturesDigest(d.doc_id, d.kind, d.byte_len, d.width,
+        d.height, d.channels, d.sample_rate, d.duration_ms,
+        d.mean_level, h)
+    }
+  }
+
   private def opaqueFallback(id: Long, bytes: Array[Byte]): DecodedFeatures = {
     val f = StubDecoder.decode(MediaRecord(id, "opaque", 0, 0, bytes))
     DecodedFeatures(id, "opaque", bytes.length, 0, 0, 0, 0, 0.0, 0.0,

@@ -12,9 +12,12 @@ object ConnectorRegistry {
     "emqx_topic_filter" -> (ConnectorOps.emqxTopicFilter _),
     "multimodal_meta" -> (graft.multimodal.Multimodal.multimodalMeta _),
     // rows-only: features come from real JDK codec decodes (PNG
-    // luminance histograms, WAV RMS envelopes) — not SQL-expressible
+    // luminance histograms, WAV RMS envelopes) — not SQL-expressible.
+    // The registered shape digests the float-array feature column to
+    // a BIGINT so every output column is harness-sortable; the raw
+    // array stays on decodeMediaFeatures for the Dataset API.
     "multimodal_decode" -> ((s: SparkSession, d: String) =>
-      graft.multimodal.Multimodal.decodeMediaFeatures(s, d).toDF())
+      graft.multimodal.Multimodal.decodeMediaFeaturesDigest(s, d).toDF())
   )
 
   val oracle: Map[String, String] = Map(

@@ -86,6 +86,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.sniffFormat("not media at all".getBytes) == "opaque")
   }
 
+  test("registered decode query emits only harness-sortable scalar columns") {
+    val df = graft.operators.ConnectorRegistry
+      .queries("multimodal_decode")(spark, sf)
+    df.schema.fields.foreach { f =>
+      assert(!f.dataType.typeName.contains("array"),
+        s"column ${f.name} is ${f.dataType}; driver compare needs scalars")
+    }
+    // digest is order-sensitive over the float bits: distinct features
+    // must yield distinct digests across kinds
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val digests = rows.map(_.getAs[Long]("feature_digest"))
+    assert(digests.distinct.length > 1)
+    // digest matches the raw-array path exactly
+    val raw = Multimodal.decodeMediaFeatures(spark, sf).collect()
+      .map { d =>
+        var h = 0xcbf29ce484222325L
+        d.feature.foreach { v =>
+          h ^= java.lang.Float.floatToIntBits(v) & 0xffffffffL
+          h *= 0x100000001b3L
+        }
+        d.doc_id -> h
+      }.toMap
+    rows.foreach(r =>
+      assert(raw(r.getAs[Long]("doc_id")) == r.getAs[Long]("feature_digest")))
+  }
+
   test("frame sampling keeps every stride-th chunk, chunks re-concatenate") {
     val full = Multimodal.frameSample(spark, sf, chunkSize = 256, stride = 1)
     val sampled = Multimodal.frameSample(spark, sf, chunkSize = 256, stride = 4)
