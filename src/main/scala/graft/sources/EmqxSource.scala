@@ -142,19 +142,21 @@ class EmqxMicroBatchStream(conf: BrokerConf, baseClientid: String,
     (0 until numReaders).map(i => s"$baseClientid$i")
   private val sharedFilter = s"$$share/$group/$topicFilter"
 
-  // connect+subscribe all readers (cleanStart=false: resume pending
-  // sessions after a restart, like EMQXSourceReader.startClient2).
-  // Connection failures are swallowed and retried on every offset
-  // poll — the automaticReconnect behavior the reference relies on:
-  // a query started while the broker is down begins consuming as
-  // soon as it comes up.
-  @volatile private var subscribed = false
+  // (Re)connect + subscribe every reader whose connection is absent
+  // or dead, called on every offset poll — the automaticReconnect
+  // behavior the reference relies on (EMQXSourceReader.java:92
+  // automaticReconnectWithDefaultConfig): a query started while the
+  // broker is down begins consuming as soon as it comes up, and a
+  // broker bounce MID-query re-dials with cleanStart=false on the
+  // next poll, so the resumed session keeps its subscription and
+  // redelivers the un-acked backlog (at-least-once: wire acks lost
+  // in the bounce surface as duplicates, never as loss).
   ensureSubscribed()
 
   private def ensureSubscribed(): Unit = synchronized {
-    if (!subscribed) {
-      try {
-        clientids.foreach { cid =>
+    clientids.foreach { cid =>
+      if (!broker.isConnected(cid)) {
+        try {
           val present = broker.connect(cid, cleanStart = false,
             conf.sessionExpirySec, conf.username, conf.password)
           // NOTE: like the reference (EMQXSourceReader.java:113 "session
@@ -163,9 +165,11 @@ class EmqxMicroBatchStream(conf: BrokerConf, baseClientid: String,
           // topicfilter/group across restarts of the same clientid
           // requires a new clientid base or an expired session.
           if (!present) broker.subscribe(cid, sharedFilter, qos)
+        } catch {
+          // broker down / socket refused: swallowed, retried next poll
+          case scala.util.control.NonFatal(_) => ()
         }
-        subscribed = true
-      } catch { case _: IllegalStateException => () /* broker down */ }
+      }
     }
   }
 
@@ -302,11 +306,17 @@ class EmqxPartitionReaderFactory extends PartitionReaderFactory {
   * transactional abort — at-least-once, matching the source side.
   *
   * `idempotent=true` upgrades replays to effectively-once: each row
-  * is stamped with a `<queryId>/<epoch>/<partition>/<rowIndex>` key
-  * in the reserved [[graft.sources.broker.InMemoryBroker.DedupKeyProp]]
-  * user property and the broker drops keys it has already routed, so
-  * a retried epoch/task publishes no duplicates (SURVEY §9; the
-  * reference is plain at-least-once).
+  * is stamped with a `<queryId>/<epoch>/<partition>/<contentHash>/<n>`
+  * key in the reserved
+  * [[graft.sources.broker.InMemoryBroker.DedupKeyProp]] user property
+  * and the broker drops keys it has already routed, so a retried
+  * epoch/task publishes no duplicates (SURVEY §9; the reference is
+  * plain at-least-once). The key is derived from row CONTENT (MD5
+  * over topic/qos/retained/properties/payload, plus an occurrence
+  * counter for identical rows) because Spark only guarantees a
+  * replayed partition re-encounters the same multiset of rows, not
+  * the same order — a position-based key would stamp different rows
+  * across a reordered retry and silently drop unpublished messages.
   */
 class EmqxWrite(conf: BrokerConf, schema: StructType,
     idempotent: Boolean = false, queryId: String = "")
@@ -344,13 +354,18 @@ class EmqxWriterFactory(conf: BrokerConf, schema: StructType,
   private def mkWriter(partitionId: Int, epochId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val broker = BrokerRegistry.resolve(conf)
-      // row index within (query, epoch, partition): deterministic
-      // across task retries because Spark replays the partition's
-      // rows in order — the triple is the idempotence key
-      private var rowIndex = 0L
+      // content-hash → count of identical rows seen so far in this
+      // (query, epoch, partition). Retries replay the same multiset
+      // of rows (possibly reordered), so hash+occurrence is a stable
+      // idempotence key where an arrival-order row index is not.
+      private val occurrence = scala.collection.mutable.HashMap[String, Int]()
       override def write(row: InternalRow): Unit = {
         def opt[T](name: String, get: Int => T, dflt: T): T =
           idx.get(name).filterNot(row.isNullAt).map(get).getOrElse(dflt)
+        val topic = row.getUTF8String(idx("topic")).toString
+        val qos = opt("qos", row.getInt, 0)
+        val retained = opt("retained", row.getBoolean, false)
+        val payload = opt("payload", row.getBinary, Array.empty[Byte])
         var props = opt[Map[String, String]]("properties", i => {
           val m = row.getMap(i)
           val ks = m.keyArray(); val vs = m.valueArray()
@@ -359,16 +374,25 @@ class EmqxWriterFactory(conf: BrokerConf, schema: StructType,
             .toMap
         }, Map.empty)
         if (idempotent) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def part(b: Array[Byte]): Unit = { // length-framed: no
+            md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+            md.update(b)                     // boundary ambiguity
+          }
+          part(topic.getBytes("UTF-8"))
+          md.update(qos.toByte)
+          md.update(if (retained) 1.toByte else 0.toByte)
+          props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            part(k.getBytes("UTF-8")); part(v.getBytes("UTF-8"))
+          }
+          part(payload)
+          val h = java.util.HexFormat.of().formatHex(md.digest())
+          val n = occurrence.getOrElse(h, 0)
+          occurrence.update(h, n + 1)
           props += (graft.sources.broker.InMemoryBroker.DedupKeyProp ->
-            s"$queryId/$epochId/$partitionId/$rowIndex")
-          rowIndex += 1
+            s"$queryId/$epochId/$partitionId/$h/$n")
         }
-        broker.publish(EmqxMessage(
-          topic = row.getUTF8String(idx("topic")).toString,
-          qos = opt("qos", row.getInt, 0),
-          retained = opt("retained", row.getBoolean, false),
-          properties = props,
-          payload = opt("payload", row.getBinary, Array.empty[Byte])))
+        broker.publish(EmqxMessage(topic, qos, retained, props, payload))
       }
       override def commit(): WriterCommitMessage = EmqxCommit
       override def abort(): Unit = ()

@@ -95,6 +95,10 @@ class InMemoryBroker extends MqttBroker {
 
   private val expirySec = mutable.LinkedHashMap[String, Long]()
 
+  override def isConnected(clientid: String): Boolean = synchronized {
+    !offline && sessions.get(clientid).exists(_.connected)
+  }
+
   def disconnect(clientid: String): Unit = synchronized {
     sessions.get(clientid).foreach { s =>
       s.connected = false

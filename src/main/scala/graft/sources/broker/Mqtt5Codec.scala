@@ -159,11 +159,14 @@ object Mqtt5Codec {
     def u16(): Int = (u8() << 8) | u8()
     def u32(): Long = (u16().toLong << 16) | u16().toLong
     def vbi(): Int = {
-      var mult = 1; var value = 0; var b = 0
+      // bound by byte COUNT, not by the multiplier: mult overflows
+      // Int to 0 on a 5th byte, so a `mult > 128^4` guard never fires
+      var mult = 1; var value = 0; var b = 0; var n = 0
       do {
-        b = u8(); value += (b & 0x7f) * mult; mult *= 128
-        if (mult > 128 * 128 * 128 * 128)
+        b = u8(); n += 1
+        if (n > 4) // spec §1.5.5: a VBI is at most 4 bytes
           throw new IllegalArgumentException("malformed VBI")
+        value += (b & 0x7f) * mult; mult *= 128
       } while ((b & 0x80) != 0)
       value
     }
@@ -210,11 +213,17 @@ object Mqtt5Codec {
     if (b0 < 0) throw new EOFException("stream closed")
     val tpe = (b0 >>> 4) & 0x0f
     val flags = b0 & 0x0f
-    // remaining length VBI straight off the stream
-    var mult = 1; var len = 0; var b = 0
+    // remaining length VBI straight off the stream; same ≤4-byte
+    // malformed-packet bound as Reader.vbi (spec §1.5.5) — without it
+    // a peer streaming continuation bytes loops forever on the
+    // connection thread and overflows len into a bogus allocation
+    var mult = 1; var len = 0; var b = 0; var n = 0
     do {
       b = in.read()
       if (b < 0) throw new EOFException("stream closed mid-header")
+      n += 1
+      if (n > 4) // byte-count bound: mult overflows Int past 4 bytes
+        throw new IllegalArgumentException("malformed VBI")
       len += (b & 0x7f) * mult; mult *= 128
     } while ((b & 0x80) != 0)
     val body = new Array[Byte](len)

@@ -19,8 +19,16 @@ import Mqtt5Codec._
 class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
     sslKeystore: Option[(String, String)] = None) {
 
+  // bind with SO_REUSEADDR so a bounced broker can come back on the
+  // same port while old accepted sockets linger in TIME_WAIT
+  private def bindReusable(ss: ServerSocket): ServerSocket = {
+    ss.setReuseAddress(true)
+    ss.bind(new java.net.InetSocketAddress(port))
+    ss
+  }
+
   private val server: ServerSocket = sslKeystore match {
-    case None => new ServerSocket(port)
+    case None => bindReusable(new ServerSocket())
     case Some((path, password)) =>
       // TLS listener from an explicit PKCS12/JKS keystore (the
       // broker's server certificate) — no global system properties
@@ -31,10 +39,20 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
       kmf.init(ks, password.toCharArray)
       val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
       ctx.init(kmf.getKeyManagers, null, null)
-      ctx.getServerSocketFactory.createServerSocket(port)
+      bindReusable(ctx.getServerSocketFactory.createServerSocket())
   }
   @volatile private var closed = false
   private val conns = mutable.ArrayBuffer[Socket]()
+
+  /** QoS 2 inbound exactly-once state, keyed by CLIENTID rather than
+    * by connection: a publisher that bounces between PUBLISH and
+    * PUBREL resumes the flow on its next connection (re-sent PUBLISH
+    * dup is recognized, a bare PUBREL still finds the held message),
+    * so exactly-once receive survives reconnects. cleanStart=true
+    * discards it with the rest of the session state.
+    */
+  private val qos2Pending = new java.util.concurrent.ConcurrentHashMap[
+    String, mutable.LinkedHashMap[Int, EmqxMessage]]()
 
   def actualPort: Int = server.getLocalPort
 
@@ -103,10 +121,21 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
             msgs.zipWithIndex.foreach { case (m, i) =>
               val seq = lo + i
               val qos = m.qos
+              // bound in-flight qos>0 deliveries (Receive-Maximum
+              // spirit): with all 65535 ids in flight a wrap would
+              // overwrite an inflight entry — its seq then never
+              // acks and the contiguous watermark stalls forever
+              if (qos > 0)
+                while (open.get && !closed &&
+                  deliveryLock.synchronized(inflight.size >= 65535))
+                  Thread.sleep(1)
               val pid = deliveryLock.synchronized {
                 if (qos > 0) {
-                  val p = nextPid
-                  nextPid = if (nextPid >= 65535) 1 else nextPid + 1
+                  var p = nextPid
+                  // never reuse an id whose delivery is still unacked
+                  while (inflight.contains(p))
+                    p = if (p >= 65535) 1 else p + 1
+                  nextPid = if (p >= 65535) 1 else p + 1
                   inflight.put(p, seq); p
                 } else {
                   acked.add(seq) // qos0: no wire ack will come
@@ -123,13 +152,17 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
       } catch { case _: Throwable => () }
     }
 
-    // qos2 inbound publishes held until PUBREL (exactly-once receive)
-    val pendingQos2 = mutable.LinkedHashMap[Int, EmqxMessage]()
+    // qos2 inbound publishes held until PUBREL (exactly-once receive);
+    // resolved per-clientid from the server-level store after CONNECT
+    var pendingQos2: mutable.LinkedHashMap[Int, EmqxMessage] = null
 
     try {
       Mqtt5Codec.read(in) match {
         case Connect(cid, clean, _, expiry, user, pass) =>
           clientid = cid
+          pendingQos2 = qos2Pending.computeIfAbsent(cid,
+            _ => mutable.LinkedHashMap[Int, EmqxMessage]())
+          if (clean) pendingQos2.synchronized(pendingQos2.clear())
           val auth = (user, pass.map(b => new String(b, "UTF-8")))
           val present =
             try backing.connect(cid, clean,
@@ -168,14 +201,17 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
             if (qos == 2) {
               // hold until PUBREL so a re-sent PUBLISH (dup) with the
               // same pid is not routed twice
-              if (!pendingQos2.contains(pid)) pendingQos2.put(pid, msg)
+              pendingQos2.synchronized {
+                if (!pendingQos2.contains(pid)) pendingQos2.put(pid, msg)
+              }
               send(PubRec(pid, 0))
             } else {
               backing.publish(msg)
               if (qos == 1) send(PubAck(pid, 0))
             }
           case PubRel(pid, _) =>
-            pendingQos2.remove(pid).foreach(backing.publish)
+            pendingQos2.synchronized(pendingQos2.remove(pid))
+              .foreach(backing.publish)
             send(PubComp(pid, 0))
           case PubAck(pid, _) => // qos1 delivery acked
             deliveryLock.synchronized {

@@ -26,6 +26,13 @@ trait MqttBroker {
 
   def disconnect(clientid: String): Unit
 
+  /** Whether `clientid` currently holds a live connection — the
+    * reconnect probe: callers poll this and re-[[connect]] with
+    * cleanStart=false when it goes false (socket death, broker
+    * bounce), resuming the session where it left off.
+    */
+  def isConnected(clientid: String): Boolean
+
   def subscribe(clientid: String, filter: String, qos: Int): Unit
 
   def unsubscribe(clientid: String, filter: String): Unit

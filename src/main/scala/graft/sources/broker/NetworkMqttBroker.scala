@@ -13,10 +13,12 @@ import Mqtt5Codec._
   *
   * `uri`: `mem:<name>` / bare name → in-JVM [[InMemoryBroker]];
   * `tcp://host:port` / `ssl://host:port` → [[NetworkMqttBroker]]
-  * (ssl = JVM-default SSLSocketFactory, i.e. standard truststore
-  * config via javax.net.ssl properties). Credentials mirror the MQTT
-  * CONNECT username/password fields (reference surface:
-  * Mqtt5Client simpleAuth; EMQXSourceReader.java:92–105).
+  * (ssl trusts the JVM-default truststore, or the explicit
+  * PKCS12/JKS file in `truststorePath`/`truststorePassword` — a
+  * per-connection CA config, no global javax.net.ssl properties).
+  * Credentials mirror the MQTT CONNECT username/password fields
+  * (reference surface: Mqtt5Client simpleAuth;
+  * EMQXSourceReader.java:92–105).
   */
 case class BrokerConf(
     uri: String,
@@ -93,7 +95,17 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     }
 
     def allocPid(): Int = writeLock.synchronized {
-      val p = nextPid; nextPid = if (nextPid >= 65535) 1 else nextPid + 1; p
+      // skip ids still awaiting an ack: a wrapped counter landing on
+      // an in-flight id would overwrite that waiter and orphan its
+      // pending flow (MQTT-2.2.1-3: an id must not be reused while
+      // its original flow is incomplete)
+      var p = nextPid
+      var scanned = 0
+      while (waiters.containsKey(p) && scanned < 65535) {
+        p = if (p >= 65535) 1 else p + 1; scanned += 1
+      }
+      nextPid = if (p >= 65535) 1 else p + 1
+      p
     }
 
     def await(pid: Int, what: String): Unit = {
@@ -160,11 +172,29 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
         ctx.getSocketFactory
     }
 
+  /** Live connection for `clientid`, re-dialing a dead socket with
+    * cleanStart=false — the automaticReconnect analogue (reference:
+    * EMQXSourceReader.java:92): the resumed session keeps its
+    * subscriptions and redelivers the un-acked backlog, and
+    * [[connect]] carries the local offset alignment across the
+    * bounce. A clientid this broker never connected is still an
+    * error (nothing to resume).
+    */
   private def connOf(clientid: String): Conn = {
     val c = conns.get(clientid)
-    if (c == null || !c.alive)
+    if (c == null)
       throw new IllegalStateException(s"not connected: $clientid")
-    c
+    if (c.alive) c
+    else {
+      connect(clientid, cleanStart = false, conf.sessionExpirySec,
+        conf.username, conf.password)
+      conns.get(clientid)
+    }
+  }
+
+  override def isConnected(clientid: String): Boolean = {
+    val c = conns.get(clientid)
+    c != null && c.alive
   }
 
   override def connect(clientid: String, cleanStart: Boolean,
@@ -173,6 +203,21 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     val existing = conns.get(clientid)
     if (existing != null && existing.alive) return existing.sessionPresent
     val c = new Conn(clientid)
+    if (existing != null) {
+      // reconnect after a socket death: with cleanStart=false the
+      // broker redelivers exactly the un-acked suffix, which the old
+      // local numbering already placed at [baseSeq, …) — carrying
+      // baseSeq keeps offsets absolute across the bounce with no
+      // rebase() needed. Carrying fetchedUpTo lets a checkpoint
+      // commit for rows fetched on the dead connection ack through
+      // once the redelivered copies land. Wire acks the old socket
+      // lost surface as duplicate deliveries (at-least-once), never
+      // as loss.
+      c.baseSeq = existing.baseSeq
+      c.fetchedUpTo = existing.fetchedUpTo
+      c.consumed = existing.consumed
+      try existing.socket.close() catch { case _: Throwable => () }
+    }
     val sock =
       if (tls) sslSocketFactory().createSocket()
       else new Socket()
@@ -275,18 +320,35 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     if (c == null) 0L else c.baseSeq
   }
 
-  override def fetch(clientid: String, from: Long, until: Long): Seq[EmqxMessage] =
-    synchronized {
-      val c = conns.get(clientid)
-      if (c == null) Seq.empty
-      else {
-        c.consumed = true
-        val lo = math.max(from, c.baseSeq)
+  /** Fetch [from, until). If the planned range outruns the local
+    * buffer — after a mid-query reconnect the un-acked backlog
+    * redelivers asynchronously — this blocks briefly (≤5 s, lock
+    * released between polls so the reader thread can append) for the
+    * replay to land rather than returning a short slice: the engine
+    * never re-requests a range, so silently missing tail rows would
+    * be lost to the query. A dead connection is re-dialed first.
+    */
+  override def fetch(clientid: String, from: Long, until: Long): Seq[EmqxMessage] = {
+    if (conns.get(clientid) != null && !isConnected(clientid))
+      try connOf(clientid) catch { case _: Throwable => () } // broker still down
+    val deadline = System.nanoTime() + 5000L * 1000 * 1000
+    while (true) {
+      val done = synchronized {
+        val c = conns.get(clientid)
+        if (c == null) return Seq.empty
         val hi = math.min(until, c.baseSeq + c.buffer.length)
-        if (hi > c.fetchedUpTo) c.fetchedUpTo = hi
-        (lo until hi).map(i => c.buffer((i - c.baseSeq).toInt)._1)
+        if (hi >= until || !c.alive || System.nanoTime() > deadline) {
+          c.consumed = true
+          val lo = math.max(from, c.baseSeq)
+          if (hi > c.fetchedUpTo) c.fetchedUpTo = hi
+          return (lo until hi).map(i => c.buffer((i - c.baseSeq).toInt)._1)
+        }
+        false
       }
+      if (!done) Thread.sleep(10)
     }
+    Nil // unreachable
+  }
 
   override def ack(clientid: String, upTo: Long): Unit = {
     val (conn, toAck) = synchronized {

@@ -179,6 +179,41 @@ class GraftSurfaceSpec extends AnyFunSuite {
     assert(b.dedupSeenCount <= 8)
   }
 
+  test("idempotent sink: a REORDERED replay publishes no duplicates") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.EmqxWriterFactory
+    import graft.sources.broker.BrokerConf
+
+    val name = "surface-idem-reorder"
+    val b = BrokerRegistry.get(name)
+    b.connect("iwr", cleanStart = true)
+    b.subscribe("iwr", "ir/#", 1)
+    val factory = new EmqxWriterFactory(BrokerConf(name),
+      EmqxMessage.schema, idempotent = true, queryId = "test-query-2")
+    def writeRows(order: Seq[Int]): Unit = {
+      val w = factory.createWriter(0, taskId = 1L, epochId = 3L)
+      order.foreach { i =>
+        w.write(InternalRow(UTF8String.fromString(s"ir/$i"), 1, false,
+          null, s"m$i".getBytes(UTF_8)))
+        // two rows with IDENTICAL content in the same partition: the
+        // occurrence counter must keep their keys distinct
+        if (i == 2) w.write(InternalRow(UTF8String.fromString("ir/2"), 1,
+          false, null, "m2".getBytes(UTF_8)))
+      }
+      w.commit(); w.close()
+    }
+    writeRows(0 until 5)
+    // Spark guarantees a retried task replays the same multiset of
+    // rows, NOT the same order — a position-derived key would stamp
+    // different rows here and the broker would drop real messages
+    writeRows(Seq(4, 2, 0, 3, 1))
+    val got = b.fetch("iwr", 0, b.endOffset("iwr"))
+    assert(got.length == 6, s"expected 5 uniques + 1 true dup, got ${got.length}")
+    assert(got.map(_.topic).sorted ==
+      Seq("ir/0", "ir/1", "ir/2", "ir/2", "ir/3", "ir/4"))
+  }
+
   test("qos 0/1/2 subscriptions all deliver (reference qos parametrization)") {
     for (qos <- 0 to 2) {
       val name = s"surface-qos-$qos"

@@ -290,6 +290,130 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("malformed remaining-length VBI is rejected, not looped forever") {
+    // >4 continuation bytes: a hostile/broken peer must get an error
+    // on the connection thread, not an infinite loop / huge allocation
+    val bad = new ByteArrayInputStream(Array[Byte](0x30, 0x80.toByte,
+      0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte))
+    intercept[IllegalArgumentException] { Mqtt5Codec.read(bad) }
+  }
+
+  test("qos2 publish flow survives a publisher reconnect (per-clientid state)") {
+    withServer { (_, server, conf) =>
+      // a network subscriber counts how many copies get routed
+      val sub = new NetworkMqttBroker(conf)
+      sub.connect("q2r-sub", cleanStart = true, 60, None, None)
+      sub.subscribe("q2r-sub", "q2r/#", 2)
+
+      def dial(clean: Boolean) = {
+        val s = new java.net.Socket("127.0.0.1", server.actualPort)
+        s.setTcpNoDelay(true)
+        val in = new java.io.BufferedInputStream(s.getInputStream)
+        val out = new java.io.BufferedOutputStream(s.getOutputStream)
+        Mqtt5Codec.write(out, Connect("q2r-pub", clean, 30, 600, None, None))
+        assert(Mqtt5Codec.read(in).isInstanceOf[Connack])
+        (s, in, out)
+      }
+
+      // conn1: PUBLISH qos2 pid=7, receive PUBREC, die before PUBREL
+      val (s1, in1, out1) = dial(clean = true)
+      Mqtt5Codec.write(out1, Publish("q2r/x", 2, retain = false,
+        dup = false, 7, Map.empty, "once".getBytes("UTF-8")))
+      assert(Mqtt5Codec.read(in1).isInstanceOf[PubRec])
+      s1.close()
+
+      // conn2 resumes the session and completes with a bare PUBREL
+      // (spec: after PUBREC the client re-sends PUBREL, not PUBLISH).
+      // Per-connection qos2 state would find nothing and LOSE the
+      // message; the per-clientid store routes it exactly once.
+      val (s2, in2, out2) = dial(clean = false)
+      Mqtt5Codec.write(out2, PubRel(7, 0))
+      assert(Mqtt5Codec.read(in2).isInstanceOf[PubComp])
+      eventually() { assert(sub.endOffset("q2r-sub") == 1) }
+      Thread.sleep(100) // would catch a double routing
+      assert(sub.endOffset("q2r-sub") == 1)
+
+      // a re-sent PUBLISH dup with the same pid on yet another
+      // connection is recognized, not routed a second time
+      val (s3, in3, out3) = dial(clean = false)
+      Mqtt5Codec.write(out3, Publish("q2r/x", 2, retain = false,
+        dup = true, 9, Map.empty, "twice?".getBytes("UTF-8")))
+      assert(Mqtt5Codec.read(in3).isInstanceOf[PubRec])
+      s3.close()
+      val (s4, in4, out4) = dial(clean = false)
+      Mqtt5Codec.write(out4, Publish("q2r/x", 2, retain = false,
+        dup = true, 9, Map.empty, "twice?".getBytes("UTF-8")))
+      assert(Mqtt5Codec.read(in4).isInstanceOf[PubRec])
+      Mqtt5Codec.write(out4, PubRel(9, 0))
+      assert(Mqtt5Codec.read(in4).isInstanceOf[PubComp])
+      eventually() { assert(sub.endOffset("q2r-sub") == 2) }
+      Thread.sleep(100)
+      assert(sub.endOffset("q2r-sub") == 2) // held once across conns
+      s2.close(); s4.close(); sub.closeAll()
+    }
+  }
+
+  test("broker bounce mid-query: readers re-dial and the stream loses nothing") {
+    withServer { (backing, server, conf) =>
+      val spark = SparkTestSession.spark
+      import spark.implicits._
+      val q = spark.readStream.format("emqx")
+        .option("broker", conf.uri)
+        .option("clientid", "bounce-")
+        .option("group", "gbn").option("topicfilter", "bn/#")
+        .option("qos", 1).option("readers", 2)
+        .load()
+        .selectExpr("cast(payload as string) AS body")
+        .writeStream.format("memory").queryName("bounce_e2e")
+        .outputMode("append").start()
+      try {
+        val producer = new NetworkMqttBroker(conf)
+        eventually(15000) {
+          producer.publish(EmqxMessage("bn/warm", 1, retained = false,
+            Map.empty, "warm".getBytes("UTF-8")))
+          q.processAllAvailable()
+          assert(spark.table("bounce_e2e").count() > 0)
+        }
+        (0 until 10).foreach(i => producer.publish(EmqxMessage(s"bn/a$i",
+          1, retained = false, Map.empty, s"a$i".getBytes("UTF-8"))))
+        eventually(15000) {
+          q.processAllAvailable()
+          val seen = spark.table("bounce_e2e").as[String].collect().toSet
+          (0 until 10).foreach(i => assert(seen.contains(s"a$i")))
+        }
+
+        // kill the broker MID-query: every socket (readers + producer)
+        // dies. The query itself must keep running.
+        val port = server.actualPort
+        server.close()
+        q.processAllAvailable() // polls while down must not crash
+        assert(q.isActive, "query died with the broker")
+
+        // bring the broker back on the same port with its state
+        val revived = new Mqtt5Server(backing, port)
+        try {
+          // producer and readers re-dial on their next use/poll;
+          // messages published after the bounce all arrive
+          (0 until 10).foreach { i =>
+            eventually(20000) {
+              producer.publish(EmqxMessage(s"bn/b$i", 1,
+                retained = false, Map.empty, s"b$i".getBytes("UTF-8")))
+            }
+          }
+          eventually(20000) {
+            q.processAllAvailable()
+            val seen = spark.table("bounce_e2e").as[String].collect().toSet
+            (0 until 10).foreach { i =>
+              assert(seen.contains(s"a$i"), s"lost pre-bounce a$i")
+              assert(seen.contains(s"b$i"), s"lost post-bounce b$i")
+            }
+          }
+          assert(q.isActive)
+        } finally revived.close()
+      } finally q.stop()
+    }
+  }
+
   test("spark checkpoint restart over tcp://: no loss across a stopped query") {
     withServer { (_, _, conf) =>
       val spark = SparkTestSession.spark
