@@ -142,6 +142,17 @@ class EmqxMicroBatchStream(conf: BrokerConf, baseClientid: String,
     (0 until numReaders).map(i => s"$baseClientid$i")
   private val sharedFilter = s"$$share/$group/$topicFilter"
 
+  // Cluster-mode fetch: network-broker connections live HERE (the
+  // planner's JVM — offset polling needs them), so partition readers
+  // in other JVMs fetch their planned range through this RPC proxy,
+  // whose address rides inside every InputPartition. See
+  // [[graft.sources.broker.FetchProxyServer]] for the design.
+  // In-memory brokers are JVM-local test fixtures; no proxy.
+  private lazy val fetchProxy: Option[graft.sources.broker.FetchProxyServer] =
+    if (conf.isNetwork)
+      Some(new graft.sources.broker.FetchProxyServer(broker))
+    else None
+
   // (Re)connect + subscribe every reader whose connection is absent
   // or dead, called on every offset poll — the automaticReconnect
   // behavior the reference relies on (EMQXSourceReader.java:92
@@ -253,7 +264,8 @@ class EmqxMicroBatchStream(conf: BrokerConf, baseClientid: String,
       // checkpointed offsets (no-op for the in-memory broker, whose
       // sequences are server-side and survive the restart)
       broker.rebase(cid, from)
-      EmqxInputPartition(conf, cid, from, e.getOrElse(cid, from))
+      EmqxInputPartition(conf, cid, from, e.getOrElse(cid, from),
+        fetchProxy.map(_.address))
         .asInstanceOf[InputPartition]
     }.toArray
   }
@@ -269,18 +281,30 @@ class EmqxMicroBatchStream(conf: BrokerConf, baseClientid: String,
       case (cid, upTo) => broker.ack(cid, upTo)
     }
 
-  override def stop(): Unit = clientids.foreach(broker.disconnect)
+  override def stop(): Unit = {
+    fetchProxy.foreach(_.close())
+    clientids.foreach(broker.disconnect)
+  }
 }
 
+/** `proxy`: fetch-RPC address (host:port) of the planner JVM that
+  * owns the broker connections — set for network brokers so the read
+  * works from any executor JVM; None for in-memory test brokers.
+  */
 case class EmqxInputPartition(conf: BrokerConf, clientid: String,
-    from: Long, until: Long) extends InputPartition
+    from: Long, until: Long, proxy: Option[String] = None)
+    extends InputPartition
 
 class EmqxPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[EmqxInputPartition]
     new PartitionReader[InternalRow] {
-      private val msgs = BrokerRegistry.resolve(part.conf)
-        .fetch(part.clientid, part.from, part.until).iterator
+      private val msgs = (part.proxy match {
+        case Some(addr) => graft.sources.broker.FetchProxyClient
+          .fetch(addr, part.clientid, part.from, part.until)
+        case None => BrokerRegistry.resolve(part.conf)
+          .fetch(part.clientid, part.from, part.until)
+      }).iterator
       private var current: EmqxMessage = _
       override def next(): Boolean =
         if (msgs.hasNext) { current = msgs.next(); true } else false

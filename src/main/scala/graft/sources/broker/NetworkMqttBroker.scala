@@ -50,13 +50,13 @@ case class BrokerConf(
   *     redelivered backlog to the checkpointed base (valid because
   *     redelivery = exactly the un-acked suffix)
   *
-  * Deployment note (honest limit, documented in SURVEY §9): the
-  * consumer connections live in whichever JVM resolves them. Under
-  * local[*] driver and executors share them; on a multi-JVM cluster
-  * each executor would open its own session per clientid, so a
-  * cluster deployment should either pin readers driver-side or proxy
-  * fetches — the offset/ack contract here is the piece a future
-  * RPC-backed fetch plugs into.
+  * Deployment: consumer connections are pinned to the planner's JVM
+  * (the driver) — MQTT offsets are connection-local, so the JVM that
+  * answers `latestOffset` must own the sockets. Partition readers in
+  * OTHER JVMs fetch their planned range through the
+  * [[FetchProxyServer]] RPC started by the micro-batch stream, whose
+  * address rides inside every InputPartition; under local[*] the same
+  * path is exercised over loopback.
   */
 class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
 

@@ -203,6 +203,7 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
         .load()
         .selectExpr("topic", "cast(payload as string) AS body")
 
+      val proxyBefore = FetchProxy.requestsServed.get()
       val q = df.writeStream.format("memory")
         .queryName("net_e2e").outputMode("append").start()
       try {
@@ -222,6 +223,10 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
         val rows = spark.table("net_e2e").as[(String, String)].collect().toMap
         assert(rows("iot/d7") == "v7")
+        // network-broker reads go through the cluster-mode fetch
+        // proxy even under local[*] — the cluster path has coverage
+        assert(FetchProxy.requestsServed.get() > proxyBefore,
+          "partition readers bypassed the fetch proxy")
         producer.closeAll()
       } finally q.stop()
     }
@@ -288,6 +293,36 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       client.closeAll(); producer.closeAll()
     } finally server.close()
+  }
+
+  test("fetch proxy: a reader in another JVM fetches over the driver's RPC") {
+    withServer { (_, _, conf) =>
+      // the "driver" JVM: owns the broker connections
+      val owner = new NetworkMqttBroker(conf)
+      owner.connect("px-c0", cleanStart = true, 60, None, None)
+      owner.subscribe("px-c0", "px/#", 1)
+      val producer = new NetworkMqttBroker(conf)
+      producer.publish(EmqxMessage("px/t", 1, retained = false,
+        Map("k" -> "v"), "payload".getBytes("UTF-8")))
+      eventually() { assert(owner.endOffset("px-c0") == 1) }
+
+      val proxy = new FetchProxyServer(owner)
+      try {
+        // the executor side touches ONLY the socket address — exactly
+        // what a partition reader in a separate JVM would do
+        val got = FetchProxyClient.fetch(proxy.address, "px-c0", 0, 1)
+        assert(got.length == 1)
+        assert(got.head.topic == "px/t" && got.head.qos == 1 &&
+          got.head.properties == Map("k" -> "v") &&
+          new String(got.head.payload, "UTF-8") == "payload")
+        // second request rides the pooled connection
+        assert(FetchProxyClient.fetch(proxy.address, "px-c0", 0, 1)
+          .length == 1)
+        // unknown clientid → empty, not an error (mirrors broker.fetch)
+        assert(FetchProxyClient.fetch(proxy.address, "nope", 0, 9).isEmpty)
+      } finally proxy.close()
+      owner.closeAll(); producer.closeAll()
+    }
   }
 
   test("malformed remaining-length VBI is rejected, not looped forever") {
