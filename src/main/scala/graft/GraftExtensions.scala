@@ -45,6 +45,9 @@ object GraftFunctions {
     "rolling_fingerprint" ->
       ((es: Seq[Expression]) =>
         RollingFingerprint(es(0), intArg(es(1), "window"))),
+    "shingle_keys" ->
+      ((es: Seq[Expression]) =>
+        ShingleKeys(es(0), es(1), intArg(es(2), "n"))),
     "dot_product" ->
       ((es: Seq[Expression]) => DotProduct(es(0), es(1))))
 

@@ -210,6 +210,81 @@ object HashKernels {
     * match; letter/digit runs count once. Matches Java regex and RE2
     * semantics for the oracle (ASCII \\s set is identical in both).
     */
+  /** Distinct word-n-gram shingle keys in ONE pass over the UTF-8
+    * bytes — the jaccardPairs posting generator. Replaces
+    * tokens() + wordShinglesFrom() + array_distinct() + per-shingle
+    * string hashing: no token array, no shingle strings, no string
+    * comparisons. Semantics pinned to the expression chain it
+    * replaces (ShingleKeysPropSpec):
+    *   - trim ASCII spaces only (Spark `trim`), then tokenize on
+    *     Java `\s+` runs with split-limit -1 empties (leading ws run
+    *     → empty first token, trailing run → empty last token)
+    *   - shingle i = tokens i..i+n-1 joined by a single 0x20, hashed
+    *     FNV-1a from a seed of fnv1a(source)·prime — the block key
+    *     folded into the posting key so the source string never
+    *     shuffles
+    *   - output sorted + deduplicated (set semantics)
+    */
+  def shingleKeys(text: UTF8String, source: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    var lo = 0; var hi = bytes.length
+    while (lo < hi && bytes(lo) == 0x20) lo += 1
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    var nTok = 0
+    var starts = new Array[Int](16); var ends = new Array[Int](16)
+    def push(s: Int, e: Int): Unit = {
+      if (nTok == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, nTok * 2)
+        ends = java.util.Arrays.copyOf(ends, nTok * 2)
+      }
+      starts(nTok) = s; ends(nTok) = e; nTok += 1
+    }
+    var i = lo
+    var tokStart = lo
+    while (i < hi) {
+      if (isWsByte(bytes(i) & 0xff)) {
+        push(tokStart, i)
+        while (i < hi && isWsByte(bytes(i) & 0xff)) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    push(tokStart, hi)
+    if (nTok < n) return new GenericArrayData(Array.empty[Long])
+
+    var hSrc = 0xcbf29ce484222325L
+    val src = source.getBytes
+    var j = 0
+    while (j < src.length) {
+      hSrc ^= (src(j) & 0xffL); hSrc *= 0x100000001b3L; j += 1
+    }
+    hSrc *= 0x100000001b3L // separator fold: source|shingle unambiguous
+
+    val out = new Array[Long](nTok - n + 1)
+    var s = 0
+    while (s <= nTok - n) {
+      var h = hSrc
+      var k = s
+      while (k < s + n) {
+        if (k > s) { h ^= 0x20L; h *= 0x100000001b3L }
+        var b = starts(k)
+        while (b < ends(k)) {
+          h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1
+        }
+        k += 1
+      }
+      out(s) = h
+      s += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0; var r = 0
+    while (r < out.length) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(
+      if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+  }
+
   def bpeTokenCount(s: UTF8String): Int = {
     val bytes = s.getBytes
     var count = 0
@@ -500,7 +575,30 @@ case class LangId(child: Expression)
     copy(child = c)
 }
 
+/** shingle_keys(text, source, n) → array<bigint> — sorted distinct
+  * FNV-1a keys of word n-gram shingles with the block key folded in
+  * (the jaccardPairs posting generator; see HashKernels.shingleKeys).
+  */
+case class ShingleKeys(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, s: Any): Any =
+    HashKernels.shingleKeys(t.asInstanceOf[UTF8String],
+      s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) =>
+      s"graft.functions.HashKernels.shingleKeys($t, $s, $n)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 object HashFunctions {
+  def shingle_keys(text: Column, source: Column, n: Int): Column =
+    ColumnBridge.column(ShingleKeys(ColumnBridge.expression(text),
+      ColumnBridge.expression(source), n))
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
   def simhash64(tokens: Column): Column =

@@ -37,6 +37,35 @@ object TextKernelPropSpec extends Properties("TextKernels") {
       HashKernels.wsTokenCount(u(s)) == ref
     }
 
+  property("shingle_keys == distinct fnv of wordShingles(split(trim, \\s+))") =
+    forAll(texty, Gen.oneOf("web", "books", "académie", "")) { (s, src) =>
+      val trimmed = {
+        var lo = 0; var hi = s.length
+        while (lo < hi && s.charAt(lo) == ' ') lo += 1
+        while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+        s.substring(lo, hi)
+      }
+      def fnvFrom(seed: Long, bytes: Array[Byte]): Long = {
+        var h = seed; var i = 0
+        while (i < bytes.length) {
+          h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+        }
+        h
+      }
+      val hSrc =
+        fnvFrom(0xcbf29ce484222325L, src.getBytes("UTF-8")) * 0x100000001b3L
+      val toks = trimmed.split("\\s+", -1)
+      val ref =
+        if (toks.length < 3) Seq.empty[Long]
+        else (0 to toks.length - 3)
+          .map(i => toks.slice(i, i + 3).mkString(" "))
+          .distinct
+          .map(sh => fnvFrom(hSrc, sh.getBytes("UTF-8")))
+          .distinct.sorted
+      val got = HashKernels.shingleKeys(u(s), u(src), 3).toLongArray().toSeq
+      got == ref
+    }
+
   property("punct_count == length - length(regexp_replace punct)") =
     forAll(texty) { s =>
       val ref = s.length - s.replaceAll("[!-/:-@\\[-`{-~]", "").length
