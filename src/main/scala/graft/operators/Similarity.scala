@@ -65,17 +65,29 @@ object Similarity {
     * driver-side state; signature = packed sign bits; candidates =
     * same (band, signature) bucket; exact cosine re-rank inside
     * buckets. Rows-only (sketch internals are engine-specific).
+    *
+    * `nPlanes = 0` (the default) auto-scales bits-per-band from the
+    * corpus count ([[lshBitsFor]]): a FIXED plane budget means
+    * E[bucket] = n/2^bits grows linearly with the corpus — fine at
+    * sf0.1, quadratic re-rank cost at 100×. One footer-cheap count()
+    * buys bounded buckets at any n; recall at a fixed band count
+    * drops as bits rise, so recall-critical configs should raise
+    * `nBands` alongside (the spec'd small-SF regime clamps to the
+    * old 4-bit/16-plane behavior).
     */
   def annLsh(spark: SparkSession, sfDir: String,
-      nPlanes: Int = 16, nBands: Int = 4, k: Int = 5,
-      nQueries: Int = 10): DataFrame = {
+      nPlanes: Int = 0, nBands: Int = 4, k: Int = 5,
+      nQueries: Int = 10, targetBucket: Int = 1024): DataFrame = {
     val emb = embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else nBands * lshBitsFor(emb.count(), targetBucket)
     // bucket join and candidate dedup run on SKINNY id rows (3
     // longs); vectors re-attach only after distinct. Shuffling the
     // 64-double embeddings through the multi-band join + distinct
     // was the dominant cost at the 100× probe (82s → ids-only).
-    val banded = bandedVectors(spark, emb, nPlanes, nBands)
+    val banded = bandedVectors(spark, emb, planes, nBands)
       .select(col("vec_id"), col("band"), col("bsig"))
     val queries = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("band"), col("bsig"))
@@ -97,6 +109,18 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Bits per band for a corpus of `n` vectors: smallest b with
+    * E[bucket] = n/2^b ≤ targetBucket, clamped to [4, 24] (4 keeps
+    * the measured small-SF recall regime; 24 bounds signature
+    * sparsity — beyond that buckets are mostly singletons and more
+    * bits only cost recall).
+    */
+  private[graft] def lshBitsFor(n: Long, targetBucket: Int): Int = {
+    val needed = math.ceil(
+      math.log(math.max(n.toDouble / targetBucket, 1.0)) / math.log(2)).toInt
+    math.max(4, math.min(24, needed))
+  }
+
   /** Random-hyperplane signature + banding in one typed flatMap,
     * shared by annLsh and simJoinLsh: plane weights are
     * splitmix-derived from (plane, dim) — deterministic, no RNG
@@ -113,36 +137,61 @@ object Similarity {
       s"bitsPerBand must be in [1,63], got $bitsPerBand")
     val nWords = (nPlanes + 63) / 64
     emb.as[(Long, Seq[Double])]
-      .flatMap { case (id, v) =>
-        // signature packed across words, so nPlanes is NOT capped at
-        // 64 — recall-heavy configs (128 planes × 16 bands) need it
-        val words = new Array[Long](nWords)
-        var p = 0
-        while (p < nPlanes) {
-          var acc = 0.0
-          var d = 0
-          while (d < v.length) {
-            // splitmix64 of (p, d) → weight in [-1, 1]
-            var z = (p * 4096L + d) + 0x9e3779b97f4a7c15L
-            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-            z = z ^ (z >>> 31)
-            acc += v(d) * ((z % 20001L) / 10000.0)
-            d += 1
+      .mapPartitions { it =>
+        // plane weights depend only on (plane, dim): computed ONCE per
+        // partition, not per vector — re-deriving the splitmix64 hash
+        // inside the dot loop was nPlanes×dim evals PER VECTOR (410M
+        // at the 100× probe with 32 planes; measured 2× the whole
+        // operator). The unboxed double[] copy matters equally: a
+        // Seq[Double] apply boxes every element access.
+        var weights: Array[Double] = null // nPlanes × dim, row-major
+        var dim = -1
+        it.flatMap { case (id, v) =>
+          val arr = v.toArray
+          if (dim != arr.length) {
+            dim = arr.length
+            weights = new Array[Double](nPlanes * dim)
+            var p = 0
+            while (p < nPlanes) {
+              var d = 0
+              while (d < dim) {
+                // splitmix64 of (p, d) → weight in [-1, 1]
+                var z = (p * 4096L + d) + 0x9e3779b97f4a7c15L
+                z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+                z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+                z = z ^ (z >>> 31)
+                weights(p * dim + d) = (z % 20001L) / 10000.0
+                d += 1
+              }
+              p += 1
+            }
           }
-          if (acc >= 0) words(p >> 6) |= (1L << (p & 63))
-          p += 1
-        }
-        (0 until nBands).map { bd =>
-          var sig = 0L
-          var i = 0
-          while (i < bitsPerBand) {
-            val plane = bd * bitsPerBand + i
-            if ((words(plane >> 6) & (1L << (plane & 63))) != 0)
-              sig |= (1L << i)
-            i += 1
+          // signature packed across words, so nPlanes is NOT capped at
+          // 64 — recall-heavy configs (128 planes × 16 bands) need it
+          val words = new Array[Long](nWords)
+          var p = 0
+          while (p < nPlanes) {
+            var acc = 0.0
+            val base = p * dim
+            var d = 0
+            while (d < dim) {
+              acc += arr(d) * weights(base + d)
+              d += 1
+            }
+            if (acc >= 0) words(p >> 6) |= (1L << (p & 63))
+            p += 1
           }
-          (id, v, bd, sig)
+          (0 until nBands).map { bd =>
+            var sig = 0L
+            var i = 0
+            while (i < bitsPerBand) {
+              val plane = bd * bitsPerBand + i
+              if ((words(plane >> 6) & (1L << (plane & 63))) != 0)
+                sig |= (1L << i)
+              i += 1
+            }
+            (id, v, bd, sig)
+          }
         }
       }
       .toDF("vec_id", "emb", "band", "bsig")

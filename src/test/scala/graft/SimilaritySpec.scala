@@ -20,6 +20,12 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("LSH recall vs brute force is reasonable") {
+    // auto-scaled bits: small corpora clamp to the 4-bit regime the
+    // recall numbers were measured in; large corpora get more bits
+    assert(Similarity.lshBitsFor(2000, 1024) == 4)
+    assert(Similarity.lshBitsFor(200000, 1024) == 8)
+    assert(Similarity.lshBitsFor(100000000L, 1024) == 17)
+    assert(Similarity.lshBitsFor(Long.MaxValue / 4, 1024) == 24)
     val lsh = neighborSet(Similarity.annLsh(spark, sf))
     val recall = (lsh intersect exact).size.toDouble / exact.size
     // 16 planes / 4 bands over random vectors: recall won't be perfect,
