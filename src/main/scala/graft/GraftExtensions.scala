@@ -48,6 +48,12 @@ object GraftFunctions {
     "shingle_keys" ->
       ((es: Seq[Expression]) =>
         ShingleKeys(es(0), es(1), intArg(es(2), "n"))),
+    "minhash_keys" ->
+      ((es: Seq[Expression]) =>
+        MinHashKeys(es(0), intArg(es(1), "k"))),
+    "sorted_intersect_count" ->
+      ((es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    "simhash_text" -> ((es: Seq[Expression]) => SimHashText(es(0))),
     "dot_product" ->
       ((es: Seq[Expression]) => DotProduct(es(0), es(1))))
 

@@ -89,6 +89,55 @@ object HashKernels {
     new GenericArrayData(sig)
   }
 
+  /** MinHash over PRE-HASHED shingle keys (shingle_keys output): same
+    * permutation family as [[minhash]], x = the 64-bit key folded
+    * into [0, P). Skips the per-shingle string hashing — paired with
+    * shingle_keys it removes shingle strings from the minhash path
+    * entirely.
+    */
+  def minhashFromKeys(keys: ArrayData, k: Int): ArrayData = {
+    val xs = keys.toLongArray()
+    val n = xs.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = xs(i) % P
+      xs(i) = if (h < 0) h + P else h
+      i += 1
+    }
+    var j = 0
+    while (j < k) {
+      val a = coeff(2L * j) | 1L // odd a, non-zero
+      val b = coeff(2L * j + 1)
+      var m = Long.MaxValue
+      var i2 = 0
+      while (i2 < n) {
+        var v = mulmodP(a, xs(i2)) + b
+        if (v >= P) v -= P
+        if (v < m) m = v
+        i2 += 1
+      }
+      sig(j) = m
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Intersection size of two SORTED distinct long arrays (the
+    * shingle_keys contract) — one merge pass, no per-row hash set,
+    * unlike array_intersect.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val x = a.toLongArray(); val y = b.toLongArray()
+    var i = 0; var j = 0; var c = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { c += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash over token hashes (Charikar '02): per-bit vote of
     * every token's FNV hash, sign → bit.
     */
@@ -108,6 +157,47 @@ object HashKernels {
       }
       i += 1
     }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** SimHash straight from text: tokenizes the UTF-8 bytes with the
+    * same split(trim, \s+) rules as [[shingleKeys]] and votes each
+    * token's FNV-1a — identical output to simhash(split tokens)
+    * (pinned by TextKernelPropSpec) without materializing the token
+    * string array.
+    */
+  def simhashText(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    var lo = 0; var hi = bytes.length
+    while (lo < hi && bytes(lo) == 0x20) lo += 1
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    val votes = new Array[Int](64)
+    def vote(s: Int, e: Int): Unit = {
+      var h = 0xcbf29ce484222325L
+      var i = s
+      while (i < e) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var i = lo; var tokStart = lo
+    while (i < hi) {
+      if (isWsByte(bytes(i) & 0xff)) {
+        vote(tokStart, i)
+        while (i < hi && isWsByte(bytes(i) & 0xff)) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    vote(tokStart, hi) // final token (empty under trailing ws — same
+    // as the split(limit=-1) token list the array form hashes)
     var out = 0L
     var b = 0
     while (b < 64) {
@@ -147,24 +237,40 @@ object HashKernels {
       grams(i) = h
       i += 1
     }
-    val sel = new java.util.TreeSet[java.lang.Long]()
+    // windowed minima via monotonic deque — O(n) total, rightmost on
+    // ties (pop-back on >=), collected into a primitive array and
+    // sort+deduped at the end. The previous O(n·win) rescan with a
+    // boxed TreeSet add per window dominated the 100× probe (500M
+    // boxed inserts corpus-wide).
     val w = math.min(win, n)
-    var start = 0
-    while (start + w <= n) {
-      var mi = start
-      var j = start + 1
-      while (j < start + w) { // rightmost minimum
-        if (grams(j) <= grams(mi)) mi = j
-        j += 1
+    val deque = new Array[Int](n) // indices, increasing gram values
+    var head = 0; var tail = 0 // [head, tail)
+    val sel = new Array[Long](math.max(n - w + 1, 1))
+    var nSel = 0
+    var j = 0
+    while (j < n) {
+      while (tail > head && grams(deque(tail - 1)) >= grams(j)) tail -= 1
+      deque(tail) = j; tail += 1
+      if (deque(head) <= j - w) head += 1
+      if (j >= w - 1) {
+        val m = grams(deque(head))
+        // adjacent-window dup skip; full dedupe after the sort below
+        if (nSel == 0 || sel(nSel - 1) != m) { sel(nSel) = m; nSel += 1 }
       }
-      sel.add(grams(mi))
-      start += 1
+      j += 1
     }
-    val out = new Array[Long](sel.size())
-    val it = sel.iterator()
-    var o = 0
-    while (it.hasNext) { out(o) = it.next(); o += 1 }
-    new GenericArrayData(out)
+    val trimmed = java.util.Arrays.copyOf(sel, nSel)
+    java.util.Arrays.sort(trimmed)
+    var wIdx = 0; var r = 0
+    while (r < trimmed.length) {
+      if (r == 0 || trimmed(r) != trimmed(r - 1)) {
+        trimmed(wIdx) = trimmed(r); wIdx += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(
+      if (wIdx == trimmed.length) trimmed
+      else java.util.Arrays.copyOf(trimmed, wIdx))
   }
 
   /** Karp-Rabin rolling-hash document fingerprint: minimum polynomial
@@ -595,10 +701,66 @@ case class ShingleKeys(left: Expression, right: Expression, n: Int)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** minhash_keys(keys, k) → array<bigint> — MinHash over pre-hashed
+  * shingle keys (see HashKernels.minhashFromKeys).
+  */
+case class MinHashKeys(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashFromKeys(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.minhashFromKeys($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** simhash_text(text) → bigint — SimHash without the token array. */
+case class SimHashText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhashText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhashText($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** sorted_intersect_count(a, b) → int — merge-count of two sorted
+  * distinct long arrays.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sortedIntersectCount(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 object HashFunctions {
   def shingle_keys(text: Column, source: Column, n: Int): Column =
     ColumnBridge.column(ShingleKeys(ColumnBridge.expression(text),
       ColumnBridge.expression(source), n))
+  def minhash_keys(keys: Column, k: Int): Column =
+    ColumnBridge.column(MinHashKeys(ColumnBridge.expression(keys), k))
+  def simhash_text(text: Column): Column =
+    ColumnBridge.column(SimHashText(ColumnBridge.expression(text)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
   def simhash64(tokens: Column): Column =

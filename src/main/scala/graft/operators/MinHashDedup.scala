@@ -28,11 +28,15 @@ object MinHashDedup {
       maxBucket: Int = 5000): DataFrame = {
     val rows = k / bands
     import spark.implicits._
+    // shingle_keys + minhash_keys: the whole sketch path runs on
+    // 64-bit shingle keys — no token arrays, no shingle strings (the
+    // string chain was the dominant cost at the 100× probe, same
+    // finding as Dedup.jaccardPairs). Keys are sorted distinct longs,
+    // so exact verification is a merge-count, not array_intersect.
     val docs = documents(spark, sfDir)
-      .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
-        array_distinct(wordShinglesFrom(col("toks"), 3)).as("sh"))
-      .withColumn("sig", minhash_signature(col("sh"), k))
+        shingle_keys(col("text"), lit(""), 3).as("sh"))
+      .withColumn("sig", minhash_keys(col("sh"), k))
 
     // banding via typed flatMap (one signature evaluation per doc;
     // explode() would re-run the minhash kernel per band row — see
@@ -107,9 +111,12 @@ object MinHashDedup {
       .toDF("doc_a", "doc_b", "est_jaccard")
       .distinct()
 
-    // exact verification join — only for surviving candidates
+    // exact verification join — only for surviving candidates; the
+    // sorted-key merge-count replaces array_intersect's per-row hash
+    // set (27M candidate pairs at the 100× probe make this the
+    // second-largest term after the bucket shuffle)
     val sets = docs.select(col("doc_id"), col("sh"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = sorted_intersect_count(col("sh_a"), col("sh_b"))
     estimated
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -126,8 +133,10 @@ object MinHashDedup {
   def simhashPairs(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3, maxBucket: Int = 5000): DataFrame = {
     import spark.implicits._
+    // simhash_text: one-pass byte kernel, no token string array
+    // (identical output to simhash64(tokens(..)), prop-pinned)
     val docs = documents(spark, sfDir).select(col("doc_id"),
-      simhash64(tokens(col("text"))).as("sig"))
+      simhash_text(col("text")).as("sig"))
     // chunking via flatMap for the same one-evaluation reason as the
     // minhash banding above.
     val chunked = docs.as[(Long, Long)]
@@ -189,32 +198,45 @@ object MinHashDedup {
     import spark.implicits._
     val docs = documents(spark, sfDir).select(col("doc_id"),
       winnow_sketch(col("text"), k, win).as("sketch"))
+    // packed postings, same rationale as Dedup.jaccardPairs: the
+    // posting shuffle carries two longs (fp + doc_id/n_fp packed
+    // word), sort_array on plain longs orders by doc_id for free
     val postings = docs.as[(Long, Seq[Long])]
-      .flatMap { case (id, sk) => sk.map(f => (id, sk.length, f)) }
-      .toDF("doc_id", "n_fp", "fp")
+      .flatMap { case (id, sk) =>
+        val packed = (id << 20) | sk.length.toLong
+        sk.map(f => (f, packed))
+      }
+      .toDF("fp", "packed")
     // document-frequency ceiling on fingerprint buckets — same
     // stop-shingle rationale and observability as Dedup.jaccardPairs
     // (a boilerplate fingerprint shared corpus-wide must not form one
     // quadratic bucket); drops counted via observe().
     val buckets = postings
       .groupBy(col("fp"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_fp"))))
-        .as("ids"))
+      .agg(sort_array(collect_list(col("packed"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .observe("winnow_bucket_cap",
         sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L))
           .as("dropped_buckets"))
       .filter(size(col("ids")) <= maxDf)
+      // identical member sets collapse to ONE pair generation carrying
+      // their multiplicity: on a duplicate-heavy corpus every
+      // fingerprint of a replica group lists the same members, so
+      // pairs were generated once PER FINGERPRINT (measured 1.2G
+      // exploded rows at the 100× probe). sum(cnt) reproduces the
+      // per-pair shared-fingerprint count exactly.
+      .groupBy(col("ids")).agg(count(lit(1)).as("cnt"))
+    val nMask = (1L << 20) - 1
     val pairGen = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-        struct(a.getField("doc_id").as("doc_a"),
-          b.getField("doc_id").as("doc_b"),
-          a.getField("n_fp").as("n_a"),
-          b.getField("n_fp").as("n_b")))))
-    buckets.select(explode(pairGen).as("p"))
+        struct(shiftright(a, 20).as("doc_a"),
+          shiftright(b, 20).as("doc_b"),
+          a.bitwiseAND(lit(nMask)).as("n_a"),
+          b.bitwiseAND(lit(nMask)).as("n_b")))))
+    buckets.select(col("cnt"), explode(pairGen).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(sum(col("cnt")).as("shared"))
       .withColumn("overlap",
         col("shared").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("overlap") >= minOverlap)
@@ -228,6 +250,6 @@ object MinHashDedup {
   def rollingFingerprints(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir).select(col("doc_id"),
       rolling_fingerprint(col("text"), 64).as("roll_fp"),
-      simhash64(tokens(col("text"))).as("simhash"))
+      simhash_text(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
 }

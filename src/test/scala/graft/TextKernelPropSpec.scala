@@ -66,6 +66,21 @@ object TextKernelPropSpec extends Properties("TextKernels") {
       got == ref
     }
 
+  property("simhash_text == simhash64 over split(trim, \\s+) tokens") =
+    forAll(texty) { s =>
+      val trimmed = {
+        var lo = 0; var hi = s.length
+        while (lo < hi && s.charAt(lo) == ' ') lo += 1
+        while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+        s.substring(lo, hi)
+      }
+      val toks = trimmed.split("\\s+", -1)
+      val ref = HashKernels.simhash(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(t => UTF8String.fromString(t)).toArray[Any]))
+      HashKernels.simhashText(u(s)) == ref
+    }
+
   property("punct_count == length - length(regexp_replace punct)") =
     forAll(texty) { s =>
       val ref = s.length - s.replaceAll("[!-/:-@\\[-`{-~]", "").length
