@@ -30,8 +30,8 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
 
     val fromRegistry = Seq(
-      "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_pairs",
-      "dedup_simhash", "dedup_winnow",
+      "dedup_exact", "dedup_jaccard_pairs", "dedup_jaccard_lsh",
+      "dedup_minhash_pairs", "dedup_simhash", "dedup_winnow",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "pipeline_clean", "wordcount_salted",
       "ann_bruteforce", "ann_lsh", "ann_ivf",

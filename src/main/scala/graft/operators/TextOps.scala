@@ -47,14 +47,21 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   /** T5 — word-trigram shingling stats (the dedup unit). */
-  def textShingles(spark: SparkSession, sfDir: String): DataFrame =
+  def textShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    // counts only — no shingle strings needed: ws_token_count gives
+    // the shingle count, shingle_keys the distinct count (both
+    // one-pass byte kernels, prop-pinned to the split/transform chain
+    // they replace; was the slowest 100× probe row at 91 s as a
+    // string-materializing projection, 9 s as kernels)
+    import graft.functions.HashFunctions.shingle_keys
+    val nTok = graft.functions.HashFunctions.ws_token_count(col("text"))
     documents(spark, sfDir)
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("sh", wordShinglesFrom(col("toks"), 3))
       .select(col("doc_id"),
-        size(col("sh")).as("n_shingles"),
-        size(array_distinct(col("sh"))).as("n_distinct_shingles"))
+        when(nTok < 3, lit(0)).otherwise(nTok - 2).as("n_shingles"),
+        size(shingle_keys(col("text"), lit(""), 3))
+          .as("n_distinct_shingles"))
       .orderBy(col("doc_id"))
+  }
 
   /** Composed cleaning pipeline — the operators above chained the way
     * a training-data run would: quality gate → exact dedup (keep the

@@ -24,6 +24,9 @@ object TextRegistry {
     // rows-only: sketch internals (hash family) are engine-specific;
     // MinHashSpec verifies estimates against exact jaccard instead.
     "dedup_minhash_pairs" -> ((s, d) => MinHashDedup.minhashPairs(s, d)),
+    // rows-only: cross-block jaccard (no source-block assumption);
+    // recall vs the blocked verifier is spec'd in TextDedupSpec
+    "dedup_jaccard_lsh" -> ((s, d) => Dedup.jaccardPairsLsh(s, d)),
     "dedup_simhash" -> ((s, d) => MinHashDedup.simhashPairs(s, d)),
     "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),
     "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _)

@@ -36,6 +36,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(df.filter(col("canonical_id") > col("doc_id")).count() == 0)
   }
 
+  test("cross-block jaccard recalls the blocked verifier's near-dup pairs") {
+    // the blocked verifier restricted to the LSH regime (j >= 0.5)
+    val blocked = Dedup.jaccardPairs(spark, sf, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossBlock = Dedup.jaccardPairsLsh(spark, sf, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.nonEmpty, "test corpus lost its planted near-dups")
+    val recalled = blocked.count(crossBlock.contains).toDouble / blocked.size
+    assert(recalled >= 0.9, s"cross-block recall $recalled < 0.9")
+    // values are EXACT jaccard, so any pair present in both agrees
+    val bj = Dedup.jaccardPairs(spark, sf, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Dedup.jaccardPairsLsh(spark, sf, threshold = 0.5).collect()
+      .foreach { r =>
+        bj.get((r.getLong(0), r.getLong(1))).foreach { v =>
+          assert(math.abs(v - r.getDouble(2)) < 1e-12)
+        }
+      }
+  }
+
   test("jaccard pairs are symmetric-free, thresholded, in [0,1]") {
     val df = Dedup.jaccardPairs(spark, sf, 0.02)
     assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
