@@ -148,10 +148,14 @@ class EmqxMicroBatchStream(conf: BrokerConf, baseClientid: String,
   // whose address rides inside every InputPartition. See
   // [[graft.sources.broker.FetchProxyServer]] for the design.
   // In-memory brokers are JVM-local test fixtures; no proxy.
-  private lazy val fetchProxy: Option[graft.sources.broker.FetchProxyServer] =
-    if (conf.isNetwork)
-      Some(new graft.sources.broker.FetchProxyServer(broker))
-    else None
+  @volatile private var proxyStarted: Option[graft.sources.broker.FetchProxyServer] = None
+  private def fetchProxy: Option[graft.sources.broker.FetchProxyServer] =
+    if (!conf.isNetwork) None
+    else synchronized {
+      if (proxyStarted.isEmpty)
+        proxyStarted = Some(new graft.sources.broker.FetchProxyServer(broker))
+      proxyStarted
+    }
 
   // (Re)connect + subscribe every reader whose connection is absent
   // or dead, called on every offset poll — the automaticReconnect
@@ -282,7 +286,7 @@ class EmqxMicroBatchStream(conf: BrokerConf, baseClientid: String,
     }
 
   override def stop(): Unit = {
-    fetchProxy.foreach(_.close())
+    proxyStarted.foreach(_.close()) // only if one was ever started
     clientids.foreach(broker.disconnect)
   }
 }
