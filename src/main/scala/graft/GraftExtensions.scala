@@ -54,6 +54,7 @@ object GraftFunctions {
     "sorted_intersect_count" ->
       ((es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
     "simhash_text" -> ((es: Seq[Expression]) => SimHashText(es(0))),
+    "canonical_md5" -> ((es: Seq[Expression]) => CanonicalMd5(es(0))),
     "dot_product" ->
       ((es: Seq[Expression]) => DotProduct(es(0), es(1))))
 

@@ -207,6 +207,44 @@ object HashKernels {
     out
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Canonical-form MD5 fingerprint in one pass: ASCII-space trim,
+    * every `\s+` run (Java \s set) collapsed to a single 0x20, MD5
+    * over the canonical UTF-8 bytes, lowercase hex — BIT-IDENTICAL to
+    * md5(regexp_replace(trim(text), '\s+', ' ')) in both Spark and
+    * DuckDB (the oracle states exactly that), without materializing
+    * the regex-rewritten string (pinned by TextKernelPropSpec).
+    */
+  def canonicalMd5(text: UTF8String): UTF8String = {
+    val bytes = text.getBytes
+    var lo = 0; var hi = bytes.length
+    while (lo < hi && bytes(lo) == 0x20) lo += 1
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    val canon = new Array[Byte](hi - lo)
+    var n = 0
+    var i = lo
+    while (i < hi) {
+      if (isWsByte(bytes(i) & 0xff)) {
+        canon(n) = 0x20; n += 1
+        while (i < hi && isWsByte(bytes(i) & 0xff)) i += 1
+      } else {
+        canon(n) = bytes(i); n += 1; i += 1
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(canon, 0, n)
+    val digest = md.digest()
+    val hex = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = HexDigits((digest(j) >> 4) & 0xf).toByte
+      hex(2 * j + 1) = HexDigits(digest(j) & 0xf).toByte
+      j += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
   /** Winnowing sketch (Schleimer/Wilkerson/Aiken '03): Karp-Rabin
     * hashes of all `k`-char grams; within every window of `win`
     * consecutive gram hashes keep the minimum (rightmost on ties).
@@ -718,6 +756,20 @@ case class MinHashKeys(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** canonical_md5(text) → string — whitespace-canonical MD5 hex. */
+case class CanonicalMd5(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.canonicalMd5(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.canonicalMd5($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** simhash_text(text) → bigint — SimHash without the token array. */
 case class SimHashText(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -758,6 +810,8 @@ object HashFunctions {
     ColumnBridge.column(MinHashKeys(ColumnBridge.expression(keys), k))
   def simhash_text(text: Column): Column =
     ColumnBridge.column(SimHashText(ColumnBridge.expression(text)))
+  def canonical_md5(text: Column): Column =
+    ColumnBridge.column(CanonicalMd5(ColumnBridge.expression(text)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))

@@ -98,10 +98,12 @@ object TextFunctions {
     qualityScore(text)
 
   /** Canonical-form md5 fingerprint: collapse whitespace, trim, hash.
-    * Identical builtin in DuckDB → oracle-checkable.
+    * Identical builtin in DuckDB → oracle-checkable. One-pass codegen
+    * kernel, bit-identical to md5(regexp_replace(trim(text), '\s+',
+    * ' ')) (prop-pinned) without materializing the rewritten string.
     */
   def fingerprintMd5(text: Column): Column =
-    md5(regexp_replace(trim(text), "\\s+", " "))
+    graft.functions.HashFunctions.canonical_md5(text)
 
   /** Word n-gram shingles (space-joined), the dedup unit, from a
     * pre-split token column.

@@ -81,6 +81,21 @@ object TextKernelPropSpec extends Properties("TextKernels") {
       HashKernels.simhashText(u(s)) == ref
     }
 
+  property("canonical_md5 == md5(regexp_replace(trim(text), \\s+, ' '))") =
+    forAll(texty) { s =>
+      val trimmed = {
+        var lo = 0; var hi = s.length
+        while (lo < hi && s.charAt(lo) == ' ') lo += 1
+        while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+        s.substring(lo, hi)
+      }
+      val canon = trimmed.replaceAll("\\s+", " ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ref = md.digest(canon.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      HashKernels.canonicalMd5(u(s)).toString == ref
+    }
+
   property("punct_count == length - length(regexp_replace punct)") =
     forAll(texty) { s =>
       val ref = s.length - s.replaceAll("[!-/:-@\\[-`{-~]", "").length
