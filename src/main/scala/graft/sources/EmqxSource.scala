@@ -62,7 +62,9 @@ class EmqxTable(options: CaseInsensitiveStringMap)
     keepAliveSec = options.getInt("keepalivesec", 30),
     connectTimeoutMs = options.getInt("connecttimeoutms", 5000),
     truststorePath = Option(options.get("truststorepath")),
-    truststorePassword = Option(options.get("truststorepassword")))
+    truststorePassword = Option(options.get("truststorepassword")),
+    proxyKeystorePath = Option(options.get("proxykeystorepath")),
+    proxyKeystorePassword = Option(options.get("proxykeystorepassword")))
 
   override def name(): String =
     s"emqx:${options.get("broker")}/${options.get("topicfilter")}"
@@ -153,7 +155,9 @@ class EmqxMicroBatchStream(conf: BrokerConf, baseClientid: String,
     if (!conf.isNetwork) None
     else synchronized {
       if (proxyStarted.isEmpty)
-        proxyStarted = Some(new graft.sources.broker.FetchProxyServer(broker))
+        proxyStarted = Some(new graft.sources.broker.FetchProxyServer(
+          broker, conf.proxyKeystorePath.map(p =>
+            (p, conf.proxyKeystorePassword.getOrElse("")))))
       proxyStarted
     }
 
@@ -305,7 +309,8 @@ class EmqxPartitionReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val msgs = (part.proxy match {
         case Some(addr) => graft.sources.broker.FetchProxyClient
-          .fetch(addr, part.clientid, part.from, part.until)
+          .fetch(addr, part.clientid, part.from, part.until,
+            part.conf.truststorePath, part.conf.truststorePassword)
         case None => BrokerRegistry.resolve(part.conf)
           .fetch(part.clientid, part.from, part.until)
       }).iterator

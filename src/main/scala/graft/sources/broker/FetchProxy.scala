@@ -81,20 +81,38 @@ object FetchProxy {
 
 /** Serves [[MqttBroker.fetch]] over TCP for partition readers running
   * in other JVMs. One handler thread per connection; a connection
-  * serves many requests (the executor side pools them).
+  * serves many requests (the executor side pools them). With
+  * `sslKeystore` set (PKCS12/JKS path + password) the listener speaks
+  * TLS and advertises an `ssl://` address; clients then need the
+  * matching truststore (BrokerConf.truststorePath).
   */
-class FetchProxyServer(broker: MqttBroker) {
-  private val server = new ServerSocket(0)
+class FetchProxyServer(broker: MqttBroker,
+    sslKeystore: Option[(String, String)] = None) {
+  private val server: ServerSocket = sslKeystore match {
+    case None => new ServerSocket(0)
+    case Some((path, password)) =>
+      val ks = java.security.KeyStore.getInstance(
+        new java.io.File(path), password.toCharArray)
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, password.toCharArray)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(kmf.getKeyManagers, null, null)
+      ctx.getServerSocketFactory.createServerSocket(0)
+  }
   @volatile private var closed = false
 
   def port: Int = server.getLocalPort
 
-  /** host:port executors can reach — the partition-carried address. */
+  /** Address executors can reach — the partition-carried string;
+    * `ssl://host:port` when the listener speaks TLS, bare `host:port`
+    * otherwise.
+    */
   val address: String = {
     val host =
       try InetAddress.getLocalHost.getHostAddress
       catch { case _: Throwable => "127.0.0.1" }
-    s"$host:$port"
+    if (sslKeystore.isDefined) s"ssl://$host:$port" else s"$host:$port"
   }
 
   private val acceptThread = new Thread(() => {
@@ -158,27 +176,54 @@ object FetchProxyClient {
   private val pools =
     new ConcurrentHashMap[String, mutable.ArrayDeque[PooledConn]]()
 
-  private def borrow(addr: String): PooledConn = {
-    val pool = pools.computeIfAbsent(addr, _ => mutable.ArrayDeque())
+  private def borrow(addr: String, truststorePath: Option[String],
+      truststorePassword: Option[String]): PooledConn = {
+    // pool key includes the trust config: two callers with different
+    // truststores must not share an established TLS session
+    val key = s"$addr|${truststorePath.getOrElse("")}"
+    val pool = pools.computeIfAbsent(key, _ => mutable.ArrayDeque())
     val pooled = pool.synchronized {
       if (pool.nonEmpty) Some(pool.removeHead()) else None
     }
     pooled.getOrElse {
-      val i = addr.lastIndexOf(':')
-      val s = new Socket(addr.substring(0, i), addr.substring(i + 1).toInt)
+      val tls = addr.startsWith("ssl://")
+      val hp = if (tls) addr.substring(6) else addr
+      val i = hp.lastIndexOf(':')
+      val host = hp.substring(0, i)
+      val port = hp.substring(i + 1).toInt
+      val s =
+        if (!tls) new Socket(host, port)
+        else {
+          val factory = truststorePath match {
+            case None => javax.net.ssl.SSLSocketFactory.getDefault
+              .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+            case Some(path) =>
+              val ks = java.security.KeyStore.getInstance(
+                new java.io.File(path),
+                truststorePassword.getOrElse("").toCharArray)
+              val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+                javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+              tmf.init(ks)
+              val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+              ctx.init(null, tmf.getTrustManagers, null)
+              ctx.getSocketFactory
+          }
+          factory.createSocket(host, port)
+        }
       s.setTcpNoDelay(true)
       new PooledConn(s)
     }
   }
 
-  private def giveBack(addr: String, c: PooledConn): Unit = {
-    val pool = pools.computeIfAbsent(addr, _ => mutable.ArrayDeque())
+  private def giveBack(key: String, c: PooledConn): Unit = {
+    val pool = pools.computeIfAbsent(key, _ => mutable.ArrayDeque())
     pool.synchronized { pool.append(c) }
   }
 
-  def fetch(addr: String, clientid: String, from: Long,
-      until: Long): Seq[EmqxMessage] = {
-    val c = borrow(addr)
+  def fetch(addr: String, clientid: String, from: Long, until: Long,
+      truststorePath: Option[String] = None,
+      truststorePassword: Option[String] = None): Seq[EmqxMessage] = {
+    val c = borrow(addr, truststorePath, truststorePassword)
     try {
       c.out.writeInt(FetchProxy.OpFetch)
       c.out.writeUTF(clientid)
@@ -186,7 +231,7 @@ object FetchProxyClient {
       c.out.writeLong(until)
       c.out.flush()
       val msgs = FetchProxy.readMessages(c.in)
-      giveBack(addr, c)
+      giveBack(s"$addr|${truststorePath.getOrElse("")}", c)
       msgs
     } catch {
       case t: Throwable => // broken conn: drop it, don't pool it

@@ -28,7 +28,13 @@ case class BrokerConf(
     keepAliveSec: Int = 30,
     connectTimeoutMs: Int = 5000,
     truststorePath: Option[String] = None,
-    truststorePassword: Option[String] = None) {
+    truststorePassword: Option[String] = None,
+    // fetch-proxy TLS: the driver's proxy serves with this keystore
+    // (options proxykeystorepath/-password) and executor clients
+    // trust it via the same truststore fields as the broker TLS —
+    // both ride inside the InputPartition-carried conf
+    proxyKeystorePath: Option[String] = None,
+    proxyKeystorePassword: Option[String] = None) {
   def isNetwork: Boolean =
     uri.startsWith("tcp://") || uri.startsWith("ssl://")
 }

@@ -325,6 +325,42 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fetch proxy over TLS: truststored client fetches, naked client is refused") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("proxy-tls").toString
+    val keystore = s"$dir/proxy.p12"
+    val cmd = Seq("keytool", "-genkeypair", "-alias", "proxy",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "1",
+      "-dname", "CN=localhost", "-keystore", keystore,
+      "-storetype", "PKCS12", "-storepass", "changeit")
+    assert(cmd.! == 0, "keytool failed")
+    withServer { (_, _, conf) =>
+      val owner = new NetworkMqttBroker(conf)
+      owner.connect("pxs-c0", cleanStart = true, 60, None, None)
+      owner.subscribe("pxs-c0", "pxs/#", 1)
+      val producer = new NetworkMqttBroker(conf)
+      producer.publish(EmqxMessage("pxs/t", 1, retained = false,
+        Map.empty, "sec".getBytes("UTF-8")))
+      eventually() { assert(owner.endOffset("pxs-c0") == 1) }
+
+      val proxy = new FetchProxyServer(owner,
+        sslKeystore = Some((keystore, "changeit")))
+      try {
+        assert(proxy.address.startsWith("ssl://"))
+        val got = FetchProxyClient.fetch(proxy.address, "pxs-c0", 0, 1,
+          truststorePath = Some(keystore),
+          truststorePassword = Some("changeit"))
+        assert(got.length == 1 &&
+          new String(got.head.payload, "UTF-8") == "sec")
+        // no truststore → handshake must fail (self-signed cert)
+        intercept[Exception] {
+          FetchProxyClient.fetch(proxy.address, "pxs-c0", 0, 1)
+        }
+      } finally proxy.close()
+      owner.closeAll(); producer.closeAll()
+    }
+  }
+
   test("malformed remaining-length VBI is rejected, not looped forever") {
     // >4 continuation bytes: a hostile/broken peer must get an error
     // on the connection thread, not an infinite loop / huge allocation
