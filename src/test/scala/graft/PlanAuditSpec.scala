@@ -61,4 +61,42 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = planOf(graft.operators.AdvancedOps.wordcountSalted(spark, sf))
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2)
   }
+
+  test("jaccard postings stay two-long rows: no strings reach a shuffle") {
+    val plan = planOf(Dedup.jaccardPairs(spark, sf))
+    // the posting flatMap emits (shingle: long, packed: long); if
+    // `text` or `source` ever appears in an Exchange the kernel fusion
+    // regressed and strings are riding the dominant shuffle again
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchangeLines.nonEmpty)
+    exchangeLines.foreach { l =>
+      assert(!l.contains("text#") && !l.contains("source#"),
+        s"string column in shuffle: $l")
+    }
+    // exactly: postings->buckets, member-set multiplicity groupBy,
+    // pair groupBy, final sort
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 4, s"$shuffles shuffles:\n$plan")
+  }
+
+  test("shingle counting is a kernel projection, no regex machinery") {
+    val plan = planOf(graft.operators.TextOps.textShingles(spark, sf))
+    // both counts come from the one-pass byte kernels, directly over
+    // the scan (WholeStageCodegen wraps this Project at execution;
+    // the pre-AQE plan string doesn't print the codegen stage)
+    assert(plan.contains("wstokencount") && plan.contains("shinglekeys"),
+      s"kernels missing from plan:\n$plan")
+    assert(!plan.contains("split(") && !plan.contains("array_distinct"),
+      s"string machinery back in the plan:\n$plan")
+  }
+
+  test("minhash verify join carries long arrays, never shingle strings") {
+    val plan = planOf(graft.operators.MinHashDedup.minhashPairs(spark, sf))
+    assert(!plan.contains("array_intersect"),
+      "string array_intersect back in the verify join")
+    assert(plan.contains("sortedintersectcount") ||
+      plan.toLowerCase.contains("sortedintersect"),
+      s"merge-count kernel missing from plan")
+  }
 }
