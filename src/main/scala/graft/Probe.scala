@@ -34,6 +34,7 @@ object Probe {
       "dedup_minhash_pairs", "dedup_simhash", "dedup_winnow",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "pipeline_clean", "wordcount_salted",
+      "multimodal_decode",
       "ann_bruteforce", "ann_lsh", "ann_ivf",
       "q_events_tumbling", "q_events_sliding", "q_sessionize",
       "q_conditional_agg")
