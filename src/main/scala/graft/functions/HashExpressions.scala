@@ -311,6 +311,77 @@ object HashKernels {
       else java.util.Arrays.copyOf(trimmed, wIdx))
   }
 
+  /** Multi-minima winnowing: the `t` SMALLEST gram hashes per window
+    * instead of one — a denser sketch that also surfaces shared runs
+    * shorter than the win+k-1 single-min guarantee. t=1 delegates to
+    * [[winnow]] (bit-identical); per-window partial selection is
+    * O(win·t) with win small by construction.
+    */
+  def winnowMulti(text: UTF8String, k: Int, win: Int, t: Int): ArrayData = {
+    if (t <= 1) return winnow(text, k, win)
+    val bytes = text.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val B = 257L
+    var powK = 1L
+    var i = 0
+    while (i < k - 1) { powK = mulmodP(powK, B); i += 1 }
+    val grams = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) {
+      h = mulmodP(h, B) + (bytes(i) & 0xffL); if (h >= P) h -= P; i += 1
+    }
+    grams(0) = h
+    i = 1
+    while (i < n) {
+      val out = mulmodP(bytes(i - 1) & 0xffL, powK)
+      h = h - out; if (h < 0) h += P
+      h = mulmodP(h, B) + (bytes(i + k - 1) & 0xffL); if (h >= P) h -= P
+      grams(i) = h
+      i += 1
+    }
+    val w = math.min(win, n)
+    val tt = math.min(t, w)
+    val sel = new Array[Long]((n - w + 1).toLong.toInt * tt)
+    var nSel = 0
+    val best = new Array[Long](tt)
+    var s = 0
+    while (s + w <= n) {
+      var filled = 0
+      var j = s
+      while (j < s + w) {
+        val v = grams(j)
+        // insertion into the tiny sorted buffer of current minima
+        if (filled < tt) {
+          var p = filled
+          while (p > 0 && best(p - 1) > v) { best(p) = best(p - 1); p -= 1 }
+          best(p) = v; filled += 1
+        } else if (v < best(tt - 1)) {
+          var p = tt - 1
+          while (p > 0 && best(p - 1) > v) { best(p) = best(p - 1); p -= 1 }
+          best(p) = v
+        }
+        j += 1
+      }
+      var b = 0
+      while (b < filled) { sel(nSel) = best(b); nSel += 1; b += 1 }
+      s += 1
+    }
+    val trimmed = java.util.Arrays.copyOf(sel, nSel)
+    java.util.Arrays.sort(trimmed)
+    var wIdx = 0; var r = 0
+    while (r < trimmed.length) {
+      if (r == 0 || trimmed(r) != trimmed(r - 1)) {
+        trimmed(wIdx) = trimmed(r); wIdx += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(
+      if (wIdx == trimmed.length) trimmed
+      else java.util.Arrays.copyOf(trimmed, wIdx))
+  }
+
   /** Karp-Rabin rolling-hash document fingerprint: minimum polynomial
     * hash over all `w`-char windows (winnowing's global minimum —
     * robust to edits outside the minimal window).
@@ -637,15 +708,16 @@ case class RollingFingerprint(child: Expression, window: Int)
 }
 
 /** winnow_sketch(text, k, window) → array<bigint> (sorted distinct). */
-case class WinnowSketch(child: Expression, k: Int, window: Int)
+case class WinnowSketch(child: Expression, k: Int, window: Int,
+    minima: Int = 1)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    HashKernels.winnow(input.asInstanceOf[UTF8String], k, window)
+    HashKernels.winnowMulti(input.asInstanceOf[UTF8String], k, window, minima)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HashKernels.winnow($c, $k, $window)")
+      s"graft.functions.HashKernels.winnowMulti($c, $k, $window, $minima)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -821,8 +893,10 @@ object HashFunctions {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   def rolling_fingerprint(text: Column, window: Int): Column =
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(text), window))
-  def winnow_sketch(text: Column, k: Int, window: Int): Column =
-    ColumnBridge.column(WinnowSketch(ColumnBridge.expression(text), k, window))
+  def winnow_sketch(text: Column, k: Int, window: Int,
+      minima: Int = 1): Column =
+    ColumnBridge.column(
+      WinnowSketch(ColumnBridge.expression(text), k, window, minima))
   def bpe_token_count(text: Column): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text)))
   def ws_token_count(text: Column): Column =

@@ -194,10 +194,13 @@ object MinHashDedup {
     */
   def winnowPairs(spark: SparkSession, sfDir: String,
       k: Int = 16, win: Int = 8, minOverlap: Double = 0.3,
-      maxDf: Int = 100): DataFrame = {
+      maxDf: Int = 100, minima: Int = 1): DataFrame = {
     import spark.implicits._
+    // minima > 1 = multi-minima winnowing: a denser sketch that also
+    // surfaces shared runs shorter than the win+k-1 single-min
+    // guarantee, at minima× posting volume
     val docs = documents(spark, sfDir).select(col("doc_id"),
-      winnow_sketch(col("text"), k, win).as("sketch"))
+      winnow_sketch(col("text"), k, win, minima).as("sketch"))
     // packed postings, same rationale as Dedup.jaccardPairs: the
     // posting shuffle carries two longs (fp + doc_id/n_fp packed
     // word), sort_array on plain longs orders by doc_id for free

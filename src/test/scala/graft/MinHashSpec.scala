@@ -67,6 +67,35 @@ class MinHashSpec extends AnyFunSuite {
     assert((a intersect c).isEmpty)
   }
 
+  test("multi-minima winnow: superset sketch, denser pair overlap") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog repeatedly today",
+      "PREFIX shared middle content block appears here SUFFIX tail",
+      "short", "")
+    texts.foreach { t =>
+      val one = HashKernels.winnow(u8(t), 16, 8).toLongArray().toSet
+      val multi2 = HashKernels.winnowMulti(u8(t), 16, 8, 2)
+        .toLongArray().toSet
+      // every window's minimum is among its 2 smallest
+      assert(one.subsetOf(multi2), s"t=2 lost minima for: $t")
+      // t=1 path is bit-identical through the multi entry point
+      assert(HashKernels.winnowMulti(u8(t), 16, 8, 1).toLongArray()
+        .sameElements(HashKernels.winnow(u8(t), 16, 8).toLongArray()))
+    }
+    // pair level: overlap RATIO is not monotone in t (the
+    // denominator densifies too), but the planted high-jaccard
+    // near-dups must still all surface through the denser sketch
+    val exact = Dedup.jaccardPairs(spark, sf, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dense = MinHashDedup.winnowPairs(spark, sf, minima = 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(dense),
+      s"multi-minima missed planted near-dups: ${exact -- dense}")
+  }
+
   test("winnow pairs find the planted near-dups") {
     val exact = Dedup.jaccardPairs(spark, sf, 0.5)
       .select("doc_a", "doc_b").collect()
