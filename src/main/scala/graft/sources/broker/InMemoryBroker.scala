@@ -201,6 +201,16 @@ class InMemoryBroker extends MqttBroker {
       enqueue(target, msg.copy(qos = math.min(msg.qos, subQos),
         retained = false))
     }
+    notifyAll() // wake delivery loops blocked in awaitActivity
+  }
+
+  /** Block until new data MAY be available (woken by publish) or the
+    * timeout elapses — lets a server delivery loop park instead of
+    * polling. Spurious wakeups and missed-notify races are bounded by
+    * the timeout; callers re-check their own end offsets.
+    */
+  def awaitActivity(timeoutMs: Long): Unit = synchronized {
+    wait(timeoutMs)
   }
 
   /** Absolute end sequence of a session's delivery log (next offset a

@@ -147,7 +147,7 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
             }
             deliverFrom = end
             advanceWatermark()
-          } else Thread.sleep(2)
+          } else backing.awaitActivity(50) // parked until a publish
         }
       } catch { case _: Throwable => () }
     }
