@@ -41,13 +41,24 @@ object Similarity {
   /** S4/D5 — blocked pairwise similarity join: all pairs within the
     * same label block with cosine ≥ threshold. The block key stands in
     * for an LSH/IVF bucket id at 100 TB — the join shape (shuffle both
-    * sides on block key, pair within block) is the scalable one.
+    * sides on block key, pair within block) is the scalable one, but
+    * pair COST is quadratic in block size, so this is the
+    * SQL-expressible VERIFIER, not the production path
+    * ([[simJoinLsh]] is). `maxRows` fails fast — loudly, with the
+    * redirect — instead of silently burning O(n²/blocks) on a corpus
+    * this was never meant for; raise it deliberately for a bigger
+    * oracle run.
     */
   def simJoin(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, maxRows: Long = 100000): DataFrame = {
     val emb = embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
         toDouble(col("embedding")).as("emb"))
+    val n = emb.count()
+    require(n <= maxRows,
+      s"simJoin is the quadratic label-blocked VERIFIER ($n rows > " +
+        s"maxRows=$maxRows): use Similarity.simJoinLsh for production " +
+        "similarity joins, or raise maxRows deliberately")
     val a = emb.select(col("vec_id").as("vec_a"), col("label"),
       col("emb").as("emb_a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("label"),
