@@ -392,6 +392,9 @@ class EmqxWriterFactory(conf: BrokerConf, schema: StructType,
       // of rows (possibly reordered), so hash+occurrence is a stable
       // idempotence key where an arrival-order row index is not.
       private val occurrence = scala.collection.mutable.HashMap[String, Int]()
+      // one digest instance per writer, reset per row — not per-row
+      // allocation on the sink hot path
+      private lazy val md = java.security.MessageDigest.getInstance("MD5")
       override def write(row: InternalRow): Unit = {
         def opt[T](name: String, get: Int => T, dflt: T): T =
           idx.get(name).filterNot(row.isNullAt).map(get).getOrElse(dflt)
@@ -407,7 +410,7 @@ class EmqxWriterFactory(conf: BrokerConf, schema: StructType,
             .toMap
         }, Map.empty)
         if (idempotent) {
-          val md = java.security.MessageDigest.getInstance("MD5")
+          md.reset()
           def part(b: Array[Byte]): Unit = { // length-framed: no
             md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
             md.update(b)                     // boundary ambiguity
