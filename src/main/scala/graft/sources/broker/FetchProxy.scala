@@ -87,9 +87,14 @@ object FetchProxy {
   * matching truststore (BrokerConf.truststorePath).
   */
 class FetchProxyServer(broker: MqttBroker,
-    sslKeystore: Option[(String, String)] = None) {
+    sslKeystore: Option[(String, String)] = None, bindPort: Int = 0) {
+  private def bindReusable(ss: ServerSocket): ServerSocket = {
+    ss.setReuseAddress(true)
+    ss.bind(new java.net.InetSocketAddress(bindPort))
+    ss
+  }
   private val server: ServerSocket = sslKeystore match {
-    case None => new ServerSocket(0)
+    case None => bindReusable(new ServerSocket())
     case Some((path, password)) =>
       val ks = java.security.KeyStore.getInstance(
         new java.io.File(path), password.toCharArray)
@@ -98,9 +103,10 @@ class FetchProxyServer(broker: MqttBroker,
       kmf.init(ks, password.toCharArray)
       val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
       ctx.init(kmf.getKeyManagers, null, null)
-      ctx.getServerSocketFactory.createServerSocket(0)
+      bindReusable(ctx.getServerSocketFactory.createServerSocket())
   }
   @volatile private var closed = false
+  private val accepted = mutable.ArrayBuffer[Socket]()
 
   def port: Int = server.getLocalPort
 
@@ -120,6 +126,7 @@ class FetchProxyServer(broker: MqttBroker,
       try {
         val s = server.accept()
         s.setTcpNoDelay(true)
+        synchronized { accepted += s }
         val t = new Thread(() => handle(s), s"fetch-proxy-${s.getPort}")
         t.setDaemon(true)
         t.start()
@@ -158,6 +165,10 @@ class FetchProxyServer(broker: MqttBroker,
   def close(): Unit = {
     closed = true
     try server.close() catch { case _: Throwable => () }
+    synchronized {
+      accepted.foreach(s => try s.close() catch { case _: Throwable => () })
+      accepted.clear()
+    }
   }
 }
 
@@ -220,9 +231,25 @@ object FetchProxyClient {
     pool.synchronized { pool.append(c) }
   }
 
+  /** Fetch is a pure idempotent read, so a failure on a POOLED
+    * connection (idle socket death between micro-batches) retries
+    * once on a fresh dial — the broken socket was closed, not
+    * returned — instead of surfacing as a task failure.
+    */
   def fetch(addr: String, clientid: String, from: Long, until: Long,
       truststorePath: Option[String] = None,
-      truststorePassword: Option[String] = None): Seq[EmqxMessage] = {
+      truststorePassword: Option[String] = None): Seq[EmqxMessage] =
+    try fetchOnce(addr, clientid, from, until, truststorePath,
+      truststorePassword)
+    catch {
+      case _: java.io.IOException =>
+        fetchOnce(addr, clientid, from, until, truststorePath,
+          truststorePassword)
+    }
+
+  private def fetchOnce(addr: String, clientid: String, from: Long,
+      until: Long, truststorePath: Option[String],
+      truststorePassword: Option[String]): Seq[EmqxMessage] = {
     val c = borrow(addr, truststorePath, truststorePassword)
     try {
       c.out.writeInt(FetchProxy.OpFetch)

@@ -325,6 +325,36 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fetch proxy: a stale pooled connection retries on a fresh dial") {
+    withServer { (_, _, conf) =>
+      val owner = new NetworkMqttBroker(conf)
+      owner.connect("pxr-c0", cleanStart = true, 60, None, None)
+      owner.subscribe("pxr-c0", "pxr/#", 1)
+      val producer = new NetworkMqttBroker(conf)
+      producer.publish(EmqxMessage("pxr/t", 1, retained = false,
+        Map.empty, "again".getBytes("UTF-8")))
+      eventually() { assert(owner.endOffset("pxr-c0") == 1) }
+
+      val proxy1 = new FetchProxyServer(owner)
+      assert(FetchProxyClient.fetch(proxy1.address, "pxr-c0", 0, 1)
+        .length == 1) // establishes a pooled connection
+      val port = proxy1.port
+      proxy1.close() // kills the pooled connection's server side
+
+      // proxy restarts on the SAME port (same advertised address):
+      // the client's pooled socket is dead; fetch must retry on a
+      // fresh dial instead of failing the partition read
+      val proxy2 = new FetchProxyServer(owner, bindPort = port)
+      try {
+        assert(proxy2.address == proxy1.address)
+        val got = FetchProxyClient.fetch(proxy2.address, "pxr-c0", 0, 1)
+        assert(got.length == 1 &&
+          new String(got.head.payload, "UTF-8") == "again")
+      } finally proxy2.close()
+      owner.closeAll(); producer.closeAll()
+    }
+  }
+
   test("fetch proxy over TLS: truststored client fetches, naked client is refused") {
     import scala.sys.process._
     val dir = java.nio.file.Files.createTempDirectory("proxy-tls").toString
