@@ -112,12 +112,21 @@ class FetchProxyServer(broker: MqttBroker,
 
   /** Address executors can reach — the partition-carried string;
     * `ssl://host:port` when the listener speaks TLS, bare `host:port`
-    * otherwise.
+    * otherwise. Host resolution prefers Spark's own driver host
+    * (`spark.driver.host` — the address executors already reach the
+    * driver on): `InetAddress.getLocalHost` resolves to 127.0.1.1 on
+    * stock Debian/Ubuntu /etc/hosts, which would point every executor
+    * at its own loopback in exactly the multi-JVM deployment this
+    * proxy exists for.
     */
   val address: String = {
     val host =
-      try InetAddress.getLocalHost.getHostAddress
-      catch { case _: Throwable => "127.0.0.1" }
+      (try Option(org.apache.spark.SparkEnv.get)
+        .flatMap(e => e.conf.getOption("spark.driver.host"))
+      catch { case _: Throwable => None })
+        .getOrElse(
+          try InetAddress.getLocalHost.getHostAddress
+          catch { case _: Throwable => "127.0.0.1" })
     if (sslKeystore.isDefined) s"ssl://$host:$port" else s"$host:$port"
   }
 
@@ -159,6 +168,7 @@ class FetchProxyServer(broker: MqttBroker,
       case _: Throwable => ()
     } finally {
       try sock.close() catch { case _: Throwable => () }
+      synchronized { accepted -= sock } // no leak across executor churn
     }
   }
 
@@ -187,6 +197,36 @@ object FetchProxyClient {
   private val pools =
     new ConcurrentHashMap[String, mutable.ArrayDeque[PooledConn]]()
 
+  private def dial(addr: String, truststorePath: Option[String],
+      truststorePassword: Option[String]): PooledConn = {
+    val tls = addr.startsWith("ssl://")
+    val hp = if (tls) addr.substring(6) else addr
+    val i = hp.lastIndexOf(':')
+    val host = hp.substring(0, i)
+    val port = hp.substring(i + 1).toInt
+    val s =
+      if (!tls) new Socket(host, port)
+      else {
+        val factory = truststorePath match {
+          case None => javax.net.ssl.SSLSocketFactory.getDefault
+            .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+          case Some(path) =>
+            val ks = java.security.KeyStore.getInstance(
+              new java.io.File(path),
+              truststorePassword.getOrElse("").toCharArray)
+            val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+              javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+            tmf.init(ks)
+            val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+            ctx.init(null, tmf.getTrustManagers, null)
+            ctx.getSocketFactory
+        }
+        factory.createSocket(host, port)
+      }
+    s.setTcpNoDelay(true)
+    new PooledConn(s)
+  }
+
   private def borrow(addr: String, truststorePath: Option[String],
       truststorePassword: Option[String]): PooledConn = {
     // pool key includes the trust config: two callers with different
@@ -196,34 +236,7 @@ object FetchProxyClient {
     val pooled = pool.synchronized {
       if (pool.nonEmpty) Some(pool.removeHead()) else None
     }
-    pooled.getOrElse {
-      val tls = addr.startsWith("ssl://")
-      val hp = if (tls) addr.substring(6) else addr
-      val i = hp.lastIndexOf(':')
-      val host = hp.substring(0, i)
-      val port = hp.substring(i + 1).toInt
-      val s =
-        if (!tls) new Socket(host, port)
-        else {
-          val factory = truststorePath match {
-            case None => javax.net.ssl.SSLSocketFactory.getDefault
-              .asInstanceOf[javax.net.ssl.SSLSocketFactory]
-            case Some(path) =>
-              val ks = java.security.KeyStore.getInstance(
-                new java.io.File(path),
-                truststorePassword.getOrElse("").toCharArray)
-              val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
-                javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
-              tmf.init(ks)
-              val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-              ctx.init(null, tmf.getTrustManagers, null)
-              ctx.getSocketFactory
-          }
-          factory.createSocket(host, port)
-        }
-      s.setTcpNoDelay(true)
-      new PooledConn(s)
-    }
+    pooled.getOrElse(dial(addr, truststorePath, truststorePassword))
   }
 
   private def giveBack(key: String, c: PooledConn): Unit = {
@@ -233,24 +246,28 @@ object FetchProxyClient {
 
   /** Fetch is a pure idempotent read, so a failure on a POOLED
     * connection (idle socket death between micro-batches) retries
-    * once on a fresh dial — the broken socket was closed, not
-    * returned — instead of surfacing as a task failure.
+    * once on a guaranteed-fresh dial — NOT on the next pooled socket,
+    * which after a proxy bounce is just as stale — instead of
+    * surfacing as a task failure.
     */
   def fetch(addr: String, clientid: String, from: Long, until: Long,
       truststorePath: Option[String] = None,
       truststorePassword: Option[String] = None): Seq[EmqxMessage] =
     try fetchOnce(addr, clientid, from, until, truststorePath,
-      truststorePassword)
+      truststorePassword, usePool = true)
     catch {
       case _: java.io.IOException =>
         fetchOnce(addr, clientid, from, until, truststorePath,
-          truststorePassword)
+          truststorePassword, usePool = false)
     }
 
   private def fetchOnce(addr: String, clientid: String, from: Long,
       until: Long, truststorePath: Option[String],
-      truststorePassword: Option[String]): Seq[EmqxMessage] = {
-    val c = borrow(addr, truststorePath, truststorePassword)
+      truststorePassword: Option[String],
+      usePool: Boolean): Seq[EmqxMessage] = {
+    val c =
+      if (usePool) borrow(addr, truststorePath, truststorePassword)
+      else dial(addr, truststorePath, truststorePassword)
     try {
       c.out.writeInt(FetchProxy.OpFetch)
       c.out.writeUTF(clientid)

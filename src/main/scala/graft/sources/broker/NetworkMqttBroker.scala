@@ -328,27 +328,46 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
 
   /** Fetch [from, until). If the planned range outruns the local
     * buffer — after a mid-query reconnect the un-acked backlog
-    * redelivers asynchronously — this blocks briefly (≤5 s, lock
-    * released between polls so the reader thread can append) for the
-    * replay to land rather than returning a short slice: the engine
-    * never re-requests a range, so silently missing tail rows would
-    * be lost to the query. A dead connection is re-dialed first.
+    * redelivers asynchronously — this waits (lock released between
+    * polls so the reader thread can append) while redelivery makes
+    * PROGRESS, up to 5 s without progress. If rows are still missing:
+    *   - dead connection → THROW, failing the task: Spark retries the
+    *     same range, preserving at-least-once for QoS ≥ 1 (the engine
+    *     never re-plans a range, so a silent short slice would be
+    *     permanent loss — ack() clamps to fetchedUpTo, so the unserved
+    *     suffix would never even ack).
+    *   - alive with redelivery drained → return the short slice: the
+    *     missing rows were QoS 0 deliveries the broker will never
+    *     re-send (at-most-once by contract; they were counted in a
+    *     previous endOffset but died with the old socket).
     */
   override def fetch(clientid: String, from: Long, until: Long): Seq[EmqxMessage] = {
     if (conns.get(clientid) != null && !isConnected(clientid))
       try connOf(clientid) catch { case _: Throwable => () } // broker still down
-    val deadline = System.nanoTime() + 5000L * 1000 * 1000
+    var lastLen = -1L
+    var progressDeadline = System.nanoTime() + 5000L * 1000 * 1000
     while (true) {
       val done = synchronized {
         val c = conns.get(clientid)
         if (c == null) return Seq.empty
-        val hi = math.min(until, c.baseSeq + c.buffer.length)
-        if (hi >= until || !c.alive || System.nanoTime() > deadline) {
+        val len = c.buffer.length.toLong
+        if (len != lastLen) { // redelivery is landing: extend
+          lastLen = len
+          progressDeadline = System.nanoTime() + 5000L * 1000 * 1000
+        }
+        val hi = math.min(until, c.baseSeq + len)
+        val stalled = System.nanoTime() > progressDeadline
+        if (hi >= until || (stalled && c.alive)) {
           c.consumed = true
           val lo = math.max(from, c.baseSeq)
           if (hi > c.fetchedUpTo) c.fetchedUpTo = hi
           return (lo until hi).map(i => c.buffer((i - c.baseSeq).toInt)._1)
         }
+        if (!c.alive || stalled)
+          throw new IllegalStateException(
+            s"fetch $clientid [$from,$until): connection lost with " +
+              s"rows [$hi,$until) unredelivered — failing the task so " +
+              "the engine retries the range (at-least-once)")
         false
       }
       if (!done) Thread.sleep(10)
