@@ -32,6 +32,13 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   /** name → expression builder, shared by the extension injection and
     * the imperative registration path.
     */
@@ -56,7 +63,20 @@ object GraftFunctions {
     "simhash_text" -> ((es: Seq[Expression]) => SimHashText(es(0))),
     "canonical_md5" -> ((es: Seq[Expression]) => CanonicalMd5(es(0))),
     "dot_product" ->
-      ((es: Seq[Expression]) => DotProduct(es(0), es(1))))
+      ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    "winnow_sketch" ->
+      ((es: Seq[Expression]) => WinnowSketch(es(0),
+        intArg(es(1), "k"), intArg(es(2), "window"),
+        if (es.length > 3) intArg(es(3), "minima") else 1)),
+    "bpe_token_count" ->
+      ((es: Seq[Expression]) => BpeTokenCount(es(0))),
+    "ws_token_count" ->
+      ((es: Seq[Expression]) => WsTokenCount(es(0))),
+    "punct_count" -> ((es: Seq[Expression]) => PunctCount(es(0))),
+    "stopword_hits" ->
+      ((es: Seq[Expression]) =>
+        StopwordHits(es(0), stringArg(es(1), "lang"))),
+    "lang_id" -> ((es: Seq[Expression]) => LangId(es(0))))
 
   /** Imperative registration on a live session. */
   def registerAll(spark: SparkSession): Unit =

@@ -192,8 +192,31 @@ object AdvancedOps {
       .orderBy(col("segment"), col("c_custkey"))
   }
 
-  /** ntile + percent_rank window functions over customer balances. */
+  /** ntile + percent_rank over a GLOBAL ordering of customer
+    * balances. An unpartitioned `Window.orderBy` funnels the whole
+    * table into one partition; this uses the distributed
+    * range-partitioned row-number composition instead
+    * (graft.plans.GlobalOrder) — same values, no single-partition
+    * stage. The order key ends in the unique c_custkey, so the order
+    * is total and rank == row number.
+    */
   def qNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ranked, n) = graft.plans.GlobalOrder.withRowNumber(
+      customer(spark, sfDir).select(col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_acctbal"), col("c_custkey")))
+    ranked.select(col("c_custkey"), col("c_acctbal"),
+      graft.plans.GlobalOrder.ntileOf(col("rn"), n, 10).as("decile"),
+      round(graft.plans.GlobalOrder.percentRankOf(col("rn"), n), 6)
+        .as("pct_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Reference implementation of qNtile via the single-partition
+    * window, kept for the equivalence spec only — do not use at
+    * scale.
+    */
+  private[graft] def qNtileWindowed(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
     customer(spark, sfDir)
       .select(col("c_custkey"), col("c_acctbal"),

@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed total-order ranking.
+  *
+  * `ntile(k).over(Window.orderBy(...))` — an unpartitioned window —
+  * makes Spark move EVERY row to a single partition (WindowExec logs
+  * "No Partition Defined for Window operation"); at 100 TB that one
+  * task is the whole job. This operator keeps the global ordering but
+  * never concentrates data:
+  *
+  *  1. `orderBy(orderCols)` — Spark's own scalable total sort
+  *     (range-partitioned exchange + per-partition sort, AQE-sized).
+  *  2. One O(numPartitions) pass counts rows per sorted partition;
+  *     the cumulative counts are the global offset of each partition.
+  *     The count job and the output job share the same RDD lineage,
+  *     so the sort's shuffle map outputs are computed once (the
+  *     reduce-side local sort runs twice — the same trade
+  *     `RDD.zipWithIndex` makes, and a second local sort of spilled
+  *     runs is cheap next to re-shuffling).
+  *  3. A per-partition single pass appends `offset + local index` as
+  *     the global 1-based row number — no window operator at all.
+  *
+  * Rank functions over the result (`ntileOf`, `percentRankOf`) are
+  * then pure arithmetic on the row-number column: codegen'd, embarrassingly
+  * parallel, and bit-identical to the SQL window definitions when the
+  * order is total.
+  *
+  * Ties: append a unique key as the last sort column. With a
+  * non-total order the assigned numbers are a valid but arbitrary
+  * tie-break — exactly ROW_NUMBER semantics, NOT RANK (percentRankOf
+  * assumes rank == row number, which only holds for a total order).
+  */
+object GlobalOrder {
+
+  /** Sort `df` by `orderCols` and append a 1-based global row number.
+    * Returns the ranked frame and the total row count (a free
+    * byproduct of the offset pass). Eager: the offset job runs when
+    * this is called.
+    */
+  def withRowNumber(df: DataFrame, orderCols: Seq[Column],
+      rnName: String = "rn"): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(orderCols: _*)
+    val internal = sorted.queryExecution.toRdd
+    val counts = internal.mapPartitions { it =>
+      var c = 0L
+      while (it.hasNext) { it.next(); c += 1 }
+      Iterator.single(c)
+    }.collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val zipped = internal.mapPartitionsWithIndex { (pid, it) =>
+      val base = offsets(pid)
+      val rn = new SpecificInternalRow(Seq(LongType))
+      val joined = new JoinedRow
+      var i = 0L
+      it.map { row =>
+        i += 1
+        rn.setLong(0, base + i)
+        joined(row, rn): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(rnName, LongType, nullable = false))
+    (ColumnBridge.internalDataFrame(spark, zipped, schema), total)
+  }
+
+  /** SQL-standard NTILE(n) from a global 1-based row number: the
+    * first `total % n` buckets hold `total / n + 1` rows, the rest
+    * `total / n`.
+    */
+  def ntileOf(rn: Column, total: Long, n: Int): Column = {
+    require(n > 0, s"ntile bucket count must be positive, got $n")
+    val q = total / n
+    val r = total % n
+    if (q == 0L) rn.cast("int")
+    else {
+      val cut = r * (q + 1)
+      when(rn <= cut, (rn - 1) / (q + 1) + 1)
+        .otherwise((rn - cut - 1) / q + r + 1)
+        .cast("int")
+    }
+  }
+
+  /** PERCENT_RANK from a global row number: (rank - 1) / (total - 1),
+    * with rank == row number under a total order.
+    */
+  def percentRankOf(rn: Column, total: Long): Column =
+    if (total <= 1L) lit(0.0)
+    else (rn - 1).cast("double") / lit((total - 1).toDouble)
+}

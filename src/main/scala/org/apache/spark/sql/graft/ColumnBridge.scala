@@ -14,6 +14,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap an RDD[InternalRow] produced from a plan's `toRdd` back
+    * into a DataFrame without a Row round-trip (internalCreateDataFrame
+    * is private[sql]). The rows the RDD emits may be reused mutable
+    * instances, same contract as any physical operator's output.
+    */
+  def internalDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** AbstractDataType is private[sql] in Spark 4; expressions outside
     * the sql package need this alias to declare `inputTypes` for
     * ImplicitCastInputTypes.

@@ -28,6 +28,36 @@ class GraftSurfaceSpec extends AnyFunSuite {
     assert(row.getAs[Double]("dp") == 11.0)
   }
 
+  test("text/dedup kernels are callable from SQL and agree with the Column API") {
+    GraftFunctions.registerAll(spark)
+    val doc = "The quick brown fox jumps over the lazy dog and runs away"
+    val row = spark.sql(
+      s"""SELECT
+         | ws_token_count('$doc') AS ws,
+         | bpe_token_count('$doc') AS bpe,
+         | punct_count('a, b. c!') AS pc,
+         | stopword_hits('$doc', 'en') AS sw,
+         | lang_id('$doc') AS lang,
+         | canonical_md5('  A   b ') AS cmd5,
+         | shingle_keys('$doc', 'src', 3) AS sk,
+         | winnow_sketch('$doc', 5, 4) AS wn,
+         | winnow_sketch('$doc', 5, 4, 2) AS wn2
+         |""".stripMargin).head()
+    assert(row.getAs[Int]("ws") == 12)
+    assert(row.getAs[Int]("bpe") >= row.getAs[Int]("ws"))
+    assert(row.getAs[Int]("pc") == 3)
+    assert(row.getAs[Int]("sw") > 0)
+    assert(row.getAs[String]("lang") == "en")
+    val viaCol = spark.range(1)
+      .select(graft.functions.TextFunctions.fingerprintMd5(
+        lit("  A   b ")).as("m")).head().getString(0)
+    assert(row.getAs[String]("cmd5") == viaCol)
+    assert(row.getSeq[Long](row.fieldIndex("sk")).nonEmpty)
+    val wn = row.getSeq[Long](row.fieldIndex("wn"))
+    val wn2 = row.getSeq[Long](row.fieldIndex("wn2"))
+    assert(wn.nonEmpty && wn2.size >= wn.size)
+  }
+
   test("batch DSv2 write publishes envelope rows via format(emqx)") {
     val name = "surface-batch-write"
     val b = BrokerRegistry.get(name)
