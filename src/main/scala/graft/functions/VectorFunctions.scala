@@ -24,6 +24,31 @@ object VectorKernels {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** float×float dot with DOUBLE accumulation: every product is
+    * (double)a * (double)b, so the result is bit-identical to casting
+    * both arrays to array<double> first (float→double is exact) —
+    * without materializing the doubled-width copies.
+    */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** float×double dot (e.g. raw embedding vs k-means centroid). */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    acc
+  }
 }
 
 /** dot_product(array<double>, array<double>) → double.
@@ -48,6 +73,52 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** dot product over array<float> / array<double> inputs in any
+  * combination, accumulating in double — the hot path of every ANN
+  * operator. Unlike [[DotProduct]] (which ImplicitCasts float arrays
+  * to array<double>, materializing a 2×-width copy per row), this
+  * dispatches to a per-type primitive loop at codegen time, so raw
+  * float embeddings flow through scans, shuffles, and broadcasts at
+  * float width. Values are bit-identical to the cast-then-dot form:
+  * every product is computed as (double)a * (double)b and
+  * float→double conversion is exact.
+  */
+case class DotProductAny(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def elem(e: Expression): DataType = e.dataType match {
+    case ArrayType(t @ (org.apache.spark.sql.types.FloatType |
+      DoubleType), _) => t
+    case other => throw new IllegalArgumentException(
+      s"dot requires array<float|double> input, got $other")
+  }
+  private lazy val kernel: String = (elem(left), elem(right)) match {
+    case (org.apache.spark.sql.types.FloatType,
+      org.apache.spark.sql.types.FloatType) => "dotFF"
+    case (org.apache.spark.sql.types.FloatType, DoubleType) => "dotFD"
+    case (DoubleType, org.apache.spark.sql.types.FloatType) => "dotFDrev"
+    case _ => "dot"
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    kernel match {
+      case "dotFF" => VectorKernels.dotFF(x, y)
+      case "dotFD" => VectorKernels.dotFD(x, y)
+      case "dotFDrev" => VectorKernels.dotFD(y, x)
+      case _ => VectorKernels.dot(x, y)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => kernel match {
+      case "dotFDrev" => s"graft.functions.VectorKernels.dotFD($b, $a)"
+      case k => s"graft.functions.VectorKernels.$k($a, $b)"
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   def toDouble(v: Column): Column = v.cast("array<double>")
@@ -61,4 +132,19 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Type-dispatching dot: float and double arrays in any mix, no
+    * widening cast materialized (see [[DotProductAny]]).
+    */
+  def dotAny(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductAny(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def normAny(a: Column): Column = sqrt(dotAny(a, a))
+
+  /** Cosine over float/double arrays, bit-identical to
+    * cosine(toDouble(a), toDouble(b)).
+    */
+  def cosineAny(a: Column, b: Column): Column =
+    dotAny(a, b) / (normAny(a) * normAny(b))
 }

@@ -90,6 +90,28 @@ object Multimodal {
     * Deterministic, so decode features are exactly reproducible.
     */
   def realMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    // Materialize the encoded fixture once per input dir: production
+    // reads media bytes that already exist (S3 JPEGs, tar shards) —
+    // re-running the JDK ENCODERS per row on every query made the
+    // decode benchmarks time fixture synthesis (~half the 100× probe
+    // cost). Content is deterministic, so the cache is coherent.
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_))
+      .mkString
+    val cache = new java.io.File(
+      s"/tmp/graft_media_cache/${new java.io.File(sfDir).getName}-$digest")
+    this.synchronized {
+      if (!new java.io.File(cache, "_SUCCESS").exists()) {
+        buildRealMediaTable(spark, sfDir)
+          .write.mode("overwrite").parquet(cache.toString)
+      }
+    }
+    spark.read.parquet(cache.toString)
+  }
+
+  /** The actual fixture encode (see [[realMediaTable]] for caching). */
+  private def buildRealMediaTable(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
     documents(spark, sfDir)
       .select(col("doc_id"), substring(col("text"), 1, 256).as("seed"))

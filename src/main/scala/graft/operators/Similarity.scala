@@ -23,14 +23,14 @@ object Similarity {
   def annBruteForce(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val emb = embeddings(spark, sfDir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"), col("embedding").as("emb"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("emb"), col("q_emb")))
+      .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -53,7 +53,7 @@ object Similarity {
       threshold: Double = 0.4, maxRows: Long = 100000): DataFrame = {
     val emb = embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
-        toDouble(col("embedding")).as("emb"))
+        col("embedding").as("emb"))
     val n = emb.count()
     require(n <= maxRows,
       s"simJoin is the quadratic label-blocked VERIFIER ($n rows > " +
@@ -65,7 +65,7 @@ object Similarity {
       col("emb").as("emb_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cosine", cosineAny(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -90,7 +90,7 @@ object Similarity {
       nPlanes: Int = 0, nBands: Int = 4, k: Int = 5,
       nQueries: Int = 10, targetBucket: Int = 1024): DataFrame = {
     val emb = embeddings(spark, sfDir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"), col("embedding").as("emb"))
     val planes =
       if (nPlanes > 0) nPlanes
       else nBands * lshBitsFor(emb.count(), targetBucket)
@@ -112,7 +112,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
     candIds.join(emb, "vec_id")
       .join(broadcast(qEmb), "query_id")
-      .withColumn("cosine", cosine(col("emb"), col("q_emb")))
+      .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -147,7 +147,7 @@ object Similarity {
     require(bitsPerBand >= 1 && bitsPerBand <= 63,
       s"bitsPerBand must be in [1,63], got $bitsPerBand")
     val nWords = (nPlanes + 63) / 64
-    emb.as[(Long, Seq[Double])]
+    emb.as[(Long, Seq[Float])]
       .mapPartitions { it =>
         // plane weights depend only on (plane, dim): computed ONCE per
         // partition, not per vector — re-deriving the splitmix64 hash
@@ -229,7 +229,7 @@ object Similarity {
       maxBucket: Int = 5000): DataFrame = {
     import spark.implicits._
     val emb = embeddings(spark, sfDir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"), col("embedding").as("emb"))
     bandedVectors(spark, emb, nPlanes, nBands)
       .groupBy(col("band"), col("bsig"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("emb"))))
@@ -245,7 +245,7 @@ object Similarity {
       // duplicate-heavy corpus this is a bands-fold cut in pair work
       // for one extra shuffle of the (already shuffled) bucket lists
       .distinct()
-      .as[Seq[(Long, Seq[Double])]]
+      .as[Seq[(Long, Seq[Float])]]
       .flatMap { members =>
         // unbox once: the O(bucket²·dim) inner loops then run on raw
         // double[] (the Seq[Double] the encoder hands back costs a
@@ -258,7 +258,12 @@ object Similarity {
         var i = 0
         while (i < n) {
           val v = vecs(i); var s = 0.0; var d = 0
-          while (d < v.length) { s += v(d) * v(d); d += 1 }
+          // float elements must widen BEFORE multiplying: a
+          // float×float product rounds to float and drifts off the
+          // oracle-checked double arithmetic
+          while (d < v.length) {
+            val x = v(d).toDouble; s += x * x; d += 1
+          }
           norms(i) = math.sqrt(s); i += 1
         }
         val out = Seq.newBuilder[(Long, Long, Double)]
@@ -268,7 +273,9 @@ object Similarity {
           while (j < n) {
             val va = vecs(i); val vb = vecs(j)
             var dot = 0.0; var d = 0
-            while (d < va.length) { dot += va(d) * vb(d); d += 1 }
+            while (d < va.length) {
+              dot += va(d).toDouble * vb(d).toDouble; d += 1
+            }
             val denom = norms(i) * norms(j)
             val c = if (denom == 0.0) 0.0 else dot / denom
             if (c >= threshold) out += ((ids(i), ids(j), c))
@@ -294,14 +301,14 @@ object Similarity {
       nCells: Int = 8, nProbe: Int = 2, k: Int = 5,
       nQueries: Int = 10, lloydIters: Int = 2): DataFrame = {
     val emb = embeddings(spark, sfDir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"), col("embedding").as("emb"))
     val centroids = fitCentroids(spark, emb, nCells, lloydIters)
 
     // nearest cell per corpus vector (broadcast centroids, one pass)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdist").desc, col("cell_id"))
     val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col("emb"), col("c_emb")))
+      .withColumn("cdist", cosineAny(col("emb"), col("c_emb")))
       .withColumn("crnk", row_number().over(wAssign))
       .filter(col("crnk") === 1)
       .select(col("vec_id"), col("emb"), col("cell_id"))
@@ -310,7 +317,7 @@ object Similarity {
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
       .crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cdist", cosineAny(col("q_emb"), col("c_emb")))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cdist").desc, col("cell_id"))))
@@ -321,7 +328,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
     assigned.join(probes, Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("emb"), col("q_emb")))
+      .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -356,7 +363,7 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val assigned = fitSet.crossJoin(broadcast(centroids))
-        .withColumn("cdist", cosine(col("emb"), col("c_emb")))
+        .withColumn("cdist", cosineAny(col("emb"), col("c_emb")))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cell_id"), struct(col("cdist"), -col("cell_id")))
           .as("cell_id"), first(col("emb")).as("emb"))
