@@ -144,4 +144,174 @@ object StreamingOps {
       .select(explode(split(col("payload").cast("string"), "\\s+"))
         .as("word"))
       .groupBy(col("word")).count()
+
+  case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
+  private[streaming] case class BucketState(sigs: Array[Array[Long]],
+      latestMs: Long)
+
+  /** X7 — streaming NEAR-duplicate suppression: the streaming twin of
+    * MinHashDedup.minhashPairs, for ingest pipelines that must drop
+    * near-copies as documents arrive instead of in a batch sweep.
+    *
+    * Shape: shingle_keys + minhash_keys run codegen'd in the
+    * projection; each doc is keyed by a single LSH band (xxhash64 of
+    * its first `bandRows` minhash rows — banding stays a COLUMN
+    * computation, not a typed map: re-serializing through object
+    * space strips the watermark metadata off `ts` and the event-time
+    * timeout below would be rejected), and a keyed state per bucket
+    * holds the signatures seen there. A doc whose signature agrees with a
+    * stored one on ≥ `theta`·k rows is suppressed; survivors are
+    * emitted and remembered. State is bounded two ways: `maxBucket`
+    * caps signatures per bucket (oldest evicted first), and an
+    * event-time timeout drops buckets idle past `idle` once the
+    * watermark passes them — state never outlives the stream's time
+    * horizon, the same eviction contract as X2/X6.
+    *
+    * One band means recall is bounded by P[band collision] — raise
+    * `bandRows` for precision or lower it for recall; suppression
+    * (unlike batch pair-reporting) only needs the FIRST collision, so
+    * one band of 8 rows catches j ≥ 0.7 pairs with high probability
+    * while keeping a single decision point per doc (multi-band
+    * suppression would need cross-group consensus, a second stateful
+    * stage).
+    *
+    * Docs too short to shingle have no MinHash identity and pass
+    * through unsuppressed (the batch operator skips them for the same
+    * reason — they would all collide on the sentinel signature).
+    */
+  def streamingNearDup(docs: Dataset[StreamDoc], k: Int = 64,
+      bandRows: Int = 8, theta: Double = 0.7, maxBucket: Int = 128,
+      watermark: String = "10 minutes",
+      idle: String = "30 minutes"): Dataset[StreamDoc] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.HashFunctions._
+    require(bandRows > 0 && bandRows <= k, s"bandRows in [1,$k]")
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(idle))
+    require(iv.months == 0, s"idle must be a fixed duration, got $idle")
+    val idleMs = iv.days * 86400000L + iv.microseconds / 1000L
+    val keyed = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), col("text"),
+        shingle_keys(col("text"), lit(""), 3).as("keys"))
+      .select(col("doc_id"), col("ts"), col("text"),
+        minhash_keys(col("keys"), k).as("sig"),
+        size(col("keys")).as("n_sh"))
+      .withColumn("bucket",
+        when(col("n_sh") === 0, lit(Long.MinValue)) // pass-through lane
+          .otherwise(xxhash64(slice(col("sig"), 1, bandRows))))
+      .select(col("bucket"), col("doc_id"), col("ts"), col("text"),
+        col("sig"))
+      .as[(Long, Long, Timestamp, String, Seq[Long])]
+
+    def update(bucket: Long,
+        rows: Iterator[(Long, Long, Timestamp, String, Seq[Long])],
+        state: GroupState[BucketState]): Iterator[StreamDoc] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val batch = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+      if (bucket == Long.MinValue)
+        return batch.map(r => StreamDoc(r._2, r._3, r._4)).iterator
+      var st = state.getOption.getOrElse(BucketState(Array.empty, 0L))
+      val out = List.newBuilder[StreamDoc]
+      batch.foreach { case (_, id, ts, text, sigSeq) =>
+        val sig = sigSeq.toArray
+        val dup = st.sigs.exists { s =>
+          var agree = 0
+          var i = 0
+          while (i < k) { if (s(i) == sig(i)) agree += 1; i += 1 }
+          agree.toDouble / k >= theta
+        }
+        if (!dup) {
+          out += StreamDoc(id, ts, text)
+          val kept =
+            if (st.sigs.length >= maxBucket) st.sigs.drop(1) else st.sigs
+          st = BucketState(kept :+ sig,
+            math.max(st.latestMs, ts.getTime))
+        } else st = st.copy(latestMs = math.max(st.latestMs, ts.getTime))
+      }
+      state.update(st)
+      // event-time timeout must sit above the current watermark (a
+      // bucket of only-late events would otherwise throw)
+      state.setTimeoutTimestamp(math.max(st.latestMs + idleMs,
+        state.getCurrentWatermarkMs() + 1))
+      out.result().iterator
+    }
+
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Static-side index for [[contaminationScreen]]: one row per
+    * (reference doc, band) with the band's bucket key and the doc's
+    * sorted shingle keys for exact verification. Compute once and
+    * persist (it's scanned every micro-batch); at 100 TB the
+    * reference set (an eval benchmark) is dimension-sized next to the
+    * stream.
+    */
+  def referenceIndex(ref: DataFrame, idCol: String = "ref_id",
+      n: Int = 3, k: Int = 64, bands: Int = 8): DataFrame = {
+    import ref.sparkSession.implicits._
+    import graft.functions.HashFunctions._
+    val rows = k / bands
+    ref.select(col(idCol).as("ref_id"),
+        shingle_keys(col("text"), lit(""), n).as("ref_keys"))
+      .withColumn("sig", minhash_keys(col("ref_keys"), k))
+      .filter(size(col("ref_keys")) > 0)
+      .select(col("ref_id"), col("ref_keys"),
+        posexplode(bandSigs(col("sig"), bands, rows)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bsig"))
+  }
+
+  /** Per-band bucket keys as ONE column computation: xxhash64 over
+    * each band's signature slice. Both join sides of the screen must
+    * use this exact formula; it also must stay in column space on the
+    * streaming side (a typed flatMap would strip the watermark — see
+    * [[streamingNearDup]]).
+    */
+  private def bandSigs(sig: org.apache.spark.sql.Column, bands: Int,
+      rows: Int): org.apache.spark.sql.Column =
+    array((0 until bands).map(j =>
+      xxhash64(slice(sig, j * rows + 1, rows))): _*)
+
+  /** X8 — stream–static contamination screen: every arriving document
+    * is checked against a static reference corpus (eval benchmarks,
+    * blocklists) and emitted with the references it overlaps — the
+    * decontamination step of a training-data ingest, run at ingest
+    * time instead of as a batch sweep.
+    *
+    * Shape: the stream side computes the same banded MinHash as
+    * [[referenceIndex]]; candidates come from an equi-join on
+    * (band, bsig) — a stream-static join, stateless, planned per
+    * micro-batch; the exact n-gram Jaccard (merge-count over the two
+    * sorted key arrays) then verifies candidates ≥ `theta`. Band
+    * collisions of the same (doc, ref) pair are deduplicated with
+    * watermark-bounded state.
+    */
+  def contaminationScreen(docs: Dataset[StreamDoc], refIndex: DataFrame,
+      n: Int = 3, k: Int = 64, bands: Int = 8, theta: Double = 0.8,
+      watermark: String = "10 minutes"): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.HashFunctions._
+    val rows = k / bands
+    val banded = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        shingle_keys(col("text"), lit(""), n).as("keys"))
+      .withColumn("sig", minhash_keys(col("keys"), k))
+      .filter(size(col("keys")) > 0)
+      .select(col("doc_id"), col("ts"), col("keys"),
+        posexplode(bandSigs(col("sig"), bands, rows)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bsig"))
+    banded.join(refIndex, Seq("band", "bsig"))
+      .withColumn("inter",
+        sorted_intersect_count(col("keys"), col("ref_keys")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("keys")) + size(col("ref_keys")) - col("inter")))
+      .filter(col("jaccard") >= theta)
+      .select(col("doc_id"), col("ts"), col("ref_id"), col("jaccard"))
+      .dropDuplicatesWithinWatermark("doc_id", "ref_id")
+  }
 }

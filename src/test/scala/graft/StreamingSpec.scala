@@ -25,6 +25,84 @@ class StreamingSpec extends AnyFunSuite {
     q
   }
 
+  test("streaming near-dup suppresses arriving near-copies, keeps distinct docs") {
+    import graft.streaming.StreamingOps.StreamDoc
+    // 60 distinct tokens; the near-copy edits ONE word (jaccard ≈
+    // 0.97, signature agreement 0.95) — deterministic band-0
+    // collision under the fixed minhash seeds. Single-band
+    // suppression is for near-EXACT copies; a j=0.5 mutation would
+    // (correctly) not collide.
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearCopy = base.replaceFirst("word1 ", "changed ")
+    val distinct = (1 to 60).map(i => s"other$i").mkString(" ")
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingNearDup(in.toDS(), theta = 0.7)
+      .writeStream.format("memory").queryName("near_dup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(StreamDoc(1, ts(0), base))
+      q.processAllAvailable()
+      in.addData(StreamDoc(2, ts(1), nearCopy), // suppressed vs doc 1
+        StreamDoc(3, ts(2), distinct), // survives
+        StreamDoc(4, ts(3), "tiny")) // too short to shingle: pass-through
+      q.processAllAvailable()
+      in.addData(StreamDoc(5, ts(4), base)) // exact copy, suppressed
+      q.processAllAvailable()
+      val got = spark.table("near_dup_out").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got == Set(1L, 3L, 4L), s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup within one batch keeps the earliest copy") {
+    import graft.streaming.StreamingOps.StreamDoc
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingNearDup(in.toDS(), theta = 0.5)
+      .writeStream.format("memory").queryName("near_dup_batch")
+      .outputMode("append").start()
+    try {
+      in.addData(StreamDoc(11, ts(1), base), StreamDoc(10, ts(0), base),
+        StreamDoc(12, ts(2), base))
+      q.processAllAvailable()
+      val got = spark.table("near_dup_batch").collect()
+        .map(_.getAs[Long]("doc_id")).toSeq
+      assert(got == Seq(10L), s"got $got")
+    } finally q.stop()
+  }
+
+  test("contamination screen flags stream docs overlapping the reference set") {
+    import graft.streaming.StreamingOps.StreamDoc
+    // 60-token reference docs; the contaminated stream doc edits one
+    // interior word → exact jaccard 55/61 ≈ 0.90, and any-of-8-bands
+    // collision is near-certain at that similarity
+    val eval1 = (1 to 60).map(i => s"evalA$i").mkString(" ")
+    val eval2 = (1 to 60).map(i => s"evalB$i").mkString(" ")
+    val clean = (1 to 60).map(i => s"clean$i").mkString(" ")
+    val ref = Seq((100L, eval1), (200L, eval2)).toDF("ref_id", "text")
+    val refIdx = StreamingOps.referenceIndex(ref)
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.contaminationScreen(in.toDS(), refIdx, theta = 0.6)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamDoc(1, ts(0), eval1.replaceFirst("evalA30 ", "edited ")),
+        StreamDoc(2, ts(1), clean),
+        StreamDoc(3, ts(2), eval2)) // verbatim eval2
+      q.processAllAvailable()
+      val got = spark.table("contam_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ref_id"))
+        .toSet
+      assert(got == Set(1L -> 100L, 3L -> 200L), s"got $got")
+      val j = spark.table("contam_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("jaccard"))
+        .toMap
+      assert(j(3L) == 1.0, s"verbatim copy should have jaccard 1.0: $j")
+      assert(j(1L) >= 0.6 && j(1L) < 1.0)
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate per tumbling window with watermark") {
     val in = MemoryStream[Event]
     in.addData(
