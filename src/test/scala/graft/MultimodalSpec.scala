@@ -27,6 +27,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("fast PNG decode path equals ImageIO exactly on varied images") {
+    import graft.multimodal.MediaCodecs
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { _ =>
+      val w = 1 + rnd.nextInt(80)
+      val h = 1 + rnd.nextInt(60)
+      val seed = Array.fill(1 + rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val png = MediaCodecs.encodePng(w, h, seed)
+      val fast = MediaCodecs.decodeImage(png).get
+      val ref = MediaCodecs.decodeImageIO(png).get
+      assert(fast.width == ref.width && fast.height == ref.height)
+      assert(fast.channels == ref.channels)
+      assert(fast.meanLum == ref.meanLum, s"${w}x$h meanLum")
+      assert(fast.lumHistogram.toSeq == ref.lumHistogram.toSeq)
+    }
+  }
+
+  test("fast WAV decode path equals javax.sound exactly on varied clips") {
+    import graft.multimodal.MediaCodecs
+    val rnd = new scala.util.Random(11)
+    (1 to 25).foreach { _ =>
+      val sr = Seq(8000, 16000, 44100)(rnd.nextInt(3))
+      val n = 1 + rnd.nextInt(4000)
+      val seed = Array.fill(1 + rnd.nextInt(100))(rnd.nextInt(256).toByte)
+      val wav = MediaCodecs.encodeWav(sr, n, seed)
+      val fast = MediaCodecs.decodeWav(wav).get
+      val ref = MediaCodecs.decodeWavJavax(wav).get
+      assert(fast.sampleRate == ref.sampleRate &&
+        fast.channels == ref.channels && fast.nFrames == ref.nFrames)
+      assert(fast.durationMs == ref.durationMs)
+      assert(fast.rms == ref.rms)
+      assert(fast.windowRms.toSeq == ref.windowRms.toSeq)
+    }
+  }
+
   test("real PNG encode/decode round-trips through the JDK codec") {
     import graft.multimodal.MediaCodecs
     val png = MediaCodecs.encodePng(20, 14, "seed bytes".getBytes("UTF-8"))
