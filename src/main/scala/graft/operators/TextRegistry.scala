@@ -28,6 +28,7 @@ object TextRegistry {
     // recall vs the blocked verifier is spec'd in TextDedupSpec
     "dedup_jaccard_lsh" -> ((s, d) => Dedup.jaccardPairsLsh(s, d)),
     "dedup_simhash" -> ((s, d) => MinHashDedup.simhashPairs(s, d)),
+    "contamination_screen" -> ((s, d) => Dedup.screenAgainstReference(s, d)),
     "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),
     "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _)
   )
@@ -161,6 +162,20 @@ object TextRegistry {
          |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
          |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "contamination_screen" ->
+      s"""WITH t AS (SELECT doc_id, $SH AS sh FROM documents),
+         |tt AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+         |r AS (SELECT doc_id AS ref_id, sh AS rsh FROM tt
+         |      WHERE doc_id % 7 = 0)
+         |SELECT tt.doc_id, r.ref_id,
+         | len(list_intersect(tt.sh, r.rsh))::DOUBLE
+         |   / (len(tt.sh) + len(r.rsh) - len(list_intersect(tt.sh, r.rsh)))
+         |   AS jaccard
+         |FROM tt JOIN r ON tt.doc_id != r.ref_id
+         |WHERE len(list_intersect(tt.sh, r.rsh))::DOUBLE
+         |   / (len(tt.sh) + len(r.rsh) - len(list_intersect(tt.sh, r.rsh)))
+         |   >= 0.05
+         |ORDER BY doc_id, ref_id""".stripMargin
   )
 }

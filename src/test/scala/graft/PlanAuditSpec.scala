@@ -62,6 +62,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2)
   }
 
+  test("contamination screen broadcasts the reference, streams the corpus") {
+    val plan = planOf(Dedup.screenAgainstReference(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"reference side not broadcast:\n$plan")
+    // the corpus side must not shuffle before the join: the only
+    // exchange allowed is the final orderBy's range partitioning
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"corpus shuffled before broadcast join:\n$plan")
+  }
+
   test("jaccard postings stay two-long rows: no strings reach a shuffle") {
     val plan = planOf(Dedup.jaccardPairs(spark, sf))
     // the posting flatMap emits (shingle: long, packed: long); if
