@@ -225,6 +225,23 @@ object AdvancedOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** R26 — exact per-group top-k via the TopKBy
+    * TypedImperativeAggregate: one aggregation with a bounded k-entry
+    * heap per group, combined map-side, so at most k·groups entries
+    * per partition reach the shuffle. The window form
+    * (q_window_rank's shape) shuffles every row to rank it — this is
+    * the 100 TB-safe way to answer "top N per key".
+    */
+  def qTopKAgg(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.AggFunctions.topk_by(
+        col("o_totalprice").cast("double"), col("o_orderkey"), k).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("o_orderkey"), col("col.ord").as("price"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+
   /** CUBE over (returnflag, linestatus). */
   def qCube(spark: SparkSession, sfDir: String): DataFrame =
     lineitem(spark, sfDir)

@@ -36,6 +36,7 @@ object RelationalRegistry {
     "q_pivot" -> (AdvancedOps.qPivot _),
     "q_set_ops" -> (AdvancedOps.qSetOps _),
     "q_ntile" -> (AdvancedOps.qNtile _),
+    "q_topk_agg" -> ((s, d) => AdvancedOps.qTopKAgg(s, d)),
     "q_cube" -> (AdvancedOps.qCube _),
     "q_train_split" -> (AdvancedOps.qTrainSplit _),
     "q_histogram" -> ((s, d) => AdvancedOps.qHistogram(s, d)),
@@ -270,6 +271,15 @@ object RelationalRegistry {
         | round(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6)
         |   AS pct_rank
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rank, o_orderkey, price
+        |FROM (
+        | SELECT o_orderpriority, o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS price,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
         |FROM lineitem

@@ -24,6 +24,35 @@ class AdvancedSpec extends AnyFunSuite {
       expect.getAs[Long]("o_orderkey"))
   }
 
+  test("TopKBuffer fuzz: heap equals sort-take-k under random streams and merges") {
+    val rnd = new scala.util.Random(13)
+    (1 to 50).foreach { _ =>
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(200)
+      // duplicate ords force the id tie-break
+      val items = Seq.fill(n)((rnd.nextInt(20).toDouble, rnd.nextLong()))
+      val (l, r) = items.splitAt(rnd.nextInt(n + 1))
+      val a = new graft.functions.TopKBuffer(k)
+      val b = new graft.functions.TopKBuffer(k)
+      l.foreach { case (o, i) => a.offer(o, i) }
+      r.foreach { case (o, i) => b.offer(o, i) }
+      var j = 0
+      while (j < b.size) { a.offer(b.ords(j), b.ids(j)); j += 1 }
+      val want = items.sortBy { case (o, i) => (-o, i) }.take(k)
+      assert(a.sorted.toSeq == want, s"k=$k n=$n")
+    }
+  }
+
+  test("q_topk_agg plan is a partial object aggregation, no window") {
+    val df = AdvancedOps.qTopKAgg(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in top-k plan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"no partial object aggregation:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 15) // 5 priorities x k=3
+  }
+
   test("salted wordcount equals direct wordcount") {
     val direct = TextOps.wordcount(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
