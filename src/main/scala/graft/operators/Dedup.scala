@@ -34,30 +34,59 @@ object Dedup {
 
   /** D7 — batch contamination screen: every document's exact n-gram
     * Jaccard against a REFERENCE set (eval benchmarks, blocklists —
-    * here the doc_id % 7 == 0 subset stands in). The reference side
-    * is dimension-sized next to the corpus, so the scalable shape is
-    * a broadcast of the reference shingle-key arrays and one streamed
-    * pass over the corpus — EXACT (no LSH recall gap), which is what
-    * lets this be oracle-checked; the streaming twin
-    * (StreamingOps.contaminationScreen) trades exactness for
+    * here the doc_id % 7 == 0 subset stands in). EXACT (no LSH recall
+    * gap), which is what lets this be oracle-checked; the streaming
+    * twin (StreamingOps.contaminationScreen) trades exactness for
     * bounded per-batch work via banding.
+    *
+    * Shape: an INVERTED reference index, not per-pair intersections.
+    * Both sides flatMap to (shingle-key, packed id|setSize) postings
+    * (same two-long posting scheme as [[jaccardPairs]]); the
+    * dimension-sized reference postings broadcast-hash-join the corpus
+    * postings on the 64-bit shingle key, and intersection sizes fall
+    * out of a count per (doc, ref) pair. Work is ∝ Σ matching
+    * postings — pairs sharing zero shingles never materialize —
+    * instead of Θ(|corpus|·|refs|) array merges: at a 100 TB corpus ×
+    * 100k-doc eval suite the previous broadcast-nested-loop form was
+    * 10¹⁵ intersections; this form touches only actual key hits. If
+    * the exploded reference outgrows the broadcast budget, drop the
+    * hint and the same plan degrades gracefully to a shuffled hash
+    * join, still ∝ postings.
     */
   def screenAgainstReference(spark: SparkSession, sfDir: String,
       threshold: Double = 0.05, refMod: Int = 7): DataFrame = {
     import graft.functions.HashFunctions._
-    val docs = documents(spark, sfDir)
+    import spark.implicits._
+    val keyed = documents(spark, sfDir)
       .select(col("doc_id"), shingle_keys(col("text"), lit(""), 3).as("keys"))
       .filter(size(col("keys")) > 0)
-    val refs = docs.filter(col("doc_id") % refMod === 0)
-      .select(col("doc_id").as("ref_id"), col("keys").as("ref_keys"))
-    docs.crossJoin(broadcast(refs))
-      .filter(col("doc_id") =!= col("ref_id"))
-      .withColumn("inter",
-        sorted_intersect_count(col("keys"), col("ref_keys")))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("keys")) + size(col("ref_keys")) - col("inter")))
+    // (shingle, id << 20 | n_keys) postings via typed flatMap — NOT
+    // explode(): Catalyst re-evaluates a computed array per OUTPUT row
+    // under Generate. Packing keeps every shuffle/broadcast row two
+    // plain longs; shingle_keys output is distinct per doc, so a join
+    // hit count IS the intersection size.
+    def postings(df: DataFrame, out: String) = df
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, keys) =>
+        val packed = (id << 20) | keys.length.toLong
+        keys.map(h => (h, packed))
+      }
+      .toDF("shingle", out)
+    val nMask = (1L << 20) - 1
+    postings(keyed, "d")
+      .join(broadcast(postings(keyed.filter(col("doc_id") % refMod === 0),
+        "r")), "shingle")
+      // same id ⇒ same packed word (identical key count); cheap long
+      // inequality replaces the doc_id != ref_id predicate
+      .filter(col("d") =!= col("r"))
+      .groupBy(col("d"), col("r"))
+      .agg(count(lit(1)).as("inter"))
+      .select(shiftright(col("d"), 20).as("doc_id"),
+        shiftright(col("r"), 20).as("ref_id"),
+        (col("inter").cast("double") /
+          (col("d").bitwiseAND(lit(nMask)) + col("r").bitwiseAND(lit(nMask))
+            - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_id"), col("ref_id"), col("jaccard"))
       .orderBy(col("doc_id"), col("ref_id"))
   }
 

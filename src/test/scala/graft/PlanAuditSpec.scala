@@ -62,16 +62,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2)
   }
 
-  test("contamination screen broadcasts the reference, streams the corpus") {
+  test("contamination screen: indexed broadcast join, no per-pair loop") {
     val plan = planOf(Dedup.screenAgainstReference(spark, sf))
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastExchange"),
-      s"reference side not broadcast:\n$plan")
-    // the corpus side must not shuffle before the join: the only
-    // exchange allowed is the final orderBy's range partitioning
+    // the reference postings build a broadcast hash index on the
+    // shingle key; a nested-loop join means the Θ(corpus × refs)
+    // per-pair intersection regressed
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"per-pair join shape regressed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"reference postings not broadcast-hash-joined:\n$plan")
+    // no interpreted intersection may ride the join: hit counts come
+    // from the (doc, ref) aggregation after the equi-join
+    assert(!plan.contains("sortedintersectcount"),
+      s"per-pair intersection back in the plan:\n$plan")
+    // exchanges: ONE hash partition into the (doc, ref) count agg,
+    // plus the final orderBy's range exchange
     val shuffles = plan.linesIterator.count(l =>
       l.contains("Exchange") && !l.contains("BroadcastExchange"))
-    assert(shuffles <= 1, s"corpus shuffled before broadcast join:\n$plan")
+    assert(shuffles <= 2, s"$shuffles shuffles:\n$plan")
+    // the count agg partially aggregates map-side before its exchange
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"no partial aggregation on hit counts:\n$plan")
   }
 
   test("jaccard postings stay two-long rows: no strings reach a shuffle") {
