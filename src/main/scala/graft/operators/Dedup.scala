@@ -54,10 +54,27 @@ object Dedup {
     * join, still ∝ postings.
     */
   def screenAgainstReference(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.05, refMod: Int = 7): DataFrame = {
+      threshold: Double = 0.05, refMod: Int = 7): DataFrame =
+    screenDocs(documents(spark, sfDir), threshold, refMod)
+
+  /** [[screenAgainstReference]] over an arbitrary `(doc_id, text)`
+    * frame — the testable core. `threshold` must be strictly positive:
+    * the inverted-postings shape can only materialize pairs that share
+    * at least one shingle, so a zero/negative threshold (which the old
+    * cross-join form would answer with every corpus×ref pair) is a
+    * semantics change this operator refuses rather than silently
+    * narrows.
+    */
+  def screenDocs(docs: DataFrame, threshold: Double = 0.05,
+      refMod: Int = 7): DataFrame = {
     import graft.functions.HashFunctions._
+    val spark = docs.sparkSession
     import spark.implicits._
-    val keyed = documents(spark, sfDir)
+    require(threshold > 0,
+      s"threshold must be > 0 (got $threshold): zero-intersection pairs " +
+        "cannot materialize from inverted postings; use a cross join if " +
+        "you genuinely need every corpus x ref pair")
+    val keyed = docs
       .select(col("doc_id"), shingle_keys(col("text"), lit(""), 3).as("keys"))
       .filter(size(col("keys")) > 0)
     // (shingle, id << 20 | n_keys) postings via typed flatMap — NOT
@@ -68,6 +85,18 @@ object Dedup {
     def postings(df: DataFrame, out: String) = df
       .as[(Long, Array[Long])]
       .flatMap { case (id, keys) =>
+        // The pack budgets 20 bits for the shingle count and 43 for the
+        // id (bit 63 stays clear so shiftright is sign-safe). A doc
+        // with >= 2^20 distinct 3-gram shingles (~multi-MB text) or an
+        // id outside [0, 2^43) would silently corrupt doc_id/ref_id
+        // and jaccard — fail loudly instead; callers with such docs
+        // must pre-chunk them (Multimodal.chunkBytes-style) or widen
+        // the pack to two words.
+        require(keys.length < (1 << 20),
+          s"doc $id has ${keys.length} distinct shingles >= 2^20: packed " +
+            "posting would overflow; pre-chunk oversized documents")
+        require(id >= 0 && id < (1L << 43),
+          s"doc_id $id outside [0, 2^43): packed posting would overflow")
         val packed = (id << 20) | keys.length.toLong
         keys.map(h => (h, packed))
       }

@@ -36,6 +36,46 @@ class TextDedupSpec extends AnyFunSuite {
     assert(df.filter(col("canonical_id") > col("doc_id")).count() == 0)
   }
 
+  test("contamination screen refuses threshold <= 0 (semantics guard)") {
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.screenDocs(spark.range(1).selectExpr("id as doc_id",
+        "'a b c d' as text"), threshold = 0.0)
+    }
+    assert(ex.getMessage.contains("threshold must be > 0"))
+  }
+
+  test("contamination screen fails loudly on a >= 2^20-shingle doc") {
+    import spark.implicits._
+    // (1 << 20) + 2 distinct words -> exactly 2^20 distinct 3-gram
+    // shingles: one past the pack's 20-bit count budget.
+    val n = (1 << 20) + 2
+    val sb = new StringBuilder(n * 9)
+    var i = 0
+    while (i < n) { sb.append('w').append(i).append(' '); i += 1 }
+    val docs = Seq((0L, sb.toString), (7L, "w1 w2 w3 w4"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.screenDocs(docs, threshold = 0.05).collect()
+    }
+    assert(causeChain(ex).exists(_.contains("packed posting would overflow")),
+      s"expected loud overflow failure, got: ${ex.getMessage}")
+  }
+
+  test("contamination screen fails loudly on doc_id outside [0, 2^43)") {
+    import spark.implicits._
+    val docs = Seq((1L << 43, "a b c d e"), (0L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.screenDocs(docs, threshold = 0.05).collect()
+    }
+    assert(causeChain(ex).exists(_.contains("packed posting would overflow")),
+      s"expected loud overflow failure, got: ${ex.getMessage}")
+  }
+
+  private def causeChain(t: Throwable): List[String] =
+    Iterator.iterate[Throwable](t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toList
+
   test("cross-block jaccard recalls the blocked verifier's near-dup pairs") {
     // the blocked verifier restricted to the LSH regime (j >= 0.5)
     val blocked = Dedup.jaccardPairs(spark, sf, threshold = 0.5)
