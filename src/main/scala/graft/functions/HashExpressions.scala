@@ -96,6 +96,7 @@ object HashKernels {
     * entirely.
     */
   def minhashFromKeys(keys: ArrayData, k: Int): ArrayData = {
+    if (KernelMetrics.enabled) KernelMetrics.minhashEvals.increment()
     val xs = keys.toLongArray()
     val n = xs.length
     val sig = Array.fill(k)(Long.MaxValue)
@@ -441,6 +442,7 @@ object HashKernels {
     *   - output sorted + deduplicated (set semantics)
     */
   def shingleKeys(text: UTF8String, source: UTF8String, n: Int): ArrayData = {
+    if (KernelMetrics.enabled) KernelMetrics.shingleEvals.increment()
     val bytes = text.getBytes
     var lo = 0; var hi = bytes.length
     while (lo < hi && bytes(lo) == 0x20) lo += 1

@@ -289,19 +289,34 @@ object StreamingOps {
     * sorted key arrays) then verifies candidates ≥ `theta`. Band
     * collisions of the same (doc, ref) pair are deduplicated with
     * watermark-bounded state.
+    *
+    * Kernel-evaluation discipline (KernelEvalAuditSpec pins 1×/row):
+    * there is deliberately NO `filter(size(keys) > 0)` on the stream
+    * side — PushPredicateThroughNonJoin substitutes the alias when it
+    * pushes such a filter below the keys projection, re-running
+    * `shingle_keys` twice per row (measured 2×; the 8 per-band
+    * `xxhash64(slice(sig))` consumers are safe — CollapseProject
+    * refuses to duplicate the non-cheap `minhash_keys`). Docs too
+    * short to shingle flow through with the empty-set sentinel
+    * signature instead: it cannot reach the output because their
+    * intersection with any indexed reference is 0 < `theta` — which
+    * is why `theta` must be strictly positive.
     */
   def contaminationScreen(docs: Dataset[StreamDoc], refIndex: DataFrame,
       n: Int = 3, k: Int = 64, bands: Int = 8, theta: Double = 0.8,
       watermark: String = "10 minutes"): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.functions.HashFunctions._
+    require(theta > 0,
+      s"theta must be > 0 (got $theta): zero-overlap (doc, ref) pairs are " +
+        "never candidates, and unshingleable docs rely on theta > 0 to " +
+        "stay out of the output")
     val rows = k / bands
     val banded = docs
       .withWatermark("ts", watermark)
       .select(col("doc_id"), col("ts"),
         shingle_keys(col("text"), lit(""), n).as("keys"))
       .withColumn("sig", minhash_keys(col("keys"), k))
-      .filter(size(col("keys")) > 0)
       .select(col("doc_id"), col("ts"), col("keys"),
         posexplode(bandSigs(col("sig"), bands, rows)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bsig"))

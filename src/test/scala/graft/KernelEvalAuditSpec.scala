@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.KernelMetrics
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.StreamDoc
+
+/** Pins "one kernel evaluation per input row" on the streaming banding
+  * paths (X7 streamingNearDup, X8 contaminationScreen). The risk under
+  * audit: Catalyst duplicating the non-cheap `minhash_keys` /
+  * `shingle_keys` projections into every per-band consumer
+  * (`xxhash64(slice(sig, ...))` × bands), re-running the two most
+  * expensive kernels in the repo 8× per row on the hot streaming path —
+  * the same Generate-input trap SURVEY §8 measured at ~9× on batch
+  * explode. Counters live inside the static kernels (HashKernels), so
+  * they see interpreted and codegen evaluations alike.
+  */
+class KernelEvalAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(min: Int) = new Timestamp(3600_000L * 10 + min * 60_000L)
+  private def doc(i: Int) =
+    (1 to 40).map(j => s"tok${i}x$j").mkString(" ")
+
+  test("X7 streamingNearDup evaluates each kernel once per input row") {
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingNearDup(in.toDS(), theta = 0.7)
+      .writeStream.format("memory").queryName("audit_neardup")
+      .outputMode("append").start()
+    try {
+      val n = 10
+      val (_, shingles, minhashes) = KernelMetrics.counting {
+        in.addData((1 to n).map(i => StreamDoc(i.toLong, ts(i), doc(i))): _*)
+        q.processAllAvailable()
+      }
+      info(s"X7: $shingles shingle evals, $minhashes minhash evals for $n rows")
+      assert(shingles == n, s"shingle_keys ran $shingles times for $n rows")
+      assert(minhashes == n, s"minhash_keys ran $minhashes times for $n rows")
+    } finally q.stop()
+  }
+
+  test("X8 contaminationScreen evaluates each kernel once per stream row") {
+    val ref = Seq((100L, doc(100)), (200L, doc(200))).toDF("ref_id", "text")
+    // per its contract the reference index is computed once and
+    // persisted; otherwise the stream-static join re-derives it (and
+    // re-runs its kernels) every micro-batch
+    val refIdx = StreamingOps.referenceIndex(ref).persist()
+    refIdx.count()
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.contaminationScreen(in.toDS(), refIdx, theta = 0.6)
+      .writeStream.format("memory").queryName("audit_contam")
+      .outputMode("append").start()
+    try {
+      val n = 10
+      val (_, shingles, minhashes) = KernelMetrics.counting {
+        in.addData((1 to n).map(i => StreamDoc(i.toLong, ts(i), doc(i))): _*)
+        q.processAllAvailable()
+      }
+      info(s"X8: $shingles shingle evals, $minhashes minhash evals for $n rows")
+      assert(shingles == n, s"shingle_keys ran $shingles times for $n rows")
+      assert(minhashes == n, s"minhash_keys ran $minhashes times for $n rows")
+    } finally { q.stop(); refIdx.unpersist() }
+  }
+
+  test("X8 passes through unshingleable docs without emitting matches") {
+    val ref = Seq((100L, doc(100))).toDF("ref_id", "text")
+    val refIdx = StreamingOps.referenceIndex(ref).persist()
+    refIdx.count()
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.contaminationScreen(in.toDS(), refIdx, theta = 0.6)
+      .writeStream.format("memory").queryName("audit_contam_empty")
+      .outputMode("append").start()
+    try {
+      // "tiny" has < n tokens -> empty shingle set -> sentinel sig;
+      // with the size filter gone it must still never reach output
+      in.addData(StreamDoc(1L, ts(0), "tiny"), StreamDoc(2L, ts(1), ""),
+        StreamDoc(3L, ts(2), doc(100)))
+      q.processAllAvailable()
+      val got = spark.table("audit_contam_empty").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ref_id")).toSet
+      assert(got == Set(3L -> 100L), s"got $got")
+    } finally { q.stop(); refIdx.unpersist() }
+  }
+
+  test("X8 contaminationScreen refuses theta <= 0") {
+    val ref = Seq((100L, doc(100))).toDF("ref_id", "text")
+    val refIdx = StreamingOps.referenceIndex(ref)
+    val in = MemoryStream[StreamDoc]
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.contaminationScreen(in.toDS(), refIdx, theta = 0.0)
+    }
+    assert(ex.getMessage.contains("theta must be > 0"))
+  }
+
+  test("referenceIndex evaluates each kernel once per reference row") {
+    val ref = (1 to 10).map(i => (i.toLong, doc(i))).toDF("ref_id", "text")
+    val (_, shingles, minhashes) = KernelMetrics.counting {
+      StreamingOps.referenceIndex(ref).count()
+    }
+    info(s"refIndex: $shingles shingle evals, $minhashes minhash evals for 10 rows")
+    assert(shingles == 10, s"shingle_keys ran $shingles times for 10 rows")
+    assert(minhashes == 10, s"minhash_keys ran $minhashes times for 10 rows")
+  }
+}
