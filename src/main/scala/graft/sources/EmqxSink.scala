@@ -25,9 +25,12 @@ class EmqxForeachWriter(brokerName: String) extends ForeachWriter[Row] {
   }
   override def process(row: Row): Unit = {
     if (resolver == null) resolver = new EmqxSink.EnvelopeResolver(row.schema)
-    BrokerRegistry.get(brokerName).publish(resolver.toMessage(row))
+    BrokerRegistry.get(brokerName).publishAsync(resolver.toMessage(row))
   }
-  override def close(errorOrNull: Throwable): Unit = ()
+  // pipelined QoS1/2 publishes must be acked before the epoch closes
+  // cleanly; a flush failure throws → the task retries (at-least-once)
+  override def close(errorOrNull: Throwable): Unit =
+    if (errorOrNull == null) BrokerRegistry.get(brokerName).flushPublishes()
 }
 
 object EmqxSink {
@@ -73,7 +76,8 @@ object EmqxSink {
     val resolver = new EnvelopeResolver(df.schema)
     df.foreachPartition { rows: Iterator[Row] =>
       val broker = BrokerRegistry.get(brokerName)
-      rows.foreach(r => broker.publish(resolver.toMessage(r)))
+      rows.foreach(r => broker.publishAsync(resolver.toMessage(r)))
+      broker.flushPublishes() // partition done = all acks in
     }
   }
 }

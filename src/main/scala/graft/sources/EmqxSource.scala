@@ -428,9 +428,15 @@ class EmqxWriterFactory(conf: BrokerConf, schema: StructType,
           props += (graft.sources.broker.InMemoryBroker.DedupKeyProp ->
             s"$queryId/$epochId/$partitionId/$h/$n")
         }
-        broker.publish(EmqxMessage(topic, qos, retained, props, payload))
+        broker.publishAsync(EmqxMessage(topic, qos, retained, props, payload))
       }
-      override def commit(): WriterCommitMessage = EmqxCommit
+      // pipelined QoS1/2 publishes ride the wire up to the broker's
+      // Receive Maximum; the acks must all be in before this task may
+      // report success (flush throws → task retry, at-least-once)
+      override def commit(): WriterCommitMessage = {
+        broker.flushPublishes()
+        EmqxCommit
+      }
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }

@@ -22,7 +22,13 @@ object Mqtt5Codec {
   final case class Connect(clientId: String, cleanStart: Boolean,
       keepAliveSec: Int, sessionExpirySec: Long,
       username: Option[String], password: Option[Array[Byte]]) extends Packet
-  final case class Connack(sessionPresent: Boolean, reasonCode: Int) extends Packet
+  /** `receiveMaximum` (property 0x21, spec §3.2.2.3.3): the broker's
+    * receive quota — the client must not exceed this many concurrent
+    * un-acknowledged QoS 1/2 PUBLISH flows toward the broker. 65535
+    * (the protocol default) means "unlimited" and is not encoded.
+    */
+  final case class Connack(sessionPresent: Boolean, reasonCode: Int,
+      receiveMaximum: Int = 65535) extends Packet
   final case class Publish(topic: String, qos: Int, retain: Boolean,
       dup: Boolean, packetId: Int, props: Map[String, String],
       payload: Array[Byte]) extends Packet
@@ -92,9 +98,10 @@ object Mqtt5Codec {
       user.foreach(b.str)
       pass.foreach(b.bin)
       frame(out, 1, 0, b.bytes)
-    case Connack(present, reason) =>
+    case Connack(present, reason, receiveMax) =>
       val b = new Buf
-      b.u8(if (present) 1 else 0).u8(reason).raw(props(_ => ()))
+      b.u8(if (present) 1 else 0).u8(reason).raw(props(pb =>
+        if (receiveMax != 65535) pb.u8(0x21).u16(receiveMax)))
       frame(out, 2, 0, b.bytes)
     case Publish(topic, qos, retain, dup, pid, userProps, payload) =>
       val b = new Buf
@@ -152,6 +159,10 @@ object Mqtt5Codec {
 
   // ---- primitive decoders ----
 
+  /** Decoded property block (the subset this connector surfaces). */
+  final case class PropSet(sessionExpiry: Option[Long],
+      user: Map[String, String], receiveMaximum: Option[Int])
+
   private final class Reader(bytes: Array[Byte]) {
     private var pos = 0
     def remaining: Int = bytes.length - pos
@@ -177,22 +188,25 @@ object Mqtt5Codec {
     }
     def rest(): Array[Byte] = slice(remaining)
 
-    /** Parse a property block: returns (sessionExpiry, userProps),
-      * skipping every other property by its spec type.
+    /** Parse a property block: surfaces Session Expiry Interval, User
+      * Properties and Receive Maximum, skipping every other property
+      * by its spec type.
       */
-    def propBlock(): (Option[Long], Map[String, String]) = {
+    def propBlock(): PropSet = {
       val len = vbi()
       val end = pos + len
       var expiry: Option[Long] = None
+      var receiveMax: Option[Int] = None
       val user = Map.newBuilder[String, String]
       while (pos < end) {
         val id = u8()
         id match {
           case 0x11 => expiry = Some(u32())
+          case 0x21 => receiveMax = Some(u16())
           case 0x26 => user += (str() -> str())
           // skip-by-type tables (spec §2.2.2.2)
           case 0x01 | 0x17 | 0x19 | 0x24 | 0x25 | 0x28 | 0x29 | 0x2a => u8()
-          case 0x13 | 0x21 | 0x22 | 0x23 => u16()
+          case 0x13 | 0x22 | 0x23 => u16()
           case 0x02 | 0x18 | 0x27 => u32()
           case 0x0b => vbi()
           case 0x03 | 0x08 | 0x12 | 0x15 | 0x1a | 0x1c | 0x1f => str()
@@ -201,7 +215,7 @@ object Mqtt5Codec {
             throw new IllegalArgumentException(s"unknown property id $other")
         }
       }
-      (expiry, user.result())
+      PropSet(expiry, user.result(), receiveMax)
     }
   }
 
@@ -235,7 +249,7 @@ object Mqtt5Codec {
         require(proto == "MQTT" && ver == 5, s"unsupported $proto v$ver")
         val cf = r.u8()
         val keepAlive = r.u16()
-        val (expiry, _) = r.propBlock()
+        val expiry = r.propBlock().sessionExpiry
         val cid = r.str()
         if ((cf & 0x04) != 0) { // will flag: skip will props/topic/payload
           r.propBlock(); r.str(); r.strBytes()
@@ -247,12 +261,14 @@ object Mqtt5Codec {
       case 2 =>
         val present = (r.u8() & 1) != 0
         val rc = r.u8()
-        Connack(present, rc)
+        val rm =
+          if (r.remaining > 0) r.propBlock().receiveMaximum else None
+        Connack(present, rc, rm.getOrElse(65535))
       case 3 =>
         val qos = (flags >>> 1) & 3
         val topic = r.str()
         val pid = if (qos > 0) r.u16() else 0
-        val (_, userProps) = r.propBlock()
+        val userProps = r.propBlock().user
         Publish(topic, qos, (flags & 1) != 0, (flags & 8) != 0, pid,
           userProps, r.rest())
       case 4 | 5 | 6 | 7 =>

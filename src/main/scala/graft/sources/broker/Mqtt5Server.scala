@@ -17,7 +17,36 @@ import Mqtt5Codec._
   * manual-ack flows mapped onto the broker's offset ack model.
   */
 class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
-    sslKeystore: Option[(String, String)] = None) {
+    sslKeystore: Option[(String, String)] = None,
+    receiveMaximum: Int = 65535) {
+
+  require(receiveMaximum >= 1 && receiveMaximum <= 65535,
+    s"receiveMaximum must be in [1,65535], got $receiveMaximum")
+
+  /** Delay (ms) before an inbound QoS 1 PUBLISH is routed + PUBACKed —
+    * a TEST knob that widens the server-side ack window so client-side
+    * Receive-Maximum pipelining becomes observable (with instant acks a
+    * serial reader never sees more than one un-acked inbound flow).
+    * Delayed acks run on a shared scheduler, so the connection thread
+    * keeps reading and genuinely concurrent in-flight flows accumulate.
+    */
+  @volatile var inboundAckDelayMs: Int = 0
+
+  // high-water mark of concurrent un-acked inbound QoS1/2 PUBLISH
+  // flows across all connections — what a quota-honoring client must
+  // keep ≤ the advertised receiveMaximum
+  private val maxInbound = new java.util.concurrent.atomic.AtomicInteger(0)
+  def maxInboundInflight: Int = maxInbound.get
+  def resetInboundStats(): Unit = maxInbound.set(0)
+  private def observeInbound(n: Int): Unit = {
+    var cur = maxInbound.get
+    while (n > cur && !maxInbound.compareAndSet(cur, n)) cur = maxInbound.get
+  }
+
+  private lazy val ackScheduler =
+    java.util.concurrent.Executors.newScheduledThreadPool(2, r => {
+      val t = new Thread(r, "mqtt5-delayed-ack"); t.setDaemon(true); t
+    })
 
   // bind with SO_REUSEADDR so a bounced broker can come back on the
   // same port while old accepted sockets linger in TIME_WAIT
@@ -156,6 +185,23 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
     // resolved per-clientid from the server-level store after CONNECT
     var pendingQos2: mutable.LinkedHashMap[Int, EmqxMessage] = null
 
+    // receive-quota enforcement (spec §4.9 flow control): un-acked
+    // inbound QoS1/2 flows on THIS connection. QoS1 frees at PUBACK,
+    // QoS2 at PUBCOMP; exceeding the advertised Receive Maximum is a
+    // protocol error → DISCONNECT 0x93 (Receive Maximum exceeded).
+    val connInflight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val countedQos2 = mutable.Set[Int]() // qos2 pids counted on this conn
+    def noteInbound(): Boolean = {
+      val n = connInflight.incrementAndGet()
+      observeInbound(n)
+      if (n > receiveMaximum) {
+        try send(Disconnect(0x93)) catch { case _: Throwable => () }
+        open.set(false)
+        try sock.close() catch { case _: Throwable => () }
+        false
+      } else true
+    }
+
     try {
       Mqtt5Codec.read(in) match {
         case Connect(cid, clean, _, expiry, user, pass) =>
@@ -176,7 +222,7 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
                 sock.close()
                 return
             }
-          send(Connack(present, 0))
+          send(Connack(present, 0, receiveMaximum))
           deliverFrom = backing.committedOffset(cid)
           watermark = deliverFrom
           val dt = new Thread(() => deliveryLoop(), s"mqtt5-deliver-$cid")
@@ -200,19 +246,41 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
             val msg = EmqxMessage(topic, qos, retain, props, payload)
             if (qos == 2) {
               // hold until PUBREL so a re-sent PUBLISH (dup) with the
-              // same pid is not routed twice
-              pendingQos2.synchronized {
-                if (!pendingQos2.contains(pid)) pendingQos2.put(pid, msg)
+              // same pid is not routed twice; a dup of a flow already
+              // counted must not consume quota a second time
+              val fresh = pendingQos2.synchronized {
+                if (pendingQos2.contains(pid)) false
+                else { pendingQos2.put(pid, msg); true }
               }
-              send(PubRec(pid, 0))
-            } else {
-              backing.publish(msg)
-              if (qos == 1) send(PubAck(pid, 0))
-            }
+              if (!fresh || noteInbound()) {
+                if (fresh) countedQos2.synchronized(countedQos2 += pid)
+                send(PubRec(pid, 0))
+              }
+            } else if (qos == 1) {
+              if (noteInbound()) {
+                val complete: Runnable = () => {
+                  try {
+                    backing.publish(msg)
+                    send(PubAck(pid, 0))
+                  } catch { case _: Throwable => () }
+                  finally connInflight.decrementAndGet()
+                }
+                val delay = inboundAckDelayMs
+                if (delay > 0)
+                  ackScheduler.schedule(complete, delay.toLong,
+                    java.util.concurrent.TimeUnit.MILLISECONDS)
+                else complete.run()
+              }
+            } else backing.publish(msg) // qos0: no flow, no quota
           case PubRel(pid, _) =>
             pendingQos2.synchronized(pendingQos2.remove(pid))
               .foreach(backing.publish)
             send(PubComp(pid, 0))
+            // quota frees once PUBCOMP is sent (spec §4.9) — only for
+            // flows counted on this connection, not flows resumed from
+            // a previous connection of the same clientid
+            if (countedQos2.synchronized(countedQos2.remove(pid)))
+              connInflight.decrementAndGet()
           case PubAck(pid, _) => // qos1 delivery acked
             deliveryLock.synchronized {
               inflight.remove(pid).foreach(acked.add)

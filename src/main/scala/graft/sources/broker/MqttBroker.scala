@@ -39,6 +39,19 @@ trait MqttBroker {
 
   def publish(msg: EmqxMessage): Unit
 
+  /** Pipelined publish: may return before the QoS1/2 wire ack; callers
+    * MUST call [[flushPublishes]] before treating the messages as
+    * durably handed off. Defaults to the synchronous [[publish]] for
+    * brokers with no wire round-trip to amortize (InMemoryBroker).
+    */
+  def publishAsync(msg: EmqxMessage): Unit = publish(msg)
+
+  /** Barrier for [[publishAsync]]: returns once every outstanding
+    * publish flow has completed, throwing if any cannot (so the
+    * caller's task retries — at-least-once).
+    */
+  def flushPublishes(): Unit = ()
+
   /** End of the client's delivery sequence (next offset a new message
     * would get).
     */

@@ -95,6 +95,18 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     val waiters = new ConcurrentHashMap[Int, CountDownLatch]()
     var nextPid = 1
     @volatile var alive = false
+    // broker-advertised Receive Maximum (CONNACK 0x21, spec §4.9):
+    // outbound QoS1/2 PUBLISH flows acquire a permit before the wire
+    // send and release it when the flow completes (PUBACK / PUBCOMP,
+    // tracked via quotaHolders) — the client never exceeds the
+    // broker's receive quota even with concurrent/pipelined publishes
+    @volatile var sendQuota = new java.util.concurrent.Semaphore(65535)
+    val quotaHolders = ConcurrentHashMap.newKeySet[Int]()
+
+    def acquireQuota(): Unit =
+      if (!sendQuota.tryAcquire(10, TimeUnit.SECONDS))
+        throw new IllegalStateException(
+          "publish stalled: broker receive quota exhausted for 10s")
 
     def send(p: Packet): Unit = writeLock.synchronized {
       Mqtt5Codec.write(out, p)
@@ -131,10 +143,13 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
                   pid, qos))
               }
             case PubAck(pid, _) =>
+              if (quotaHolders.remove(pid)) sendQuota.release()
               Option(waiters.remove(pid)).foreach(_.countDown())
             case PubRec(pid, _) => // our qos2 publish: continue flow
               send(PubRel(pid, 0))
             case PubComp(pid, _) =>
+              // quota frees at PUBCOMP, not PUBREC (spec §4.9.2)
+              if (quotaHolders.remove(pid)) sendQuota.release()
               Option(waiters.remove(pid)).foreach(_.countDown())
             case PubRel(pid, _) => // completes our qos2 receive ack
               send(PubComp(pid, 0))
@@ -238,8 +253,9 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
       conf.keepAliveSec, sessionExpirySec, user,
       pass.map(_.getBytes("UTF-8"))))
     Mqtt5Codec.read(c.in) match {
-      case Connack(present, 0) =>
+      case Connack(present, 0, receiveMax) =>
         c.sessionPresent = present
+        c.sendQuota = new java.util.concurrent.Semaphore(receiveMax)
         c.alive = true
         // a resumed session's redelivered backlog re-enters the local
         // buffer from scratch; rebase() aligns it to the checkpoint
@@ -248,7 +264,7 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
         t.start()
         conns.put(clientid, c)
         present
-      case Connack(_, rc) =>
+      case Connack(_, rc, _) =>
         sock.close()
         throw new IllegalStateException(
           if (rc == 0x87 || rc == 0x86) s"not authorized: $clientid"
@@ -284,22 +300,79 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
 
   /** Publish via a dedicated anonymous connection (the sink path —
     * a real producer client). QoS1/2 block until the wire flow
-    * completes, so at-least-once holds for the producer too.
+    * completes, so at-least-once holds for the producer too. Each
+    * QoS1/2 flow holds a broker receive-quota permit (CONNACK Receive
+    * Maximum) from send to ack, so even many concurrent publisher
+    * threads never exceed the broker's quota.
     */
   override def publish(msg: EmqxMessage): Unit = {
     val c = publisherConn()
     val qos = msg.qos & 3
-    val pid = if (qos > 0) c.allocPid() else 0
     if (qos > 0) {
+      c.acquireQuota()
+      val pid = c.allocPid()
       val latch = new CountDownLatch(1)
       c.waiters.put(pid, latch)
+      c.quotaHolders.add(pid)
       c.send(Publish(msg.topic, qos, msg.retained, dup = false, pid,
         msg.properties, msg.payload))
-      if (!latch.await(10, TimeUnit.SECONDS))
+      if (!latch.await(10, TimeUnit.SECONDS)) {
+        if (c.quotaHolders.remove(pid)) c.sendQuota.release()
         throw new IllegalStateException(s"publish ack timeout pid=$pid")
+      }
     } else {
       c.send(Publish(msg.topic, qos, msg.retained, dup = false, 0,
         msg.properties, msg.payload))
+    }
+  }
+
+  // in-flight pipelined publishes: ack latches awaiting completion at
+  // the next flushPublishes() barrier. Broker-level (not per-Conn) so
+  // flows stranded by a publisher reconnect still fail the flush
+  // loudly instead of vanishing with the dead Conn.
+  private val pendingAsync =
+    ConcurrentHashMap.newKeySet[CountDownLatch]()
+
+  /** Pipelined publish: QoS1/2 sends acquire a receive-quota permit
+    * and return without waiting for the ack — up to the broker's
+    * Receive Maximum flows ride the wire concurrently (ack
+    * pipelining), amortizing the round-trip the blocking [[publish]]
+    * pays per message. Completion is checked at [[flushPublishes]];
+    * at-least-once holds as long as callers flush before declaring
+    * the batch/epoch done (the sink writers flush on commit/close).
+    */
+  override def publishAsync(msg: EmqxMessage): Unit = {
+    val c = publisherConn()
+    val qos = msg.qos & 3
+    if (qos > 0) {
+      c.acquireQuota()
+      val pid = c.allocPid()
+      val latch = new CountDownLatch(1)
+      c.waiters.put(pid, latch)
+      c.quotaHolders.add(pid)
+      pendingAsync.add(latch)
+      c.send(Publish(msg.topic, qos, msg.retained, dup = false, pid,
+        msg.properties, msg.payload))
+    } else {
+      c.send(Publish(msg.topic, qos, msg.retained, dup = false, 0,
+        msg.properties, msg.payload))
+    }
+  }
+
+  /** Barrier for [[publishAsync]]: waits until every outstanding
+    * QoS1/2 flow has completed its wire ack. Throws if any flow fails
+    * to complete within the deadline (dead socket, broker gone) — the
+    * caller's task fails and retries, preserving at-least-once.
+    */
+  override def flushPublishes(): Unit = {
+    val it = pendingAsync.iterator()
+    while (it.hasNext) {
+      val latch = it.next()
+      if (!latch.await(10, TimeUnit.SECONDS))
+        throw new IllegalStateException(
+          "pipelined publish not acked within 10s — failing so the " +
+            "task retries (at-least-once)")
+      it.remove()
     }
   }
 

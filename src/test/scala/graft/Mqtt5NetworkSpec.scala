@@ -24,6 +24,12 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("codec round-trips every packet type") {
     assert(roundTrip(Connack(sessionPresent = true, 0)) ==
       Connack(sessionPresent = true, 0))
+    // Receive Maximum property (0x21) survives the round trip; the
+    // protocol default 65535 is omitted on the wire and restored
+    assert(roundTrip(Connack(sessionPresent = false, 0, 2)) ==
+      Connack(sessionPresent = false, 0, 2))
+    assert(roundTrip(Connack(sessionPresent = true, 0))
+      .asInstanceOf[Connack].receiveMaximum == 65535)
     assert(roundTrip(Suback(7, Seq(0, 1, 2))) == Suback(7, Seq(0, 1, 2)))
     assert(roundTrip(Unsubscribe(9, Seq("a/b", "c/#"))) ==
       Unsubscribe(9, Seq("a/b", "c/#")))
@@ -389,6 +395,78 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
       } finally proxy.close()
       owner.closeAll(); producer.closeAll()
     }
+  }
+
+  test("client honors broker Receive Maximum; throughput pipelines up to the quota") {
+    // the reference's HiveMQ client honors CONNACK Receive Maximum
+    // automatically (EMQXSourceReader.java:92 inherits it); the
+    // in-repo client must do the same: never more than the advertised
+    // number of un-acked QoS1/2 flows, while still pipelining acks
+    // (more than one flow in flight) for throughput.
+    val backing = new InMemoryBroker
+    val server = new Mqtt5Server(backing, receiveMaximum = 2)
+    // widen the server-side ack window so pipelining is observable:
+    // with instant acks a serial reader never sees >1 inbound flow
+    server.inboundAckDelayMs = 80
+    val conf = BrokerConf(s"tcp://127.0.0.1:${server.actualPort}")
+    try {
+      val sub = new NetworkMqttBroker(conf)
+      sub.connect("rm-sub", cleanStart = true, 60, None, None)
+      sub.subscribe("rm-sub", "rm/#", 1)
+
+      val producer = new NetworkMqttBroker(conf)
+      (0 until 20).foreach(i => producer.publishAsync(EmqxMessage(s"rm/$i",
+        1, retained = false, Map.empty, s"m$i".getBytes("UTF-8"))))
+      producer.flushPublishes()
+
+      // honor: the server never saw more concurrent un-acked inbound
+      // flows than it advertised
+      assert(server.maxInboundInflight <= 2,
+        s"quota violated: ${server.maxInboundInflight} > 2")
+      // pipelining: the client filled the quota (a one-at-a-time
+      // blocking publisher would never exceed 1 in flight)
+      assert(server.maxInboundInflight == 2,
+        s"no pipelining: max in-flight ${server.maxInboundInflight}")
+      // nothing lost through the delayed-ack path
+      eventually() { assert(sub.endOffset("rm-sub") == 20) }
+      sub.closeAll(); producer.closeAll()
+    } finally server.close()
+  }
+
+  test("exceeding Receive Maximum is a protocol error: DISCONNECT 0x93") {
+    val backing = new InMemoryBroker
+    val server = new Mqtt5Server(backing, receiveMaximum = 2)
+    server.inboundAckDelayMs = 200 // keep flows open while we flood
+    val conf = BrokerConf(s"tcp://127.0.0.1:${server.actualPort}")
+    try {
+      // a raw socket client that IGNORES the advertised quota
+      val s = new java.net.Socket("127.0.0.1", server.actualPort)
+      s.setTcpNoDelay(true)
+      s.setSoTimeout(5000)
+      val in = new java.io.BufferedInputStream(s.getInputStream)
+      val out = new java.io.BufferedOutputStream(s.getOutputStream)
+      Mqtt5Codec.write(out, Connect("rm-rogue", cleanStart = true, 30,
+        60, None, None))
+      val ack = Mqtt5Codec.read(in).asInstanceOf[Connack]
+      assert(ack.receiveMaximum == 2, "CONNACK must advertise the quota")
+      (0 until 5).foreach(i => Mqtt5Codec.write(out, Publish(s"rg/$i", 1,
+        retain = false, dup = false, i + 1, Map.empty, Array[Byte](1))))
+      // the 3rd un-acked flow exceeds the quota → DISCONNECT 0x93
+      // (Receive Maximum exceeded); delayed PUBACKs may interleave
+      var disconnected = false
+      try {
+        var n = 0
+        while (!disconnected && n < 10) {
+          Mqtt5Codec.read(in) match {
+            case Disconnect(0x93) => disconnected = true
+            case _: PubAck => n += 1
+            case other => fail(s"unexpected $other")
+          }
+        }
+      } catch { case _: java.io.EOFException => () } // closed after DISCONNECT
+      assert(disconnected, "rogue client was not disconnected with 0x93")
+      s.close()
+    } finally server.close()
   }
 
   test("malformed remaining-length VBI is rejected, not looped forever") {
