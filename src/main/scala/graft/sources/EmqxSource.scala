@@ -104,7 +104,8 @@ class EmqxTable(options: CaseInsensitiveStringMap)
           Option(options.get("topicfilter")).getOrElse("#"),
           options.getInt("qos", 1),
           options.getInt("readers", 2),
-          options.getLong("maxmessagesperbatch", Long.MaxValue))
+          options.getLong("maxmessagesperbatch", Long.MaxValue),
+          checkpointLoc = loc)
     }
 }
 
@@ -136,7 +137,7 @@ object EmqxOffset {
 
 class EmqxMicroBatchStream(conf: BrokerConf, baseClientid: String,
     group: String, topicFilter: String, qos: Int, numReaders: Int,
-    maxPerBatch: Long = Long.MaxValue)
+    maxPerBatch: Long = Long.MaxValue, checkpointLoc: String = "")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def broker = BrokerRegistry.resolve(conf)
@@ -290,9 +291,49 @@ class EmqxMicroBatchStream(conf: BrokerConf, baseClientid: String,
     }
 
   override def stop(): Unit = {
+    drainFinalAcks()
     proxyStarted.foreach(_.close()) // only if one was ever started
     clientids.foreach(broker.disconnect)
   }
+
+  /** Graceful stop-with-drain — the stop-with-savepoint parity point
+    * (reference: EMQXSourceIntegrationTest.java:173 acks on the final
+    * savepoint before cancel). Spark commits source offsets one batch
+    * LATE — `commit(batch N)` fires at the start of batch N+1 — so on
+    * a graceful stop the final micro-batch's acks would strand
+    * un-acked until the next restart's first batch. Before the
+    * sockets close, read the query's own commit log (last durably
+    * committed batch id) and offset log (that batch's end offsets) —
+    * exactly the state Spark itself replays on restart — and ack it.
+    * Only committed batches can ack (a batch interrupted mid-run is
+    * absent from the commit log), and [[MqttBroker.ack]] additionally
+    * clamps to fetched data, so a crash-stop can never over-ack into
+    * data loss. Best-effort: any failure leaves the pre-drain
+    * at-least-once behavior (acks caught up by the restart).
+    */
+  private def drainFinalAcks(): Unit = try {
+    val i = checkpointLoc.lastIndexOf("/sources/")
+    if (i < 0) return
+    val root = checkpointLoc.substring(0, i)
+    val srcIdx = checkpointLoc.substring(i + "/sources/".length)
+      .takeWhile(_.isDigit)
+    if (srcIdx.isEmpty) return
+    val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.execution.streaming.checkpointing.{CommitLog, OffsetSeqLog}
+    new CommitLog(spark, s"$root/commits").getLatest().foreach {
+      case (batchId, _) =>
+        new OffsetSeqLog(spark, s"$root/offsets").get(batchId).foreach {
+          seq =>
+            val offs = seq.offsets
+            val k = srcIdx.toInt
+            if (k < offs.length) offs(k).foreach { off =>
+              EmqxOffset.fromJson(off.json).positions.foreach {
+                case (cid, upTo) => broker.ack(cid, upTo)
+              }
+            }
+        }
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
 }
 
 /** `proxy`: fetch-RPC address (host:port) of the planner JVM that

@@ -650,6 +650,86 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graceful stop drains in-flight acks at the final checkpoint; resume is clean") {
+    // the reference integration-tests stop-with-savepoint semantics
+    // (EMQXSourceIntegrationTest.java:173): a graceful stop must leave
+    // the broker session acked EXACTLY up to the consumed prefix — the
+    // final micro-batch's acks drain before the sockets close — so a
+    // resume redelivers nothing (no duplicates) and loses nothing,
+    // with no idempotent-sink crutch.
+    withServer { (backing, _, conf) =>
+      val spark = SparkTestSession.spark
+      val ckpt = java.nio.file.Files.createTempDirectory("drain-ckpt").toString
+      CountingCollector.clear()
+      def startQuery() = spark.readStream.format("emqx")
+        .option("broker", conf.uri)
+        .option("clientid", "drain-")
+        .option("group", "gd").option("topicfilter", "dr/#")
+        .option("qos", 1).option("readers", 1)
+        .load()
+        .writeStream.foreach(new CountingCollector)
+        .option("checkpointLocation", ckpt).start()
+
+      val producer = new NetworkMqttBroker(conf)
+      val q1 = startQuery()
+      try {
+        eventually(15000) {
+          producer.publish(EmqxMessage("dr/warm", 1, retained = false,
+            Map.empty, "warm".getBytes("UTF-8")))
+          q1.processAllAvailable()
+          assert(CountingCollector.counts().nonEmpty)
+        }
+        val warm = CountingCollector.counts()("warm") // warm retries count
+        (0 until 10).foreach(i => producer.publish(EmqxMessage(s"dr/a$i", 1,
+          retained = false, Map.empty, s"a$i".getBytes("UTF-8"))))
+        q1.processAllAvailable()
+
+        // messages land at the broker session (delivered to the
+        // reader's client, un-acked in-flight) while the query idles
+        (0 until 5).foreach(i => producer.publish(EmqxMessage(s"dr/b$i", 1,
+          retained = false, Map.empty, s"b$i".getBytes("UTF-8"))))
+        eventually() {
+          assert(backing.endOffset("drain-0") == warm + 15,
+            s"in-flight not delivered: ${backing.endOffset("drain-0")}")
+        }
+
+        // drain: consume the in-flight batch, then stop gracefully
+        q1.processAllAvailable()
+        q1.stop()
+
+        // the final checkpoint's acks must have drained: session acked
+        // exactly the consumed prefix — everything, since we drained all
+        eventually() {
+          val committed = backing.committedOffset("drain-0")
+          assert(committed == warm + 15,
+            s"stop dropped final-batch acks: committed $committed of ${warm + 15}")
+        }
+        assert(backing.endOffset("drain-0") == backing.committedOffset("drain-0"),
+          "un-acked backlog survived a drained stop")
+      } finally if (q1.isActive) q1.stop()
+
+      // resume: nothing redelivers (no duplicates), nothing was lost,
+      // and new messages flow
+      val q2 = startQuery()
+      try {
+        (0 until 3).foreach(i => producer.publish(EmqxMessage(s"dr/c$i", 1,
+          retained = false, Map.empty, s"c$i".getBytes("UTF-8"))))
+        eventually(15000) {
+          q2.processAllAvailable()
+          val counts = CountingCollector.counts()
+          (0 until 3).foreach(i => assert(counts.get(s"c$i").contains(1),
+            s"post-resume c$i: ${counts.get(s"c$i")}"))
+        }
+        val counts = CountingCollector.counts()
+        (0 until 10).foreach(i => assert(counts.get(s"a$i").contains(1),
+          s"a$i seen ${counts.get(s"a$i")} times — drained stop must not replay"))
+        (0 until 5).foreach(i => assert(counts.get(s"b$i").contains(1),
+          s"b$i seen ${counts.get(s"b$i")} times — drained stop must not replay"))
+      } finally q2.stop()
+      producer.closeAll()
+    }
+  }
+
   test("spark batch write publishes to the network broker") {
     withServer { (_, _, conf) =>
       val spark = SparkTestSession.spark
@@ -669,5 +749,31 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.map(_.topic).sorted == Seq("out/a", "out/b"))
       sub.closeAll()
     }
+  }
+}
+
+/** Same-JVM foreach sink counting deliveries PER PAYLOAD — unlike the
+  * set-based [[RecoveryCollector]] it sees duplicates, which is what
+  * the stop-with-drain test asserts the absence of.
+  */
+class CountingCollector
+    extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+  override def open(partitionId: Long, epochId: Long): Boolean = true
+  override def process(row: org.apache.spark.sql.Row): Unit =
+    CountingCollector.add(new String(
+      row.getAs[Array[Byte]]("payload"), java.nio.charset.StandardCharsets.UTF_8))
+  override def close(errorOrNull: Throwable): Unit = ()
+}
+
+object CountingCollector {
+  private val map = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+  def add(s: String): Unit =
+    map.computeIfAbsent(s, _ =>
+      new java.util.concurrent.atomic.AtomicInteger(0)).incrementAndGet()
+  def clear(): Unit = map.clear()
+  def counts(): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    map.asScala.map { case (k, v) => k -> v.get }.toMap
   }
 }
