@@ -32,6 +32,7 @@ object Probe {
     val fromRegistry = Seq(
       "dedup_exact", "dedup_jaccard_pairs", "dedup_jaccard_lsh",
       "dedup_minhash_pairs", "dedup_simhash", "dedup_winnow",
+      "contamination_screen",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "pipeline_clean", "wordcount_salted",
       "multimodal_decode",

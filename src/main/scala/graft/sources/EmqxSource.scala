@@ -58,6 +58,7 @@ class EmqxTable(options: CaseInsensitiveStringMap)
       throw new IllegalArgumentException("emqx requires option 'broker'")),
     username = Option(options.get("username")),
     password = Option(options.get("password")),
+    authMethod = Option(options.get("authmethod")),
     sessionExpirySec = options.getLong("sessionexpirysec", 3600L),
     keepAliveSec = options.getInt("keepalivesec", 30),
     connectTimeoutMs = options.getInt("connecttimeoutms", 5000),

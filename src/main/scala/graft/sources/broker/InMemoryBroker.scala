@@ -60,6 +60,14 @@ class InMemoryBroker extends MqttBroker {
   def requireCredentials(username: String, password: String): Unit =
     credentials = Some((username, password))
 
+  /** Stored secret for `username` — the credential-store seam the
+    * wire server's SCRAM layer derives its verifiers from (a real
+    * deployment stores only the derived verifier; this in-memory
+    * fixture keeps the plaintext that [[requireCredentials]] took).
+    */
+  def credentialFor(username: String): Option[String] =
+    credentials.collect { case (u, p) if u == username => p }
+
   /** Auth presented at the client's most recent connect — lets specs
     * assert the option plumbing reaches the broker.
     */

@@ -19,16 +19,37 @@ import java.nio.charset.StandardCharsets.UTF_8
 object Mqtt5Codec {
 
   sealed trait Packet
+  /** `authMethod`/`authData` (properties 0x15/0x16, spec §3.1.2.11):
+    * enhanced authentication — the CONNECT carries the first client
+    * message of the negotiated SASL-style exchange (e.g.
+    * SCRAM-SHA-256 client-first), continued via [[Auth]] packets.
+    */
   final case class Connect(clientId: String, cleanStart: Boolean,
       keepAliveSec: Int, sessionExpirySec: Long,
-      username: Option[String], password: Option[Array[Byte]]) extends Packet
+      username: Option[String], password: Option[Array[Byte]],
+      authMethod: Option[String] = None,
+      authData: Option[Array[Byte]] = None) extends Packet
   /** `receiveMaximum` (property 0x21, spec §3.2.2.3.3): the broker's
     * receive quota — the client must not exceed this many concurrent
     * un-acknowledged QoS 1/2 PUBLISH flows toward the broker. 65535
     * (the protocol default) means "unlimited" and is not encoded.
+    * `authData` (property 0x16): the final server message of an
+    * enhanced-auth exchange (SCRAM server-final "v=..." signature).
     */
   final case class Connack(sessionPresent: Boolean, reasonCode: Int,
-      receiveMaximum: Int = 65535) extends Packet
+      receiveMaximum: Int = 65535,
+      authData: Option[Array[Byte]] = None) extends Packet {
+    override def equals(o: Any): Boolean = o match {
+      case Connack(p, rc, rm, ad) =>
+        p == sessionPresent && rc == reasonCode && rm == receiveMaximum &&
+          ((ad, authData) match {
+            case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+            case (None, None) => true
+            case _ => false
+          })
+      case _ => false
+    }
+  }
   final case class Publish(topic: String, qos: Int, retain: Boolean,
       dup: Boolean, packetId: Int, props: Map[String, String],
       payload: Array[Byte]) extends Packet
@@ -43,6 +64,20 @@ object Mqtt5Codec {
   case object PingReq extends Packet
   case object PingResp extends Packet
   final case class Disconnect(reasonCode: Int) extends Packet
+  /** AUTH (type 15, spec §3.15): enhanced-authentication exchange.
+    * Reason codes: 0x00 Success, 0x18 Continue authentication,
+    * 0x19 Re-authenticate. Carries the auth method (0x15, must match
+    * the CONNECT's) and opaque auth data (0x16).
+    */
+  final case class Auth(reasonCode: Int, method: String,
+      data: Array[Byte]) extends Packet {
+    override def equals(o: Any): Boolean = o match {
+      case Auth(rc, m, d) =>
+        rc == reasonCode && m == method &&
+          java.util.Arrays.equals(d, data)
+      case _ => false
+    }
+  }
 
   // ---- primitive encoders over a growable buffer ----
 
@@ -85,7 +120,7 @@ object Mqtt5Codec {
   // ---- encode ----
 
   def write(out: OutputStream, p: Packet): Unit = p match {
-    case Connect(cid, clean, keepAlive, expiry, user, pass) =>
+    case Connect(cid, clean, keepAlive, expiry, user, pass, am, ad) =>
       val b = new Buf
       b.str("MQTT").u8(5) // protocol name + version
       var flags = 0
@@ -93,15 +128,21 @@ object Mqtt5Codec {
       if (user.isDefined) flags |= 0x80
       if (pass.isDefined) flags |= 0x40
       b.u8(flags).u16(keepAlive)
-      b.raw(props(pb => { pb.u8(0x11).u32(expiry) })) // session expiry
+      b.raw(props(pb => {
+        pb.u8(0x11).u32(expiry) // session expiry
+        am.foreach(m => pb.u8(0x15).str(m))
+        ad.foreach(d => pb.u8(0x16).bin(d))
+      }))
       b.str(cid)
       user.foreach(b.str)
       pass.foreach(b.bin)
       frame(out, 1, 0, b.bytes)
-    case Connack(present, reason, receiveMax) =>
+    case Connack(present, reason, receiveMax, authData) =>
       val b = new Buf
-      b.u8(if (present) 1 else 0).u8(reason).raw(props(pb =>
-        if (receiveMax != 65535) pb.u8(0x21).u16(receiveMax)))
+      b.u8(if (present) 1 else 0).u8(reason).raw(props(pb => {
+        if (receiveMax != 65535) pb.u8(0x21).u16(receiveMax)
+        authData.foreach(d => pb.u8(0x16).bin(d))
+      }))
       frame(out, 2, 0, b.bytes)
     case Publish(topic, qos, retain, dup, pid, userProps, payload) =>
       val b = new Buf
@@ -145,6 +186,13 @@ object Mqtt5Codec {
       val b = new Buf
       b.u8(rc).raw(props(_ => ()))
       frame(out, 14, 0, b.bytes)
+    case Auth(rc, method, data) =>
+      val b = new Buf
+      b.u8(rc).raw(props(pb => {
+        pb.u8(0x15).str(method)
+        if (data.nonEmpty) pb.u8(0x16).bin(data)
+      }))
+      frame(out, 15, 0, b.bytes)
   }
 
   private def ackLike(out: OutputStream, tpe: Int, flags: Int,
@@ -161,7 +209,9 @@ object Mqtt5Codec {
 
   /** Decoded property block (the subset this connector surfaces). */
   final case class PropSet(sessionExpiry: Option[Long],
-      user: Map[String, String], receiveMaximum: Option[Int])
+      user: Map[String, String], receiveMaximum: Option[Int],
+      authMethod: Option[String] = None,
+      authData: Option[Array[Byte]] = None)
 
   private final class Reader(bytes: Array[Byte]) {
     private var pos = 0
@@ -197,11 +247,15 @@ object Mqtt5Codec {
       val end = pos + len
       var expiry: Option[Long] = None
       var receiveMax: Option[Int] = None
+      var authMethod: Option[String] = None
+      var authData: Option[Array[Byte]] = None
       val user = Map.newBuilder[String, String]
       while (pos < end) {
         val id = u8()
         id match {
           case 0x11 => expiry = Some(u32())
+          case 0x15 => authMethod = Some(str())
+          case 0x16 => authData = Some(strBytes())
           case 0x21 => receiveMax = Some(u16())
           case 0x26 => user += (str() -> str())
           // skip-by-type tables (spec §2.2.2.2)
@@ -209,13 +263,13 @@ object Mqtt5Codec {
           case 0x13 | 0x22 | 0x23 => u16()
           case 0x02 | 0x18 | 0x27 => u32()
           case 0x0b => vbi()
-          case 0x03 | 0x08 | 0x12 | 0x15 | 0x1a | 0x1c | 0x1f => str()
-          case 0x09 | 0x16 => strBytes()
+          case 0x03 | 0x08 | 0x12 | 0x1a | 0x1c | 0x1f => str()
+          case 0x09 => strBytes()
           case other =>
             throw new IllegalArgumentException(s"unknown property id $other")
         }
       }
-      PropSet(expiry, user.result(), receiveMax)
+      PropSet(expiry, user.result(), receiveMax, authMethod, authData)
     }
   }
 
@@ -249,7 +303,7 @@ object Mqtt5Codec {
         require(proto == "MQTT" && ver == 5, s"unsupported $proto v$ver")
         val cf = r.u8()
         val keepAlive = r.u16()
-        val expiry = r.propBlock().sessionExpiry
+        val cprops = r.propBlock()
         val cid = r.str()
         if ((cf & 0x04) != 0) { // will flag: skip will props/topic/payload
           r.propBlock(); r.str(); r.strBytes()
@@ -257,13 +311,14 @@ object Mqtt5Codec {
         val user = if ((cf & 0x80) != 0) Some(r.str()) else None
         val pass = if ((cf & 0x40) != 0) Some(r.strBytes()) else None
         Connect(cid, (cf & 0x02) != 0, keepAlive,
-          expiry.getOrElse(0L), user, pass)
+          cprops.sessionExpiry.getOrElse(0L), user, pass,
+          cprops.authMethod, cprops.authData)
       case 2 =>
         val present = (r.u8() & 1) != 0
         val rc = r.u8()
-        val rm =
-          if (r.remaining > 0) r.propBlock().receiveMaximum else None
-        Connack(present, rc, rm.getOrElse(65535))
+        val p = if (r.remaining > 0) r.propBlock()
+          else PropSet(None, Map.empty, None)
+        Connack(present, rc, p.receiveMaximum.getOrElse(65535), p.authData)
       case 3 =>
         val qos = (flags >>> 1) & 3
         val topic = r.str()
@@ -305,6 +360,16 @@ object Mqtt5Codec {
       case 14 =>
         val rc = if (r.remaining > 0) r.u8() else 0
         Disconnect(rc)
+      case 15 =>
+        // rc + props may be omitted entirely for rc=0 (spec §3.15.2)
+        if (r.remaining == 0) Auth(0, "", Array.empty)
+        else {
+          val rc = r.u8()
+          val ap = if (r.remaining > 0) r.propBlock()
+            else PropSet(None, Map.empty, None)
+          Auth(rc, ap.authMethod.getOrElse(""),
+            ap.authData.getOrElse(Array.empty))
+        }
       case other =>
         throw new IllegalArgumentException(s"unsupported packet type $other")
     }

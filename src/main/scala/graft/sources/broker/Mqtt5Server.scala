@@ -48,6 +48,47 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
       val t = new Thread(r, "mqtt5-delayed-ack"); t.setDaemon(true); t
     })
 
+  // SCRAM verifiers derived lazily from the backing credential store
+  // (a real broker stores only these, never the password); cached per
+  // user with the secret they were derived from so a test that
+  // rotates credentials gets a fresh verifier
+  private val scramVerifiers = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, ScramSha256.Verifier)]()
+  private def scramVerifierFor(u: String): Option[ScramSha256.Verifier] =
+    backing.credentialFor(u).map { pw =>
+      val cached = scramVerifiers.get(u)
+      if (cached != null && cached._1 == pw) cached._2
+      else {
+        val salt = new Array[Byte](16)
+        new java.security.SecureRandom().nextBytes(salt)
+        val v = ScramSha256.verifier(pw, salt)
+        scramVerifiers.put(u, (pw, v))
+        v
+      }
+    }
+
+  /** One SCRAM-SHA-256 exchange on a fresh connection: client-first
+    * arrived in the CONNECT's auth data; challenge with AUTH 0x18,
+    * await the client-final AUTH, verify the proof. Returns the
+    * authenticated principal and the server-final message (for the
+    * CONNACK auth data) — None on any failure, which the caller
+    * answers with CONNACK 0x87.
+    */
+  private def runScram(clientFirst: Option[Array[Byte]],
+      send: Packet => Unit,
+      in: java.io.InputStream): Option[(String, String)] = try {
+    val server = new ScramSha256.Server(scramVerifierFor)
+    val first = new String(clientFirst.getOrElse(return None), "UTF-8")
+    send(Auth(0x18, "SCRAM-SHA-256",
+      server.serverFirst(first).getBytes("UTF-8")))
+    Mqtt5Codec.read(in) match {
+      case Auth(0x18, "SCRAM-SHA-256", data) =>
+        server.verifyClientFinal(new String(data, "UTF-8"))
+          .map(sf => (server.username, sf))
+      case _ => None
+    }
+  } catch { case _: Throwable => None }
+
   // bind with SO_REUSEADDR so a bounced broker can come back on the
   // same port while old accepted sockets linger in TIME_WAIT
   private def bindReusable(ss: ServerSocket): ServerSocket = {
@@ -204,12 +245,37 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
 
     try {
       Mqtt5Codec.read(in) match {
-        case Connect(cid, clean, _, expiry, user, pass) =>
+        case Connect(cid, clean, _, expiry, user, pass, authMethod, authData) =>
           clientid = cid
           pendingQos2 = qos2Pending.computeIfAbsent(cid,
             _ => mutable.LinkedHashMap[Int, EmqxMessage]())
           if (clean) pendingQos2.synchronized(pendingQos2.clear())
-          val auth = (user, pass.map(b => new String(b, "UTF-8")))
+          // enhanced auth (spec §4.12): SCRAM-SHA-256 over AUTH
+          // packets. The password never rides the wire; on success
+          // the CONNACK's auth data carries the server-final
+          // signature so the client authenticates the broker too.
+          var connackAuthData: Option[Array[Byte]] = None
+          val auth: (Option[String], Option[String]) = authMethod match {
+            case None => (user, pass.map(b => new String(b, "UTF-8")))
+            case Some("SCRAM-SHA-256") =>
+              runScram(authData, send, in) match {
+                case Some((principal, serverFinal)) =>
+                  connackAuthData =
+                    Some(serverFinal.getBytes("UTF-8"))
+                  // hand the session layer the authenticated
+                  // principal with its stored secret so the legacy
+                  // equality check passes and lastAuth records it
+                  (Some(principal), backing.credentialFor(principal))
+                case None =>
+                  send(Connack(sessionPresent = false, 0x87)) // not authorized
+                  sock.close()
+                  return
+              }
+            case Some(_) =>
+              send(Connack(sessionPresent = false, 0x8c)) // bad auth method
+              sock.close()
+              return
+          }
           val present =
             try backing.connect(cid, clean,
               if (expiry > 0) expiry else 3600, auth._1, auth._2)
@@ -222,7 +288,7 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
                 sock.close()
                 return
             }
-          send(Connack(present, 0, receiveMaximum))
+          send(Connack(present, 0, receiveMaximum, connackAuthData))
           deliverFrom = backing.committedOffset(cid)
           watermark = deliverFrom
           val dt = new Thread(() => deliveryLoop(), s"mqtt5-deliver-$cid")

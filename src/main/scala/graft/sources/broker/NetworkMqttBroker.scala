@@ -24,6 +24,11 @@ case class BrokerConf(
     uri: String,
     username: Option[String] = None,
     password: Option[String] = None,
+    // "SCRAM-SHA-256" → enhanced auth over AUTH packets: the password
+    // never crosses the wire and the broker must prove it holds the
+    // ServerKey (mutual authentication). None → legacy CONNECT
+    // username/password fields.
+    authMethod: Option[String] = None,
     sessionExpirySec: Long = 3600,
     keepAliveSec: Int = 30,
     connectTimeoutMs: Int = 5000,
@@ -249,11 +254,54 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     c.in = new BufferedInputStream(sock.getInputStream)
     val user = username.orElse(conf.username)
     val pass = password.orElse(conf.password)
+    // Enhanced auth (SCRAM-SHA-256): CONNECT carries the client-first
+    // message INSTEAD of the password field; the exchange continues
+    // over AUTH packets before the CONNACK arrives.
+    val scram = conf.authMethod match {
+      case Some("SCRAM-SHA-256") =>
+        val u = user.getOrElse(throw new IllegalArgumentException(
+          "authmethod SCRAM-SHA-256 requires a username"))
+        val p = pass.getOrElse(throw new IllegalArgumentException(
+          "authmethod SCRAM-SHA-256 requires a password"))
+        Some(new ScramSha256.Client(u, p))
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported authmethod $other (supported: SCRAM-SHA-256)")
+      case None => None
+    }
     c.send(Connect(clientid, cleanStart,
       conf.keepAliveSec, sessionExpirySec, user,
-      pass.map(_.getBytes("UTF-8"))))
+      if (scram.isDefined) None else pass.map(_.getBytes("UTF-8")),
+      authMethod = scram.map(_ => "SCRAM-SHA-256"),
+      authData = scram.map(_.clientFirst.getBytes("UTF-8"))))
+    scram.foreach { cl =>
+      Mqtt5Codec.read(c.in) match {
+        case Auth(0x18, _, data) =>
+          c.send(Auth(0x18, "SCRAM-SHA-256",
+            cl.clientFinal(new String(data, "UTF-8")).getBytes("UTF-8")))
+        case Connack(_, rc, _, _) =>
+          sock.close()
+          throw new IllegalStateException(
+            if (rc == 0x87 || rc == 0x86) s"not authorized: $clientid"
+            else s"connect refused rc=0x${rc.toHexString}")
+        case other =>
+          sock.close()
+          throw new IllegalStateException(s"expected AUTH, got $other")
+      }
+    }
     Mqtt5Codec.read(c.in) match {
-      case Connack(present, 0, receiveMax) =>
+      case Connack(present, 0, receiveMax, connackAuthData) =>
+        // mutual authentication: the CONNACK must carry a server-final
+        // signature only the genuine ServerKey holder can produce
+        scram.foreach { cl =>
+          val ok = connackAuthData.exists(d =>
+            cl.verifyServerFinal(new String(d, "UTF-8")))
+          if (!ok) {
+            sock.close()
+            throw new IllegalStateException(
+              "broker failed SCRAM server verification: refusing to " +
+                "trust an unauthenticated broker")
+          }
+        }
         c.sessionPresent = present
         c.sendQuota = new java.util.concurrent.Semaphore(receiveMax)
         c.alive = true
@@ -264,7 +312,7 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
         t.start()
         conns.put(clientid, c)
         present
-      case Connack(_, rc, _) =>
+      case Connack(_, rc, _, _) =>
         sock.close()
         throw new IllegalStateException(
           if (rc == 0x87 || rc == 0x86) s"not authorized: $clientid"

@@ -469,6 +469,110 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("SCRAM-SHA-256 matches the RFC 7677 test vector on both sides") {
+    // the published RFC 7677 §3 example exchange, pinned end-to-end:
+    // any drift in Hi/HMAC/AuthMessage construction fails here before
+    // it can silently weaken the wire exchange
+    val clientNonce = "rOprNGfwEbeRWgbNEkqO"
+    val serverNonce = "%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    val vSrvFirst = s"r=$clientNonce$serverNonce," +
+      "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    val vCliFinal = s"c=biws,r=$clientNonce$serverNonce," +
+      "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    val vSrvFinal = "v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+
+    val cl = new ScramSha256.Client("user", "pencil", clientNonce)
+    assert(cl.clientFirst == s"n,,n=user,r=$clientNonce")
+    assert(cl.clientFinal(vSrvFirst) == vCliFinal)
+    assert(cl.verifyServerFinal(vSrvFinal))
+    assert(!cl.verifyServerFinal(
+      "v=AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA="))
+
+    val salt = java.util.Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val srv = new ScramSha256.Server(
+      u => if (u == "user") Some(ScramSha256.verifier("pencil", salt))
+           else None,
+      serverNonce)
+    assert(srv.serverFirst(cl.clientFirst) == vSrvFirst)
+    assert(srv.username == "user")
+    assert(srv.verifyClientFinal(vCliFinal).contains(vSrvFinal))
+    // a one-bit-off proof must not verify
+    assert(srv.verifyClientFinal(vCliFinal.dropRight(4) + "AAA=").isEmpty)
+  }
+
+  test("codec round-trips AUTH and enhanced-auth CONNECT/CONNACK properties") {
+    val a = Auth(0x18, "SCRAM-SHA-256", "n,,n=u,r=abc".getBytes("UTF-8"))
+    assert(roundTrip(a) == a)
+    assert(roundTrip(Auth(0, "m", Array.empty)) == Auth(0, "m", Array.empty))
+    val c = Connect("cid", cleanStart = true, 30, 60, Some("u"), None,
+      authMethod = Some("SCRAM-SHA-256"),
+      authData = Some("first".getBytes("UTF-8")))
+    val c2 = roundTrip(c).asInstanceOf[Connect]
+    assert(c2.authMethod.contains("SCRAM-SHA-256") &&
+      c2.authData.exists(_.sameElements("first".getBytes("UTF-8"))))
+    val ack = Connack(sessionPresent = false, 0, 65535,
+      Some("v=sig".getBytes("UTF-8")))
+    assert(roundTrip(ack) == ack)
+  }
+
+  test("SCRAM over the wire: mutual auth succeeds, bad password refused, password never sent") {
+    withServer { (backing, _, conf) =>
+      backing.requireCredentials("svc", "s3cret-hunter2")
+      val scramConf = conf.copy(username = Some("svc"),
+        password = Some("s3cret-hunter2"),
+        authMethod = Some("SCRAM-SHA-256"))
+      val client = new NetworkMqttBroker(scramConf)
+      assert(!client.connect("scram-c0", cleanStart = true, 60, None, None))
+      // the session layer saw the SCRAM principal, not a wire password
+      assert(backing.lastAuth("scram-c0").exists(_._1.contains("svc")))
+      // the authenticated connection is fully usable
+      client.subscribe("scram-c0", "sc/#", 1)
+      val producer = new NetworkMqttBroker(scramConf)
+      producer.publish(EmqxMessage("sc/x", 1, retained = false,
+        Map.empty, "hello".getBytes("UTF-8")))
+      eventually() { assert(client.endOffset("scram-c0") == 1) }
+      client.closeAll(); producer.closeAll()
+
+      val bad = new NetworkMqttBroker(scramConf.copy(
+        password = Some("wrong")))
+      val e = intercept[IllegalStateException] {
+        bad.connect("scram-bad", cleanStart = true, 60, None, None)
+      }
+      assert(e.getMessage.contains("not authorized"))
+    }
+  }
+
+  test("SCRAM client refuses a broker that cannot prove the ServerKey") {
+    // an impostor broker that answers the exchange with a plausible
+    // challenge but CONNACKs success without a valid server-final
+    // signature — a client that connected anyway would leak traffic
+    // to a broker that never knew the password
+    val ss = new java.net.ServerSocket(0)
+    val impostor = new Thread(() => {
+      try {
+        val s = ss.accept()
+        val in = new java.io.BufferedInputStream(s.getInputStream)
+        val out = new java.io.BufferedOutputStream(s.getOutputStream)
+        Mqtt5Codec.read(in) // CONNECT
+        Mqtt5Codec.write(out, Auth(0x18, "SCRAM-SHA-256",
+          "r=anything-not-extending,s=AAAAAAAAAAAAAAAAAAAAAA==,i=4096"
+            .getBytes("UTF-8")))
+        Mqtt5Codec.read(in) // client-final (never arrives: bad nonce)
+        Mqtt5Codec.write(out, Connack(sessionPresent = false, 0))
+      } catch { case _: Throwable => () }
+    })
+    impostor.setDaemon(true); impostor.start()
+    try {
+      val client = new NetworkMqttBroker(BrokerConf(
+        s"tcp://127.0.0.1:${ss.getLocalPort}",
+        username = Some("svc"), password = Some("pw"),
+        authMethod = Some("SCRAM-SHA-256")))
+      intercept[Exception] {
+        client.connect("imp-c0", cleanStart = true, 60, None, None)
+      }
+    } finally ss.close()
+  }
+
   test("malformed remaining-length VBI is rejected, not looped forever") {
     // >4 continuation bytes: a hostile/broken peer must get an error
     // on the connection thread, not an infinite loop / huge allocation
