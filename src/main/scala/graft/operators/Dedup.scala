@@ -64,9 +64,19 @@ object Dedup {
     * cross-join form would answer with every corpus×ref pair) is a
     * semantics change this operator refuses rather than silently
     * narrows.
+    *
+    * `maxRefDf` caps the reference document frequency per shingle
+    * (standard stop-shingle treatment, mirroring [[jaccardPairs]]'s
+    * `maxDf`): a shingle present in thousands of reference documents
+    * is boilerplate, not contamination signal, and each corpus
+    * posting hitting it would fan out into that many join rows — the
+    * 100× probe caught exactly this blow-up. Dropped shingles are
+    * observable via the `contamination_ref_cap` metric; the default
+    * is far above any df the oracle corpora produce, so test-scale
+    * results are unchanged.
     */
   def screenDocs(docs: DataFrame, threshold: Double = 0.05,
-      refMod: Int = 7): DataFrame = {
+      refMod: Int = 7, maxRefDf: Int = 1000): DataFrame = {
     import graft.functions.HashFunctions._
     val spark = docs.sparkSession
     import spark.implicits._
@@ -74,9 +84,26 @@ object Dedup {
       s"threshold must be > 0 (got $threshold): zero-intersection pairs " +
         "cannot materialize from inverted postings; use a cross join if " +
         "you genuinely need every corpus x ref pair")
-    val keyed = docs
+    // Parallelism floor: a compact parquet input yields few splits
+    // (162 MB at the 100× probe → 2), and with a broadcast join the
+    // whole kernel+join+partial-agg pipeline would run on those few
+    // tasks — the probe measured one task spill-sorting for 20+ min
+    // while 31 sat idle. Spread the DOC rows (one row per doc, before
+    // the ~200× shingle fan-out and before the kernel) when the scan
+    // is narrower than the shuffle width; on a real multi-TB input
+    // the scan has plenty of splits and this is a no-op. Applied per
+    // branch so the reference side spreads only its mod-filtered
+    // slice, not the whole corpus.
+    val target = spark.sessionState.conf.numShufflePartitions
+    def spreadIfNarrow(df: DataFrame): DataFrame =
+      if (df.isStreaming || df.rdd.getNumPartitions >= target) df
+      else df.repartition(target)
+    // No size(keys) > 0 pre-filter: the postings flatMap emits nothing
+    // for an empty key array, and a pushed-down filter would run the
+    // kernel a second time per row (the PushPredicateThroughNonJoin
+    // alias-substitution trap the streaming-path audit caught).
+    def keyedOf(df: DataFrame): DataFrame = df
       .select(col("doc_id"), shingle_keys(col("text"), lit(""), 3).as("keys"))
-      .filter(size(col("keys")) > 0)
     // (shingle, id << 20 | n_keys) postings via typed flatMap — NOT
     // explode(): Catalyst re-evaluates a computed array per OUTPUT row
     // under Generate. Packing keeps every shuffle/broadcast row two
@@ -102,9 +129,24 @@ object Dedup {
       }
       .toDF("shingle", out)
     val nMask = (1L << 20) - 1
-    postings(keyed, "d")
-      .join(broadcast(postings(keyed.filter(col("doc_id") % refMod === 0),
-        "r")), "shingle")
+    // Reference postings aggregate into one (shingle, member-list) row
+    // per shingle BEFORE the broadcast: the df cap applies there, the
+    // broadcast shrinks (one row per distinct shingle), and the join
+    // fan-out per corpus posting is bounded by maxRefDf. The explode
+    // runs over an aggregation ATTRIBUTE, not a computed expression,
+    // so the Generate re-evaluation trap (SURVEY §8) does not apply.
+    val refLists = postings(
+        keyedOf(spreadIfNarrow(docs.filter(col("doc_id") % refMod === 0))),
+        "r")
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("r")).as("rs"))
+      .observe("contamination_ref_cap",
+        sum(when(size(col("rs")) > maxRefDf, 1L).otherwise(0L))
+          .as("dropped_shingles"))
+      .filter(size(col("rs")) <= maxRefDf)
+    postings(keyedOf(spreadIfNarrow(docs)), "d")
+      .join(broadcast(refLists), "shingle")
+      .select(col("d"), explode(col("rs")).as("r"))
       // same id ⇒ same packed word (identical key count); cheap long
       // inequality replaces the doc_id != ref_id predicate
       .filter(col("d") =!= col("r"))

@@ -76,14 +76,31 @@ class PlanAuditSpec extends AnyFunSuite {
     // from the (doc, ref) aggregation after the equi-join
     assert(!plan.contains("sortedintersectcount"),
       s"per-pair intersection back in the plan:\n$plan")
-    // exchanges: ONE hash partition into the (doc, ref) count agg,
-    // plus the final orderBy's range exchange
-    val shuffles = plan.linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("BroadcastExchange"))
-    assert(shuffles <= 2, s"$shuffles shuffles:\n$plan")
+    // requirement exchanges: the dim-side per-shingle ref-list agg,
+    // the (doc, ref) count agg, and the final orderBy's range
+    // exchange. The ≤2 per-branch round-robin spreads are the
+    // parallelism floor for low-split inputs (the 100× probe caught
+    // the whole pipeline serialized on 2 parquet splits) and vanish
+    // on a wide scan. None carries text: postings are two longs and
+    // the ref lists ride a BroadcastExchange.
+    val required = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        !l.contains("RoundRobinPartitioning"))
+    assert(required <= 3, s"$required requirement shuffles:\n$plan")
+    val spreads = plan.linesIterator.count(_.contains("RoundRobinPartitioning"))
+    assert(spreads <= 2, s"$spreads round-robin spreads:\n$plan")
     // the count agg partially aggregates map-side before its exchange
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
       s"no partial aggregation on hit counts:\n$plan")
+    // the parallelism floor must spread the compact test input before
+    // the kernel runs (scan splits < shuffle width here)
+    assert(spreads >= 1,
+      s"low-split input not spread before the kernel:\n$plan")
+    // the kernel must run exactly once per row: no pushed-down filter
+    // may re-evaluate shinglekeys below the projection
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("shinglekeys")),
+      s"kernel re-evaluated in a pushed filter:\n$plan")
   }
 
   test("jaccard postings stay two-long rows: no strings reach a shuffle") {
