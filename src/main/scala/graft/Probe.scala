@@ -32,7 +32,7 @@ object Probe {
     val fromRegistry = Seq(
       "dedup_exact", "dedup_jaccard_pairs", "dedup_jaccard_lsh",
       "dedup_minhash_pairs", "dedup_simhash", "dedup_winnow",
-      "contamination_screen",
+      "contamination_screen", "dedup_clusters",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "pipeline_clean", "wordcount_salted",
       "multimodal_decode",
@@ -73,7 +73,13 @@ object Probe {
           // row count in one pass
           mk().queryExecution.toRdd.count()
         catch { case e: Throwable =>
-          println(s"""{"query":"$name","error":"${e.getClass.getSimpleName}"}""")
+          var root: Throwable = e
+          while (root.getCause != null && root.getCause != root)
+            root = root.getCause
+          val msg = (root.getClass.getSimpleName + ": " +
+            String.valueOf(root.getMessage).take(300))
+            .replaceAll("[\"\\\\\n]", " ")
+          println(s"""{"query":"$name","error":"$msg"}""")
           -1L
         }
       if (rows >= 0) {

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** D8 — near-duplicate CLUSTER RESOLUTION: connected components over
+  * a dedup verifier's pair list, labeling every member with its
+  * component minimum (the canonical "keeper" id a training-data
+  * pipeline retains). Pair emission (D2–D7) finds edges; this closes
+  * them transitively so A~B, B~C collapse to one cluster {A,B,C} with
+  * keeper A — without it, pairwise dedup keeps one doc per PAIR, not
+  * one per group.
+  *
+  * Spark-first shape: alternating large-star / small-star edge
+  * rewriting (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond" — the algorithm behind GraphFrames' connectedComponents),
+  * NOT per-round label propagation: min-label propagation needs
+  * O(diameter) full-shuffle rounds (a 1000-link near-dup chain =
+  * 1000 shuffles), while star rewriting converges in O(log n) rounds
+  * on any graph. Each round is a typed groupBy/flatMap over
+  * (node, neighbor-list) — degree-bounded per node, high degrees
+  * collapse toward stars after the first large-star pass. Lineage is
+  * truncated every round with an eager localCheckpoint so 10+ rounds
+  * do not stack 10 plans.
+  *
+  * Driver-side per round: ONE scalar action (the converged-edge
+  * count) — the standard iterate-until-fixpoint control loop, not a
+  * collect of data.
+  */
+object Clusters {
+
+  /** Clusters from the blocked exact-jaccard verifier's pairs at the
+    * same defaults as the `dedup_jaccard_pairs` query (oracle-stated
+    * as a recursive CTE over the identical pair SQL).
+    */
+  def nearDupClusters(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.02): DataFrame =
+    clusterPairs(Dedup.jaccardPairs(spark, sfDir, threshold)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** Connected components over an arbitrary `(doc_a, doc_b)` pair
+    * frame — the testable core. Output: one row per node that appears
+    * in any pair, `(doc_id, cluster_id)` with `cluster_id` = the
+    * smallest doc_id of the component (the keeper). Singletons (docs
+    * in no pair) are absent by contract — they need no resolution.
+    */
+  def clusterPairs(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    // canonical small→large edge set with self-pairs dropped
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .as[(Long, Long)]
+      .localCheckpoint(true)
+
+    // Large-star: group every edge BOTH ways on u; for m = min of the
+    // neighborhood (incl. u), rewire every neighbor v > u to m.
+    // Small-star: group each edge on its LARGER endpoint; rewire the
+    // smaller neighbors (and u itself) to the neighborhood min.
+    // Both emit canonical (min, max) pairs, so the converged fixpoint
+    // is a set of stars rooted at component minima.
+    def largeStar(e: org.apache.spark.sql.Dataset[(Long, Long)]) = e
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .groupByKey(_._1)
+      .flatMapGroups { (u, it) =>
+        val ns = it.map(_._2).toArray
+        var m = u
+        var i = 0
+        while (i < ns.length) { if (ns(i) < m) m = ns(i); i += 1 }
+        ns.iterator.filter(_ > u).map(v => (m, v))
+      }
+      .distinct()
+
+    def smallStar(e: org.apache.spark.sql.Dataset[(Long, Long)]) = e
+      .map { case (u, v) => (math.max(u, v), math.min(u, v)) }
+      .groupByKey(_._1)
+      .flatMapGroups { (u, it) =>
+        val ns = it.map(_._2).toArray
+        var m = u
+        var i = 0
+        while (i < ns.length) { if (ns(i) < m) m = ns(i); i += 1 }
+        // rewire u and its smaller neighbors to the minimum
+        (Iterator.single(u) ++ ns.iterator).filter(_ != m)
+          .map(x => (m, x)).toSeq.distinct.iterator
+      }
+      .distinct()
+
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint test: identical edge SETS. Both sides are distinct
+      // canonical pairs, so set equality = equal counts + empty
+      // difference; one scalar action via a full outer count
+      val before = edges.count()
+      val after = next.count()
+      converged = before == after &&
+        next.toDF("u", "v").except(edges.toDF("u", "v")).isEmpty
+      edges = next
+      rounds += 1
+    }
+
+    // stars: (root, member); roots label themselves
+    val members = edges.toDF("cluster_id", "doc_id")
+    members.select(col("doc_id"), col("cluster_id"))
+      .union(members.select(col("cluster_id").as("doc_id"),
+        col("cluster_id")).distinct())
+      .distinct()
+      .orderBy(col("doc_id"))
+  }
+}

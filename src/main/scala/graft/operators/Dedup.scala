@@ -146,6 +146,16 @@ object Dedup {
       .filter(size(col("rs")) <= maxRefDf)
     postings(keyedOf(spreadIfNarrow(docs)), "d")
       .join(broadcast(refLists), "shingle")
+      // NOTE: no (doc, member-list) multiplicity collapse before this
+      // explode — measured at the 100× probe, corpus shingles have
+      // avg reference-df ~10 with DISTINCT doc subsets per shingle,
+      // so list-keyed pre-aggregation collapses almost nothing while
+      // shuffling ~1 KB array keys per join hit (it OOMed where the
+      // plain shape completes). The jaccardPairs collapse works there
+      // because LSH bucket member lists are near-identical; here they
+      // are not. Work is inherently Σ matching ref-df per corpus
+      // posting — near-linear in corpus size × avg df, vs the BNLJ's
+      // Θ(corpus × refs) full-array intersections.
       .select(col("d"), explode(col("rs")).as("r"))
       // same id ⇒ same packed word (identical key count); cheap long
       // inequality replaces the doc_id != ref_id predicate

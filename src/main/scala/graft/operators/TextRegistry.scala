@@ -29,6 +29,7 @@ object TextRegistry {
     "dedup_jaccard_lsh" -> ((s, d) => Dedup.jaccardPairsLsh(s, d)),
     "dedup_simhash" -> ((s, d) => MinHashDedup.simhashPairs(s, d)),
     "contamination_screen" -> ((s, d) => Dedup.screenAgainstReference(s, d)),
+    "dedup_clusters" -> ((s, d) => Clusters.nearDupClusters(s, d)),
     "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),
     "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _)
   )
@@ -163,6 +164,25 @@ object TextRegistry {
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
          |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // transitive closure of the dedup_jaccard_pairs edges via a
+    // recursive CTE; cluster_id = min reachable doc_id — must equal
+    // the large-star/small-star fixpoint exactly
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, source, $SH AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |        >= 0.02),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |        UNION SELECT doc_b, doc_a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+         |)
+         |SELECT src AS doc_id, min(dst) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "contamination_screen" ->
       s"""WITH t AS (SELECT doc_id, $SH AS sh FROM documents),
          |tt AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
