@@ -542,6 +542,40 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("spark readStream authenticates via SCRAM with the authmethod option") {
+    withServer { (backing, _, conf) =>
+      backing.requireCredentials("pipe", "pipe-pw")
+      val spark = SparkTestSession.spark
+      import spark.implicits._
+      val q = spark.readStream.format("emqx")
+        .option("broker", conf.uri)
+        .option("username", "pipe").option("password", "pipe-pw")
+        .option("authmethod", "SCRAM-SHA-256")
+        .option("clientid", "scram-e2e-").option("readers", 1)
+        .option("group", "gsc").option("topicfilter", "se/#")
+        .option("qos", 1)
+        .load()
+        .selectExpr("cast(payload as string) AS body")
+        .writeStream.format("memory").queryName("scram_e2e")
+        .outputMode("append").start()
+      try {
+        val producer = new NetworkMqttBroker(conf.copy(
+          username = Some("pipe"), password = Some("pipe-pw"),
+          authMethod = Some("SCRAM-SHA-256")))
+        eventually(15000) {
+          producer.publish(EmqxMessage("se/t", 1, retained = false,
+            Map.empty, "via-scram".getBytes("UTF-8")))
+          q.processAllAvailable()
+          assert(spark.table("scram_e2e").as[String].collect()
+            .contains("via-scram"))
+        }
+        // the source's readers authenticated as the SCRAM principal
+        assert(backing.lastAuth("scram-e2e-0").exists(_._1.contains("pipe")))
+        producer.closeAll()
+      } finally q.stop()
+    }
+  }
+
   test("SCRAM client refuses a broker that cannot prove the ServerKey") {
     // an impostor broker that answers the exchange with a plausible
     // challenge but CONNACKs success without a valid server-final
