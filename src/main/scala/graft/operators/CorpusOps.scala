@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+
+/** Corpus-level training-data operators: statistics and layouts that
+  * need the WHOLE corpus per doc — novelty (corpus-wide shingle df)
+  * and sequence packing (global token prefix-sum) — kept scalable by
+  * the inverted-postings and distributed-prefix-sum shapes.
+  */
+object CorpusOps {
+
+  /** T9 — n-gram NOVELTY per document: the fraction of a doc's
+    * distinct 3-gram shingles that occur in NO other document —
+    * the dedup-aware quality weight a pipeline uses to up-sample
+    * genuinely novel text (a doc whose shingles all appear elsewhere
+    * is boilerplate even when no single pair crosses a dedup
+    * threshold).
+    *
+    * Shape: `shingle_keys` postings (two longs, same pack as the
+    * dedup family), df per shingle via a window partitioned BY
+    * SHINGLE (distributed — no global window), then one agg per doc.
+    * Work is Θ(postings); the shingle window and the doc agg are the
+    * only shuffles. Exact up to 64-bit shingle-key collisions (zero
+    * at oracle scale, ≈ d²/2⁶⁵ corpus-wide — the documented contract
+    * of the whole shingle-key family).
+    */
+  def textNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFunctions.shingle_keys
+    val postings = documents(spark, sfDir)
+      .select(col("doc_id"),
+        shingle_keys(col("text"), lit(""), 3).as("keys"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, keys) => keys.map(h => (h, id)) }
+      .toDF("shingle", "doc_id")
+    postings
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T10 — SEQUENCE PACKING: assign docs (in doc_id order) to
+    * contiguous training-batch bins of `targetTokens` whitespace
+    * tokens — the batch-packing layout step before tokenized
+    * examples are written. A doc belongs to the bin where its token
+    * range STARTS (offset packing): deterministic, order-preserving,
+    * and one doc may straddle a boundary — the sequential greedy
+    * packing a single-threaded writer would produce, computed
+    * distributed.
+    *
+    * The global running token count comes from
+    * [[graft.plans.GlobalOrder.withPrefixSum]] — per-partition
+    * partial sums + offset pass — NOT `sum() OVER (ORDER BY ...)`,
+    * whose unpartitioned window moves the entire corpus to one task.
+    */
+  def packSequences(spark: SparkSession, sfDir: String,
+      targetTokens: Long = 2048L): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be > 0: $targetTokens")
+    import graft.functions.TextFunctions.tokenCount
+    val toks = documents(spark, sfDir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.plans.GlobalOrder
+      .withPrefixSum(toks, Seq(col("doc_id")), "n_tokens", "cum")
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens"))
+          .cast("double") / targetTokens).cast("long").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -30,6 +30,8 @@ object TextRegistry {
     "dedup_simhash" -> ((s, d) => MinHashDedup.simhashPairs(s, d)),
     "contamination_screen" -> ((s, d) => Dedup.screenAgainstReference(s, d)),
     "dedup_clusters" -> ((s, d) => Clusters.nearDupClusters(s, d)),
+    "text_novelty" -> (CorpusOps.textNovelty _),
+    "pack_sequences" -> ((s, d) => CorpusOps.packSequences(s, d)),
     "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),
     "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _)
   )
@@ -164,6 +166,29 @@ object TextRegistry {
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
          |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // corpus-wide shingle document-frequency → per-doc novelty; the
+    // Spark side counts df over 64-bit shingle keys (collision odds
+    // zero at this scale), the oracle over the shingle strings
+    "text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $SH AS sh FROM documents),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+         |d AS (SELECT s, count(*) AS df FROM e GROUP BY s)
+         |SELECT e.doc_id, count(*) AS n_shingles,
+         | sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+         | sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         |   AS novelty
+         |FROM e JOIN d USING (s)
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    // offset packing over the global token prefix-sum; the window SQL
+    // states the semantics the distributed prefix-sum must reproduce
+    "pack_sequences" ->
+      s"""SELECT doc_id, n_tokens,
+         | (sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  - n_tokens) // 2048 AS bin
+         |FROM (SELECT doc_id, len($TOKS)::BIGINT AS n_tokens
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     // transitive closure of the dedup_jaccard_pairs edges via a
     // recursive CTE; cluster_id = min reachable doc_id — must equal
     // the large-star/small-star fixpoint exactly

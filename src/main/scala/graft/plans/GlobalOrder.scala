@@ -71,6 +71,44 @@ object GlobalOrder {
     (ColumnBridge.internalDataFrame(spark, zipped, schema), total)
   }
 
+  /** Sort `df` by `orderCols` and append the INCLUSIVE running sum of
+    * `valueCol` (a non-nullable long) — the distributed prefix-sum:
+    * `sum(v) OVER (ORDER BY ...)` without the unpartitioned-window
+    * single-task collapse. Same two-job shape as [[withRowNumber]]:
+    * one O(numPartitions) pass collects per-partition partial sums
+    * (the only driver-side data — one long per partition), a second
+    * pass adds the partition offset to a local running sum.
+    */
+  def withPrefixSum(df: DataFrame, orderCols: Seq[Column],
+      valueCol: String, sumName: String = "cumsum"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(orderCols: _*)
+    val ord = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(ord).dataType == LongType,
+      s"prefix-sum column $valueCol must be long, " +
+        s"got ${sorted.schema(ord).dataType}")
+    val internal = sorted.queryExecution.toRdd
+    val partials = internal.mapPartitions { it =>
+      var s = 0L
+      while (it.hasNext) s += it.next().getLong(ord)
+      Iterator.single(s)
+    }.collect()
+    val offsets = partials.scanLeft(0L)(_ + _)
+    val summed = internal.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      val cs = new SpecificInternalRow(Seq(LongType))
+      val joined = new JoinedRow
+      it.map { row =>
+        run += row.getLong(ord)
+        cs.setLong(0, run)
+        joined(row, cs): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(sumName, LongType, nullable = false))
+    ColumnBridge.internalDataFrame(spark, summed, schema)
+  }
+
   /** SQL-standard NTILE(n) from a global 1-based row number: the
     * first `total % n` buckets hold `total / n + 1` rows, the rest
     * `total / n`.

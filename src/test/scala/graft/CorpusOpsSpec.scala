@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOps
+import graft.plans.GlobalOrder
+
+/** T9 novelty and T10 sequence packing against exact in-driver
+  * references, plus the distributed prefix-sum primitive itself.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The oracle's shingle semantics: 1-indexed trigrams over
+    * whitespace tokens, distinct, first-occurrence order irrelevant.
+    */
+  private def shingles(text: String): Set[String] =
+    text.trim.split("\\s+").toSeq.sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")).toSet
+
+  test("textNovelty matches an exact in-driver df computation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val df = scala.collection.mutable.Map[String, Int]()
+    docs.foreach { case (_, t) =>
+      shingles(t).foreach(s => df(s) = df.getOrElse(s, 0) + 1) }
+    val expected = docs.flatMap { case (id, t) =>
+      val sh = shingles(t)
+      if (sh.isEmpty) None
+      else Some(id -> ((sh.size.toLong,
+        sh.count(df(_) == 1).toLong)))
+    }.toMap
+
+    val got = CorpusOps.textNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // novelty column is exactly n_unique / n_shingles
+    CorpusOps.textNovelty(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1))
+    }
+  }
+
+  test("packSequences matches a sequential greedy offset packer") {
+    val target = 2048L
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    var off = 0L
+    val expected = toks.map { case (id, n) =>
+      val bin = off / target; off += n; (id, n, bin) }.toSeq
+
+    val got = CorpusOps.packSequences(spark, sf, target).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // bins are monotone in doc order and fills stay in
+    // [target - maxDoc, target + maxDoc] for every closed bin
+    val fills = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxDoc = toks.map(_._2).max
+    val closed = fills.keys.toSeq.sorted.dropRight(1)
+    closed.foreach { b =>
+      assert(fills(b) <= target + maxDoc && fills(b) >= target - maxDoc,
+        s"bin $b fill ${fills(b)}")
+    }
+  }
+
+  test("withPrefixSum equals scanLeft on shuffled multi-partition input") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 5000L).map(i => (i, rnd.nextInt(100).toLong))
+    val df = spark.createDataset(rnd.shuffle(rows)).toDF("k", "v")
+      .repartition(13)
+    val got = GlobalOrder.withPrefixSum(df, Seq(col("k")), "v", "cs")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expected = rows.map(_._2).scanLeft(0L)(_ + _).tail
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    assert(got.sortBy(_._1).toSeq == expected.toSeq)
+  }
+
+  test("packing plan has no unpartitioned window, novelty window is keyed") {
+    val packPlan = CorpusOps.packSequences(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!packPlan.contains("Window"),
+      s"packing must not use a window operator:\n$packPlan")
+    val novPlan = CorpusOps.textNovelty(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the df window is partitioned by shingle — distributed; an
+    // unpartitioned window logs/plans with an empty partition spec
+    assert(novPlan.contains("windowspecdefinition(shingle"),
+      s"novelty df window not keyed by shingle:\n$novPlan")
+  }
+}
