@@ -34,9 +34,10 @@ object Probe {
       "dedup_minhash_pairs", "dedup_simhash", "dedup_winnow",
       "contamination_screen", "dedup_clusters",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-      "text_shingles", "pipeline_clean", "wordcount_salted",
+      "text_shingles", "text_novelty", "pack_sequences",
+      "pipeline_clean", "wordcount_salted",
       "multimodal_decode",
-      "ann_bruteforce", "ann_lsh", "ann_ivf",
+      "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
       "q_events_tumbling", "q_events_sliding", "q_sessionize",
       "q_conditional_agg")
 

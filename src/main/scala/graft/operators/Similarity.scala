@@ -396,4 +396,164 @@ object Similarity {
   def dedupEmbedding(spark: SparkSession, sfDir: String,
       threshold: Double = 0.45): DataFrame =
     simJoin(spark, sfDir, threshold)
+
+  /** S6 — Product-Quantization ANN (ADC scan + exact re-rank): the
+    * memory-side scale path. IVF prunes WHICH vectors a query
+    * touches; PQ shrinks WHAT each touched vector costs — `nSub`
+    * codes per vector (nSub·log₂(ks) bits ≈ 8 bytes at the defaults)
+    * instead of dim floats, a 32× memory cut at dim 64, so a
+    * 100 TB corpus' codes fit where its raw vectors cannot.
+    *
+    * Shape: per-subspace k-means codebooks fit ON THE DRIVER over
+    * the same bounded md5-deterministic sample as the IVF fit (≤
+    * sampleSize·dim doubles — the documented sanctioned collect);
+    * corpus encoding is one distributed typed map (normalize, per
+    * subspace nearest centroid by L2); queries become per-query
+    * dot-product lookup tables (nQueries·nSub·ks doubles, broadcast);
+    * the ADC scan is a codes-only flatMap — Σ table lookups per
+    * (vector, query), no floats shuffled — and only the `k·refine`
+    * shortlist per query is re-ranked with exact cosine against the
+    * raw vectors (broadcast shortlist join: the corpus side never
+    * shuffles). Rows-only: recall vs brute force is spec'd.
+    */
+  def annPq(spark: SparkSession, sfDir: String,
+      nSub: Int = 8, ks: Int = 16, k: Int = 5, nQueries: Int = 10,
+      refine: Int = 20, lloydIters: Int = 3,
+      sampleSize: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("emb"))
+
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else { val o = new Array[Double](v.length)
+        i = 0; while (i < v.length) { o(i) = v(i) / n; i += 1 }; o }
+    }
+
+    // bounded deterministic fit sample (normalized: cosine becomes
+    // inner product, so L2 sub-quantizers + dot tables are coherent)
+    val sample = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleSize)
+      .select(col("emb")).as[Seq[Float]].collect()
+      .map(v => normalize(v.toArray.map(_.toDouble)))
+    require(sample.nonEmpty, "no vectors to fit PQ codebooks on")
+    val dim = sample.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val subDim = dim / nSub
+
+    def sub(v: Array[Double], s: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nearest(cb: Array[Array[Double]], x: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var j = 0
+      while (j < cb.length) {
+        val d = l2(cb(j), x); if (d < bd) { bd = d; best = j }; j += 1
+      }
+      best
+    }
+
+    // per-subspace Lloyd on the sample: deterministic init (first ks
+    // DISTINCT subvectors), empty cells keep their previous centroid
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(nSub) { s =>
+        val xs = sample.map(sub(_, s))
+        val init = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+        var i = 0
+        while (init.length < ks && i < xs.length) {
+          if (!init.exists(c => java.util.Arrays.equals(c, xs(i))))
+            init += xs(i)
+          i += 1
+        }
+        while (init.length < ks) init += init(init.length % math.max(init.length, 1)).clone()
+        var cb = init.toArray
+        var it = 0
+        while (it < lloydIters) {
+          val sums = Array.fill(ks)(new Array[Double](subDim))
+          val counts = new Array[Long](ks)
+          xs.foreach { x =>
+            val c = nearest(cb, x)
+            counts(c) += 1
+            var d = 0; while (d < subDim) { sums(c)(d) += x(d); d += 1 }
+          }
+          cb = Array.tabulate(ks) { c =>
+            if (counts(c) == 0L) cb(c)
+            else { val m = new Array[Double](subDim)
+              var d = 0
+              while (d < subDim) { m(d) = sums(c)(d) / counts(c); d += 1 }
+              m }
+          }
+          it += 1
+        }
+        cb
+      }
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val nSubL = nSub
+
+    // distributed encode: codes only — nSub small ints per vector
+    val codes = emb.as[(Long, Seq[Float])].map { case (id, v) =>
+      val x = normalize(v.toArray.map(_.toDouble))
+      val cb = cbB.value
+      val cs = new Array[Int](nSubL)
+      var s = 0
+      while (s < nSubL) {
+        cs(s) = nearest(cb(s), java.util.Arrays.copyOfRange(
+          x, s * (x.length / nSubL), (s + 1) * (x.length / nSubL)))
+        s += 1
+      }
+      (id, cs.toSeq)
+    }.toDF("vec_id", "codes")
+
+    // query lookup tables: LUT(q)(s)(j) = <q_s, c_{s,j}>, so the ADC
+    // score Σ_s LUT(q)(s)(code_s) ≈ cosine(q, x) on normalized vectors
+    val queriesRaw = emb.filter(col("vec_id") < nQueries)
+      .as[(Long, Seq[Float])].collect()
+    val luts: Array[(Long, Array[Array[Double]])] = queriesRaw.map {
+      case (qid, v) =>
+        val q = normalize(v.toArray.map(_.toDouble))
+        qid -> Array.tabulate(nSub, ks)((s, j) =>
+          dotd(sub(q, s), codebooks(s)(j)))
+    }
+    val lutB = spark.sparkContext.broadcast(luts)
+
+    val shortN = k * refine
+    val approx = codes.as[(Long, Seq[Int])].flatMap { case (id, csSeq) =>
+      val cs = csSeq.toArray
+      lutB.value.iterator.filter(_._1 != id).map { case (qid, lut) =>
+        var s = 0; var acc = 0.0
+        while (s < cs.length) { acc += lut(s)(cs(s)); s += 1 }
+        (qid, id, acc)
+      }
+    }.toDF("query_id", "vec_id", "approx")
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val shortlist = approx
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= shortN)
+      .select(col("query_id"), col("vec_id"))
+
+    // exact re-rank: shortlist (nQueries·k·refine rows) broadcasts;
+    // the corpus side never shuffles; cosine over the RAW vectors
+    // (normalization-invariant) keeps float width end to end
+    val qdf = queriesRaw.toSeq.toDF("query_id", "q_emb")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    emb.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qdf), "query_id")
+      .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 }

@@ -22,6 +22,7 @@ object SimilarityRegistry {
     "sim_join_lsh" -> ((s, d) => Similarity.simJoinLsh(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.dedupEmbedding(s, d))
   )
 

@@ -40,6 +40,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("PQ recall vs brute force is high after exact re-rank") {
+    val df = Similarity.annPq(spark, sf)
+    val pq = neighborSet(df)
+    // ADC is an approximation, but the k·refine shortlist re-ranked
+    // with EXACT cosine recovers most true neighbors; a broken
+    // codebook/LUT/encode drives this to ~0
+    val recall = (pq intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall $recall too low")
+    // contract: k rows per query, rank-ordered by exact cosine
+    val counts = df.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 5))
+    df.collect().groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getInt(3))
+      assert(byRank.map(_.getDouble(2)).sliding(2).forall(s =>
+        s.length < 2 || s(0) >= s(1)), "cosine not descending by rank")
+    }
+  }
+
   test("sim_join pairs are ordered and above threshold") {
     val df = Similarity.simJoin(spark, sf, 0.3)
     import org.apache.spark.sql.functions._
