@@ -38,6 +38,16 @@ object Clusters {
     clusterPairs(Dedup.jaccardPairs(spark, sfDir, threshold)
       .select(col("doc_a"), col("doc_b")))
 
+  /** Clusters over the CROSS-BLOCK LSH verifier's pairs (D4b) — the
+    * shape for corpora with no block key, where near-dup groups span
+    * sources. Rows-only like its pair source; the fixpoint-vs-
+    * union-find equivalence is spec'd on the actual pair output.
+    */
+  def nearDupClustersLsh(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame =
+    clusterPairs(Dedup.jaccardPairsLsh(spark, sfDir, threshold)
+      .select(col("doc_a"), col("doc_b")))
+
   /** Connected components over an arbitrary `(doc_a, doc_b)` pair
     * frame — the testable core. Output: one row per node that appears
     * in any pair, `(doc_id, cluster_id)` with `cluster_id` = the

@@ -30,6 +30,9 @@ object TextRegistry {
     "dedup_simhash" -> ((s, d) => MinHashDedup.simhashPairs(s, d)),
     "contamination_screen" -> ((s, d) => Dedup.screenAgainstReference(s, d)),
     "dedup_clusters" -> ((s, d) => Clusters.nearDupClusters(s, d)),
+    // rows-only: LSH pairs (its input) have no SQL oracle; the
+    // cluster/union-find equivalence is spec'd on the real pair list
+    "dedup_clusters_lsh" -> ((s, d) => Clusters.nearDupClustersLsh(s, d)),
     "text_novelty" -> (CorpusOps.textNovelty _),
     "pack_sequences" -> ((s, d) => CorpusOps.packSequences(s, d)),
     "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),

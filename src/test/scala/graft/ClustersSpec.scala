@@ -67,6 +67,16 @@ class ClustersSpec extends AnyFunSuite {
     assert(run(Seq.empty).isEmpty)
   }
 
+  test("cross-block LSH clusters equal union-find on the real pair list") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = graft.operators.Dedup.jaccardPairsLsh(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = graft.operators.Clusters.nearDupClustersLsh(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(pairs))
+  }
+
   test("two stars joined by a bridge merge under the global minimum") {
     val star1 = (1L to 5L).map(i => (0L, i))
     val star2 = (101L to 105L).map(i => (100L, i))
