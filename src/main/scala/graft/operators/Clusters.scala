@@ -110,6 +110,11 @@ object Clusters {
       val after = next.count()
       converged = before == after &&
         next.toDF("u", "v").except(edges.toDF("u", "v")).isEmpty
+      // release the superseded round's checkpoint cache — without
+      // this every round's edge set stays resident and a long-lived
+      // session accumulates storage (measured: 54 s fresh vs 193 s
+      // late-session at the 100× probe before the unpersist)
+      edges.unpersist()
       edges = next
       rounds += 1
     }
