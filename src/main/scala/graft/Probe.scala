@@ -79,7 +79,7 @@ object Probe {
             root = root.getCause
           val msg = (root.getClass.getSimpleName + ": " +
             String.valueOf(root.getMessage).take(300))
-            .replaceAll("[\"\\\\\n]", " ")
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
           println(s"""{"query":"$name","error":"$msg"}""")
           -1L
         }

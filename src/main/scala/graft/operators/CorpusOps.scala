@@ -68,11 +68,14 @@ object CorpusOps {
     val toks = documents(spark, sfDir)
       .select(col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"))
+    // `div` (long integer division — both operands non-negative), not
+    // floor(double /): past 2^53 cumulative tokens the double rounds
+    // and can diverge from integer division, at odds with the 100 TB
+    // contract.
     graft.plans.GlobalOrder
       .withPrefixSum(toks, Seq(col("doc_id")), "n_tokens", "cum")
       .select(col("doc_id"), col("n_tokens"),
-        floor((col("cum") - col("n_tokens"))
-          .cast("double") / targetTokens).cast("long").as("bin"))
+        expr(s"(cum - n_tokens) div ${targetTokens}L").as("bin"))
       .orderBy(col("doc_id"))
   }
 }

@@ -171,24 +171,28 @@ object TextRegistry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     // corpus-wide shingle document-frequency → per-doc novelty; the
     // Spark side counts df over 64-bit shingle keys (collision odds
-    // zero at this scale), the oracle over the shingle strings
+    // zero at this scale), the oracle over the shingle strings.
+    // ::BIGINT on the sum: DuckDB sum(int) is HUGEINT, which the
+    // driver's pandas canonicalization renders as float64 ("18.0" vs
+    // Spark's "18") — hash-mismatch on identical values (round 7).
     "text_novelty" ->
       s"""WITH t AS (SELECT doc_id, $SH AS sh FROM documents),
          |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
          |d AS (SELECT s, count(*) AS df FROM e GROUP BY s)
          |SELECT e.doc_id, count(*) AS n_shingles,
-         | sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+         | sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
          | sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
          |   AS novelty
          |FROM e JOIN d USING (s)
          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
     // offset packing over the global token prefix-sum; the window SQL
-    // states the semantics the distributed prefix-sum must reproduce
+    // states the semantics the distributed prefix-sum must reproduce.
+    // ::BIGINT for the same HUGEINT-vs-int64 hash reason as above.
     "pack_sequences" ->
       s"""SELECT doc_id, n_tokens,
-         | (sum(n_tokens) OVER (ORDER BY doc_id
+         | ((sum(n_tokens) OVER (ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |  - n_tokens) // 2048 AS bin
+         |  - n_tokens) // 2048)::BIGINT AS bin
          |FROM (SELECT doc_id, len($TOKS)::BIGINT AS n_tokens
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,

@@ -49,6 +49,13 @@ object Mqtt5Codec {
           })
       case _ => false
     }
+    // array-aware equals needs a consistent hashCode (hash-based
+    // collections would otherwise split equal instances)
+    override def hashCode: Int =
+      java.util.Objects.hash(
+        Boolean.box(sessionPresent), Int.box(reasonCode),
+        Int.box(receiveMaximum),
+        Int.box(authData.fold(0)(java.util.Arrays.hashCode)))
   }
   final case class Publish(topic: String, qos: Int, retain: Boolean,
       dup: Boolean, packetId: Int, props: Map[String, String],
@@ -77,6 +84,9 @@ object Mqtt5Codec {
           java.util.Arrays.equals(d, data)
       case _ => false
     }
+    override def hashCode: Int =
+      java.util.Objects.hash(Int.box(reasonCode), method,
+        Int.box(java.util.Arrays.hashCode(data)))
   }
 
   // ---- primitive encoders over a growable buffer ----

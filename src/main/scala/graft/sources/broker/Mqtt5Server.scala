@@ -321,6 +321,12 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
               if (!fresh || noteInbound()) {
                 if (fresh) countedQos2.synchronized(countedQos2 += pid)
                 send(PubRec(pid, 0))
+              } else {
+                // over-quota: the flow was REJECTED (DISCONNECT 0x93)
+                // — take it back out of the session state, or the
+                // protocol-error message would survive the disconnect
+                // and still be routed after reconnect + PUBREL
+                pendingQos2.synchronized(pendingQos2.remove(pid))
               }
             } else if (qos == 1) {
               if (noteInbound()) {

@@ -2,7 +2,7 @@ package graft.sources.broker
 
 import java.io.{BufferedInputStream, BufferedOutputStream, EOFException}
 import java.net.{InetSocketAddress, Socket, SocketException}
-import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap, CountDownLatch, TimeUnit, TimeoutException}
 import scala.collection.mutable
 import graft.model.EmqxMessage
 import Mqtt5Codec._
@@ -97,7 +97,11 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     // the sequences (observed: first offline message lost).
     var fetchedUpTo = Long.MinValue
     var sessionPresent = false
-    val waiters = new ConcurrentHashMap[Int, CountDownLatch]()
+    // per-flow ack outcome: completed true on the wire ack, false
+    // when the connection dies first — so waiters (blocking publish,
+    // subscribe, flushPublishes) fail FAST on a bounce instead of
+    // timing out, and stranded flows never block a later retry
+    val waiters = new ConcurrentHashMap[Int, CompletableFuture[Boolean]]()
     var nextPid = 1
     @volatile var alive = false
     // broker-advertised Receive Maximum (CONNACK 0x21, spec §4.9):
@@ -132,10 +136,33 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     }
 
     def await(pid: Int, what: String): Unit = {
-      val latch = new CountDownLatch(1)
-      waiters.put(pid, latch)
-      if (!latch.await(10, TimeUnit.SECONDS))
-        throw new IllegalStateException(s"timeout waiting for $what($pid)")
+      val f = new CompletableFuture[Boolean]()
+      waiters.put(pid, f)
+      val ok =
+        try f.get(10, TimeUnit.SECONDS)
+        catch {
+          case _: TimeoutException =>
+            waiters.remove(pid)
+            throw new IllegalStateException(
+              s"timeout waiting for $what($pid)")
+        }
+      if (!ok) throw new IllegalStateException(
+        s"connection lost waiting for $what($pid)")
+    }
+
+    /** Connection death: fail every in-flight flow and return its
+      * receive-quota permit. Without this, a flow stranded by a
+      * broker bounce held its waiter (and permit) forever — every
+      * later flushPublishes() on the registry-cached broker timed
+      * out, so sink task retries could never succeed.
+      */
+    private def failInFlight(): Unit = {
+      val it = waiters.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); it.remove()
+        if (quotaHolders.remove(e.getKey)) sendQuota.release()
+        e.getValue.complete(false)
+      }
     }
 
     def readerLoop(): Unit = {
@@ -149,19 +176,19 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
               }
             case PubAck(pid, _) =>
               if (quotaHolders.remove(pid)) sendQuota.release()
-              Option(waiters.remove(pid)).foreach(_.countDown())
+              Option(waiters.remove(pid)).foreach(_.complete(true))
             case PubRec(pid, _) => // our qos2 publish: continue flow
               send(PubRel(pid, 0))
             case PubComp(pid, _) =>
               // quota frees at PUBCOMP, not PUBREC (spec §4.9.2)
               if (quotaHolders.remove(pid)) sendQuota.release()
-              Option(waiters.remove(pid)).foreach(_.countDown())
+              Option(waiters.remove(pid)).foreach(_.complete(true))
             case PubRel(pid, _) => // completes our qos2 receive ack
               send(PubComp(pid, 0))
             case Suback(pid, _) =>
-              Option(waiters.remove(pid)).foreach(_.countDown())
+              Option(waiters.remove(pid)).foreach(_.complete(true))
             case Unsuback(pid, _) =>
-              Option(waiters.remove(pid)).foreach(_.countDown())
+              Option(waiters.remove(pid)).foreach(_.complete(true))
             case PingResp => ()
             case Disconnect(_) => alive = false
             case _ => ()
@@ -171,7 +198,7 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
         case _: EOFException => alive = false
         case _: SocketException => alive = false
         case _: Throwable => alive = false
-      }
+      } finally failInFlight()
     }
   }
 
@@ -359,27 +386,33 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     if (qos > 0) {
       c.acquireQuota()
       val pid = c.allocPid()
-      val latch = new CountDownLatch(1)
-      c.waiters.put(pid, latch)
+      val f = new CompletableFuture[Boolean]()
+      c.waiters.put(pid, f)
       c.quotaHolders.add(pid)
       c.send(Publish(msg.topic, qos, msg.retained, dup = false, pid,
         msg.properties, msg.payload))
-      if (!latch.await(10, TimeUnit.SECONDS)) {
-        if (c.quotaHolders.remove(pid)) c.sendQuota.release()
-        throw new IllegalStateException(s"publish ack timeout pid=$pid")
-      }
+      val ok =
+        try f.get(10, TimeUnit.SECONDS)
+        catch {
+          case _: TimeoutException =>
+            c.waiters.remove(pid)
+            if (c.quotaHolders.remove(pid)) c.sendQuota.release()
+            throw new IllegalStateException(s"publish ack timeout pid=$pid")
+        }
+      if (!ok) throw new IllegalStateException(
+        s"connection lost before publish ack pid=$pid")
     } else {
       c.send(Publish(msg.topic, qos, msg.retained, dup = false, 0,
         msg.properties, msg.payload))
     }
   }
 
-  // in-flight pipelined publishes: ack latches awaiting completion at
+  // in-flight pipelined publishes: ack futures awaiting completion at
   // the next flushPublishes() barrier. Broker-level (not per-Conn) so
   // flows stranded by a publisher reconnect still fail the flush
   // loudly instead of vanishing with the dead Conn.
   private val pendingAsync =
-    ConcurrentHashMap.newKeySet[CountDownLatch]()
+    ConcurrentHashMap.newKeySet[CompletableFuture[Boolean]]()
 
   /** Pipelined publish: QoS1/2 sends acquire a receive-quota permit
     * and return without waiting for the ack — up to the broker's
@@ -395,10 +428,10 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     if (qos > 0) {
       c.acquireQuota()
       val pid = c.allocPid()
-      val latch = new CountDownLatch(1)
-      c.waiters.put(pid, latch)
+      val f = new CompletableFuture[Boolean]()
+      c.waiters.put(pid, f)
       c.quotaHolders.add(pid)
-      pendingAsync.add(latch)
+      pendingAsync.add(f)
       c.send(Publish(msg.topic, qos, msg.retained, dup = false, pid,
         msg.properties, msg.payload))
     } else {
@@ -413,15 +446,28 @@ class NetworkMqttBroker(conf: BrokerConf) extends MqttBroker {
     * caller's task fails and retries, preserving at-least-once.
     */
   override def flushPublishes(): Unit = {
+    // Drain EVERY entry before throwing: a stranded flow (timeout or
+    // connection death) must not stay behind to poison the retry's
+    // flush — the failed flow's rows are re-published by the retry,
+    // so clearing its future loses nothing (at-least-once).
+    var failure: Throwable = null
     val it = pendingAsync.iterator()
     while (it.hasNext) {
-      val latch = it.next()
-      if (!latch.await(10, TimeUnit.SECONDS))
-        throw new IllegalStateException(
-          "pipelined publish not acked within 10s — failing so the " +
-            "task retries (at-least-once)")
+      val f = it.next()
+      try {
+        if (!f.get(10, TimeUnit.SECONDS) && failure == null)
+          failure = new IllegalStateException(
+            "pipelined publish lost its connection before the ack — " +
+              "failing so the task retries (at-least-once)")
+      } catch {
+        case _: TimeoutException =>
+          if (failure == null) failure = new IllegalStateException(
+            "pipelined publish not acked within 10s — failing so the " +
+              "task retries (at-least-once)")
+      }
       it.remove()
     }
+    if (failure != null) throw failure
   }
 
   private val pubClientid =

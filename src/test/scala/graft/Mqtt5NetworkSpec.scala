@@ -469,6 +469,50 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("flushPublishes recovers after a broker bounce: stranded flows fail once, the retry's flush succeeds") {
+    // regression: a flow stranded by a broker bounce used to hold its
+    // ack latch forever — every later flushPublishes() on the cached
+    // broker timed out, so sink task retries could NEVER succeed. Now
+    // connection death fails in-flight flows (fast, not by timeout)
+    // and a failed flush clears them, so the retry starts clean.
+    val backing = new InMemoryBroker
+    val server = new Mqtt5Server(backing)
+    server.inboundAckDelayMs = 30000 // acks can't arrive before the kill
+    val port = server.actualPort
+    val conf = BrokerConf(s"tcp://127.0.0.1:$port")
+    val producer = new NetworkMqttBroker(conf)
+    try {
+      (0 until 3).foreach(i => producer.publishAsync(EmqxMessage(s"fl/$i",
+        1, retained = false, Map.empty, s"m$i".getBytes("UTF-8"))))
+      server.close() // bounce: the 3 un-acked QoS1 flows are stranded
+
+      // at-least-once: the flush MUST fail (nothing was acked) — and
+      // fail fast via the connection-death signal, not 3×10s timeouts
+      val t0 = System.nanoTime()
+      intercept[IllegalStateException] { producer.flushPublishes() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(sec < 9.0,
+        f"flush failed by timeout ($sec%.1f s), not by conn-death signal")
+
+      val revived = new Mqtt5Server(backing, port)
+      try {
+        val sub = new NetworkMqttBroker(conf)
+        sub.connect("fl-sub", cleanStart = true, 60, None, None)
+        sub.subscribe("fl-sub", "fl/#", 1)
+        // the task retry: re-publish the batch; the stranded flows
+        // must not poison this flush
+        eventually(15000) {
+          (0 until 3).foreach(i =>
+            producer.publishAsync(EmqxMessage(s"fl/$i", 1,
+              retained = false, Map.empty, s"m$i".getBytes("UTF-8"))))
+          producer.flushPublishes()
+        }
+        eventually() { assert(sub.endOffset("fl-sub") >= 3) }
+        sub.closeAll()
+      } finally revived.close()
+    } finally producer.closeAll()
+  }
+
   test("SCRAM-SHA-256 matches the RFC 7677 test vector on both sides") {
     // the published RFC 7677 §3 example exchange, pinned end-to-end:
     // any drift in Hi/HMAC/AuthMessage construction fails here before
