@@ -48,6 +48,29 @@ object Clusters {
     clusterPairs(Dedup.jaccardPairsLsh(spark, sfDir, threshold)
       .select(col("doc_a"), col("doc_b")))
 
+  /** D9 — APPLY the dedup end-to-end: the deduplicated corpus
+    * itself. Pairs (D4) → clusters (D8) → keep each cluster's
+    * minimum-id representative plus every unclustered doc. This is
+    * the call a pipeline actually ships — pair lists and cluster
+    * labels are diagnostics; the product is the filtered corpus.
+    *
+    * Shape: the cluster frame only holds docs that appear in some
+    * near-dup pair (a small fraction of the corpus), so the removal
+    * is a LEFT ANTI join against the non-representative ids —
+    * broadcastable whenever the dup set fits, never a full-corpus
+    * shuffle of the text column (ids only).
+    */
+  def dedupApply(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.02): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val losers = nearDupClusters(spark, sfDir, threshold)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Connected components over an arbitrary `(doc_a, doc_b)` pair
     * frame — the testable core. Output: one row per node that appears
     * in any pair, `(doc_id, cluster_id)` with `cluster_id` = the

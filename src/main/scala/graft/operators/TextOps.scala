@@ -115,6 +115,81 @@ object TextOps {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** T11 — within-document REPETITION signals (the Gopher-style
+    * quality filters a pretraining pipeline cuts boilerplate with):
+    * `top_token_frac` (share of the document occupied by its most
+    * frequent token) and `dup_2gram_frac` (share of word-bigram
+    * occurrences that are repeats). High values flag auto-generated
+    * or template text that per-document dedup cannot catch.
+    *
+    * Shape: the bigram side is a pure projection (the `shingle_keys`
+    * kernel with n=2 gives the distinct count — no shuffle at all);
+    * the top-token side is explode → two-level hash agg with map-side
+    * partials, work Θ(tokens). One broadcast-size join per doc row
+    * reunites them.
+    */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashFunctions.{shingle_keys, ws_token_count}
+    val docs = documents(spark, sfDir)
+    val base = docs.select(col("doc_id"),
+      ws_token_count(col("text")).cast("long").as("n_tokens"),
+      size(shingle_keys(col("text"), lit(""), 2)).as("n_distinct_2g"))
+    val top = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    base.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_c").cast("double") / col("n_tokens"))
+          .as("top_token_frac"),
+        when(col("n_tokens") <= 1, lit(0.0)).otherwise(
+          (col("n_tokens") - 1 - col("n_distinct_2g")).cast("double") /
+            (col("n_tokens") - 1)).as("dup_2gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T12 — PII SCRUBBING: redact emails, US-style phone numbers and
+    * IPv4 addresses to typed placeholders, with per-doc match counts
+    * for audit. Regexes use only constructs Java regex and RE2 treat
+    * identically (char classes, `\b`, bounded repeats — no lookaround)
+    * so the oracle is byte-exact. Pure projection: codegen'd
+    * `regexp_replace`/`regexp_count`, zero shuffles, scan-bound at
+    * 100 TB.
+    *
+    * The synthetic corpus carries no PII, so the query PLANTS
+    * deterministic doc_id-derived PII first (same expression stated
+    * in the oracle SQL) — the redaction path is exercised on every
+    * third/fourth/fifth row, not vacuously green.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val planted = documents(spark, sfDir)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" mail u"), col("doc_id").cast("string"),
+            lit("@ex.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" ip 10.0.0.1"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" tel 555-123-4567"))
+          .otherwise(lit(""))).as("text"))
+    // email first (its char class could eat a placeholder's braces is
+    // not a risk, but a phone-like digit run inside an address must
+    // be redacted as part of the address, not counted twice)
+    planted.select(col("doc_id"),
+      regexp_count(col("text"), lit(email)).as("n_emails"),
+      regexp_count(col("text"), lit(phone)).as("n_phones"),
+      regexp_count(col("text"), lit(ip)).as("n_ips"),
+      md5(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "<EMAIL>"),
+            phone, "<PHONE>"),
+          ip, "<IP>")).as("scrub_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C9 — the reference WordCount (examples/wordcount/WordCount.java:17):
     * flatMap to words → keyBy → count, as explode + hash aggregation
     * (map-side partial agg replaces Flink's keyed state).

@@ -35,6 +35,9 @@ object TextRegistry {
     "dedup_clusters_lsh" -> ((s, d) => Clusters.nearDupClustersLsh(s, d)),
     "text_novelty" -> (CorpusOps.textNovelty _),
     "pack_sequences" -> ((s, d) => CorpusOps.packSequences(s, d)),
+    "text_repetition" -> (TextOps.textRepetition _),
+    "pii_scrub" -> (TextOps.piiScrub _),
+    "dedup_apply" -> ((s, d) => Clusters.dedupApply(s, d)),
     "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),
     "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _)
   )
@@ -44,6 +47,29 @@ object TextRegistry {
   private val SH =
     s"""list_distinct(list_transform(range(1, greatest(len($TOKS)-1, 1)),
        | i -> concat_ws(' ', ($TOKS)[i], ($TOKS)[i+1], ($TOKS)[i+2])))""".stripMargin
+
+  // shared recursive-CTE prefix: near-dup pair edges (same SQL as
+  // dedup_jaccard_pairs) closed transitively; `reach(src, dst)` holds
+  // every (member, reachable-member) of each component
+  private val CLUSTER_CTE =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, source, $SH AS sh FROM documents),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+       |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |        >= 0.02),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |        UNION SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM und
+       |  UNION
+       |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+       |)""".stripMargin
+
+  private val PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val PII_IP =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   private val EN = "('the','a','of','and','to','in','is')"
   private val ENL = "['the','a','of','and','to','in','is']"
@@ -200,21 +226,55 @@ object TextRegistry {
     // recursive CTE; cluster_id = min reachable doc_id — must equal
     // the large-star/small-star fixpoint exactly
     "dedup_clusters" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, source, $SH AS sh FROM documents),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-         |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-         |        >= 0.02),
-         |und AS (SELECT doc_a AS a, doc_b AS b FROM p
-         |        UNION SELECT doc_b, doc_a FROM p),
-         |reach(src, dst) AS (
-         |  SELECT a, a FROM und
-         |  UNION
-         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
-         |)
+      s"""$CLUSTER_CTE
          |SELECT src AS doc_id, min(dst) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // the deduplicated corpus: drop every clustered doc except its
+    // component-minimum representative (same CTE as dedup_clusters)
+    "dedup_apply" ->
+      s"""$CLUSTER_CTE,
+         |c AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |      FROM reach GROUP BY src)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+         |WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // within-doc repetition: top-token share + duplicate-bigram share
+    // over the same whitespace tokens as TOKS
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |g AS (SELECT doc_id, len(tk)::BIGINT AS n,
+         |        list_transform(range(1, greatest(len(tk), 1)),
+         |          i -> concat_ws(' ', tk[i], tk[i+1])) AS g2 FROM t),
+         |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+         |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok
+         |        GROUP BY doc_id, w),
+         |top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id)
+         |SELECT g.doc_id, g.n AS n_tokens,
+         | top.top_c::DOUBLE / g.n AS top_token_frac,
+         | CASE WHEN g.n <= 1 THEN 0.0
+         |      ELSE (g.n - 1 - len(list_distinct(g2)))::DOUBLE / (g.n - 1)
+         | END AS dup_2gram_frac
+         |FROM g JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // PII scrub over deterministically planted doc_id-derived PII;
+    // regexes restricted to Java-regex/RE2-identical constructs
+    "pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id, concat(text,
+         |  CASE WHEN doc_id % 3 = 0
+         |    THEN concat(' mail u', doc_id::VARCHAR, '@ex.com')
+         |    ELSE '' END,
+         |  CASE WHEN doc_id % 4 = 0 THEN ' ip 10.0.0.1' ELSE '' END,
+         |  CASE WHEN doc_id % 5 = 0 THEN ' tel 555-123-4567' ELSE '' END
+         |  ) AS text FROM documents)
+         |SELECT doc_id,
+         | len(regexp_extract_all(text, '$PII_EMAIL'))::INT AS n_emails,
+         | len(regexp_extract_all(text, '$PII_PHONE'))::INT AS n_phones,
+         | len(regexp_extract_all(text, '$PII_IP'))::INT AS n_ips,
+         | md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$PII_EMAIL', '<EMAIL>', 'g'),
+         |   '$PII_PHONE', '<PHONE>', 'g'),
+         |   '$PII_IP', '<IP>', 'g')) AS scrub_fp
+         |FROM p ORDER BY doc_id""".stripMargin,
     "contamination_screen" ->
       s"""WITH t AS (SELECT doc_id, $SH AS sh FROM documents),
          |tt AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Clusters, TextOps}
+
+/** T11 repetition signals, T12 PII scrubbing and D9 dedup-apply
+  * against exact in-driver recomputations (Java-regex / hash-map
+  * references, independent of the Spark expression pipeline).
+  */
+class QualityOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("textRepetition matches an exact in-driver computation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val tk = t.trim.split("\\s+").toSeq
+      val n = tk.length
+      val top = tk.groupBy(identity).values.map(_.size).max
+      val g2 = tk.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      val dup =
+        if (n <= 1) 0.0
+        else (g2.length - g2.distinct.length).toDouble / (n - 1)
+      (id, (n.toLong, top.toDouble / n, dup))
+    }.toMap
+    val got = TextOps.textRepetition(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    // the corpus genuinely exercises the signal: some doc repeats
+    assert(got.values.exists(_._2 > 0.05), "no repetition in corpus?")
+  }
+
+  test("piiScrub redacts planted PII byte-identically to a Java-regex reference") {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val planted = t +
+        (if (id % 3 == 0) s" mail u$id@ex.com" else "") +
+        (if (id % 4 == 0) " ip 10.0.0.1" else "") +
+        (if (id % 5 == 0) " tel 555-123-4567" else "")
+      val scrubbed = planted
+        .replaceAll(email, "<EMAIL>")
+        .replaceAll(phone, "<PHONE>")
+        .replaceAll(ip, "<IP>")
+      (id, (email.r.findAllIn(planted).size,
+        phone.r.findAllIn(planted).size,
+        ip.r.findAllIn(planted).size,
+        md5hex(scrubbed)))
+    }.toMap
+    val got = TextOps.piiScrub(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got == expected)
+    // planting actually fires each category
+    assert(got.values.exists(_._1 > 0) && got.values.exists(_._2 > 0) &&
+      got.values.exists(_._3 > 0))
+  }
+
+  test("dedupApply keeps exactly the unclustered docs plus each cluster's representative") {
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusters = Clusters.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val losers = clusters.collect {
+      case (doc, cl) if doc != cl => doc
+    }.toSet
+    assert(losers.nonEmpty, "corpus has no near-dup to drop?")
+    val got = Clusters.dedupApply(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == all -- losers)
+    // the removal join is id-only and broadcastable — the text column
+    // must not ride through the anti-join's shuffle side
+    val plan = Clusters.dedupApply(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
+  }
+}
