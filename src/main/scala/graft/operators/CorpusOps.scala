@@ -78,4 +78,49 @@ object CorpusOps {
         expr(s"(cum - n_tokens) div ${targetTokens}L").as("bin"))
       .orderBy(col("doc_id"))
   }
+
+  /** T13 — SOURCE MIXING: sample each source's docs to a
+    * temperature-rebalanced token budget — the standard α = 0.5
+    * upweighting of low-resource sources (per-source share ∝
+    * √tokens, the multilingual-sampling temperature trick). Docs are
+    * taken in md5 order (deterministic, hash-spread — no RNG state to
+    * reproduce across backfills) until the source's token target is
+    * reached; the crossing doc is included (its range STARTS inside
+    * the budget — same offset rule as [[packSequences]]).
+    *
+    * Exactness: per-source weights are `floor(√T_s)` as LONGS and the
+    * target is `budget·w_s div ΣW` — pure integer arithmetic after
+    * one correctly-rounded `sqrt`, so there is no float-summation
+    * order to drift a boundary doc (a double share would make the
+    * cut nondeterministic within 1 ulp).
+    *
+    * Shape: the weight table is #sources rows (tiny agg, broadcast
+    * back); the running token count per source comes from
+    * [[graft.plans.GlobalOrder.withPrefixSumKeyed]] — a keyed window
+    * would put an entire source (terabytes at 100 TB) on ONE task.
+    */
+  def mixSources(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 20000L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
+    import graft.functions.TextFunctions.tokenCount
+    import org.apache.spark.sql.functions.broadcast
+    val d = documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n"),
+        md5(col("text")).as("h"))
+    val w = d.groupBy(col("source"))
+      .agg(sum(col("n")).as("t"))
+      .select(col("source"),
+        floor(sqrt(col("t").cast("double"))).cast("long").as("w"))
+    val targets = w
+      .crossJoin(broadcast(w.agg(sum(col("w")).as("tot"))))
+      .select(col("source"),
+        expr(s"(${budgetTokens}L * w) div tot").as("target"))
+    val cum = graft.plans.GlobalOrder.withPrefixSumKeyed(
+      d, "source", Seq(col("h"), col("doc_id")), "n", "cum")
+    cum.join(broadcast(targets), Seq("source"))
+      .filter(col("cum") - col("n") < col("target"))
+      .select(col("doc_id"), col("source"), col("n").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

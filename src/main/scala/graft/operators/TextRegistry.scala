@@ -36,6 +36,7 @@ object TextRegistry {
     "text_novelty" -> (CorpusOps.textNovelty _),
     "pack_sequences" -> ((s, d) => CorpusOps.packSequences(s, d)),
     "text_repetition" -> (TextOps.textRepetition _),
+    "mix_sources" -> ((s, d) => CorpusOps.mixSources(s, d)),
     "pii_scrub" -> (TextOps.piiScrub _),
     "dedup_apply" -> ((s, d) => Clusters.dedupApply(s, d)),
     "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),
@@ -256,6 +257,26 @@ object TextRegistry {
          |      ELSE (g.n - 1 - len(list_distinct(g2)))::DOUBLE / (g.n - 1)
          | END AS dup_2gram_frac
          |FROM g JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // temperature-rebalanced source mixing: per-source targets are
+    // integer (floor(sqrt) weights, integer division) so no float
+    // summation order can drift a boundary doc; docs taken in md5
+    // order until the target, crossing doc included (offset rule)
+    "mix_sources" ->
+      s"""WITH d AS (SELECT doc_id, source, len($TOKS)::BIGINT AS n,
+         |             md5(text) AS h FROM documents),
+         |s AS (SELECT source, floor(sqrt(sum(n)::DOUBLE))::BIGINT AS w
+         |      FROM d GROUP BY source),
+         |ww AS (SELECT source, (20000 * w) // (SELECT sum(w) FROM s)
+         |         AS target FROM s),
+         |c AS (SELECT d.doc_id, d.source, d.n,
+         |        sum(d.n) OVER (PARTITION BY d.source
+         |          ORDER BY d.h, d.doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS cum,
+         |        ww.target
+         |      FROM d JOIN ww USING (source))
+         |SELECT doc_id, source, n AS n_tokens FROM c
+         |WHERE cum - n < target ORDER BY doc_id""".stripMargin,
     // PII scrub over deterministically planted doc_id-derived PII;
     // regexes restricted to Java-regex/RE2-identical constructs
     "pii_scrub" ->

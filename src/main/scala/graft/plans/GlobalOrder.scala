@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable
 import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
@@ -101,6 +102,76 @@ object GlobalOrder {
       it.map { row =>
         run += row.getLong(ord)
         cs.setLong(0, run)
+        joined(row, cs): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(sumName, LongType, nullable = false))
+    ColumnBridge.internalDataFrame(spark, summed, schema)
+  }
+
+  /** KEYED distributed prefix-sum: the inclusive running sum of
+    * `valueCol` per `keyCol` group in `orderCols` order —
+    * `sum(v) OVER (PARTITION BY key ORDER BY ...)` without the keyed
+    * window's one-task-per-key collapse (at 100 TB one source/key can
+    * be terabytes; a window partition puts all of it on one task).
+    *
+    * Shape: global sort on (key, orderCols) — Spark's range exchange
+    * spreads a huge key across MANY partitions — then the same
+    * two-pass trick as [[withPrefixSum]] with per-(partition, key)
+    * partials. Driver-side data is one (key, long) per key per
+    * partition that touches it; the sort makes each partition span a
+    * contiguous key range, so that is ≈ numPartitions + numKeys
+    * entries, not numPartitions × numKeys.
+    *
+    * `keyCol` must be a non-null string column; `valueCol` a
+    * non-nullable long.
+    */
+  def withPrefixSumKeyed(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valueCol: String,
+      sumName: String = "cumsum"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(col(keyCol) +: orderCols: _*)
+    val kord = sorted.schema.fieldIndex(keyCol)
+    val vord = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(kord).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"prefix-sum key $keyCol must be string, " +
+        s"got ${sorted.schema(kord).dataType}")
+    require(sorted.schema(vord).dataType == LongType,
+      s"prefix-sum column $valueCol must be long, " +
+        s"got ${sorted.schema(vord).dataType}")
+    val internal = sorted.queryExecution.toRdd
+    // pass 1: per-partition partial sum per key (insertion-ordered;
+    // a sorted partition touches each key in one contiguous run)
+    val partials: Array[Array[(String, Long)]] =
+      internal.mapPartitions { it =>
+        val m = mutable.LinkedHashMap[String, Long]()
+        while (it.hasNext) {
+          val row = it.next()
+          val k = row.getUTF8String(kord).toString
+          m.update(k, m.getOrElse(k, 0L) + row.getLong(vord))
+        }
+        Iterator.single(m.toArray)
+      }.collect()
+    // offsets(pid)(key) = Σ partials of key in partitions < pid
+    val running = mutable.HashMap[String, Long]()
+    val offsets: Array[Map[String, Long]] = partials.map { part =>
+      val snap = part.map { case (k, _) =>
+        k -> running.getOrElse(k, 0L) }.toMap
+      part.foreach { case (k, v) =>
+        running.update(k, running.getOrElse(k, 0L) + v) }
+      snap
+    }
+    val summed = internal.mapPartitionsWithIndex { (pid, it) =>
+      val run = mutable.HashMap[String, Long]() ++ offsets(pid)
+      val cs = new SpecificInternalRow(Seq(LongType))
+      val joined = new JoinedRow
+      it.map { row =>
+        val k = row.getUTF8String(kord).toString
+        val s = run.getOrElse(k, 0L) + row.getLong(vord)
+        run.update(k, s)
+        cs.setLong(0, s)
         joined(row, cs): org.apache.spark.sql.catalyst.InternalRow
       }
     }

@@ -80,6 +80,52 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.sortBy(_._1).toSeq == expected.toSeq)
   }
 
+  test("withPrefixSumKeyed equals per-key scanLeft on shuffled multi-partition input") {
+    val rnd = new scala.util.Random(11)
+    val keys = Vector("a", "b", "c", "dd", "e")
+    val rows = (0L until 4000L).map(i =>
+      (keys(rnd.nextInt(keys.size)), i, rnd.nextInt(50).toLong))
+    val df = spark.createDataset(rnd.shuffle(rows))
+      .toDF("k", "i", "v").repartition(11)
+    val got = GlobalOrder
+      .withPrefixSumKeyed(df, "k", Seq(col("i")), "v", "cs")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // reference: running sum per key in (k, i) order
+    val run = scala.collection.mutable.Map[String, Long]()
+    val expected = rows.sortBy(t => (t._1, t._2)).map { case (k, i, v) =>
+      val s = run.getOrElse(k, 0L) + v; run(k) = s; (k, i, s)
+    }
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expected.toSeq)
+  }
+
+  test("mixSources hits each source's integer token target with the offset rule") {
+    val budget = 20000L
+    val got = CorpusOps.mixSources(spark, sf, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // recompute targets + md5-order selection in the driver
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getString(3)))
+    val totals = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val ws = totals.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+    val totW = ws.values.sum
+    val targets = ws.view.mapValues(w => budget * w / totW).toMap
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (d._4, d._1)).toSeq.flatMap { case (id, _, n, _) =>
+        val start = cum; cum += n
+        if (start < targets(src)) Some((id, src, n)) else None
+      }
+    }.toSet
+    assert(got.toSet == expected)
+    // every source is represented (α=0.5 keeps low-resource sources)
+    assert(got.map(_._2).distinct.length == totals.size)
+  }
+
   test("packing plan has no unpartitioned window, novelty window is keyed") {
     val packPlan = CorpusOps.packSequences(spark, sf)
       .queryExecution.executedPlan.toString
