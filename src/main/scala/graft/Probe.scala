@@ -43,6 +43,14 @@ object Probe {
       "q_conditional_agg")
 
     val scaled: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      // head-to-head with the registry's contamination_screen: the
+      // driver-indexed flatMap shape vs the broadcast-join + count agg
+      "contamination_screen_indexed" -> (() =>
+        operators.Dedup.screenDocsIndexed(
+          graft.Tables.documents(spark, sfDir))),
+      "contamination_screen_join" -> (() =>
+        operators.Dedup.screenDocsJoin(
+          graft.Tables.documents(spark, sfDir))),
       // near-dup regime: 16-bit bands -> ~corpus/65536 per bucket +
       // true-duplicate groups; exact pairs (cosine 1.0) recall is 1.0
       // at any scale because identical vectors share every signature

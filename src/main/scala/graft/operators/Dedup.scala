@@ -76,67 +76,90 @@ object Dedup {
     * results are unchanged.
     */
   def screenDocs(docs: DataFrame, threshold: Double = 0.05,
-      refMod: Int = 7, maxRefDf: Int = 1000): DataFrame = {
+      refMod: Int = 7, maxRefDf: Int = 1000): DataFrame =
+    // indexed by default: 29.3 s vs the join form's 826 s at the 100×
+    // probe (identical 8.76 M pairs) — the join's (doc, ref) count
+    // aggregation spills; the per-doc sort never builds a table.
+    // screenDocsJoin remains for references too big to index.
+    screenDocsIndexed(docs, threshold, refMod, maxRefDf)
+
+  // ---- shared pieces of the two screen shapes ----
+
+  /** Parallelism floor: a compact parquet input yields few splits
+    * (162 MB at the 100× probe → 2), and with a broadcast join the
+    * whole kernel+join+agg pipeline would run on those few tasks —
+    * the probe measured one task spill-sorting for 20+ min while 31
+    * sat idle. Spread the DOC rows (one row per doc, before the
+    * ~200× shingle fan-out and before the kernel) when the scan is
+    * narrower than the shuffle width; on a real multi-TB input the
+    * scan has plenty of splits and this is a no-op.
+    */
+  private def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.isStreaming || df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
+  /** No size(keys) > 0 pre-filter: the postings flatMap emits nothing
+    * for an empty key array, and a pushed-down filter would run the
+    * kernel a second time per row (the PushPredicateThroughNonJoin
+    * alias-substitution trap the streaming-path audit caught).
+    */
+  private def shingleKeyed(df: DataFrame): DataFrame = {
     import graft.functions.HashFunctions._
-    val spark = docs.sparkSession
+    df.select(col("doc_id"),
+      shingle_keys(col("text"), lit(""), 3).as("keys"))
+  }
+
+  private val packMask = (1L << 20) - 1
+
+  /** Overflow guards for the (id << 20 | n_keys) pack: 20 bits budget
+    * the shingle count, 43 the id (bit 63 stays clear so shiftright
+    * is sign-safe). A doc with ≥ 2^20 distinct 3-gram shingles
+    * (~multi-MB text) or an id outside [0, 2^43) would silently
+    * corrupt doc_id/ref_id and jaccard — fail loudly instead; callers
+    * with such docs must pre-chunk them (Multimodal.chunkBytes-style)
+    * or widen the pack to two words.
+    */
+  private def packedOf(id: Long, nKeys: Int): Long = {
+    require(nKeys < (1 << 20),
+      s"doc $id has $nKeys distinct shingles >= 2^20: packed " +
+        "posting would overflow; pre-chunk oversized documents")
+    require(id >= 0 && id < (1L << 43),
+      s"doc_id $id outside [0, 2^43): packed posting would overflow")
+    (id << 20) | nKeys.toLong
+  }
+
+  /** (shingle, id << 20 | n_keys) postings via typed flatMap — NOT
+    * explode(): Catalyst re-evaluates a computed array per OUTPUT row
+    * under Generate. Packing keeps every shuffle/broadcast row two
+    * plain longs; shingle_keys output is distinct per doc, so a join
+    * hit count IS the intersection size.
+    */
+  private def packedPostings(df: DataFrame, out: String): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    require(threshold > 0,
-      s"threshold must be > 0 (got $threshold): zero-intersection pairs " +
-        "cannot materialize from inverted postings; use a cross join if " +
-        "you genuinely need every corpus x ref pair")
-    // Parallelism floor: a compact parquet input yields few splits
-    // (162 MB at the 100× probe → 2), and with a broadcast join the
-    // whole kernel+join+partial-agg pipeline would run on those few
-    // tasks — the probe measured one task spill-sorting for 20+ min
-    // while 31 sat idle. Spread the DOC rows (one row per doc, before
-    // the ~200× shingle fan-out and before the kernel) when the scan
-    // is narrower than the shuffle width; on a real multi-TB input
-    // the scan has plenty of splits and this is a no-op. Applied per
-    // branch so the reference side spreads only its mod-filtered
-    // slice, not the whole corpus.
-    val target = spark.sessionState.conf.numShufflePartitions
-    def spreadIfNarrow(df: DataFrame): DataFrame =
-      if (df.isStreaming || df.rdd.getNumPartitions >= target) df
-      else df.repartition(target)
-    // No size(keys) > 0 pre-filter: the postings flatMap emits nothing
-    // for an empty key array, and a pushed-down filter would run the
-    // kernel a second time per row (the PushPredicateThroughNonJoin
-    // alias-substitution trap the streaming-path audit caught).
-    def keyedOf(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), shingle_keys(col("text"), lit(""), 3).as("keys"))
-    // (shingle, id << 20 | n_keys) postings via typed flatMap — NOT
-    // explode(): Catalyst re-evaluates a computed array per OUTPUT row
-    // under Generate. Packing keeps every shuffle/broadcast row two
-    // plain longs; shingle_keys output is distinct per doc, so a join
-    // hit count IS the intersection size.
-    def postings(df: DataFrame, out: String) = df
-      .as[(Long, Array[Long])]
+    df.as[(Long, Array[Long])]
       .flatMap { case (id, keys) =>
-        // The pack budgets 20 bits for the shingle count and 43 for the
-        // id (bit 63 stays clear so shiftright is sign-safe). A doc
-        // with >= 2^20 distinct 3-gram shingles (~multi-MB text) or an
-        // id outside [0, 2^43) would silently corrupt doc_id/ref_id
-        // and jaccard — fail loudly instead; callers with such docs
-        // must pre-chunk them (Multimodal.chunkBytes-style) or widen
-        // the pack to two words.
-        require(keys.length < (1 << 20),
-          s"doc $id has ${keys.length} distinct shingles >= 2^20: packed " +
-            "posting would overflow; pre-chunk oversized documents")
-        require(id >= 0 && id < (1L << 43),
-          s"doc_id $id outside [0, 2^43): packed posting would overflow")
-        val packed = (id << 20) | keys.length.toLong
+        val packed = packedOf(id, keys.length)
         keys.map(h => (h, packed))
       }
       .toDF("shingle", out)
-    val nMask = (1L << 20) - 1
-    // Reference postings aggregate into one (shingle, member-list) row
-    // per shingle BEFORE the broadcast: the df cap applies there, the
-    // broadcast shrinks (one row per distinct shingle), and the join
-    // fan-out per corpus posting is bounded by maxRefDf. The explode
-    // runs over an aggregation ATTRIBUTE, not a computed expression,
-    // so the Generate re-evaluation trap (SURVEY §8) does not apply.
-    val refLists = postings(
-        keyedOf(spreadIfNarrow(docs.filter(col("doc_id") % refMod === 0))),
+  }
+
+  /** Reference postings aggregated into one (shingle, member-list)
+    * row per shingle: the df cap applies there, the broadcast/index
+    * shrinks (one row per distinct shingle), and the fan-out per
+    * corpus posting is bounded by maxRefDf (standard stop-shingle
+    * treatment — a shingle present in thousands of reference docs is
+    * boilerplate, not contamination signal; the 100× probe caught
+    * exactly this blow-up). Dropped shingles are observable via the
+    * `contamination_ref_cap` metric.
+    */
+  private def refListsOf(docs: DataFrame, refMod: Int,
+      maxRefDf: Int): DataFrame =
+    packedPostings(
+        shingleKeyed(spreadIfNarrow(docs.filter(col("doc_id") % refMod === 0))),
         "r")
       .groupBy(col("shingle"))
       .agg(collect_list(col("r")).as("rs"))
@@ -144,7 +167,27 @@ object Dedup {
         sum(when(size(col("rs")) > maxRefDf, 1L).otherwise(0L))
           .as("dropped_shingles"))
       .filter(size(col("rs")) <= maxRefDf)
-    postings(keyedOf(spreadIfNarrow(docs)), "d")
+
+  /** The broadcast-JOIN screen shape: corpus postings
+    * broadcast-hash-join the per-shingle reference member lists,
+    * intersections fall out of a count per (doc, ref) pair. Work ∝
+    * Σ matching ref-df. This is the fallback for a reference set too
+    * large to index on the driver — the BroadcastExchange degrades
+    * gracefully to a shuffled hash join if the hint is dropped, still
+    * ∝ postings. Prefer [[screenDocsIndexed]] (the default) for
+    * eval-suite-sized references: same result, no (doc, ref) hash
+    * aggregation — the 100× probe measured the agg hash table (3.6 B
+    * input rows) spilling as THE dominant cost of this shape.
+    */
+  def screenDocsJoin(docs: DataFrame, threshold: Double = 0.05,
+      refMod: Int = 7, maxRefDf: Int = 1000): DataFrame = {
+    require(threshold > 0,
+      s"threshold must be > 0 (got $threshold): zero-intersection pairs " +
+        "cannot materialize from inverted postings; use a cross join if " +
+        "you genuinely need every corpus x ref pair")
+    val nMask = packMask
+    val refLists = refListsOf(docs, refMod, maxRefDf)
+    packedPostings(shingleKeyed(spreadIfNarrow(docs)), "d")
       .join(broadcast(refLists), "shingle")
       // NOTE: no (doc, member-list) multiplicity collapse before this
       // explode — measured at the 100× probe, corpus shingles have
@@ -168,6 +211,155 @@ object Dedup {
           (col("d").bitwiseAND(lit(nMask)) + col("r").bitwiseAND(lit(nMask))
             - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_id"), col("ref_id"))
+  }
+
+  /** A compact immutable shingle → packed-ref-postings index: open
+    * addressing over power-of-2 primitive arrays (CSR layout). Only
+    * primitive arrays ride the broadcast — no boxed Longs, no HashMap
+    * node overhead — and lookups are 1–2 probes. `len == 0` marks an
+    * empty slot, so key 0 needs no sentinel.
+    */
+  private[operators] final class RefIndex(
+      keys: Array[Long], off: Array[Int], len: Array[Int],
+      postings: Array[Long]) extends Serializable {
+    @inline private def slotOf(k: Long): Int = {
+      val mask = keys.length - 1
+      // splitmix64 finalizer: shingle keys are already hashes, but
+      // re-mixing guards against banding structure in the key space
+      var h = k + 0x9e3779b97f4a7c15L
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      var s = ((h ^ (h >>> 31)) & mask).toInt
+      while (len(s) != 0 && keys(s) != k) s = (s + 1) & mask
+      s
+    }
+    /** Append the postings of `k` (if any) into `buf` starting at
+      * `n`, skipping `self`; returns the new fill. `buf` must have
+      * room for `maxLen` more entries.
+      */
+    def hitsInto(k: Long, self: Long, buf: Array[Long], n: Int): Int = {
+      val s = slotOf(k)
+      var m = n
+      if (len(s) != 0) {
+        val o = off(s); val e = o + len(s)
+        var i = o
+        while (i < e) {
+          val r = postings(i)
+          if (r != self) { buf(m) = r; m += 1 }
+          i += 1
+        }
+      }
+      m
+    }
+    def maxLen: Int = if (len.isEmpty) 0 else len.max
+    def nPostings: Int = postings.length
+  }
+
+  private[operators] object RefIndex {
+    def build(rows: Array[(Long, Array[Long])]): RefIndex = {
+      var cap = 4
+      while (cap < rows.length * 2) cap <<= 1
+      val keys = new Array[Long](cap)
+      val off = new Array[Int](cap)
+      val len = new Array[Int](cap)
+      val total = rows.iterator.map(_._2.length.toLong).sum
+      require(total <= Int.MaxValue,
+        s"reference index postings ($total) exceed 2^31: use " +
+          "screenDocsJoin for references this large")
+      val postings = new Array[Long](total.toInt)
+      val mask = cap - 1
+      var p = 0
+      rows.foreach { case (k, rs) =>
+        var h = k + 0x9e3779b97f4a7c15L
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        var s = ((h ^ (h >>> 31)) & mask).toInt
+        while (len(s) != 0) s = (s + 1) & mask
+        keys(s) = k; off(s) = p; len(s) = rs.length
+        System.arraycopy(rs, 0, postings, p, rs.length)
+        p += rs.length
+      }
+      new RefIndex(keys, off, len, postings)
+    }
+  }
+
+  /** The INDEXED screen shape (default): the df-capped per-shingle
+    * reference member lists are collected into a compact primitive
+    * index (the same payload the join form's BroadcastExchange
+    * collects to the driver anyway) and broadcast; one typed flatMap
+    * over corpus docs then gathers each doc's matching packed refs,
+    * sorts them and run-length-counts intersections — per-DOC bounded
+    * state, emitted pairs already jaccard-filtered.
+    *
+    * Why not the join + groupBy(doc, ref) count: the aggregation
+    * hash table there spans a whole partition (thousands of docs ×
+    * their distinct refs) and spills; at the 100× probe the 3.6 B-row
+    * agg ran at ~136 k rows/s/core. Here the same 3.6 B increments
+    * land in a per-doc array (avg Σdf per doc ≈ thousands) sorted
+    * with a primitive Arrays.sort — no table, no spill, and the
+    * shuffle disappears entirely (only the final orderBy exchanges,
+    * carrying already-filtered pairs).
+    *
+    * Scale contract: the INDEX must fit an executor heap — Σ capped
+    * ref postings ≤ 2^31 (an eval-suite reference: 100 k docs × ~200
+    * shingles ≈ 20 M longs ≈ 160 MB, fine). For unbounded references
+    * use [[screenDocsJoin]], whose broadcast degrades to a shuffled
+    * hash join.
+    */
+  def screenDocsIndexed(docs: DataFrame, threshold: Double = 0.05,
+      refMod: Int = 7, maxRefDf: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(threshold > 0,
+      s"threshold must be > 0 (got $threshold): zero-intersection pairs " +
+        "cannot materialize from inverted postings; use a cross join if " +
+        "you genuinely need every corpus x ref pair")
+    // the one sanctioned driver collect (IVF-fit precedent): bounded
+    // by the RefIndex.build require; the observe() drop metric fires
+    // on this action exactly as it did on the broadcast build
+    val refRows = refListsOf(docs, refMod, maxRefDf)
+      .as[(Long, Array[Long])].collect()
+    val bc = spark.sparkContext.broadcast(RefIndex.build(refRows))
+    val nMask = packMask
+    val maxDf = bc.value.maxLen
+    shingleKeyed(spreadIfNarrow(docs))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, keys) =>
+        val idx = bc.value
+        val self = packedOf(id, keys.length)
+        // worst-case fill: every key hits a full-df list. Grown lazily
+        // from a small default so empty/low-hit docs stay cheap.
+        var buf = new Array[Long](math.min(256, maxDf max 1))
+        var n = 0
+        var i = 0
+        while (i < keys.length) {
+          if (n + maxDf > buf.length)
+            buf = java.util.Arrays.copyOf(buf,
+              math.max(buf.length * 2, n + maxDf))
+          n = idx.hitsInto(keys(i), self, buf, n)
+          i += 1
+        }
+        if (n == 0) Iterator.empty
+        else {
+          java.util.Arrays.sort(buf, 0, n)
+          val nD = keys.length
+          val out = Vector.newBuilder[(Long, Long, Double)]
+          var s = 0
+          while (s < n) {
+            var e = s + 1
+            while (e < n && buf(e) == buf(s)) e += 1
+            val inter = e - s
+            val r = buf(s)
+            val nR = (r & nMask).toInt
+            val j = inter.toDouble / (nD + nR - inter)
+            if (j >= threshold) out += ((id, r >>> 20, j))
+            s = e
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("doc_id", "ref_id", "jaccard")
       .orderBy(col("doc_id"), col("ref_id"))
   }
 

@@ -62,8 +62,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2)
   }
 
-  test("contamination screen: indexed broadcast join, no per-pair loop") {
+  test("contamination screen (default, indexed): zero data shuffles") {
     val plan = planOf(Dedup.screenAgainstReference(spark, sf))
+    // the default shape broadcasts a primitive ref index and emits
+    // already-filtered pairs from one typed flatMap: nothing may
+    // exchange except the final orderBy's range partitioning and the
+    // low-split parallelism floor's round-robin spread
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"per-pair join shape regressed:\n$plan")
+    val required = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        !l.contains("RoundRobinPartitioning") &&
+        !l.contains("rangepartitioning"))
+    assert(required == 0, s"$required data shuffles in indexed screen:\n$plan")
+    // no (doc, ref) aggregation — intersections are counted in the
+    // flatMap; a HashAggregate here means the spilling shape is back
+    assert(!plan.contains("HashAggregate"),
+      s"count aggregation regressed into the indexed screen:\n$plan")
+    // the kernel must run exactly once per row: no pushed-down filter
+    // may re-evaluate shinglekeys below the projection
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("shinglekeys")),
+      s"kernel re-evaluated in a pushed filter:\n$plan")
+  }
+
+  test("contamination screen (join fallback): broadcast hash join, no per-pair loop") {
+    val plan = planOf(Dedup.screenDocsJoin(
+      graft.Tables.documents(spark, sf)))
     // the reference postings build a broadcast hash index on the
     // shingle key; a nested-loop join means the Θ(corpus × refs)
     // per-pair intersection regressed

@@ -76,6 +76,30 @@ class TextDedupSpec extends AnyFunSuite {
     Iterator.iterate[Throwable](t)(_.getCause).takeWhile(_ != null)
       .map(e => Option(e.getMessage).getOrElse("")).toList
 
+  test("indexed and join screen shapes produce identical pairs") {
+    // same corpus, same threshold/cap: the driver-indexed flatMap
+    // shape must be row-for-row equal to the broadcast-join + count
+    // aggregation (doubles exact — both compute inter/(nD+nR-inter)
+    // from the same ints)
+    val docs = graft.Tables.documents(spark, sf)
+    val a = Dedup.screenDocsIndexed(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = Dedup.screenDocsJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("indexed screen fails loudly past the pack budget too") {
+    import spark.implicits._
+    val docs = Seq((1L << 43, "a b c d e"), (0L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.screenDocsIndexed(docs, threshold = 0.05).collect()
+    }
+    assert(causeChain(ex).exists(_.contains("packed posting would overflow")),
+      s"expected loud overflow failure, got: ${ex.getMessage}")
+  }
+
   test("cross-block jaccard recalls the blocked verifier's near-dup pairs") {
     // the blocked verifier restricted to the LSH regime (j >= 0.5)
     val blocked = Dedup.jaccardPairs(spark, sf, threshold = 0.5)
