@@ -36,6 +36,7 @@ object Probe {
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",
       "text_repetition", "pii_scrub", "dedup_apply", "mix_sources",
+      "bm25_search",
       "pipeline_clean", "wordcount_salted",
       "multimodal_decode",
       "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",

@@ -583,6 +583,40 @@ object HashKernels {
     "fr" -> Array("le", "la", "les", "et", "des", "est", "un"))
     .map { case (k, v) => k -> v.map(_.getBytes("UTF-8")) }
 
+  // per-spec parsed term tables for termCounts (space-separated spec
+  // string → UTF-8 byte forms), memoized so the per-row kernel never
+  // re-parses; specs come from query literals — a handful ever exist
+  private val termTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Byte]]]()
+
+  /** Single-pass per-term token-match counts: for each term in the
+    * space-separated `spec`, how many whitespace tokens of `s` equal
+    * it — `q` instances of `size(filter(split(...), _ = term))` in ONE
+    * walk with no token array. The BM25 tf kernel.
+    */
+  def termCounts(s: UTF8String, spec: String): ArrayData = {
+    if (KernelMetrics.enabled) KernelMetrics.termEvals.increment()
+    val terms = termTables.computeIfAbsent(spec,
+      sp => sp.split(" ").map(_.getBytes("UTF-8")))
+    val counts = new Array[Int](terms.length)
+    val bytes = s.getBytes
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWsByte(bytes(i) & 0xff)) i += 1
+      val start = i
+      while (i < n && !isWsByte(bytes(i) & 0xff)) i += 1
+      if (i > start) {
+        var w = 0
+        while (w < terms.length) {
+          if (tokenEquals(bytes, start, i, terms(w))) counts(w) += 1
+          w += 1
+        }
+      }
+    }
+    new GenericArrayData(counts)
+  }
+
   private def tokenEquals(bytes: Array[Byte], from: Int, to: Int,
       w: Array[Byte]): Boolean = {
     if (to - from != w.length) return false
@@ -780,6 +814,26 @@ case class StopwordHits(child: Expression, lang: String)
     copy(child = c)
 }
 
+/** term_counts(text, spec) → array<int> — codegen'd one-pass per-term
+  * token-match counts (spec = space-separated terms). One evaluation
+  * serves every per-term consumer via whole-stage subexpression
+  * elimination (pinned by KernelEvalAuditSpec).
+  */
+case class TermCounts(child: Expression, spec: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(!spec.exists(c => c == '"' || c == '\\'),
+    s"term spec must not contain quotes/backslashes: $spec")
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.termCounts(input.asInstanceOf[UTF8String], spec)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.HashKernels.termCounts($c, "$spec")""")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** lang_id(text) → string — codegen'd one-pass language ID. */
 case class LangId(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -907,6 +961,9 @@ object HashFunctions {
     ColumnBridge.column(PunctCount(ColumnBridge.expression(text)))
   def stopword_hits(text: Column, lang: String): Column =
     ColumnBridge.column(StopwordHits(ColumnBridge.expression(text), lang))
+  def term_counts(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(
+      TermCounts(ColumnBridge.expression(text), terms.mkString(" ")))
   def lang_id(text: Column): Column =
     ColumnBridge.column(LangId(ColumnBridge.expression(text)))
 }

@@ -21,8 +21,11 @@ object KernelMetrics {
   @volatile var enabled: Boolean = false
   val shingleEvals = new LongAdder
   val minhashEvals = new LongAdder
+  val termEvals = new LongAdder
 
-  def reset(): Unit = { shingleEvals.reset(); minhashEvals.reset() }
+  def reset(): Unit = {
+    shingleEvals.reset(); minhashEvals.reset(); termEvals.reset()
+  }
 
   /** Run `body` with counting on; returns (result, shingles, minhashes). */
   def counting[A](body: => A): (A, Long, Long) = {
@@ -31,6 +34,18 @@ object KernelMetrics {
     try {
       val r = body
       (r, shingleEvals.sum(), minhashEvals.sum())
+    } finally { enabled = false; reset() }
+  }
+
+  /** Like [[counting]] with the term-counts kernel included:
+    * (result, shingles, minhashes, terms).
+    */
+  def countingAll[A](body: => A): (A, Long, Long, Long) = {
+    reset()
+    enabled = true
+    try {
+      val r = body
+      (r, shingleEvals.sum(), minhashEvals.sum(), termEvals.sum())
     } finally { enabled = false; reset() }
   }
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import graft.functions.TextFunctions.tokens
+
+/** T14 — BM25 corpus retrieval: score every document against a query
+  * string with Okapi BM25 (Lucene's idf variant) and return the
+  * top-k. The retrieval counterpart of the dedup/contamination family
+  * — the same engine that filters a corpus must be able to SEARCH it
+  * (eval-set leakage triage, nearest-document audits, boilerplate
+  * hunts).
+  *
+  * Spark-first shape, built for a 100 TB corpus:
+  *  - term frequencies are PROJECTIONS (`filter(tokens, _ = term)`
+  *    per query term — queries are a handful of terms), not an
+  *    explode → groupBy: one scan, no shuffle for the per-doc side.
+  *  - corpus statistics (N, avgdl, per-term document frequencies)
+  *    are ONE scalar aggregation row collected to the driver (the
+  *    sanctioned bounded collect — q doubles) and folded into the
+  *    scoring projection as literals.
+  *  - top-k via orderBy + limit = TakeOrderedAndProject: per-partition
+  *    heaps, k rows to the driver, never a global sort spill.
+  *
+  * Determinism: the score sums its per-term contributions in FIXED
+  * query-term order inside one projection (no aggregation-order
+  * nondeterminism). Cross-engine: `ln` differs from DuckDB's by
+  * 1 ulp on ~0.5% of idf inputs (measured), so the scored query is
+  * rows-only for the driver oracle; the integer-exact retrieval core
+  * (dl, per-term tf, matched-term count) is oracle-checked by
+  * [[bm25DocStats]], and SearchSpec pins the scores bit-exactly
+  * against an in-driver Java reference.
+  */
+object Search {
+
+  val defaultQuery: Seq[String] = Seq("table", "scan", "window")
+
+  /** (doc_id, dl, tf-array) via ONE `termCounts` kernel walk per row
+    * inside a typed map. NOT a column expression: q `element_at`
+    * consumers plus the matched-doc filter would each re-evaluate the
+    * kernel — measured 4.5× per row; Catalyst's subexpression
+    * elimination does not share across Filter/Project operators, and
+    * predicate pushdown substitutes the alias below the projection
+    * (the SURVEY §8 trap). The typed map materializes the array once;
+    * downstream extraction reads an attribute. KernelEvalAuditSpec
+    * pins one evaluation per row per scan.
+    */
+  private def baseOf(spark: SparkSession, sfDir: String,
+      query: Seq[String]): DataFrame = {
+    query.foreach(t => require(t.nonEmpty && !t.exists(_.isWhitespace),
+      s"query term must be a single non-empty token: '$t'"))
+    import spark.implicits._
+    import graft.functions.HashKernels
+    val spec = query.mkString(" ")
+    documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+        (id, HashKernels.wsTokenCount(u),
+          HashKernels.termCounts(u, spec).toIntArray())
+      }
+      .toDF("doc_id", "dl", "tf")
+  }
+
+  /** Integer-only retrieval core for the DuckDB oracle: document
+    * length and per-term tf for every document matching at least one
+    * query term. Hash-exact (no floats).
+    */
+  def bm25DocStats(spark: SparkSession, sfDir: String,
+      query: Seq[String] = defaultQuery): DataFrame = {
+    val tfs = query.indices.map(i =>
+      element_at(col("tf"), i + 1).cast("long").as(s"tf$i"))
+    baseOf(spark, sfDir, query)
+      .select((col("doc_id") +: col("dl").cast("long").as("dl") +: tfs): _*)
+      .filter(query.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 top-k search (k1 = 1.2, b = 0.75, Lucene idf
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`). Ties break by doc_id so
+    * the top-k frontier is deterministic.
+    */
+  def bm25Search(spark: SparkSession, sfDir: String,
+      query: Seq[String] = defaultQuery, topK: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty && query.size <= 32,
+      s"query must have 1..32 terms, got ${query.size}")
+    val tfs = query.indices.map(i =>
+      element_at(col("tf"), i + 1).cast("double").as(s"tf$i"))
+    val base = baseOf(spark, sfDir, query)
+      .select((col("doc_id") +: col("dl").cast("double").as("dl") +: tfs): _*)
+    // ONE bounded scalar-stats job: N, Σdl, df per term
+    val aggCols: Seq[Column] =
+      count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+        query.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val statRow = base.agg(aggCols.head, aggCols.tail: _*).head()
+    val n = statRow.getLong(0)
+    require(n > 0, "empty corpus")
+    val avgdl = statRow.getDouble(1) / n
+    val idf = query.indices.map { i =>
+      val df = statRow.getLong(2 + i)
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }
+    // fixed-order contribution sum: deterministic, no agg involved
+    val score = query.indices.map { i =>
+      lit(idf(i)) * (col(s"tf$i") * lit(k1 + 1.0) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+    }.reduce(_ + _)
+    base.select(col("doc_id"), score.as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

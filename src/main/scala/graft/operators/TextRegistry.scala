@@ -37,6 +37,11 @@ object TextRegistry {
     "pack_sequences" -> ((s, d) => CorpusOps.packSequences(s, d)),
     "text_repetition" -> (TextOps.textRepetition _),
     "mix_sources" -> ((s, d) => CorpusOps.mixSources(s, d)),
+    "bm25_doc_stats" -> ((s, d) => Search.bm25DocStats(s, d)),
+    // rows-only: ln differs from DuckDB's by 1 ulp on ~0.5% of idf
+    // inputs; scores are pinned bit-exactly by SearchSpec instead,
+    // and the integer retrieval core is oracle-checked above
+    "bm25_search" -> ((s, d) => Search.bm25Search(s, d)),
     "pii_scrub" -> (TextOps.piiScrub _),
     "dedup_apply" -> ((s, d) => Clusters.dedupApply(s, d)),
     "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),
@@ -257,6 +262,17 @@ object TextRegistry {
          |      ELSE (g.n - 1 - len(list_distinct(g2)))::DOUBLE / (g.n - 1)
          | END AS dup_2gram_frac
          |FROM g JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // BM25 integer retrieval core: dl + per-query-term tf for every
+    // matching doc (floats stay out — the scored top-k is rows-only)
+    "bm25_doc_stats" ->
+      s"""WITH t AS (SELECT doc_id, len($TOKS)::BIGINT AS dl,
+         |  len(list_filter($TOKS, x -> x = 'table'))::BIGINT AS tf0,
+         |  len(list_filter($TOKS, x -> x = 'scan'))::BIGINT AS tf1,
+         |  len(list_filter($TOKS, x -> x = 'window'))::BIGINT AS tf2
+         |  FROM documents)
+         |SELECT doc_id, dl, tf0, tf1, tf2 FROM t
+         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+         |ORDER BY doc_id""".stripMargin,
     // temperature-rebalanced source mixing: per-source targets are
     // integer (floor(sqrt) weights, integer division) so no float
     // summation order can drift a boundary doc; docs taken in md5

@@ -96,6 +96,34 @@ class KernelEvalAuditSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("theta must be > 0"))
   }
 
+  test("bm25 term_counts kernel runs once per row per scan") {
+    // q per-term tf columns read element_at(term_counts(...), i) from
+    // the SAME subtree: whole-stage CSE must collapse them to one
+    // kernel walk. bm25Search scans base twice (stats job + score
+    // job) → 2 evals/row; docStats scans once, but its matched-doc
+    // filter must not smuggle a second evaluation below the project.
+    val sf = "/root/testdata/sf0.001"
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    // docStats ends in orderBy: the range partitioner's SAMPLING pass
+    // is a genuine second scan of the typed map (1 eval/row), so the
+    // bound is 2n — what must never return is the 4.5n of the
+    // column-expression form (filter pushdown + per-term extraction
+    // each re-running the kernel)
+    val (_, _, _, terms1) = KernelMetrics.countingAll {
+      graft.operators.Search.bm25DocStats(spark, sf).collect()
+    }
+    info(s"docStats: $terms1 term_counts evals for $n rows (sort sample + output)")
+    assert(terms1 <= 2 * n, s"term_counts ran $terms1 times for $n rows")
+    // search = stats job + TakeOrdered job (orderBy+limit never
+    // samples) = 2 scans
+    val (_, _, _, terms2) = KernelMetrics.countingAll {
+      graft.operators.Search.bm25Search(spark, sf).collect()
+    }
+    info(s"search: $terms2 term_counts evals for $n rows (2 scans)")
+    assert(terms2 <= 2 * n,
+      s"term_counts ran $terms2 times for $n rows over 2 scans")
+  }
+
   test("referenceIndex evaluates each kernel once per reference row") {
     val ref = (1 to 10).map(i => (i.toLong, doc(i))).toDF("ref_id", "text")
     val (_, shingles, minhashes) = KernelMetrics.counting {

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Search
+
+/** T14 BM25 against a bit-exact in-driver reference (same JVM libm,
+  * same fixed-order contribution sum — any drift in the distributed
+  * formula shows as a strict inequality, not a tolerance miss).
+  */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private val query = Search.defaultQuery
+  private val k1 = 1.2
+  private val b = 0.75
+
+  private def docs: Array[(Long, Array[String])] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+")))
+
+  test("bm25Search scores match the reference bit-exactly, top-k ordered") {
+    val ds = docs
+    val n = ds.length.toLong
+    val avgdl = ds.map(_._2.length.toDouble).sum / n
+    val dfs = query.map(t => ds.count(_._2.contains(t)).toLong)
+    val idf = dfs.map(df => math.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+    val expected = ds.flatMap { case (id, tk) =>
+      val dl = tk.length.toDouble
+      var s = 0.0
+      var i = 0
+      while (i < query.size) {
+        val tf = tk.count(_ == query(i)).toDouble
+        s += idf(i) * (tf * (k1 + 1.0) /
+          (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        i += 1
+      }
+      if (s > 0.0) Some((id, s)) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(50)
+
+    val got = Search.bm25Search(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty && got.length <= 50)
+    // descending with doc_id tie-break
+    got.sliding(2).foreach { case Array((ia, sa), (ib, sbb)) =>
+      assert(sa > sbb || (sa == sbb && ia < ib))
+    }
+  }
+
+  test("bm25DocStats agrees with the search side's tf inputs") {
+    val stats = Search.bm25DocStats(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val expected = docs.flatMap { case (id, tk) =>
+      val tfs = query.map(t => tk.count(_ == t).toLong)
+      if (tfs.exists(_ > 0))
+        Some(id -> ((tk.length.toLong, tfs(0), tfs(1), tfs(2))))
+      else None
+    }.toMap
+    assert(stats == expected)
+    assert(stats.nonEmpty, "query terms absent from corpus?")
+  }
+}
