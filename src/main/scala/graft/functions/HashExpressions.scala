@@ -700,6 +700,95 @@ object HashKernels {
     }
     UTF8String.fromString(if (bestIdx < 0) "und" else langs(bestIdx))
   }
+
+  private def regionEquals(bytes: Array[Byte], a: Int, b: Int,
+      len: Int): Boolean = {
+    var i = 0
+    while (i < len) {
+      if (bytes(a + i) != bytes(b + i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Single-pass MAX TOKEN FREQUENCY — the `top_c` of the Gopher
+    * top-token repetition signal without explode → token-row
+    * shuffle → re-join: one open-addressing count table per row
+    * keyed by (FNV-1a, first-occurrence span), byte-verified on
+    * every probe hit so hash-equal but distinct tokens never merge.
+    * Split semantics match the oracle's
+    * `regexp_split_to_array(trim(text), '\s+')` exactly: space-only
+    * trim, ASCII `\s` runs as separators, and the leading/trailing
+    * empty token a `\s`-initial or `\s`-final trimmed string yields
+    * (both are the same "" value, so they merge — max 2 of them).
+    */
+  def topTokenCount(s: UTF8String): Long = {
+    if (KernelMetrics.enabled) KernelMetrics.topTokenEvals.increment()
+    val bytes = s.getBytes
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == 0x20) lo += 1
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    if (lo == hi) return 1L // "" splits to the single empty token
+    var empties = 0
+    if (isWsByte(bytes(lo) & 0xff)) empties += 1
+    if (isWsByte(bytes(hi - 1) & 0xff)) empties += 1
+    var cap = Integer.highestOneBit(Math.max(16, (hi - lo) / 4 + 8)) << 1
+    var hashes = new Array[Long](cap)
+    var starts = new Array[Int](cap)
+    var lens = new Array[Int](cap)
+    var counts = new Array[Int](cap) // 0 = empty slot
+    var used = 0
+    var best = 0
+    var i = lo
+    while (i < hi) {
+      while (i < hi && isWsByte(bytes(i) & 0xff)) i += 1
+      val st = i
+      while (i < hi && !isWsByte(bytes(i) & 0xff)) i += 1
+      if (i > st) {
+        var h = 0xcbf29ce484222325L
+        var j = st
+        while (j < i) {
+          h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1
+        }
+        var slot = (h & (cap - 1)).toInt
+        var done = false
+        while (!done) {
+          if (counts(slot) == 0) {
+            hashes(slot) = h; starts(slot) = st; lens(slot) = i - st
+            counts(slot) = 1
+            used += 1
+            if (best == 0) best = 1
+            done = true
+          } else if (hashes(slot) == h && lens(slot) == i - st &&
+              regionEquals(bytes, starts(slot), st, i - st)) {
+            counts(slot) += 1
+            if (counts(slot) > best) best = counts(slot)
+            done = true
+          } else slot = (slot + 1) & (cap - 1)
+        }
+        if (used * 4 > cap * 3) { // load 0.75 → double + rehash
+          val ncap = cap << 1
+          val nh = new Array[Long](ncap)
+          val ns = new Array[Int](ncap)
+          val nl = new Array[Int](ncap)
+          val nc = new Array[Int](ncap)
+          var k = 0
+          while (k < cap) {
+            if (counts(k) != 0) {
+              var sl = (hashes(k) & (ncap - 1)).toInt
+              while (nc(sl) != 0) sl = (sl + 1) & (ncap - 1)
+              nh(sl) = hashes(k); ns(sl) = starts(k)
+              nl(sl) = lens(k); nc(sl) = counts(k)
+            }
+            k += 1
+          }
+          hashes = nh; starts = ns; lens = nl; counts = nc; cap = ncap
+        }
+      }
+    }
+    Math.max(best, empties).toLong
+  }
 }
 
 /** minhash_signature(shingles, k) → array<bigint> */
@@ -911,6 +1000,22 @@ case class SimHashText(child: Expression)
     copy(child = c)
 }
 
+/** top_token_count(text) → bigint — max whitespace-token frequency
+  * in one pass (see HashKernels.topTokenCount).
+  */
+case class TopTokenCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.topTokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.topTokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** sorted_intersect_count(a, b) → int — merge-count of two sorted
   * distinct long arrays.
   */
@@ -966,4 +1071,6 @@ object HashFunctions {
       TermCounts(ColumnBridge.expression(text), terms.mkString(" ")))
   def lang_id(text: Column): Column =
     ColumnBridge.column(LangId(ColumnBridge.expression(text)))
+  def top_token_count(text: Column): Column =
+    ColumnBridge.column(TopTokenCount(ColumnBridge.expression(text)))
 }

@@ -22,9 +22,11 @@ object KernelMetrics {
   val shingleEvals = new LongAdder
   val minhashEvals = new LongAdder
   val termEvals = new LongAdder
+  val topTokenEvals = new LongAdder
 
   def reset(): Unit = {
     shingleEvals.reset(); minhashEvals.reset(); termEvals.reset()
+    topTokenEvals.reset()
   }
 
   /** Run `body` with counting on; returns (result, shingles, minhashes). */

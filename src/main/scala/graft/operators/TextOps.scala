@@ -122,29 +122,25 @@ object TextOps {
     * occurrences that are repeats). High values flag auto-generated
     * or template text that per-document dedup cannot catch.
     *
-    * Shape: the bigram side is a pure projection (the `shingle_keys`
-    * kernel with n=2 gives the distinct count — no shuffle at all);
-    * the top-token side is explode → two-level hash agg with map-side
-    * partials, work Θ(tokens). One broadcast-size join per doc row
-    * reunites them.
+    * Shape: a PURE PROJECTION — both signals come from one-pass
+    * kernels (`shingle_keys` n=2 for the distinct-bigram count,
+    * `top_token_count` for the max token frequency via a per-row
+    * byte-verified count table), so the whole query is scan-bound
+    * with zero shuffles at any corpus size. The explode → two-level
+    * agg → join formulation this replaces shuffled one row per
+    * TOKEN (~150 M rows at the 100× probe) to compute a per-DOC
+    * statistic.
     */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.HashFunctions.{shingle_keys, ws_token_count}
+    import graft.functions.HashFunctions.{shingle_keys, top_token_count, ws_token_count}
     val docs = documents(spark, sfDir)
-    val base = docs.select(col("doc_id"),
-      ws_token_count(col("text")).cast("long").as("n_tokens"),
-      size(shingle_keys(col("text"), lit(""), 2)).as("n_distinct_2g"))
-    val top = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
-    base.join(top, Seq("doc_id"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("top_c").cast("double") / col("n_tokens"))
+    val nt = ws_token_count(col("text")).cast("long")
+    docs.select(col("doc_id"), nt.as("n_tokens"),
+        (top_token_count(col("text")).cast("double") / nt)
           .as("top_token_frac"),
-        when(col("n_tokens") <= 1, lit(0.0)).otherwise(
-          (col("n_tokens") - 1 - col("n_distinct_2g")).cast("double") /
-            (col("n_tokens") - 1)).as("dup_2gram_frac"))
+        when(nt <= 1, lit(0.0)).otherwise(
+          (nt - 1 - size(shingle_keys(col("text"), lit(""), 2)))
+            .cast("double") / (nt - 1)).as("dup_2gram_frac"))
       .orderBy(col("doc_id"))
   }
 

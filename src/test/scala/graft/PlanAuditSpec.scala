@@ -158,6 +158,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"string machinery back in the plan:\n$plan")
   }
 
+  test("textRepetition is a projection: no aggregate, no join, sort-only exchange") {
+    val plan = planOf(graft.operators.TextOps.textRepetition(spark, sf))
+    assert(plan.contains("toptokencount"),
+      s"top-token kernel missing from plan:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join") &&
+      !plan.contains("Generate"),
+      s"explode/agg/join machinery back in textRepetition:\n$plan")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 1, // only the output orderBy's range exchange
+      s"$exchanges shuffle exchanges in a per-row statistic:\n$plan")
+  }
+
   test("minhash verify join carries long arrays, never shingle strings") {
     val plan = planOf(graft.operators.MinHashDedup.minhashPairs(spark, sf))
     assert(!plan.contains("array_intersect"),

@@ -37,6 +37,28 @@ object TextKernelPropSpec extends Properties("TextKernels") {
       HashKernels.wsTokenCount(u(s)) == ref
     }
 
+  // long repeated-vocab docs force the count-table rehash path
+  private val vocabDoc: Gen[String] = for {
+    n <- Gen.choose(0, 2000)
+    toks <- Gen.listOfN(n, Gen.frequency(
+      5 -> Gen.oneOf("the", "a", "of", "to", "x1", "?!", ""),
+      3 -> Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString),
+      1 -> Gen.oneOf("中文", "tök", "10.0.0.1")))
+  } yield toks.mkString(" ")
+
+  property("top_token_count == max frequency over split(trim-spaces, \\s+)") =
+    forAll(Gen.oneOf(texty, vocabDoc)) { s =>
+      val trimmed = {
+        var lo = 0; var hi = s.length
+        while (lo < hi && s.charAt(lo) == ' ') lo += 1
+        while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+        s.substring(lo, hi)
+      }
+      val toks = trimmed.split("\\s+", -1)
+      val ref = toks.groupBy(identity).values.map(_.size).max.toLong
+      HashKernels.topTokenCount(u(s)) == ref
+    }
+
   property("shingle_keys == distinct fnv of wordShingles(split(trim, \\s+))") =
     forAll(texty, Gen.oneOf("web", "books", "académie", "")) { (s, src) =>
       val trimmed = {
