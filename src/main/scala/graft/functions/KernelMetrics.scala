@@ -23,10 +23,12 @@ object KernelMetrics {
   val minhashEvals = new LongAdder
   val termEvals = new LongAdder
   val topTokenEvals = new LongAdder
+  val piiCountEvals = new LongAdder
+  val piiScrubEvals = new LongAdder
 
   def reset(): Unit = {
     shingleEvals.reset(); minhashEvals.reset(); termEvals.reset()
-    topTokenEvals.reset()
+    topTokenEvals.reset(); piiCountEvals.reset(); piiScrubEvals.reset()
   }
 
   /** Run `body` with counting on; returns (result, shingles, minhashes). */

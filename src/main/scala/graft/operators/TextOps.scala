@@ -146,11 +146,14 @@ object TextOps {
 
   /** T12 — PII SCRUBBING: redact emails, US-style phone numbers and
     * IPv4 addresses to typed placeholders, with per-doc match counts
-    * for audit. Regexes use only constructs Java regex and RE2 treat
-    * identically (char classes, `\b`, bounded repeats — no lookaround)
-    * so the oracle is byte-exact. Pure projection: codegen'd
-    * `regexp_replace`/`regexp_count`, zero shuffles, scan-bound at
-    * 100 TB.
+    * for audit. The patterns use only constructs Java regex and RE2
+    * treat identically (char classes, `\b`, bounded repeats — no
+    * lookaround) so the oracle is byte-exact. Pure projection via the
+    * [[graft.functions.PiiKernels]] scanners — semantics identical to
+    * the 6-pass `regexp_replace`/`regexp_count` formulation the
+    * oracle states (fuzz-pinned), minus the per-position Matcher
+    * machinery that dominated the 100× probe. Zero shuffles,
+    * scan-bound at 100 TB.
     *
     * The synthetic corpus carries no PII, so the query PLANTS
     * deterministic doc_id-derived PII first (same expression stated
@@ -158,9 +161,7 @@ object TextOps {
     * third/fourth/fifth row, not vacuously green.
     */
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    import graft.functions.PiiFunctions.{pii_counts, pii_scrub_text}
     val planted = documents(spark, sfDir)
       .select(col("doc_id"), concat(col("text"),
         when(col("doc_id") % 3 === 0,
@@ -170,19 +171,15 @@ object TextOps {
           .otherwise(lit("")),
         when(col("doc_id") % 5 === 0, lit(" tel 555-123-4567"))
           .otherwise(lit(""))).as("text"))
-    // email first (its char class could eat a placeholder's braces is
-    // not a risk, but a phone-like digit run inside an address must
-    // be redacted as part of the address, not counted twice)
+    // counts are over the original text (independent per pattern);
+    // redaction cascades email → phone → ip so a phone-like digit
+    // run inside an address is redacted as part of the address
+    val cnt = pii_counts(col("text"))
     planted.select(col("doc_id"),
-      regexp_count(col("text"), lit(email)).as("n_emails"),
-      regexp_count(col("text"), lit(phone)).as("n_phones"),
-      regexp_count(col("text"), lit(ip)).as("n_ips"),
-      md5(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), email, "<EMAIL>"),
-            phone, "<PHONE>"),
-          ip, "<IP>")).as("scrub_fp"))
+      element_at(cnt, 1).as("n_emails"),
+      element_at(cnt, 2).as("n_phones"),
+      element_at(cnt, 3).as("n_ips"),
+      md5(pii_scrub_text(col("text"))).as("scrub_fp"))
       .orderBy(col("doc_id"))
   }
 

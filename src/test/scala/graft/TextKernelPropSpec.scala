@@ -59,6 +59,44 @@ object TextKernelPropSpec extends Properties("TextKernels") {
       HashKernels.topTokenCount(u(s)) == ref
     }
 
+  // adversarial PII soup: truncated/overlong/adjacent pattern
+  // fragments concatenated WITHOUT separators so boundary (`\b`),
+  // backtracking (`B+\.[a-z]{2,}`) and run-length (`\d{1,3}`) edges
+  // all fire; multi-byte chars check byte-vs-char \b equivalence
+  private val piity: Gen[String] = Gen.listOf(Gen.frequency(
+    4 -> Gen.oneOf("a@b.co", "u1@ex.com", "x@y", "@", "a@@b.cc",
+      "a.b@c.d.ee", "a@b.c", "ab@cd.", ".cc", "a@-.-cc",
+      "555-123-4567", "55-123-4567", "5555-123-4567", "555-123-45678",
+      "10.0.0.1", "1.2.3.4567", "999.999.999.999", "1.2.3", "1..2",
+      "..", "-", ".", "%", "+", "_", "<", ">", " ", "AB", "1", "12",
+      "123", "1234"),
+    3 -> Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaLowerChar, 3 -> Gen.numChar,
+      2 -> Gen.oneOf('.', '-', '@', '_', '%', '+', ' '),
+      1 -> Gen.oneOf('A', 'Z', '<', '>', 'é', '中'))).map(_.mkString)))
+    .map(_.mkString(""))
+
+  private val EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  property("pii_counts == per-pattern regexp_count (java.util.regex)") =
+    forAll(piity) { s =>
+      import graft.functions.PiiKernels
+      def cnt(p: String) = p.r.findAllIn(s).size
+      val got = PiiKernels.piiCounts(u(s))
+      got.getInt(0) == cnt(EMAIL) && got.getInt(1) == cnt(PHONE) &&
+        got.getInt(2) == cnt(IP)
+    }
+
+  property("pii_scrub == chained replaceAll (java.util.regex)") =
+    forAll(piity) { s =>
+      import graft.functions.PiiKernels
+      val ref = s.replaceAll(EMAIL, "<EMAIL>")
+        .replaceAll(PHONE, "<PHONE>").replaceAll(IP, "<IP>")
+      PiiKernels.piiScrub(u(s)).toString == ref
+    }
+
   property("shingle_keys == distinct fnv of wordShingles(split(trim, \\s+))") =
     forAll(texty, Gen.oneOf("web", "books", "académie", "")) { (s, src) =>
       val trimmed = {
