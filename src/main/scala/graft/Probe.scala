@@ -36,7 +36,7 @@ object Probe {
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",
       "text_repetition", "pii_scrub", "dedup_apply", "mix_sources",
-      "bm25_search",
+      "bm25_search", "embed_kmeans",
       "pipeline_clean", "wordcount_salted",
       "multimodal_decode",
       "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
@@ -57,7 +57,12 @@ object Probe {
       // at any scale because identical vectors share every signature
       "sim_join_lsh_scaled" -> (() =>
         Similarity.simJoinLsh(spark, sfDir, threshold = 0.99,
-          nPlanes = 64, nBands = 4, maxBucket = 5000)))
+          nPlanes = 64, nBands = 4, maxBucket = 5000)),
+      // SemDeDup regime: k grows with the corpus so clusters stay
+      // bounded (~3k vectors/cell at the 100× probe's 200k)
+      "dedup_semantic_scaled" -> (() =>
+        operators.Clustering.dedupSemantic(spark, sfDir,
+          k = 64, iters = 2, threshold = 0.99)))
 
     // warm codegen/JIT on the small SF so timings are steady-state
     val warmDir = "/root/testdata/sf0.01"

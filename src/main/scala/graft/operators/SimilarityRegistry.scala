@@ -23,13 +23,50 @@ object SimilarityRegistry {
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
-    "dedup_embedding" -> ((s, d) => Similarity.dedupEmbedding(s, d))
+    "dedup_embedding" -> ((s, d) => Similarity.dedupEmbedding(s, d)),
+    // oracle-checked distributed k-means: decimal-exact centroid
+    // updates make every Lloyd's iteration engine-reproducible
+    "embed_kmeans" -> ((s, d) => Clustering.embedKmeans(s, d)),
+    "dedup_semantic" -> ((s, d) => Clustering.dedupSemantic(s, d))
   )
 
   private val COS =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
 
   private def cos(a: String, b: String) = COS.format(a, b, a, a, b, b)
+
+  /** The k-means CTE chain: Lloyd's iterations UNROLLED — each round
+    * is an argmax-cosine assignment (`ORDER BY cosine DESC, cell_id`
+    * == the kernel's strict-> ascending scan) and a decimal-exact
+    * per-dimension mean (`round(sum(decimal(18,4)), 2) / n` ==
+    * Tables.davg), so the chain reproduces Clustering.assignments
+    * bit-for-bit. Ends with CTEs `v` (corpus) and `f` (final
+    * assignment incl. emb); `tail` selects from those.
+    */
+  private def kmeansSql(k: Int, iters: Int, tail: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),\n"
+    sb ++= s"c0 AS (SELECT vec_id::INT AS cell_id, emb AS c FROM v WHERE vec_id < $k)"
+    for (i <- 1 to iters) {
+      val p = s"c${i - 1}"
+      sb ++= s""",
+a$i AS (SELECT vec_id, emb, cell_id FROM (
+  SELECT v.vec_id, v.emb, $p.cell_id,
+    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${cos("v.emb", p + ".c")} DESC, $p.cell_id) AS rn
+  FROM v CROSS JOIN $p) WHERE rn = 1),
+c$i AS (SELECT cell_id, list(m ORDER BY pos) AS c FROM (
+  SELECT cell_id, pos, CAST(ROUND(SUM(CAST(val AS DECIMAL(18,4))), 2) AS DOUBLE) / COUNT(*) AS m
+  FROM (SELECT cell_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS pos FROM a$i) u
+  GROUP BY cell_id, pos) g GROUP BY cell_id)"""
+    }
+    sb ++= s""",
+f AS (SELECT vec_id, emb, cell_id, cosine FROM (
+  SELECT v.vec_id, v.emb, c$iters.cell_id, ${cos("v.emb", s"c$iters.c")} AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${cos("v.emb", s"c$iters.c")} DESC, c$iters.cell_id) AS rn
+  FROM v CROSS JOIN c$iters) WHERE rn = 1)
+$tail"""
+    sb.toString
+  }
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" ->
@@ -55,6 +92,14 @@ object SimilarityRegistry {
          | ${cos("a.emb", "b.emb")} AS cosine
          |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cos("a.emb", "b.emb")} >= 0.45
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "embed_kmeans" -> kmeansSql(8, 3,
+      "SELECT vec_id, cell_id, cosine FROM f ORDER BY vec_id"),
+    "dedup_semantic" -> kmeansSql(8, 3,
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         | ${cos("a.emb", "b.emb")} AS cosine
+         |FROM f a JOIN f b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |WHERE ${cos("a.emb", "b.emb")} >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin)
   )
 }

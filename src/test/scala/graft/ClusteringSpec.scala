@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.math.BigDecimal.RoundingMode
+
+import graft.operators.Clustering
+
+/** S7/S8 — the oracle-checked k-means and semantic dedup against an
+  * EXACT in-driver recomputation: same seed centroids, same
+  * sequential-fold cosine argmax, same decimal-exact mean
+  * (valueOf → setScale(4) → sum → setScale(2) → /n, the Tables.davg
+  * contract). Doubles are compared with ==, not tolerance — the
+  * whole point of the decimal-lattice update is bit-reproducibility.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val K = 8
+  private val ITERS = 3
+
+  private lazy val vecs: Array[(Long, Array[Double])] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private def cos(a: Array[Double], b: Array[Double]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  private def davgRef(vals: Seq[Double]): Double = {
+    val s = vals.map(v =>
+      BigDecimal(java.math.BigDecimal.valueOf(v))
+        .setScale(4, RoundingMode.HALF_UP)).sum
+    s.setScale(2, RoundingMode.HALF_UP).toDouble / vals.size
+  }
+
+  private def assignRef(cells: Seq[(Int, Array[Double])],
+      v: Array[Double]): (Int, Double) = {
+    var best = Double.NegativeInfinity; var bestCell = cells.head._1
+    for ((cid, c) <- cells) {
+      val cs = cos(v, c)
+      if (cs > best) { best = cs; bestCell = cid }
+    }
+    (bestCell, best)
+  }
+
+  /** The full reference fit: (final cells, final assignment). */
+  private lazy val reference: Map[Long, (Int, Double)] = {
+    var cells: Seq[(Int, Array[Double])] = vecs.filter(_._1 < K)
+      .map { case (id, v) => (id.toInt, v) }.toSeq.sortBy(_._1)
+    for (_ <- 1 to ITERS) {
+      val assigned = vecs.map { case (id, v) =>
+        (assignRef(cells, v)._1, v)
+      }
+      cells = assigned.groupBy(_._1).map { case (cid, members) =>
+        val dim = members.head._2.length
+        (cid, Array.tabulate(dim)(d =>
+          davgRef(members.toSeq.map(_._2(d)))))
+      }.toSeq.sortBy(_._1)
+    }
+    vecs.map { case (id, v) => id -> assignRef(cells, v) }.toMap
+  }
+
+  test("embedKmeans matches the exact in-driver Lloyd's fit, bit-for-bit") {
+    val got = Clustering.embedKmeans(spark, sf, K, ITERS).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got.size == vecs.length)
+    assert(got == reference)
+    // the fit genuinely clusters: >1 cell used, no cell dominates
+    val sizes = got.values.groupBy(_._1).map(_._2.size)
+    assert(sizes.size > 1 && sizes.max < vecs.length)
+  }
+
+  test("dedupSemantic == exact within-cluster pairs at the threshold") {
+    val thr = 0.45
+    val byCell = vecs.map { case (id, v) =>
+      (reference(id)._1, id, v)
+    }.groupBy(_._1)
+    val expected = byCell.values.flatMap { members =>
+      for {
+        (_, a, va) <- members.toSeq
+        (_, b, vb) <- members.toSeq
+        if a < b
+        c = cos(va, vb)
+        if c >= thr
+      } yield (a, b, c)
+    }.toSet
+    val got = Clustering.dedupSemantic(spark, sf, K, ITERS, thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "threshold finds no pairs — vacuous test")
+  }
+
+  test("assignment is a projection: centroid kernel, no join, no agg") {
+    val plan = Clustering.embedKmeans(spark, sf, K, ITERS)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("nearestcell") || plan.contains("NearestCell"),
+      s"centroid kernel missing:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"join/agg machinery in the assignment plan:\n$plan")
+  }
+}
