@@ -71,6 +71,19 @@ object CentroidKernels {
     val j = nearestIdx(emb, cents, norms, isFloat)
     dotVC(emb, cents(j), isFloat) / (selfNorm(emb, isFloat) * norms(j))
   }
+
+  /** v as its scale-4 decimal's unscaled long — EXACTLY
+    * `cast(v as decimal(18,4))` (BigDecimal.valueOf → setScale(4,
+    * HALF_UP), the rounding Spark's cast performs), as a raw integer.
+    * Summing these longs is bit-equivalent to summing the decimals —
+    * order-independent, overflow-safe to ~9e14 summed units — which
+    * is what lets the k-means update run as primitive long
+    * accumulators instead of per-row Decimal allocation.
+    */
+  def dec4Scaled(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValue()
 }
 
 private[functions] trait CentroidBase extends UnaryExpression {

@@ -50,22 +50,56 @@ object Clustering {
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    import spark.implicits._
     var it = 0
     while (it < iters) {
-      // one scan: project cell_id, explode dims, decimal-mean per
-      // (cell, dim); k×dim rows back to the driver
-      val upd = emb
+      // one scan per iteration, MLlib-shaped: project (cell, vec) and
+      // treeAggregate per-partition k×dim accumulators. Each value
+      // enters the sum as its scale-4 decimal's unscaled long
+      // (dec4Scaled IS the decimal(18,4) cast's rounding), so the
+      // accumulated sums are bit-equivalent to the oracle's
+      // order-independent DECIMAL sums — no 12.8M-row explode, no
+      // aggregate hash map, numPartitions × (k×dim + k) longs reduced.
+      val cellIds = cells.map(_._1)
+      val dim = cells.head._2.length
+      val idxOf = new Array[Int](cellIds.max + 1)
+      cellIds.zipWithIndex.foreach { case (cid, j) => idxOf(cid) = j }
+      val k = cells.length
+      val assigned = emb
         .select(nearest_cell(col("emb"), cells).as("cell_id"),
-          posexplode(col("emb").cast("array<double>")))
-        .groupBy(col("cell_id"), col("pos"))
-        .agg(Tables.davg(col("col")).as("m"))
-        .collect()
-      cells = upd.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-        .groupBy(_._1)
-        .map { case (cell, dims) =>
-          (cell, dims.sortBy(_._2).map(_._3).toArray)
-        }
-        .toArray.sortBy(_._1) // empty cells drop out, like the SQL
+          col("emb").cast("array<double>").as("v"))
+        .as[(Int, Array[Double])]
+      val (sums, counts) = assigned.rdd.treeAggregate(
+        (new Array[Long](k * dim), new Array[Long](k)))(
+        seqOp = { case ((s, c), (cid, v)) =>
+          val j = idxOf(cid)
+          var d = 0
+          while (d < dim) {
+            s(j * dim + d) +=
+              graft.functions.CentroidKernels.dec4Scaled(v(d))
+            d += 1
+          }
+          c(j) += 1
+          (s, c)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var i = 0
+          while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          var j = 0
+          while (j < c1.length) { c1(j) += c2(j); j += 1 }
+          (s1, c1)
+        })
+      cells = cells.indices.flatMap { j =>
+        val n = counts(j)
+        if (n == 0) None // empty cells drop out, like the SQL
+        else Some((cellIds(j), Array.tabulate(dim) { d =>
+          // round(sum, 2): HALF_UP on the scale-4 integer, then the
+          // exact decimal→double→/n of Tables.davg
+          val s4 = sums(j * dim + d)
+          val r2 = if (s4 >= 0) (s4 + 50) / 100 else (s4 - 50) / 100
+          r2.toDouble / 100.0 / n.toDouble
+        }))
+      }.toArray.sortBy(_._1)
       it += 1
     }
     emb.select(col("vec_id"), col("emb"),
