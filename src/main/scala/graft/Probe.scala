@@ -35,7 +35,8 @@ object Probe {
       "contamination_screen", "dedup_clusters",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",
-      "text_repetition", "pii_scrub", "dedup_apply", "mix_sources",
+      "text_repetition", "pii_scrub", "quality_classify",
+      "dedup_apply", "mix_sources",
       "bm25_search", "embed_kmeans",
       "pipeline_clean", "wordcount_salted",
       "multimodal_decode",

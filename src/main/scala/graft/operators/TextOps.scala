@@ -183,6 +183,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T15 — MODEL-SCORED QUALITY FILTER: the classifier stage a
+    * pretraining pipeline runs after per-feature heuristics
+    * (CCNet / LLaMA-style linear scoring): a fixed-weight linear
+    * model over five kernel features — length, stopword density,
+    * punctuation density, top-token share, duplicate-bigram share —
+    * with a keep/drop decision at the 0.5 threshold. RATIONAL
+    * arithmetic only (min/max, ×, ÷, −; no exp/ln), evaluation order
+    * mirrored term-for-term in the oracle SQL, so the score is
+    * bit-reproducible in DuckDB — the filter decision is
+    * oracle-checked, not approximately checked. Pure projection:
+    * every feature is a one-pass kernel, zero shuffles at 100 TB.
+    */
+  def qualityClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashFunctions.{shingle_keys, top_token_count, ws_token_count}
+    val docs = documents(spark, sfDir)
+    val ntI = ws_token_count(col("text"))
+    val nt = ntI.cast("double")
+    val lenF = least(nt, lit(400.0)) / lit(400.0)
+    val swF = least(
+      stopwordHits(col("text"), "en").cast("double") / nt * lit(4.0),
+      lit(1.0))
+    val punctR = punctCount(col("text")).cast("double") /
+      length(col("text")).cast("double")
+    val topR = top_token_count(col("text")).cast("double") / nt
+    val dupFrac = when(ntI <= 1, lit(0.0)).otherwise(
+      (ntI - 1 - size(shingle_keys(col("text"), lit(""), 2)))
+        .cast("double") / (ntI - 1))
+    val score =
+      lenF * lit(0.35) +
+        swF * lit(0.25) +
+        (lit(1.0) - least(punctR * lit(5.0), lit(1.0))) * lit(0.15) +
+        (lit(1.0) - topR) * lit(0.15) +
+        (lit(1.0) - dupFrac) * lit(0.10)
+    docs.select(col("doc_id"), score.as("q_score"),
+        (score >= lit(0.5)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C9 — the reference WordCount (examples/wordcount/WordCount.java:17):
     * flatMap to words → keyBy → count, as explode + hash aggregation
     * (map-side partial agg replaces Flink's keyed state).

@@ -43,6 +43,7 @@ object TextRegistry {
     // and the integer retrieval core is oracle-checked above
     "bm25_search" -> ((s, d) => Search.bm25Search(s, d)),
     "pii_scrub" -> (TextOps.piiScrub _),
+    "quality_classify" -> (TextOps.qualityClassify _),
     "dedup_apply" -> ((s, d) => Clusters.dedupApply(s, d)),
     "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),
     "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _)
@@ -312,6 +313,31 @@ object TextRegistry {
          |   '$PII_PHONE', '<PHONE>', 'g'),
          |   '$PII_IP', '<IP>', 'g')) AS scrub_fp
          |FROM p ORDER BY doc_id""".stripMargin,
+    // linear quality model — rational arithmetic only, term order
+    // mirrors TextOps.qualityClassify exactly (left-assoc sums)
+    "quality_classify" ->
+      s"""WITH t AS (SELECT doc_id, text, $TOKS AS tk FROM documents),
+         |m AS (SELECT doc_id, len(tk)::BIGINT AS n,
+         |  length(text) AS n_chars,
+         |  len(list_filter(tk, x -> x IN $EN))::BIGINT AS sw,
+         |  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS pc,
+         |  len(list_distinct(list_transform(range(1, greatest(len(tk), 1)),
+         |    i -> concat_ws(' ', tk[i], tk[i+1]))))::BIGINT AS d2
+         | FROM t),
+         |top AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM (
+         |  SELECT doc_id, w, count(*) AS c FROM
+         |    (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY doc_id, w)
+         |  GROUP BY doc_id),
+         |s AS (SELECT m.doc_id,
+         |   least(n::DOUBLE, 400.0) / 400.0 * 0.35
+         | + least(sw::DOUBLE / n::DOUBLE * 4.0, 1.0) * 0.25
+         | + (1.0 - least(pc::DOUBLE / n_chars::DOUBLE * 5.0, 1.0)) * 0.15
+         | + (1.0 - top_c::DOUBLE / n::DOUBLE) * 0.15
+         | + (1.0 - CASE WHEN n <= 1 THEN 0.0
+         |     ELSE (n - 1 - d2)::DOUBLE / (n - 1) END) * 0.10 AS q_score
+         | FROM m JOIN top USING (doc_id))
+         |SELECT doc_id, q_score, q_score >= 0.5 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "contamination_screen" ->
       s"""WITH t AS (SELECT doc_id, $SH AS sh FROM documents),
          |tt AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),

@@ -69,6 +69,39 @@ class QualityOpsSpec extends AnyFunSuite {
       got.values.exists(_._3 > 0))
   }
 
+  test("qualityClassify matches the exact linear-model reference, both classes present") {
+    val en = Set("the", "a", "of", "and", "to", "in", "is")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val trimmed = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = trimmed.split("\\s+", -1)
+      val n = toks.length
+      val sw = toks.count(en)
+      val pc = t.length - t.replaceAll("[!-/:-@\\[-`{-~]", "").length
+      val nChars = t.codePointCount(0, t.length)
+      val topC = toks.groupBy(identity).values.map(_.size).max
+      val d2 = toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq.distinct.length
+      val dupFrac =
+        if (n <= 1) 0.0 else (n - 1 - d2).toDouble / (n - 1)
+      val score =
+        math.min(n.toDouble, 400.0) / 400.0 * 0.35 +
+          math.min(sw.toDouble / n.toDouble * 4.0, 1.0) * 0.25 +
+          (1.0 - math.min(pc.toDouble / nChars.toDouble * 5.0, 1.0)) * 0.15 +
+          (1.0 - topC.toDouble / n.toDouble) * 0.15 +
+          (1.0 - dupFrac) * 0.10
+      (id, (score, score >= 0.5))
+    }.toMap
+    val got = TextOps.qualityClassify(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got == expected)
+    val keeps = got.values.count(_._2)
+    assert(keeps > 0 && keeps < got.size,
+      s"one-sided classifier ($keeps/${got.size} kept) — vacuous filter")
+  }
+
   test("dedupApply keeps exactly the unclustered docs plus each cluster's representative") {
     val all = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).toSet
