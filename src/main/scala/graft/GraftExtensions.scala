@@ -76,7 +76,15 @@ object GraftFunctions {
     "stopword_hits" ->
       ((es: Seq[Expression]) =>
         StopwordHits(es(0), stringArg(es(1), "lang"))),
-    "lang_id" -> ((es: Seq[Expression]) => LangId(es(0))))
+    "lang_id" -> ((es: Seq[Expression]) => LangId(es(0))),
+    "top_token_count" ->
+      ((es: Seq[Expression]) => TopTokenCount(es(0))),
+    "term_counts" ->
+      ((es: Seq[Expression]) =>
+        TermCounts(es(0), stringArg(es(1), "terms"))),
+    "pii_counts" -> ((es: Seq[Expression]) => PiiCounts(es(0))),
+    "pii_scrub_text" ->
+      ((es: Seq[Expression]) => PiiScrubText(es(0))))
 
   /** Imperative registration on a live session. */
   def registerAll(spark: SparkSession): Unit =

@@ -58,6 +58,21 @@ class GraftSurfaceSpec extends AnyFunSuite {
     assert(wn.nonEmpty && wn2.size >= wn.size)
   }
 
+  test("round-8 kernels are callable from SQL") {
+    GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT
+        | top_token_count('a b a c a b') AS tt,
+        | term_counts('scan the table scan', 'table scan') AS tc,
+        | pii_counts('mail u1@ex.com ip 10.0.0.1') AS pii,
+        | pii_scrub_text('tel 555-123-4567 done') AS scrub
+        |""".stripMargin).head()
+    assert(row.getAs[Long]("tt") == 3L)
+    assert(row.getSeq[Int](row.fieldIndex("tc")) == Seq(1, 2))
+    assert(row.getSeq[Int](row.fieldIndex("pii")) == Seq(1, 0, 1))
+    assert(row.getAs[String]("scrub") == "tel <PHONE> done")
+  }
+
   test("batch DSv2 write publishes envelope rows via format(emqx)") {
     val name = "surface-batch-write"
     val b = BrokerRegistry.get(name)
