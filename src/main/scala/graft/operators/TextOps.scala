@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
@@ -196,29 +196,37 @@ object TextOps {
     * every feature is a one-pass kernel, zero shuffles at 100 TB.
     */
   def qualityClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val score = modelQualityScore(col("text"))
+    documents(spark, sfDir)
+      .select(col("doc_id"), score.as("q_score"),
+        (score >= lit(0.5)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The T15 linear model as a COLUMN — a stateless projection, so it
+    * composes unchanged into batch scans and `readStream` pipelines
+    * alike (StreamingSpec drives it through a MemoryStream query).
+    * Term order is load-bearing: the oracle SQL mirrors it.
+    */
+  def modelQualityScore(text: Column): Column = {
     import graft.functions.HashFunctions.{shingle_keys, top_token_count, ws_token_count}
-    val docs = documents(spark, sfDir)
-    val ntI = ws_token_count(col("text"))
+    val ntI = ws_token_count(text)
     val nt = ntI.cast("double")
     val lenF = least(nt, lit(400.0)) / lit(400.0)
     val swF = least(
-      stopwordHits(col("text"), "en").cast("double") / nt * lit(4.0),
+      stopwordHits(text, "en").cast("double") / nt * lit(4.0),
       lit(1.0))
-    val punctR = punctCount(col("text")).cast("double") /
-      length(col("text")).cast("double")
-    val topR = top_token_count(col("text")).cast("double") / nt
+    val punctR = punctCount(text).cast("double") /
+      length(text).cast("double")
+    val topR = top_token_count(text).cast("double") / nt
     val dupFrac = when(ntI <= 1, lit(0.0)).otherwise(
-      (ntI - 1 - size(shingle_keys(col("text"), lit(""), 2)))
+      (ntI - 1 - size(shingle_keys(text, lit(""), 2)))
         .cast("double") / (ntI - 1))
-    val score =
-      lenF * lit(0.35) +
-        swF * lit(0.25) +
-        (lit(1.0) - least(punctR * lit(5.0), lit(1.0))) * lit(0.15) +
-        (lit(1.0) - topR) * lit(0.15) +
-        (lit(1.0) - dupFrac) * lit(0.10)
-    docs.select(col("doc_id"), score.as("q_score"),
-        (score >= lit(0.5)).as("keep"))
-      .orderBy(col("doc_id"))
+    lenF * lit(0.35) +
+      swF * lit(0.25) +
+      (lit(1.0) - least(punctR * lit(5.0), lit(1.0))) * lit(0.15) +
+      (lit(1.0) - topR) * lit(0.15) +
+      (lit(1.0) - dupFrac) * lit(0.10)
   }
 
   /** C9 — the reference WordCount (examples/wordcount/WordCount.java:17):

@@ -203,6 +203,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("round-8 projection kernels run unchanged in a streaming query") {
+    import graft.streaming.StreamingOps.StreamDoc
+    import graft.functions.HashFunctions.top_token_count
+    import graft.functions.PiiFunctions.pii_scrub_text
+    // stateless projections need no watermark/state — the exact
+    // columns the batch operators use, applied to readStream rows
+    val docs = Seq(
+      StreamDoc(1, ts(0), "the quick brown fox and the lazy dog in the den"),
+      StreamDoc(2, ts(1), "spam spam spam spam spam spam"),
+      StreamDoc(3, ts(2), "reach me at u1@ex.com or 555-123-4567 ok"))
+    def project(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.operators.TextOps.modelQualityScore(col("text"))
+          .as("q_score"),
+        top_token_count(col("text")).as("top_c"),
+        pii_scrub_text(col("text")).as("scrubbed"))
+    val in = MemoryStream[StreamDoc]
+    val q = project(in.toDF()).writeStream.format("memory")
+      .queryName("kernels_out").outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kernels_out").collect()
+        .map(r => (r.getLong(0),
+          (r.getDouble(1), r.getLong(2), r.getString(3)))).toMap
+      val batch = project(docs.toDF())
+        .collect()
+        .map(r => (r.getLong(0),
+          (r.getDouble(1), r.getLong(2), r.getString(3)))).toMap
+      assert(streamed == batch)
+      assert(streamed(2)._2 == 6L) // repetition caught on the stream
+      assert(streamed(3)._3.contains("<EMAIL>") &&
+        streamed(3)._3.contains("<PHONE>"))
+    } finally q.stop()
+  }
+
   test("running word count matches WordCount semantics") {
     val in = MemoryStream[String]
     in.addData("spark flink spark", "flink spark")
