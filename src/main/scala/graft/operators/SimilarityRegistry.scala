@@ -27,7 +27,8 @@ object SimilarityRegistry {
     // oracle-checked distributed k-means: decimal-exact centroid
     // updates make every Lloyd's iteration engine-reproducible
     "embed_kmeans" -> ((s, d) => Clustering.embedKmeans(s, d)),
-    "dedup_semantic" -> ((s, d) => Clustering.dedupSemantic(s, d))
+    "dedup_semantic" -> ((s, d) => Clustering.dedupSemantic(s, d)),
+    "embed_quantize" -> ((s, d) => Similarity.embedQuantize(s, d))
   )
 
   private val COS =
@@ -100,6 +101,16 @@ $tail"""
          | ${cos("a.emb", "b.emb")} AS cosine
          |FROM f a JOIN f b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
          |WHERE ${cos("a.emb", "b.emb")} >= 0.45
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin),
+    // int8 quantization: floor(+0.5) half-up — exact on doubles in
+    // both engines, so the codes themselves hash-match
+    "embed_quantize" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, CASE WHEN m = 0.0 THEN 1.0 ELSE m END AS scale
+         |  FROM (SELECT vec_id, v,
+         |    list_max(list_transform(v, x -> abs(x))) AS m FROM v))
+         |SELECT vec_id, scale,
+         | list_transform(v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS INT)) AS q
+         |FROM s ORDER BY vec_id""".stripMargin
   )
 }

@@ -119,4 +119,27 @@ class SimilaritySpec extends AnyFunSuite {
     // one pair, so output is finite and far below n^2/2
     assert(capped.count() < 500L * 499 / 2)
   }
+
+  test("embed_quantize: codes bounded, dequantize within a half step per dim") {
+    val rows = Similarity.embedQuantize(spark, sf).collect()
+    val orig = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(rows.length == orig.size)
+    rows.foreach { r =>
+      val v = orig(r.getLong(0))
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      assert(scale > 0.0 && q.length == v.length)
+      assert(q.forall(c => c >= -127 && c <= 127))
+      // symmetric absmax with half-up rounding: reconstruction error
+      // is at most half a quantization step, per dimension
+      val step = scale / 127.0
+      q.zip(v).foreach { case (c, x) =>
+        assert(math.abs(c * step - x) <= step / 2 + 1e-12,
+          s"dim error ${math.abs(c * step - x)} > ${step / 2}")
+      }
+    }
+  }
 }
