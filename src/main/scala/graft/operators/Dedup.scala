@@ -426,19 +426,34 @@ object Dedup {
     // observe("jaccard_bucket_cap") reports dropped_buckets per run.
     // maxDf=100 ≫ the max df of 6 seen at sf0.1, so the oracle sees
     // zero drops at test scale.
+    pairIntersections(postings, maxDf, "jaccard_bucket_cap")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The shared bucket → pair-gen → intersection tail of the exact
+    * pair operators: (shingle, packed) postings in, one row per
+    * co-occurring pair out — (doc_a, doc_b, n_a, n_b, inter), doc_a <
+    * doc_b. One shuffle into per-key buckets, no self-join re-scan;
+    * identical member sets pair-generate ONCE carrying multiplicity
+    * (`cnt`), so replica-heavy corpora don't explode pair volume by
+    * the shingles-per-doc factor; sum(cnt) reproduces each pair's
+    * intersection count exactly. `maxDf` drops stop-shingle buckets
+    * (observable via `observeName`).
+    */
+  private def pairIntersections(postings: DataFrame, maxDf: Int,
+      observeName: String): DataFrame = {
     val buckets = postings
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("packed"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .observe("jaccard_bucket_cap",
+      .observe(observeName,
         sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L))
           .as("dropped_buckets"))
       .filter(size(col("ids")) <= maxDf)
-      // identical member sets pair-generate ONCE, carrying their
-      // multiplicity — every shingle of a duplicate group lists the
-      // same members, so this cuts exploded pair volume by the
-      // shingles-per-doc factor on replica-heavy data; sum(cnt)
-      // reproduces the per-pair intersection count exactly
       .groupBy(col("ids")).agg(count(lit(1)).as("cnt"))
 
     val nMask = (1L << 20) - 1
@@ -454,10 +469,36 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .agg(sum(col("cnt")).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** D10 — EXACT SUBSTRING near-dup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * criterion, arXiv:2107.06499): document pairs sharing at least
+    * `minShared` distinct VERBATIM runs of `w` consecutive tokens,
+    * corpus-wide (no block-key assumption — boilerplate and licence
+    * headers cross sources). Positional verbatim overlap is the
+    * signal jaccard's bag-of-shingles misses: two docs can share a
+    * long quoted passage at jaccard ≈ 0, and conversely. Same
+    * posting/bucket machinery as [[jaccardPairs]] at window size w:
+    * one shuffle of two-long rows, df-capped buckets, output
+    * (doc_a, doc_b, n_shared) = distinct shared windows.
+    */
+  def substringPairs(spark: SparkSession, sfDir: String,
+      w: Int = 8, minShared: Int = 1, maxDf: Int = 100): DataFrame = {
+    import spark.implicits._
+    val postings = documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.HashFunctions
+        .shingle_keys(col("text"), lit(""), w).as("keys"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, keys) =>
+        val packed = packedOf(id, keys.length)
+        keys.map(h => (h, packed))
+      }
+      .toDF("shingle", "packed")
+    pairIntersections(postings, maxDf, "substring_bucket_cap")
+      .filter(col("inter") >= minShared)
+      .select(col("doc_a"), col("doc_b"),
+        col("inter").cast("long").as("n_shared"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -46,6 +46,7 @@ object TextRegistry {
     "quality_classify" -> (TextOps.qualityClassify _),
     "dedup_apply" -> ((s, d) => Clusters.dedupApply(s, d)),
     "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.substringPairs(s, d)),
     "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _)
   )
 
@@ -313,6 +314,23 @@ object TextRegistry {
          |   '$PII_PHONE', '<PHONE>', 'g'),
          |   '$PII_IP', '<IP>', 'g')) AS scrub_fp
          |FROM p ORDER BY doc_id""".stripMargin,
+    // exact substring pairs: 8-token verbatim windows, distinct per
+    // doc, df-capped [2, 100] exactly like the Spark bucket filter
+    "dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |w AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(tk)-6, 1)),
+         |    i -> array_to_string(tk[i:i+7], ' '))) AS ws FROM t),
+         |u AS (SELECT doc_id, unnest(ws) AS win FROM w),
+         |d AS (SELECT win, count(*) AS df FROM u GROUP BY win),
+         |uf AS (SELECT u.doc_id, u.win FROM u JOIN d USING (win)
+         |       WHERE d.df BETWEEN 2 AND 100),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM uf a JOIN uf b ON a.win = b.win AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared FROM p
+         |WHERE n_shared >= 1 ORDER BY doc_a, doc_b""".stripMargin,
     // linear quality model — rational arithmetic only, term order
     // mirrors TextOps.qualityClassify exactly (left-assoc sums)
     "quality_classify" ->

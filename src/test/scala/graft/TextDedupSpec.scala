@@ -152,6 +152,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.filter(col("doc_a") === 0 && col("doc_b") === 1).count() == 1)
   }
 
+  test("substring pairs match an exact in-driver window computation") {
+    val sf = "/root/testdata/sf0.001"
+    val w = 8
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val windowsOf: Map[Long, Set[String]] = docs.map { case (id, t) =>
+      val trimmed = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = trimmed.split("\\s+", -1)
+      id -> toks.sliding(w).filter(_.length == w)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val df = windowsOf.values.flatten
+      .groupBy(identity).map { case (win, o) => win -> o.size }
+    val kept = windowsOf.map { case (id, ws) =>
+      id -> ws.filter(x => df(x) >= 2 && df(x) <= 100)
+    }
+    val ids = kept.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shared = (kept(a) & kept(b)).size if shared >= 1
+    } yield (a, b, shared.toLong)).toSet
+    val got = Dedup.substringPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "no verbatim 8-token overlap in corpus — vacuous")
+  }
+
   test("wordcount total equals token total") {
     val total = TextOps.wordcount(spark, sf)
       .agg(sum("n")).head().getLong(0)
