@@ -63,7 +63,27 @@ object Probe {
       // bounded (~3k vectors/cell at the 100× probe's 200k)
       "dedup_semantic_scaled" -> (() =>
         operators.Clustering.dedupSemantic(spark, sfDir,
-          k = 64, iters = 2, threshold = 0.99)))
+          k = 64, iters = 2, threshold = 0.99)),
+      // same query at the library default AutoK: k = ceil(n/1000)
+      // from a bounded count (200 cells at the 100× probe's 200k)
+      "dedup_semantic_auto" -> (() =>
+        operators.Clustering.dedupSemantic(spark, sfDir,
+          k = operators.Clustering.AutoK, iters = 2,
+          threshold = 0.99)),
+      // shared-derivation chain: jaccard pairs materialized ONCE,
+      // clusters resolved from them, corpus filtered from the
+      // clusters — vs dedup_jaccard_pairs + dedup_clusters +
+      // dedup_apply standalone, which each re-derive the pairs
+      "dedup_chain_shared" -> (() => {
+        import org.apache.spark.sql.functions.col
+        val pairs = operators.Dedup.jaccardPairs(spark, sfDir)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint(true)
+        val clusters = operators.Clusters.clusterPairs(pairs)
+          .localCheckpoint(true)
+        operators.Clusters.dedupApplyFromClusters(
+          graft.Tables.documents(spark, sfDir), clusters)
+      }))
 
     // warm codegen/JIT on the small SF so timings are steady-state
     val warmDir = "/root/testdata/sf0.01"

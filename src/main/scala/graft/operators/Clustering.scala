@@ -36,6 +36,31 @@ import graft.functions.CentroidFunctions.{nearest_cell, nearest_cos}
   */
 object Clustering {
 
+  /** Sentinel `k`: size the cluster count to the corpus (SemDeDup
+    * regime — clusters stay ~`targetCluster` vectors as the corpus
+    * grows, so the within-cluster quadratic pair cost stays bounded
+    * per cluster instead of silently degrading at scale).
+    */
+  val AutoK: Int = -1
+
+  /** Corpus-proportional k: `max(8, ceil(n / targetCluster))` from a
+    * bounded count (a count-only parquet scan — row-group metadata,
+    * no embedding bytes). The floor of 8 keeps tiny corpora on the
+    * oracle-checked default; past k×dim ≈ 10⁶×64 (≈ a 10⁹-vector
+    * corpus at targetCluster=1000, dim 64) the centroid matrix
+    * outgrows a codegen reference object — swap the literal matrix
+    * for an IVF-style coarse quantizer there, per the class scaladoc.
+    */
+  private def resolveK(spark: SparkSession, sfDir: String,
+      k: Int, targetCluster: Int): Int =
+    if (k != AutoK) k
+    else {
+      require(targetCluster > 0, s"targetCluster must be > 0: $targetCluster")
+      val n = Tables.embeddings(spark, sfDir).count()
+      math.min(math.max(8L, (n + targetCluster - 1) / targetCluster),
+        Int.MaxValue.toLong).toInt
+    }
+
   /** Full assignment after `iters` decimal-exact Lloyd's rounds:
     * (vec_id, emb, cell_id, cosine-to-final-centroid).
     */
@@ -109,11 +134,15 @@ object Clustering {
 
   /** S7 — `embed_kmeans`: per-vector cluster assignment, with the
     * cosine to the final centroid (the SemDeDup "distance to cluster
-    * center" curation signal).
+    * center" curation signal). `k` defaults to [[AutoK]] — sized to
+    * the corpus so cluster populations track `targetCluster` instead
+    * of growing with the data; the driver's oracle query pins k=8
+    * explicitly to match its unrolled CTE chain.
     */
   def embedKmeans(spark: SparkSession, sfDir: String,
-      k: Int = 8, iters: Int = 3): DataFrame =
-    assignments(spark, sfDir, k, iters)
+      k: Int = AutoK, iters: Int = 3,
+      targetCluster: Int = 1000): DataFrame =
+    assignments(spark, sfDir, resolveK(spark, sfDir, k, targetCluster), iters)
       .select(col("vec_id"), col("cell_id"), col("cosine"))
       .orderBy(col("vec_id"))
 
@@ -121,23 +150,64 @@ object Clustering {
     * clusters. The cluster id replaces [[Similarity.dedupEmbedding]]'s
     * oracle-only label blocking with a blocking the pipeline itself
     * computes — the SemDeDup production shape. Pair cost is quadratic
-    * in cluster size, so k is the knob: it grows with the corpus so
-    * clusters stay ~bounded (the probe runs k=64 at 100×).
+    * in cluster size, so k is the knob: [[AutoK]] (the default) grows
+    * it with the corpus so clusters stay ~`targetCluster`-sized.
+    *
+    * Scale shape: the embeddings cross exactly ONE exchange — the
+    * per-cell groupBy — and the quadratic pair loop runs unboxed
+    * inside each bucket with the threshold applied before anything
+    * reaches the output shuffle (the [[Similarity.simJoinLsh]]
+    * shape). The previous self-join carried the vector array on BOTH
+    * join sides, shuffling the corpus' embedding bytes twice for the
+    * same pair set. Cosine is the sequential-fold double formulation
+    * (floats widened before multiply), so the pairs stay hash-exact
+    * against the DuckDB oracle.
     */
   def dedupSemantic(spark: SparkSession, sfDir: String,
-      k: Int = 8, iters: Int = 3, threshold: Double = 0.45): DataFrame = {
-    import graft.functions.VectorFunctions.cosineAny
-    val a = assignments(spark, sfDir, k, iters)
-      .select(col("vec_id"), col("emb"), col("cell_id"))
-    val l = a.select(col("cell_id"), col("vec_id").as("vec_a"),
-      col("emb").as("emb_a"))
-    val r = a.select(col("cell_id"), col("vec_id").as("vec_b"),
-      col("emb").as("emb_b"))
-    l.join(r, Seq("cell_id"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", cosineAny(col("emb_a"), col("emb_b")))
-      .filter(col("cosine") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      k: Int = AutoK, iters: Int = 3, threshold: Double = 0.45,
+      targetCluster: Int = 1000): DataFrame = {
+    import spark.implicits._
+    assignments(spark, sfDir,
+        resolveK(spark, sfDir, k, targetCluster), iters)
+      .groupBy(col("cell_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("emb"))))
+        .as("members"))
+      .filter(size(col("members")) > 1)
+      .select(col("members"))
+      .as[Seq[(Long, Seq[Float])]]
+      .flatMap { members =>
+        val ids = members.map(_._1).toArray
+        val vecs = members.map(_._2.toArray).toArray
+        val n = ids.length
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val v = vecs(i); var s = 0.0; var d = 0
+          while (d < v.length) {
+            val x = v(d).toDouble; s += x * x; d += 1
+          }
+          norms(i) = math.sqrt(s); i += 1
+        }
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val va = vecs(i); val vb = vecs(j)
+            var dot = 0.0; var d = 0
+            while (d < va.length) {
+              dot += va(d).toDouble * vb(d).toDouble; d += 1
+            }
+            val denom = norms(i) * norms(j)
+            val c = if (denom == 0.0) 0.0 else dot / denom
+            if (c >= threshold) out += ((ids(i), ids(j), c))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("vec_a", "vec_b", "cosine")
       .orderBy(col("vec_a"), col("vec_b"))
   }
 }

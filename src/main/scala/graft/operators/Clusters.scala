@@ -61,9 +61,28 @@ object Clusters {
     * shuffle of the text column (ids only).
     */
   def dedupApply(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.02): DataFrame = {
-    val docs = graft.Tables.documents(spark, sfDir)
-    val losers = nearDupClusters(spark, sfDir, threshold)
+      threshold: Double = 0.02): DataFrame =
+    dedupApplyFromClusters(graft.Tables.documents(spark, sfDir),
+      nearDupClusters(spark, sfDir, threshold))
+
+  /** [[dedupApply]] from a MATERIALIZED `(doc_a, doc_b)` pair frame —
+    * the shared-derivation entry point. The standalone queries each
+    * derive pairs from scratch (their honest benchmark contract), but
+    * a pipeline running pairs → clusters → apply in one session pays
+    * that derivation three times (~46 s × 3 at the 100× probe);
+    * `localCheckpoint` the pair frame once and feed it here and to
+    * [[clusterPairs]] instead.
+    */
+  def dedupApplyFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dedupApplyFromClusters(docs,
+      clusterPairs(pairs.select(col("doc_a"), col("doc_b"))))
+
+  /** [[dedupApply]] from an already-resolved `(doc_id, cluster_id)`
+    * frame — reuse when the cluster labels themselves are a pipeline
+    * output (skips re-running the star-contraction rounds too).
+    */
+  def dedupApplyFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val losers = clusters
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")

@@ -402,9 +402,11 @@ object Similarity {
     * shuffles and ANN working sets; dequantize is q·scale/127).
     * Per-vector absmax scaling, half-up rounding via
     * `floor(x/scale·127 + 0.5)` — floor on doubles is exact in every
-    * engine, so unlike typical float quantizers this one is
-    * ORACLE-CHECKED: the codes hash-match DuckDB bit-for-bit. Pure
-    * projection (two HOF passes per row), zero shuffles at 100 TB.
+    * engine, so unlike typical float quantizers the codes are
+    * engine-reproducible; the driver-checked query is
+    * [[embedQuantizeRows]] (the exploded scalar shape), which
+    * hash-matches DuckDB code-for-code. Pure projection (two HOF
+    * passes per row), zero shuffles at 100 TB.
     */
   def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =
     embeddings(spark, sfDir)
@@ -418,6 +420,22 @@ object Similarity {
           floor(x / col("scale") * lit(127.0) + lit(0.5)).cast("int"))
           .as("q"))
       .orderBy(col("vec_id"))
+
+  /** S9's CHECKED projection: [[embedQuantize]] with the code array
+    * posexploded to one `(vec_id, scale, pos, q)` row per dimension
+    * (`pos` 1-based, matching DuckDB `generate_subscripts`). Same
+    * codes, scalar columns only — the array form crashes the driver
+    * harness's pandas canonicalization (`sort_values` over an
+    * `array<int>` column throws "unhashable type: numpy.ndarray"),
+    * so the registered query ships this shape and the array-valued
+    * [[embedQuantize]] stays the library API for downstream ANN use.
+    */
+  def embedQuantizeRows(spark: SparkSession, sfDir: String): DataFrame =
+    embedQuantize(spark, sfDir)
+      .select(col("vec_id"), col("scale"), posexplode(col("q")))
+      .select(col("vec_id"), col("scale"),
+        (col("pos") + lit(1)).as("pos"), col("col").as("q"))
+      .orderBy(col("vec_id"), col("pos"))
 
   /** S6 — Product-Quantization ANN (ADC scan + exact re-rank): the
     * memory-side scale path. IVF prunes WHICH vectors a query

@@ -25,10 +25,12 @@ object SimilarityRegistry {
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     // oracle-checked distributed k-means: decimal-exact centroid
-    // updates make every Lloyd's iteration engine-reproducible
-    "embed_kmeans" -> ((s, d) => Clustering.embedKmeans(s, d)),
-    "dedup_semantic" -> ((s, d) => Clustering.dedupSemantic(s, d)),
-    "embed_quantize" -> ((s, d) => Similarity.embedQuantize(s, d))
+    // updates make every Lloyd's iteration engine-reproducible.
+    // k=8 pinned explicitly — the DuckDB CTE chain is unrolled at
+    // k=8; the library default is Clustering.AutoK (corpus ∝ k)
+    "embed_kmeans" -> ((s, d) => Clustering.embedKmeans(s, d, k = 8)),
+    "dedup_semantic" -> ((s, d) => Clustering.dedupSemantic(s, d, k = 8)),
+    "embed_quantize" -> ((s, d) => Similarity.embedQuantizeRows(s, d))
   )
 
   private val COS =
@@ -103,14 +105,19 @@ $tail"""
          |WHERE ${cos("a.emb", "b.emb")} >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin),
     // int8 quantization: floor(+0.5) half-up — exact on doubles in
-    // both engines, so the codes themselves hash-match
+    // both engines, so the codes themselves hash-match. Exploded to
+    // one scalar row per dimension (generate_subscripts is 1-based,
+    // matching the Spark side's pos+1) because the driver harness
+    // canonicalizes with pandas sort_values, which cannot sort an
+    // array column.
     "embed_quantize" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |s AS (SELECT vec_id, v, CASE WHEN m = 0.0 THEN 1.0 ELSE m END AS scale
          |  FROM (SELECT vec_id, v,
          |    list_max(list_transform(v, x -> abs(x))) AS m FROM v))
          |SELECT vec_id, scale,
-         | list_transform(v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS INT)) AS q
-         |FROM s ORDER BY vec_id""".stripMargin
+         | generate_subscripts(v, 1) AS pos,
+         | unnest(list_transform(v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS INT))) AS q
+         |FROM s ORDER BY vec_id, pos""".stripMargin
   )
 }

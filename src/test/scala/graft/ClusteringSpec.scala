@@ -97,6 +97,37 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.nonEmpty, "threshold finds no pairs — vacuous test")
   }
 
+  test("AutoK sizes k to the corpus and keeps clusters bounded") {
+    // 500 vectors / targetCluster 50 → k = ceil(500/50) = 10 seeds;
+    // empty cells may drop but the fit must use MORE cells than the
+    // k=8 oracle floor and no cell may swallow the corpus
+    val got = Clustering.embedKmeans(spark, sf, Clustering.AutoK, ITERS,
+      targetCluster = 50).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(got.length == vecs.length, "auto-k dropped vectors")
+    val sizes = got.groupBy(_._2).map(_._2.length)
+    assert(sizes.size > 8 && sizes.size <= 10,
+      s"auto-k should seed 10 cells (got ${sizes.size} non-empty)")
+    assert(sizes.max < vecs.length / 2,
+      s"a single cell holds ${sizes.max}/${vecs.length} vectors")
+    // floor: a tiny corpus stays on the oracle default
+    val floor = Clustering.embedKmeans(spark, sf, Clustering.AutoK, ITERS,
+      targetCluster = 1000000).collect().map(_.getInt(1)).distinct
+    assert(floor.forall(_ < 8), "k floor of 8 not applied")
+  }
+
+  test("dedupSemantic plan: embeddings cross at most one shuffle") {
+    // one hash exchange into the per-cell groupBy + the output
+    // orderBy's range exchange (ids+cosine only). The old self-join
+    // shape shuffled the vector column on both join sides.
+    val plan = Clustering.dedupSemantic(spark, sf, K, ITERS)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 2, s"$exchanges shuffle exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"join machinery returned:\n$plan")
+  }
+
   test("assignment is a projection: centroid kernel, no join, no agg") {
     val plan = Clustering.embedKmeans(spark, sf, K, ITERS)
       .queryExecution.executedPlan.toString

@@ -120,4 +120,22 @@ class QualityOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
   }
+
+  test("dedupApplyFromPairs/FromClusters == standalone dedupApply, set-exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val standalone = Clusters.dedupApply(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    // the shared-derivation chain: one pair materialization feeds
+    // both the cluster resolution and the corpus filter
+    val pairs = graft.operators.Dedup.jaccardPairs(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))
+      .localCheckpoint(true)
+    val fromPairs = Clusters.dedupApplyFromPairs(docs, pairs).collect()
+      .map(_.getLong(0)).toSet
+    val fromClusters = Clusters.dedupApplyFromClusters(docs,
+      Clusters.clusterPairs(pairs)).collect().map(_.getLong(0)).toSet
+    assert(fromPairs == standalone)
+    assert(fromClusters == standalone)
+  }
 }

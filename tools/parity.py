@@ -7,9 +7,18 @@ For each <name>/ parquet dir in verifyOutDir, runs oracle_sql.json[name]
 in DuckDB against the sfDir tables and compares: row count, column
 names (sorted), and per-row values (rows sorted, floats compared
 exactly after both sides round-trip through float64).
+
+Additionally, EVERY query output (including rows-only ones with no
+oracle) is pushed through the driver harness's canonicalization shape
+— pandas `sort_values` over all columns — because that path crashes
+on unsortable column types (array<int> → "unhashable type:
+numpy.ndarray", the round-8 embed_quantize err) even when this
+script's own stringify-compare would pass. A query is only OK if both
+checks are green: output contract = scalar, pandas-sortable columns.
 """
 import json, math, sys
 import duckdb
+import pandas as pd
 
 def canon(rows, cols):
     # sort columns by name, then rows by value tuple (stringified)
@@ -41,8 +50,17 @@ def main():
             continue
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         g_rows, g_cols = got.fetchall(), [d[0] for d in got.description]
+        # driver-shaped canonicalization: pandas sort_values over all
+        # columns must not throw (it does on array-typed columns)
+        try:
+            pdf = pd.DataFrame(g_rows, columns=g_cols)
+            pdf[sorted(g_cols)].sort_values(by=sorted(g_cols))
+        except Exception as e:
+            print(f"  ✗ {name}: PANDAS-CANON {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
-            print(f"  ~ {name}: rows-only ({len(g_rows)} rows)")
+            print(f"  ~ {name}: rows-only ({len(g_rows)} rows, pandas-canon ok)")
             continue
         exp = con.sql(oracle[name])
         e_rows, e_cols = exp.fetchall(), [d[0] for d in exp.description]
