@@ -896,9 +896,14 @@ case class StopwordHits(child: Expression, lang: String)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
     HashKernels.stopwordHits(input.asInstanceOf[UTF8String], lang)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference object, not a spliced string literal (same reasoning
+    // as TermCounts: a quote/control char in lang must not yield
+    // uncompilable generated code)
+    val langRef = ctx.addReferenceObj("stopwordLang", lang, "java.lang.String")
     defineCodeGen(ctx, ev, c =>
-      s"""graft.functions.HashKernels.stopwordHits($c, "$lang")""")
+      s"graft.functions.HashKernels.stopwordHits($c, $langRef)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -910,15 +915,20 @@ case class StopwordHits(child: Expression, lang: String)
   */
 case class TermCounts(child: Expression, spec: String)
     extends UnaryExpression with ImplicitCastInputTypes {
-  require(!spec.exists(c => c == '"' || c == '\\'),
-    s"term spec must not contain quotes/backslashes: $spec")
   override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashKernels.termCounts(input.asInstanceOf[UTF8String], spec)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the spec rides as a REFERENCE OBJECT, never spliced into the
+    // generated Java as a quoted literal: a spec containing a quote,
+    // backslash, or control char (term_counts(text, 'a\nb') from SQL)
+    // would otherwise produce uncompilable source and silently fall
+    // back to interpreted execution
+    val specRef = ctx.addReferenceObj("termSpec", spec, "java.lang.String")
     defineCodeGen(ctx, ev, c =>
-      s"""graft.functions.HashKernels.termCounts($c, "$spec")""")
+      s"graft.functions.HashKernels.termCounts($c, $specRef)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

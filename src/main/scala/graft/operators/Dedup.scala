@@ -258,8 +258,14 @@ object Dedup {
 
   private[operators] object RefIndex {
     def build(rows: Array[(Long, Array[Long])]): RefIndex = {
+      // capacity math in Long: at rows.length > 2^30 an Int multiply
+      // overflows negative, the loop never runs, and open-addressing
+      // insertion spins forever on a 4-slot table — fail loudly instead
+      require(rows.length < (1 << 30),
+        s"reference index keys (${rows.length}) exceed 2^30: use " +
+          "screenDocsJoin for references this large")
       var cap = 4
-      while (cap < rows.length * 2) cap <<= 1
+      while (cap < rows.length.toLong * 2) cap <<= 1
       val keys = new Array[Long](cap)
       val off = new Array[Int](cap)
       val len = new Array[Int](cap)
@@ -301,25 +307,46 @@ object Dedup {
     * shuffle disappears entirely (only the final orderBy exchanges,
     * carrying already-filtered pairs).
     *
-    * Scale contract: the INDEX must fit an executor heap — Σ capped
-    * ref postings ≤ 2^31 (an eval-suite reference: 100 k docs × ~200
-    * shingles ≈ 20 M longs ≈ 160 MB, fine). For unbounded references
-    * use [[screenDocsJoin]], whose broadcast degrades to a shuffled
-    * hash join.
+    * Scale contract: the INDEX must fit the driver AND executor heaps
+    * — Σ capped ref postings ≤ `maxPostings` (default 100 M longs ≈
+    * 800 MB packed; an eval-suite reference: 100 k docs × ~200
+    * shingles ≈ 20 M longs ≈ 160 MB, fine). The budget is checked
+    * with a bounded aggregation BEFORE anything is collected — the
+    * former 2^31 backstop alone allowed a ~16 GiB driver collect to
+    * start and OOM instead of failing loudly. For references past the
+    * budget use [[screenDocsJoin]], whose broadcast degrades to a
+    * shuffled hash join.
     */
   def screenDocsIndexed(docs: DataFrame, threshold: Double = 0.05,
-      refMod: Int = 7, maxRefDf: Int = 1000): DataFrame = {
+      refMod: Int = 7, maxRefDf: Int = 1000,
+      maxPostings: Long = 100000000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(threshold > 0,
       s"threshold must be > 0 (got $threshold): zero-intersection pairs " +
         "cannot materialize from inverted postings; use a cross join if " +
         "you genuinely need every corpus x ref pair")
-    // the one sanctioned driver collect (IVF-fit precedent): bounded
-    // by the RefIndex.build require; the observe() drop metric fires
-    // on this action exactly as it did on the broadcast build
-    val refRows = refListsOf(docs, refMod, maxRefDf)
-      .as[(Long, Array[Long])].collect()
+    require(maxPostings > 0 && maxPostings <= Int.MaxValue,
+      s"maxPostings must be in 1..2^31-1, got $maxPostings")
+    // the one sanctioned driver collect (IVF-fit precedent): the
+    // postings budget is verified on a CACHED ref-list frame first
+    // (the size agg materializes the cache; the collect reads it —
+    // no second derivation), so an oversized reference fails before
+    // a single row reaches the driver. The observe() drop metric
+    // fires on the agg action exactly as it did on the former
+    // collect-first shape.
+    val refDf = refListsOf(docs, refMod, maxRefDf).persist()
+    val refRows =
+      try {
+        val total = Option(refDf.select(
+            sum(size(col("rs"))).cast("long")).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        require(total <= maxPostings,
+          s"reference index postings ($total) exceed the maxPostings " +
+            s"budget ($maxPostings): raise it (driver must hold ~8 bytes " +
+            "per posting) or use screenDocsJoin for references this large")
+        refDf.as[(Long, Array[Long])].collect()
+      } finally refDf.unpersist()
     val bc = spark.sparkContext.broadcast(RefIndex.build(refRows))
     val nMask = packMask
     val maxDf = bc.value.maxLen

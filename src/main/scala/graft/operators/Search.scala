@@ -80,37 +80,58 @@ object Search {
   /** BM25 top-k search (k1 = 1.2, b = 0.75, Lucene idf
     * `ln(1 + (N - df + 0.5)/(df + 0.5))`). Ties break by doc_id so
     * the top-k frontier is deterministic.
+    *
+    * SINGLE corpus scan: BM25 needs corpus statistics BEFORE it can
+    * score, so two jobs are inherent — but only the first may touch
+    * the parquet. The derived projection `(doc_id, dl, tf)` — ids and
+    * small ints, ≈ (12 + 4·q) bytes/doc, NOT the text column — is
+    * persisted (memory-and-disk); the stats job materializes it as it
+    * aggregates, and the scoring job's TakeOrderedAndProject reads
+    * the cache. The bounded top-k result (≤ topK rows, the same rows
+    * TakeOrdered drains to the driver anyway) is collected so the
+    * cache can be released before returning; the caller gets a local
+    * frame in ranked order. KernelEvalAuditSpec pins the contract:
+    * one `term_counts` kernel evaluation per document per call.
     */
   def bm25Search(spark: SparkSession, sfDir: String,
       query: Seq[String] = defaultQuery, topK: Int = 50,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty && query.size <= 32,
       s"query must have 1..32 terms, got ${query.size}")
+    require(topK > 0 && topK <= 100000,
+      s"topK must be in 1..100000 (driver-bounded result), got $topK")
     val tfs = query.indices.map(i =>
       element_at(col("tf"), i + 1).cast("double").as(s"tf$i"))
     val base = baseOf(spark, sfDir, query)
       .select((col("doc_id") +: col("dl").cast("double").as("dl") +: tfs): _*)
-    // ONE bounded scalar-stats job: N, Σdl, df per term
-    val aggCols: Seq[Column] =
-      count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
-        query.indices.map(i =>
-          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
-    val statRow = base.agg(aggCols.head, aggCols.tail: _*).head()
-    val n = statRow.getLong(0)
-    require(n > 0, "empty corpus")
-    val avgdl = statRow.getDouble(1) / n
-    val idf = query.indices.map { i =>
-      val df = statRow.getLong(2 + i)
-      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-    }
-    // fixed-order contribution sum: deterministic, no agg involved
-    val score = query.indices.map { i =>
-      lit(idf(i)) * (col(s"tf$i") * lit(k1 + 1.0) /
-        (col(s"tf$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
-    }.reduce(_ + _)
-    base.select(col("doc_id"), score.as("score"))
-      .filter(col("score") > 0.0)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(topK)
+      .persist()
+    try {
+      // ONE bounded scalar-stats job: N, Σdl, df per term — this job
+      // performs the only parquet scan and fills the cache
+      val aggCols: Seq[Column] =
+        count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+          query.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val statRow = base.agg(aggCols.head, aggCols.tail: _*).head()
+      val n = statRow.getLong(0)
+      require(n > 0, "empty corpus")
+      val avgdl = statRow.getDouble(1) / n
+      val idf = query.indices.map { i =>
+        val df = statRow.getLong(2 + i)
+        math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      }
+      // fixed-order contribution sum: deterministic, no agg involved
+      val score = query.indices.map { i =>
+        lit(idf(i)) * (col(s"tf$i") * lit(k1 + 1.0) /
+          (col(s"tf$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      }.reduce(_ + _)
+      val top = base.select(col("doc_id"), score.as("score"))
+        .filter(col("score") > 0.0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(topK)
+      val rows = top.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), top.schema)
+    } finally base.unpersist()
   }
 }

@@ -149,7 +149,13 @@ object GlobalOrder {
         val m = mutable.LinkedHashMap[String, Long]()
         while (it.hasNext) {
           val row = it.next()
-          val k = row.getUTF8String(kord).toString
+          // loud contract check: a null key would otherwise NPE deep
+          // in the executor with no hint of which column violated it
+          val u = row.getUTF8String(kord)
+          if (u == null) throw new IllegalArgumentException(
+            s"prefix-sum key column '$keyCol' contains a NULL — " +
+              "the keyed prefix sum requires non-null keys")
+          val k = u.toString
           m.update(k, m.getOrElse(k, 0L) + row.getLong(vord))
         }
         Iterator.single(m.toArray)

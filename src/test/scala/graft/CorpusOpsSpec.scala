@@ -98,6 +98,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.sortBy(t => (t._1, t._2)).toSeq == expected.toSeq)
   }
 
+  test("withPrefixSumKeyed fails loudly on a NULL key, naming the column") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("a", 1L, 2L),
+        org.apache.spark.sql.Row(null, 2L, 3L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val ex = intercept[Exception] {
+      GlobalOrder.withPrefixSumKeyed(df, "k", Seq(col("i")), "v")
+        .collect()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).toList
+    assert(msgs.exists(m => m.contains("'k'") && m.contains("NULL")),
+      s"expected the null-key contract failure, got: $msgs")
+  }
+
   test("mixSources hits each source's integer token target with the offset rule") {
     val budget = 20000L
     val got = CorpusOps.mixSources(spark, sf, budget).collect()

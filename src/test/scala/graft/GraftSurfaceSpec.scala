@@ -73,6 +73,20 @@ class GraftSurfaceSpec extends AnyFunSuite {
     assert(row.getAs[String]("scrub") == "tel <PHONE> done")
   }
 
+  test("term_counts survives control chars and quotes in the spec") {
+    // the spec rides into codegen as a reference object; a newline,
+    // quote, or backslash in the SQL literal must count terms
+    // normally, not produce uncompilable generated Java (which would
+    // silently fall back to interpreted execution at best).
+    // spec "a\nb \"q\"" splits on single spaces → terms
+    // ["a\nb", "\"q\""]: the first contains \n so can never equal a
+    // whitespace-delimited token (0); the second matches once.
+    GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      "SELECT term_counts('a\nb a \"q\" c', 'a\nb \"q\"') AS tc").head()
+    assert(row.getSeq[Int](row.fieldIndex("tc")) == Seq(0, 1))
+  }
+
   test("batch DSv2 write publishes envelope rows via format(emqx)") {
     val name = "surface-batch-write"
     val b = BrokerRegistry.get(name)

@@ -114,14 +114,15 @@ class KernelEvalAuditSpec extends AnyFunSuite {
     }
     info(s"docStats: $terms1 term_counts evals for $n rows (sort sample + output)")
     assert(terms1 <= 2 * n, s"term_counts ran $terms1 times for $n rows")
-    // search = stats job + TakeOrdered job (orderBy+limit never
-    // samples) = 2 scans
+    // search = stats job (the one parquet scan, filling the persisted
+    // (doc_id, dl, tf) projection) + TakeOrdered job reading the
+    // cache = ONE kernel evaluation per document per call
     val (_, _, _, terms2) = KernelMetrics.countingAll {
       graft.operators.Search.bm25Search(spark, sf).collect()
     }
-    info(s"search: $terms2 term_counts evals for $n rows (2 scans)")
-    assert(terms2 <= 2 * n,
-      s"term_counts ran $terms2 times for $n rows over 2 scans")
+    info(s"search: $terms2 term_counts evals for $n rows (single scan)")
+    assert(terms2 == n,
+      s"term_counts ran $terms2 times for $n rows — corpus scanned more than once")
   }
 
   test("referenceIndex evaluates each kernel once per reference row") {

@@ -406,8 +406,12 @@ class Mqtt5NetworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val backing = new InMemoryBroker
     val server = new Mqtt5Server(backing, receiveMaximum = 2)
     // widen the server-side ack window so pipelining is observable:
-    // with instant acks a serial reader never sees >1 inbound flow
-    server.inboundAckDelayMs = 80
+    // with instant acks a serial reader never sees >1 inbound flow.
+    // 300 ms (not 80): under a fully loaded host the publisher thread
+    // can be descheduled long enough to miss a narrow window and the
+    // pipelining assertion reads a serial publisher — seen flaking in
+    // whole-suite runs at 80 ms while green in isolation
+    server.inboundAckDelayMs = 300
     val conf = BrokerConf(s"tcp://127.0.0.1:${server.actualPort}")
     try {
       val sub = new NetworkMqttBroker(conf)

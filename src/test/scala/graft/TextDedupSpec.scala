@@ -100,6 +100,22 @@ class TextDedupSpec extends AnyFunSuite {
       s"expected loud overflow failure, got: ${ex.getMessage}")
   }
 
+  test("indexed screen refuses references past the postings budget BEFORE collecting") {
+    import spark.implicits._
+    // refMod=1: every doc is a reference; 5 shingleable docs blow a
+    // budget of 2 postings. The failure must be the loud budget
+    // message (raised before the driver collect), not an OOM.
+    val docs = (0L until 5L).map(i =>
+      (i, s"tok${i}a tok${i}b alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.screenDocsIndexed(docs, threshold = 0.05, refMod = 1,
+        maxPostings = 2L).collect()
+    }
+    assert(causeChain(ex).exists(_.contains("maxPostings")),
+      s"expected the postings-budget failure, got: ${ex.getMessage}")
+  }
+
   test("cross-block jaccard recalls the blocked verifier's near-dup pairs") {
     // the blocked verifier restricted to the LSH regime (j >= 0.5)
     val blocked = Dedup.jaccardPairs(spark, sf, threshold = 0.5)
