@@ -95,10 +95,25 @@ object Probe {
     val all =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) ++
         scaled.map { case (n, f) => n -> f }
-    // optional args = subset of query names to run (re-measure one
-    // operator without paying for the whole probe)
+    // optional args: query names = run only that subset (re-measure
+    // one operator without paying for the whole probe); --rotate=N
+    // rotates the run order by N positions so no query is pinned to
+    // the session tail — post-stressor session debris (GC pressure,
+    // storage bookkeeping) inflates tail queries up to 4x (SURVEY
+    // §9); two runs at different rotations expose it, min-per-query
+    // is the honest fresh cost
+    val rotate = args.collectFirst {
+      case a if a.startsWith("--rotate=") => a.drop("--rotate=".length).toInt
+    }.getOrElse(0)
+    val names = args.filterNot(_.startsWith("--rotate="))
+    val selected =
+      if (names.isEmpty) all else all.filter(r => names.contains(r._1))
     val results =
-      if (args.isEmpty) all else all.filter(r => args.contains(r._1))
+      if (selected.isEmpty) selected
+      else {
+        val r = ((rotate % selected.size) + selected.size) % selected.size
+        selected.drop(r) ++ selected.take(r)
+      }
     results.foreach { case (name, mk) =>
       val t0 = System.nanoTime()
       val rows =

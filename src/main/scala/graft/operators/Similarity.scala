@@ -408,7 +408,7 @@ object Similarity {
     * hash-matches DuckDB code-for-code. Pure projection (two HOF
     * passes per row), zero shuffles at 100 TB.
     */
-  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =
+  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
     embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("scale", {
@@ -419,7 +419,9 @@ object Similarity {
         transform(col("v"), x =>
           floor(x / col("scale") * lit(127.0) + lit(0.5)).cast("int"))
           .as("q"))
-      .orderBy(col("vec_id"))
+
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    quantized(spark, sfDir).orderBy(col("vec_id"))
 
   /** S9's CHECKED projection: [[embedQuantize]] with the code array
     * posexploded to one `(vec_id, scale, pos, q)` row per dimension
@@ -431,7 +433,7 @@ object Similarity {
     * [[embedQuantize]] stays the library API for downstream ANN use.
     */
   def embedQuantizeRows(spark: SparkSession, sfDir: String): DataFrame =
-    embedQuantize(spark, sfDir)
+    quantized(spark, sfDir)
       .select(col("vec_id"), col("scale"), posexplode(col("q")))
       .select(col("vec_id"), col("scale"),
         (col("pos") + lit(1)).as("pos"), col("col").as("q"))
