@@ -36,7 +36,7 @@ object Probe {
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",
       "text_repetition", "pii_scrub", "quality_classify",
-      "dedup_apply", "mix_sources",
+      "dedup_apply", "mix_sources", "screen_apply", "corpus_stats",
       "bm25_search", "embed_kmeans", "embed_quantize",
       "pipeline_clean", "wordcount_salted",
       "multimodal_decode",
@@ -68,6 +68,12 @@ object Probe {
       // from a bounded count (200 cells at the 100× probe's 200k)
       "dedup_semantic_auto" -> (() =>
         operators.Clustering.dedupSemantic(spark, sfDir,
+          k = operators.Clustering.AutoK, iters = 2,
+          threshold = 0.99)),
+      // the full semantic pipeline product at auto-k: pairs →
+      // components → deduplicated embedding corpus
+      "semdedup_apply_scaled" -> (() =>
+        operators.Clustering.semdedupApply(spark, sfDir,
           k = operators.Clustering.AutoK, iters = 2,
           threshold = 0.99)),
       // shared-derivation chain: jaccard pairs materialized ONCE,

@@ -210,4 +210,29 @@ object Clustering {
       .toDF("vec_a", "vec_b", "cosine")
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** S10 — SEMDEDUP APPLY: the semantically deduplicated embedding
+    * corpus itself — [[dedupSemantic]]'s pair list closed into
+    * components ([[Clusters.clusterPairs]]' O(log n) star
+    * contraction), each cluster collapsed to its min-id
+    * representative, all unpaired vectors kept. Completes the
+    * semantic family the way `dedup_apply` completes D4/D8 and
+    * `screen_apply` completes D7: diagnostics → the shippable
+    * corpus. Output is `(vec_id, label)` — ids only through the
+    * anti-join, no embedding bytes cross a shuffle, and no array
+    * column reaches the driver harness's canonicalization.
+    */
+  def semdedupApply(spark: SparkSession, sfDir: String,
+      k: Int = AutoK, iters: Int = 3, threshold: Double = 0.45,
+      targetCluster: Int = 1000): DataFrame = {
+    val losers = Clusters.clusterPairs(
+        dedupSemantic(spark, sfDir, k, iters, threshold, targetCluster)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+      .join(losers, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
 }

@@ -123,4 +123,41 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("n").as("n_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** T16 — corpus DATA CARD: the per-source report a pipeline records
+    * alongside every training-data release — document/token/char
+    * volumes, exact-duplicate uniqueness, decimal-exact mean quality,
+    * and the English share (per the heuristic language ID). Every
+    * column is ORACLE-CHECKED: counts and sums are integer-exact, the
+    * quality mean goes through [[graft.Tables.davg]]'s decimal
+    * lattice, so the whole card is engine-reproducible — a data card
+    * that cannot drift between the engine that built the corpus and
+    * the engine that audits it.
+    *
+    * Scale shape: one corpus scan — every metric is a one-pass kernel
+    * projection — into a partial-agged groupBy on `source` (#sources
+    * rows out). `countDistinct(fp)` expands to the standard two-level
+    * aggregate: (source, fp) partial dedup before the shuffle, so the
+    * exchange carries at most one row per distinct fingerprint, never
+    * per document.
+    */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokenCount, qualityScore,
+      langId, fingerprintMd5}
+    documents(spark, sfDir)
+      .select(col("source"),
+        tokenCount(col("text")).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"),
+        fingerprintMd5(col("text")).as("fp"),
+        qualityScore(col("text")).as("q"),
+        (langId(col("text")) === lit("en")).cast("long").as("is_en"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        countDistinct(col("fp")).as("n_unique"),
+        graft.Tables.davg(col("q")).as("avg_quality"),
+        sum(col("is_en")).as("n_en"))
+      .orderBy(col("source"))
+  }
 }

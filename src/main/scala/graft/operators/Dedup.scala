@@ -83,6 +83,27 @@ object Dedup {
     // screenDocsJoin remains for references too big to index.
     screenDocsIndexed(docs, threshold, refMod, maxRefDf)
 
+  /** D11 — APPLY the contamination screen: the DECONTAMINATED corpus.
+    * [[screenDocs]] emits the (doc, ref, jaccard) diagnostics; this
+    * is the call a pipeline ships — every document overlapping any
+    * reference above the threshold is dropped, reference members
+    * themselves are kept (they model the eval set, not the training
+    * corpus). Mirrors [[Clusters.dedupApply]]'s shape: the removal
+    * is a LEFT ANTI join against the DISTINCT flagged ids — ids
+    * only, broadcastable whenever the flagged set fits, the text
+    * column never crosses a shuffle.
+    */
+  def screenApply(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.05, refMod: Int = 7,
+      maxRefDf: Int = 1000): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val flagged = screenDocs(docs, threshold, refMod, maxRefDf)
+      .select(col("doc_id")).distinct()
+    docs.join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- shared pieces of the two screen shapes ----
 
   /** Parallelism floor: a compact parquet input yields few splits

@@ -30,6 +30,7 @@ object SimilarityRegistry {
     // k=8; the library default is Clustering.AutoK (corpus ∝ k)
     "embed_kmeans" -> ((s, d) => Clustering.embedKmeans(s, d, k = 8)),
     "dedup_semantic" -> ((s, d) => Clustering.dedupSemantic(s, d, k = 8)),
+    "semdedup_apply" -> ((s, d) => Clustering.semdedupApply(s, d, k = 8)),
     "embed_quantize" -> ((s, d) => Similarity.embedQuantizeRows(s, d))
   )
 
@@ -46,9 +47,14 @@ object SimilarityRegistry {
     * bit-for-bit. Ends with CTEs `v` (corpus) and `f` (final
     * assignment incl. emb); `tail` selects from those.
     */
-  private def kmeansSql(k: Int, iters: Int, tail: String): String = {
+  private def kmeansSql(k: Int, iters: Int, tail: String,
+      recursive: Boolean = false): String = {
     val sb = new StringBuilder
-    sb ++= s"WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),\n"
+    // WITH RECURSIVE is legal (and required) when the tail adds a
+    // recursive CTE; harmless otherwise, so gated to keep the
+    // long-green oracles byte-identical
+    sb ++= (if (recursive) "WITH RECURSIVE " else "WITH ")
+    sb ++= s"v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),\n"
     sb ++= s"c0 AS (SELECT vec_id::INT AS cell_id, emb AS c FROM v WHERE vec_id < $k)"
     for (i <- 1 to iters) {
       val p = s"c${i - 1}"
@@ -104,6 +110,25 @@ $tail"""
          |FROM f a JOIN f b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
          |WHERE ${cos("a.emb", "b.emb")} >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin),
+    // SemDeDup pairs closed transitively (recursive CTE = the
+    // large/small-star fixpoint), clusters collapsed to min-id
+    // keepers, corpus anti-joined — the dedup_apply recipe in
+    // embedding space
+    "semdedup_apply" -> kmeansSql(8, 3,
+      s""",p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM f a JOIN f b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  WHERE ${cos("a.emb", "b.emb")} >= 0.45),
+         |und AS (SELECT va AS x, vb AS y FROM p
+         |        UNION SELECT vb, va FROM p),
+         |reach(src, dst) AS (
+         |  SELECT x, x FROM und
+         |  UNION
+         |  SELECT r.src, u.y FROM reach r JOIN und u ON r.dst = u.x),
+         |losers AS (SELECT src AS vec_id FROM reach
+         |  GROUP BY src HAVING min(dst) <> src)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY e.vec_id""".stripMargin, recursive = true),
     // int8 quantization: floor(+0.5) half-up — exact on doubles in
     // both engines, so the codes themselves hash-match. Exploded to
     // one scalar row per dimension (generate_subscripts is 1-based,

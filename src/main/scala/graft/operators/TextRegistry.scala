@@ -47,7 +47,9 @@ object TextRegistry {
     "dedup_apply" -> ((s, d) => Clusters.dedupApply(s, d)),
     "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringPairs(s, d)),
-    "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _)
+    "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _),
+    "screen_apply" -> ((s, d) => Dedup.screenApply(s, d)),
+    "corpus_stats" -> (CorpusOps.corpusStats _)
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
@@ -369,6 +371,57 @@ object TextRegistry {
          |WHERE len(list_intersect(tt.sh, r.rsh))::DOUBLE
          |   / (len(tt.sh) + len(r.rsh) - len(list_intersect(tt.sh, r.rsh)))
          |   >= 0.05
-         |ORDER BY doc_id, ref_id""".stripMargin
+         |ORDER BY doc_id, ref_id""".stripMargin,
+    // decontaminated corpus: documents minus the DISTINCT doc side of
+    // the contamination_screen pair list (reference members stay)
+    "screen_apply" ->
+      s"""WITH t AS (SELECT doc_id, $SH AS sh FROM documents),
+         |tt AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+         |r AS (SELECT doc_id AS ref_id, sh AS rsh FROM tt
+         |      WHERE doc_id % 7 = 0),
+         |flagged AS (SELECT DISTINCT tt.doc_id
+         |  FROM tt JOIN r ON tt.doc_id != r.ref_id
+         |  WHERE len(list_intersect(tt.sh, r.rsh))::DOUBLE
+         |     / (len(tt.sh) + len(r.rsh) - len(list_intersect(tt.sh, r.rsh)))
+         |     >= 0.05)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+         |ORDER BY d.doc_id""".stripMargin,
+    // per-source data card: integer-exact counts/sums, decimal-exact
+    // quality mean (the Tables.davg contract), English share via the
+    // same distinct-token stopword argmax as text_langid
+    "corpus_stats" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $TOKS AS toks,
+         |  list_distinct($TOKS) AS dt FROM documents),
+         |m AS (SELECT source,
+         |  len(toks)::BIGINT AS toks_n,
+         |  length(text)::BIGINT AS chars_n,
+         |  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+         |  CAST(CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0
+         |        WHEN len(toks) >= 5 THEN 0.5 ELSE 0.0 END AS DOUBLE) * 0.5
+         |  + CAST(CASE WHEN len(list_filter(toks, x -> x IN $EN))::DOUBLE / len(toks) >= 0.01
+         |           AND len(list_filter(toks, x -> x IN $EN))::DOUBLE / len(toks) <= 0.5
+         |      THEN 1.0 ELSE 0.0 END AS DOUBLE) * 0.3
+         |  + CAST(CASE WHEN (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE
+         |           / length(text) <= 0.2
+         |      THEN 1.0 ELSE 0.0 END AS DOUBLE) * 0.2 AS q,
+         |  CASE WHEN greatest(len(list_intersect(dt, $ENL)),
+         |         len(list_intersect(dt, $DEL)),
+         |         len(list_intersect(dt, $ESL)),
+         |         len(list_intersect(dt, $FRL))) > 0
+         |        AND len(list_intersect(dt, $ENL))
+         |          = greatest(len(list_intersect(dt, $ENL)),
+         |              len(list_intersect(dt, $DEL)),
+         |              len(list_intersect(dt, $ESL)),
+         |              len(list_intersect(dt, $FRL)))
+         |    THEN 1 ELSE 0 END AS is_en
+         | FROM t)
+         |SELECT source, count(*) AS n_docs,
+         | sum(toks_n)::BIGINT AS n_tokens,
+         | sum(chars_n)::BIGINT AS n_chars, count(DISTINCT fp) AS n_unique,
+         | CAST(ROUND(SUM(CAST(q AS DECIMAL(18,4))), 2) AS DOUBLE)
+         |   / count(q) AS avg_quality,
+         | sum(is_en)::BIGINT AS n_en
+         |FROM m GROUP BY source ORDER BY source""".stripMargin
   )
 }

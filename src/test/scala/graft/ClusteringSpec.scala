@@ -97,6 +97,29 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.nonEmpty, "threshold finds no pairs — vacuous test")
   }
 
+  test("semdedupApply == corpus minus union-find losers of the pair list") {
+    val pairs = Clustering.dedupSemantic(spark, sf, K, ITERS).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no semantic pairs — vacuous test")
+    // independent union-find over the pair list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .filter(x => find(x) != x).toSet
+    val all = vecs.map(_._1).toSet
+    val got = Clustering.semdedupApply(spark, sf, K, ITERS).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == all -- losers)
+    assert(losers.nonEmpty && got.size < all.size)
+  }
+
   test("AutoK sizes k to the corpus and keeps clusters bounded") {
     // 500 vectors / targetCluster 50 → k = ceil(500/50) = 10 seeds;
     // empty cells may drop but the fit must use MORE cells than the

@@ -121,6 +121,57 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
   }
 
+  test("screenApply keeps exactly the corpus minus the flagged doc side") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = Dedup.screenDocs(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "corpus screens nothing — vacuous test")
+    val kept = Dedup.screenApply(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == all -- flagged)
+    // reference members themselves survive unless they match ANOTHER ref
+    val refsKept = (all -- flagged).filter(_ % 7 == 0)
+    assert(refsKept.subsetOf(kept))
+    val plan = Dedup.screenApply(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
+  }
+
+  test("corpusStats equals per-doc kernel outputs aggregated in the driver") {
+    import scala.math.BigDecimal.RoundingMode
+    val toks = TextOps.textTokens(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val qual = TextOps.textQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val lang = TextOps.textLangId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val fp = TextOps.textFingerprint(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val ids = ds.map(_._1)
+      val qsum = ids.map(i => BigDecimal(
+          java.math.BigDecimal.valueOf(qual(i)))
+        .setScale(4, RoundingMode.HALF_UP)).sum
+        .setScale(2, RoundingMode.HALF_UP)
+      (src, (ids.length.toLong,
+        ids.map(toks).sum,
+        ds.map(_._3.length.toLong).sum,
+        ids.map(fp).distinct.length.toLong,
+        qsum.toDouble / ids.length,
+        ids.count(i => lang(i) == "en").toLong))
+    }
+    val got = graft.operators.CorpusOps.corpusStats(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(got == expected)
+    assert(got.size > 1, "single-source corpus — vacuous grouping")
+  }
+
   test("dedupApplyFromPairs/FromClusters == standalone dedupApply, set-exactly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val standalone = Clusters.dedupApply(spark, sf).collect()
