@@ -423,20 +423,35 @@ object Similarity {
   def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =
     quantized(spark, sfDir).orderBy(col("vec_id"))
 
-  /** S9's CHECKED projection: [[embedQuantize]] with the code array
-    * posexploded to one `(vec_id, scale, pos, q)` row per dimension
-    * (`pos` 1-based, matching DuckDB `generate_subscripts`). Same
-    * codes, scalar columns only — the array form crashes the driver
-    * harness's pandas canonicalization (`sort_values` over an
-    * `array<int>` column throws "unhashable type: numpy.ndarray"),
-    * so the registered query ships this shape and the array-valued
+  /** S9's CHECKED projection: [[embedQuantize]]'s codes as one
+    * `(vec_id, scale, pos, q)` row per dimension (`pos` 1-based,
+    * matching DuckDB `generate_subscripts`). Same codes, scalar
+    * columns only — the array form crashes the driver harness's
+    * pandas canonicalization (`sort_values` over an `array<int>`
+    * column throws "unhashable type: numpy.ndarray"), so the
+    * registered query ships this shape and the array-valued
     * [[embedQuantize]] stays the library API for downstream ANN use.
+    *
+    * Shape note (measured at the 100× probe): the explode targets the
+    * RAW vector attribute and computes each code on the exploded
+    * SCALAR — posexploding the transform-built code array instead
+    * re-evaluates that O(dim) array expression per emitted element
+    * (the SURVEY §8 Generate-input trap, O(dim²) per vector), and the
+    * final sort's range-sampling pass runs the whole chain twice:
+    * 171.7 s vs 10.6 s for identical output.
     */
   def embedQuantizeRows(spark: SparkSession, sfDir: String): DataFrame =
-    quantized(spark, sfDir)
-      .select(col("vec_id"), col("scale"), posexplode(col("q")))
+    embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", {
+        val m = array_max(transform(col("v"), x => abs(x)))
+        when(m === lit(0.0), lit(1.0)).otherwise(m)
+      })
+      .select(col("vec_id"), col("scale"), posexplode(col("v")))
       .select(col("vec_id"), col("scale"),
-        (col("pos") + lit(1)).as("pos"), col("col").as("q"))
+        (col("pos") + lit(1)).as("pos"),
+        floor(col("col") / col("scale") * lit(127.0) + lit(0.5))
+          .cast("int").as("q"))
       .orderBy(col("vec_id"), col("pos"))
 
   /** S6 — Product-Quantization ANN (ADC scan + exact re-rank): the
