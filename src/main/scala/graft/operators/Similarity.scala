@@ -434,11 +434,16 @@ object Similarity {
     *
     * Shape note (measured at the 100× probe): the explode targets the
     * RAW vector attribute and computes each code on the exploded
-    * SCALAR — posexploding the transform-built code array instead
-    * re-evaluates that O(dim) array expression per emitted element
-    * (the SURVEY §8 Generate-input trap, O(dim²) per vector), and the
-    * final sort's range-sampling pass runs the whole chain twice:
-    * 171.7 s vs 10.6 s for identical output.
+    * SCALAR. Posexploding the transform-built code array instead
+    * trips the alias-substitution trap (SURVEY §8): Generate's
+    * implicit `size>0 AND isnotnull` predicate is pushed below the
+    * projection with the code-array transform AND the scale
+    * `array_max(transform)` (twice — once per CASE branch)
+    * substituted in, so the whole interpreted HOF chain re-runs per
+    * row inside a Filter under the scan, again in the now-uncodegen'd
+    * Projects, and the sort's range-sampling pass doubles all of it:
+    * 171.7 s vs 10.6 s for identical output. PlanAuditSpec now lints
+    * the whole query surface for HOFs inside Filters.
     */
   def embedQuantizeRows(spark: SparkSession, sfDir: String): DataFrame =
     embeddings(spark, sfDir)

@@ -179,4 +179,30 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.toLowerCase.contains("sortedintersect"),
       s"merge-count kernel missing from plan")
   }
+
+  test("no query pushes a higher-order function into a Filter (whole surface)") {
+    // the alias-substitution trap, third sighting (r9 embed_quantize,
+    // 171.7 s at 100×): Generate's implicit size>0/isnotnull predicate
+    // (or any pushed filter) substitutes the aliased expression below
+    // the projection — if that alias holds a transform/filter/
+    // aggregate lambda, the whole interpreted HOF chain re-runs per
+    // row in the Filter, then again in the (now non-codegen) Project.
+    // Lint every registered query's physical plan: a `lambdafunction`
+    // inside a Filter operator means a derived array column leaked
+    // into a predicate — explode the raw attribute / pre-materialize
+    // instead.
+    val filterOp = """(?:\*\(\d+\) )?(?:\+- )?Filter[ (]""".r
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      plan.linesIterator
+        .filter(l => filterOp.findFirstIn(l.trim).isDefined)
+        .filter(_.contains("lambdafunction"))
+        .map(l => s"$name: ${l.trim.take(160)}")
+        .toList
+    }
+    assert(offenders.isEmpty,
+      s"HOF inside a Filter in ${offenders.size} plan line(s):\n" +
+        offenders.mkString("\n"))
+  }
 }
