@@ -37,7 +37,7 @@ object Probe {
       "text_shingles", "text_novelty", "pack_sequences",
       "text_repetition", "pii_scrub", "quality_classify",
       "dedup_apply", "mix_sources", "screen_apply", "corpus_stats",
-      "bm25_search", "embed_kmeans", "embed_quantize",
+      "top_ngrams", "bm25_search", "embed_kmeans", "embed_quantize",
       "pipeline_clean", "wordcount_salted",
       "multimodal_decode",
       "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",

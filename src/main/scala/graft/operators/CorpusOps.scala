@@ -141,6 +141,41 @@ object CorpusOps {
     * exchange carries at most one row per distinct fingerprint, never
     * per document.
     */
+  /** T17 — corpus-wide FREQUENT N-GRAM MINING (the C4/Gopher
+    * boilerplate-detection prerequisite): exact counts of word
+    * trigrams across the whole corpus, top-k by count with ties
+    * broken by the n-gram string, so the frontier is deterministic
+    * and the whole result hash-matches DuckDB.
+    *
+    * Scale shape: one scan through a typed flatMap (NOT
+    * `explode(transform(...))` — that shape trips the
+    * alias-substitution trap PlanAuditSpec lints: Generate's pushed
+    * size/isnotnull predicate would re-run the gram-building HOF per
+    * row in an interpreted Filter), then a partial-agged count —
+    * map-side combine collapses repeated grams before the shuffle,
+    * so the exchange carries distinct (gram, partial-count) rows —
+    * and a TakeOrderedAndProject top-k: per-partition heaps, k rows
+    * to the driver, never a global sort of the gram table.
+    */
+  def topNgrams(spark: SparkSession, sfDir: String,
+      k: Int = 100): DataFrame = {
+    require(k > 0 && k <= 100000,
+      s"k must be in 1..100000 (driver-bounded result), got $k")
+    import spark.implicits._
+    documents(spark, sfDir).select(col("text")).as[String]
+      .flatMap { t =>
+        val tk = t.trim.split("\\s+")
+        if (tk.length < 3) Iterator.empty
+        else (0 to tk.length - 3).iterator
+          .map(i => tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
+      }
+      .toDF("ngram")
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+  }
+
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions.{tokenCount, qualityScore,
       langId, fingerprintMd5}

@@ -49,7 +49,8 @@ object TextRegistry {
     "dedup_substring" -> ((s, d) => Dedup.substringPairs(s, d)),
     "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _),
     "screen_apply" -> ((s, d) => Dedup.screenApply(s, d)),
-    "corpus_stats" -> (CorpusOps.corpusStats _)
+    "corpus_stats" -> (CorpusOps.corpusStats _),
+    "top_ngrams" -> ((s, d) => CorpusOps.topNgrams(s, d))
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
@@ -387,6 +388,17 @@ object TextRegistry {
          |SELECT d.doc_id, d.source, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
          |ORDER BY d.doc_id""".stripMargin,
+    // corpus-wide trigram counts, top-k by (count desc, ngram asc) —
+    // the total order is unique per gram so the k-frontier is
+    // deterministic and hash-exact
+    "top_ngrams" ->
+      s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
+         |g AS (SELECT unnest(list_transform(
+         |    range(1, greatest(len(toks) - 1, 1)),
+         |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ngram
+         |  FROM t)
+         |SELECT ngram, count(*)::BIGINT AS n FROM g
+         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 100""".stripMargin,
     // per-source data card: integer-exact counts/sums, decimal-exact
     // quality mean (the Tables.davg contract), English share via the
     // same distinct-token stopword argmax as text_langid

@@ -120,6 +120,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"expected the null-key contract failure, got: $msgs")
   }
 
+  test("topNgrams == exact in-driver trigram counts, top-k frontier ordered") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { t =>
+      val tk = t.trim.split("\\s+")
+      (0 to tk.length - 3).foreach { i =>
+        val g = tk(i) + " " + tk(i + 1) + " " + tk(i + 2)
+        counts(g) = counts.getOrElse(g, 0L) + 1L
+      }
+    }
+    val k = 100
+    val expected = counts.toSeq
+      .sortBy { case (g, n) => (-n, g) }.take(k)
+    val got = CorpusOps.topNgrams(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    assert(got.head._2 > 1L, "no repeated trigram — vacuous mining test")
+    // the shape stays heap-based: top-k must plan TakeOrdered, and
+    // the gram builder must not ride a Generate (the linted trap)
+    val plan = CorpusOps.topNgrams(spark, sf, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    assert(!plan.contains("Generate"), s"explode crept back in:\n$plan")
+  }
+
   test("mixSources hits each source's integer token target with the offset rule") {
     val budget = 20000L
     val got = CorpusOps.mixSources(spark, sf, budget).collect()
