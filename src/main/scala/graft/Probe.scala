@@ -37,7 +37,8 @@ object Probe {
       "text_shingles", "text_novelty", "pack_sequences",
       "text_repetition", "pii_scrub", "quality_classify",
       "dedup_apply", "mix_sources", "screen_apply", "corpus_stats",
-      "top_ngrams", "bm25_search", "embed_kmeans", "embed_quantize",
+      "top_ngrams", "boilerplate_share",
+      "bm25_search", "embed_kmeans", "embed_quantize",
       "pipeline_clean", "wordcount_salted",
       "multimodal_decode",
       "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",

@@ -176,6 +176,42 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** T18 — per-document BOILERPLATE SHARE: how much of each document
+    * is made of the corpus' [[topNgrams]] — the Gopher-style signal a
+    * pipeline thresholds to drop template-heavy documents. Consumes
+    * the mining stage: top-k grams (a bounded k-string driver collect,
+    * the sanctioned IVF-fit precedent) broadcast into one typed-map
+    * scan that counts total and boilerplate trigrams per document —
+    * integer-exact, so the whole diagnostic hash-matches. Docs with
+    * no trigram (< 3 tokens) have no share and are absent by
+    * contract, mirroring the SQL GROUP BY.
+    */
+  def boilerplateShare(spark: SparkSession, sfDir: String,
+      k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val top = topNgrams(spark, sfDir, k)
+      .select(col("ngram")).as[String].collect().toSet
+    val bc = spark.sparkContext.broadcast(top)
+    documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val tk = t.trim.split("\\s+")
+        var total = 0L
+        var hits = 0L
+        var i = 0
+        while (i <= tk.length - 3) {
+          total += 1
+          if (bc.value.contains(
+              tk(i) + " " + tk(i + 1) + " " + tk(i + 2))) hits += 1
+          i += 1
+        }
+        (id, total, hits)
+      }
+      .toDF("doc_id", "n_grams", "boiler_hits")
+      .filter(col("n_grams") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions.{tokenCount, qualityScore,
       langId, fingerprintMd5}

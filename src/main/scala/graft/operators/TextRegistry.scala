@@ -50,7 +50,8 @@ object TextRegistry {
     "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _),
     "screen_apply" -> ((s, d) => Dedup.screenApply(s, d)),
     "corpus_stats" -> (CorpusOps.corpusStats _),
-    "top_ngrams" -> ((s, d) => CorpusOps.topNgrams(s, d))
+    "top_ngrams" -> ((s, d) => CorpusOps.topNgrams(s, d)),
+    "boilerplate_share" -> ((s, d) => CorpusOps.boilerplateShare(s, d))
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
@@ -399,6 +400,22 @@ object TextRegistry {
          |  FROM t)
          |SELECT ngram, count(*)::BIGINT AS n FROM g
          |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 100""".stripMargin,
+    // per-doc boilerplate trigram counts vs the mined top-100 —
+    // integer-exact; docs without a trigram are absent on both sides
+    // (the GROUP BY contract)
+    "boilerplate_share" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(toks) - 1, 1)),
+         |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ngram
+         |  FROM t),
+         |top AS (SELECT ngram FROM (
+         |  SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+         |  ORDER BY n DESC, ngram LIMIT 100))
+         |SELECT doc_id, count(*)::BIGINT AS n_grams,
+         | sum(CASE WHEN ngram IN (SELECT ngram FROM top)
+         |     THEN 1 ELSE 0 END)::BIGINT AS boiler_hits
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // per-source data card: integer-exact counts/sums, decimal-exact
     // quality mean (the Tables.davg contract), English share via the
     // same distinct-token stopword argmax as text_langid

@@ -146,6 +146,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), s"explode crept back in:\n$plan")
   }
 
+  test("boilerplateShare counts exactly the top-k grams per document") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Seq[String] = {
+      val tk = t.trim.split("\\s+")
+      (0 to tk.length - 3).map(i => tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
+    }
+    val counts = scala.collection.mutable.Map[String, Long]()
+    docs.foreach(d => grams(d._2).foreach(g =>
+      counts(g) = counts.getOrElse(g, 0L) + 1L))
+    val top = counts.toSeq.sortBy { case (g, n) => (-n, g) }
+      .take(100).map(_._1).toSet
+    val expected = docs.flatMap { case (id, t) =>
+      val gs = grams(t)
+      if (gs.isEmpty) None
+      else Some(id -> (gs.length.toLong, gs.count(top).toLong))
+    }.toMap
+    val got = CorpusOps.boilerplateShare(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0L), "no boilerplate hit — vacuous test")
+  }
+
   test("mixSources hits each source's integer token target with the offset rule") {
     val budget = 20000L
     val got = CorpusOps.mixSources(spark, sf, budget).collect()
