@@ -110,9 +110,23 @@ object Probe {
     // §9); two runs at different rotations expose it, min-per-query
     // is the honest fresh cost
     val rotate = args.collectFirst {
-      case a if a.startsWith("--rotate=") => a.drop("--rotate=".length).toInt
+      case a if a.startsWith("--rotate=") =>
+        val v = a.drop("--rotate=".length)
+        try v.toInt catch {
+          case _: NumberFormatException =>
+            sys.error(s"--rotate=$v is not an integer (usage: " +
+              "runMain graft.Probe [--rotate=N] [query ...])")
+        }
     }.getOrElse(0)
     val names = args.filterNot(_.startsWith("--rotate="))
+    // unknown names (a typo, or `--rotate 3` split into two args)
+    // must fail loudly — silently selecting zero queries wastes a
+    // whole Spark session with empty output
+    val known = all.map(_._1).toSet
+    val bad = names.filterNot(known)
+    if (bad.nonEmpty)
+      sys.error(s"unknown queries/flags: ${bad.mkString(", ")} " +
+        s"(usage: runMain graft.Probe [--rotate=N] [query ...])")
     val selected =
       if (names.isEmpty) all else all.filter(r => names.contains(r._1))
     val results =

@@ -198,9 +198,17 @@ object Clustering {
             while (d < va.length) {
               dot += va(d).toDouble * vb(d).toDouble; d += 1
             }
+            // zero-norm parity: 0/0 = NaN, and BOTH engines' `>=`
+            // rank NaN above every threshold (Spark SQL and DuckDB
+            // NaN-greatest semantics) — the Java comparison here does
+            // NOT, so emit the NaN pair explicitly or the oracle
+            // diverges on a corpus containing a zero vector
             val denom = norms(i) * norms(j)
-            val c = if (denom == 0.0) 0.0 else dot / denom
-            if (c >= threshold) out += ((ids(i), ids(j), c))
+            if (denom == 0.0) out += ((ids(i), ids(j), Double.NaN))
+            else {
+              val c = dot / denom
+              if (c >= threshold) out += ((ids(i), ids(j), c))
+            }
             j += 1
           }
           i += 1

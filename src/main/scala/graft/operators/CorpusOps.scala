@@ -124,23 +124,19 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
-  /** T16 — corpus DATA CARD: the per-source report a pipeline records
-    * alongside every training-data release — document/token/char
-    * volumes, exact-duplicate uniqueness, decimal-exact mean quality,
-    * and the English share (per the heuristic language ID). Every
-    * column is ORACLE-CHECKED: counts and sums are integer-exact, the
-    * quality mean goes through [[graft.Tables.davg]]'s decimal
-    * lattice, so the whole card is engine-reproducible — a data card
-    * that cannot drift between the engine that built the corpus and
-    * the engine that audits it.
-    *
-    * Scale shape: one corpus scan — every metric is a one-pass kernel
-    * projection — into a partial-agged groupBy on `source` (#sources
-    * rows out). `countDistinct(fp)` expands to the standard two-level
-    * aggregate: (source, fp) partial dedup before the shuffle, so the
-    * exchange carries at most one row per distinct fingerprint, never
-    * per document.
+  /** The word-trigram stream of one document — THE shared gram
+    * builder for T17 mining and T18 counting: both stages must build
+    * byte-identical grams or the counting stage silently scores zero
+    * hits against the broadcast top-k set. Tokenization mirrors the
+    * oracle's `regexp_split_to_array(trim(text), '\s+')`.
     */
+  private def trigramsOf(t: String): Iterator[String] = {
+    val tk = t.trim.split("\\s+")
+    if (tk.length < 3) Iterator.empty
+    else (0 to tk.length - 3).iterator
+      .map(i => tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
+  }
+
   /** T17 — corpus-wide FREQUENT N-GRAM MINING (the C4/Gopher
     * boilerplate-detection prerequisite): exact counts of word
     * trigrams across the whole corpus, top-k by count with ties
@@ -163,12 +159,7 @@ object CorpusOps {
       s"k must be in 1..100000 (driver-bounded result), got $k")
     import spark.implicits._
     documents(spark, sfDir).select(col("text")).as[String]
-      .flatMap { t =>
-        val tk = t.trim.split("\\s+")
-        if (tk.length < 3) Iterator.empty
-        else (0 to tk.length - 3).iterator
-          .map(i => tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
-      }
+      .flatMap(trigramsOf)
       .toDF("ngram")
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n"))
@@ -195,15 +186,11 @@ object CorpusOps {
     documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) =>
-        val tk = t.trim.split("\\s+")
         var total = 0L
         var hits = 0L
-        var i = 0
-        while (i <= tk.length - 3) {
+        trigramsOf(t).foreach { g =>
           total += 1
-          if (bc.value.contains(
-              tk(i) + " " + tk(i + 1) + " " + tk(i + 2))) hits += 1
-          i += 1
+          if (bc.value.contains(g)) hits += 1
         }
         (id, total, hits)
       }
@@ -212,6 +199,23 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T16 — corpus DATA CARD: the per-source report a pipeline records
+    * alongside every training-data release — document/token/char
+    * volumes, exact-duplicate uniqueness, decimal-exact mean quality,
+    * and the English share (per the heuristic language ID). Every
+    * column is ORACLE-CHECKED: counts and sums are integer-exact, the
+    * quality mean goes through [[graft.Tables.davg]]'s decimal
+    * lattice, so the whole card is engine-reproducible — a data card
+    * that cannot drift between the engine that built the corpus and
+    * the engine that audits it.
+    *
+    * Scale shape: one corpus scan — every metric is a one-pass kernel
+    * projection — into a partial-agged groupBy on `source` (#sources
+    * rows out). `countDistinct(fp)` expands to the standard two-level
+    * aggregate: (source, fp) partial dedup before the shuffle, so the
+    * exchange carries at most one row per distinct fingerprint, never
+    * per document.
+    */
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions.{tokenCount, qualityScore,
       langId, fingerprintMd5}

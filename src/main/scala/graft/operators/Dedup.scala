@@ -279,11 +279,13 @@ object Dedup {
 
   private[operators] object RefIndex {
     def build(rows: Array[(Long, Array[Long])]): RefIndex = {
-      // capacity math in Long: at rows.length > 2^30 an Int multiply
-      // overflows negative, the loop never runs, and open-addressing
-      // insertion spins forever on a 4-slot table — fail loudly instead
-      require(rows.length < (1 << 30),
-        s"reference index keys (${rows.length}) exceed 2^30: use " +
+      // capacity bound: cap is an Int power of two, so the largest
+      // reachable table is 2^30 slots — keys must fit half of it or
+      // the doubling loop overflows (2^30 << 1 → Int.MinValue → 0)
+      // and spins forever. ≤ 2^29 keys guarantees cap tops out at
+      // 2^30 ≥ 2·keys; fail loudly past that.
+      require(rows.length <= (1 << 29),
+        s"reference index keys (${rows.length}) exceed 2^29: use " +
           "screenDocsJoin for references this large")
       var cap = 4
       while (cap < rows.length.toLong * 2) cap <<= 1

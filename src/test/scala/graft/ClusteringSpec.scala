@@ -120,6 +120,26 @@ class ClusteringSpec extends AnyFunSuite {
     assert(losers.nonEmpty && got.size < all.size)
   }
 
+  test("zero-norm pairs surface as NaN cosine (both engines' >= ranks NaN above any threshold)") {
+    // a corpus with a zero vector: 0/0 = NaN, and Spark SQL's and
+    // DuckDB's `>=` both rank NaN above every threshold, so the old
+    // Column-expression filter EMITTED the pair — the unboxed Java
+    // loop must reproduce that, not drop it via a 0.0 guard
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zeronorm").toString
+    val rows = Seq(
+      (0L, "a", Seq(1.0f, 0.0f)), (1L, "a", Seq(0.9f, 0.1f)),
+      (2L, "a", Seq(0.0f, 0.0f)))
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Clustering.dedupSemantic(spark, dir, k = 2, iters = 1,
+        threshold = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nanPairs = got.filter(_._3.isNaN).map(p => (p._1, p._2)).toSet
+    assert(nanPairs.nonEmpty, s"zero-norm pair dropped: ${got.toSeq}")
+    assert(nanPairs.forall(_._2 == 2L), s"unexpected NaN pairs: $nanPairs")
+  }
+
   test("AutoK sizes k to the corpus and keeps clusters bounded") {
     // 500 vectors / targetCluster 50 → k = ceil(500/50) = 10 seeds;
     // empty cells may drop but the fit must use MORE cells than the

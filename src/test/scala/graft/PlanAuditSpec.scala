@@ -190,7 +190,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // Lint every registered query's physical plan: a `lambdafunction`
     // inside a Filter operator means a derived array column leaked
     // into a predicate — explode the raw attribute / pre-materialize
-    // instead.
+    // instead. Known gap: bm25_search evaluates eagerly (bounded
+    // top-k collected so its cache can release) and presents a
+    // LocalTableScan here — its internal plan is audited by
+    // KernelEvalAuditSpec's one-eval-per-row pin instead.
     val filterOp = """(?:\*\(\d+\) )?(?:\+- )?Filter[ (]""".r
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
