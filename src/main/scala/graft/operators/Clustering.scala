@@ -198,14 +198,18 @@ object Clustering {
             while (d < va.length) {
               dot += va(d).toDouble * vb(d).toDouble; d += 1
             }
-            // zero-norm parity: 0/0 = NaN, and BOTH engines' `>=`
-            // rank NaN above every threshold (Spark SQL and DuckDB
-            // NaN-greatest semantics) — the Java comparison here does
-            // NOT, so emit the NaN pair explicitly or the oracle
-            // diverges on a corpus containing a zero vector
+            // zero-norm pairs are DROPPED, matching the oracle:
+            // DuckDB's `/` yields NULL for 0.0/0.0 (verified on the
+            // harness's 1.0.0 — not NaN; ieee_floating_point_ops does
+            // not exist there), and `WHERE NULL >= t` filters the
+            // row. The old Spark Column filter emitted the pair
+            // (Spark doubles give NaN, and Spark SQL ranks NaN above
+            // any threshold) — i.e. the SELF-JOIN form silently
+            // diverged from its oracle on a zero-vector corpus; the
+            // guard here is the parity-correct behavior, pinned by
+            // the planted-zero-vector spec.
             val denom = norms(i) * norms(j)
-            if (denom == 0.0) out += ((ids(i), ids(j), Double.NaN))
-            else {
+            if (denom != 0.0) {
               val c = dot / denom
               if (c >= threshold) out += ((ids(i), ids(j), c))
             }

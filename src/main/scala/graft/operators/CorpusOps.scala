@@ -127,11 +127,24 @@ object CorpusOps {
   /** The word-trigram stream of one document — THE shared gram
     * builder for T17 mining and T18 counting: both stages must build
     * byte-identical grams or the counting stage silently scores zero
-    * hits against the broadcast top-k set. Tokenization mirrors the
-    * oracle's `regexp_split_to_array(trim(text), '\s+')`.
+    * hits against the broadcast top-k set.
+    *
+    * Tokenization mirrors the oracle's
+    * `regexp_split_to_array(trim(text), '\s+')` EXACTLY, which a
+    * plain Java `t.trim.split("\\s+")` does not: DuckDB `trim`
+    * strips SPACES only (Java trim strips all ≤ 0x20, losing the
+    * edge empty token a leading tab produces), RE2's `\s` is
+    * `[\t\n\f\r ]` (Java's adds `\x0B`), and DuckDB keeps the
+    * trailing empty token Java's default split drops (hence
+    * `limit = -1`). Verified against the harness DuckDB on
+    * tab/newline/vertical-tab edge texts.
     */
   private def trigramsOf(t: String): Iterator[String] = {
-    val tk = t.trim.split("\\s+")
+    var b = 0
+    var e = t.length
+    while (b < e && t.charAt(b) == ' ') b += 1
+    while (e > b && t.charAt(e - 1) == ' ') e -= 1
+    val tk = t.substring(b, e).split("[ \t\n\f\r]+", -1)
     if (tk.length < 3) Iterator.empty
     else (0 to tk.length - 3).iterator
       .map(i => tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
@@ -176,6 +189,12 @@ object CorpusOps {
     * integer-exact, so the whole diagnostic hash-matches. Docs with
     * no trigram (< 3 tokens) have no share and are absent by
     * contract, mirroring the SQL GROUP BY.
+    *
+    * Eager contract (the bm25Search convention): the MINING stage
+    * runs at construction time — building this frame costs a corpus
+    * scan before any action, because the counting map needs the top-k
+    * set as a broadcast value. The broadcast itself is reclaimed by
+    * Spark's ContextCleaner once the returned frame is unreachable.
     */
   def boilerplateShare(spark: SparkSession, sfDir: String,
       k: Int = 100): DataFrame = {

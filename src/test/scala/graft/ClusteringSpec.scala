@@ -120,11 +120,13 @@ class ClusteringSpec extends AnyFunSuite {
     assert(losers.nonEmpty && got.size < all.size)
   }
 
-  test("zero-norm pairs surface as NaN cosine (both engines' >= ranks NaN above any threshold)") {
-    // a corpus with a zero vector: 0/0 = NaN, and Spark SQL's and
-    // DuckDB's `>=` both rank NaN above every threshold, so the old
-    // Column-expression filter EMITTED the pair — the unboxed Java
-    // loop must reproduce that, not drop it via a 0.0 guard
+  test("zero-norm pairs are dropped, matching the DuckDB oracle's NULL cosine") {
+    // a corpus with a zero vector: DuckDB's `/` gives NULL for
+    // 0.0/0.0 (verified on the harness's 1.0.0) and `WHERE NULL >= t`
+    // drops the row — so the parity-correct behavior is to DROP the
+    // pair. (Spark's own Column filter would have EMITTED it: doubles
+    // give NaN and Spark SQL ranks NaN above any threshold — the old
+    // self-join form silently diverged from its oracle here.)
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("zeronorm").toString
     val rows = Seq(
@@ -135,9 +137,9 @@ class ClusteringSpec extends AnyFunSuite {
     val got = Clustering.dedupSemantic(spark, dir, k = 2, iters = 1,
         threshold = 0.99).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val nanPairs = got.filter(_._3.isNaN).map(p => (p._1, p._2)).toSet
-    assert(nanPairs.nonEmpty, s"zero-norm pair dropped: ${got.toSeq}")
-    assert(nanPairs.forall(_._2 == 2L), s"unexpected NaN pairs: $nanPairs")
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L),
+      s"zero-norm pair not dropped: ${got.toSeq}")
+    assert(got.forall(p => !p._3.isNaN), s"NaN cosine emitted: ${got.toSeq}")
   }
 
   test("AutoK sizes k to the corpus and keeps clusters bounded") {

@@ -120,20 +120,36 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"expected the null-key contract failure, got: $msgs")
   }
 
+  // reference tokenization = the ORACLE's semantics (DuckDB
+  // trim-spaces-only + RE2 \s split keeping edge empty tokens), and
+  // tie-break ordering = UTF-8 byte order (what both engines sort
+  // strings by; Java String ordering diverges for supplementary-
+  // plane chars)
+  private def refGrams(t: String): Seq[String] = {
+    val trimmed = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val tk = trimmed.split("[ \t\n\f\r]+", -1)
+    (0 to tk.length - 3).map(i => tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
+  }
+  private val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var r = 0
+    while (r == 0 && i < n) {
+      r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff); i += 1
+    }
+    if (r != 0) r else java.lang.Integer.compare(x.length, y.length)
+  }
+
   test("topNgrams == exact in-driver trigram counts, top-k frontier ordered") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("text").collect().map(_.getString(0))
     val counts = scala.collection.mutable.Map[String, Long]()
-    docs.foreach { t =>
-      val tk = t.trim.split("\\s+")
-      (0 to tk.length - 3).foreach { i =>
-        val g = tk(i) + " " + tk(i + 1) + " " + tk(i + 2)
-        counts(g) = counts.getOrElse(g, 0L) + 1L
-      }
-    }
+    docs.foreach(t => refGrams(t).foreach(g =>
+      counts(g) = counts.getOrElse(g, 0L) + 1L))
     val k = 100
     val expected = counts.toSeq
-      .sortBy { case (g, n) => (-n, g) }.take(k)
+      .sortBy(_._1)(utf8Order).sortBy(-_._2).take(k)
     val got = CorpusOps.topNgrams(spark, sf, k).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == expected)
@@ -146,21 +162,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), s"explode crept back in:\n$plan")
   }
 
+  test("gram tokenization mirrors DuckDB on edge whitespace (tabs, newlines, \\x0B)") {
+    // verified DuckDB 1.0.0 behavior: trim strips spaces ONLY, so a
+    // leading tab yields an edge empty token; a trailing newline
+    // yields a trailing empty token; \x0B is NOT whitespace to RE2.
+    // Java trim/split("\\s+") gets all three wrong.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edgews").toString
+    Seq((0L, "s", "\tfoo bar baz"), (1L, "s", "foo bar baz\n"),
+      (2L, "s", "a\u000bb c d"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val grams = CorpusOps.topNgrams(spark, dir, k = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grams(" foo bar") == 1L, s"leading-tab empty token lost: $grams")
+    assert(grams("bar baz ") == 1L, s"trailing-newline empty token lost: $grams")
+    assert(grams("a\u000bb c d") == 1L, s"\\x0B wrongly split: $grams")
+    assert(grams("foo bar baz") == 2L, grams.toString)
+  }
+
   test("boilerplateShare counts exactly the top-k grams per document") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    def grams(t: String): Seq[String] = {
-      val tk = t.trim.split("\\s+")
-      (0 to tk.length - 3).map(i => tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
-    }
     val counts = scala.collection.mutable.Map[String, Long]()
-    docs.foreach(d => grams(d._2).foreach(g =>
+    docs.foreach(d => refGrams(d._2).foreach(g =>
       counts(g) = counts.getOrElse(g, 0L) + 1L))
-    val top = counts.toSeq.sortBy { case (g, n) => (-n, g) }
+    val top = counts.toSeq.sortBy(_._1)(utf8Order).sortBy(-_._2)
       .take(100).map(_._1).toSet
     val expected = docs.flatMap { case (id, t) =>
-      val gs = grams(t)
+      val gs = refGrams(t)
       if (gs.isEmpty) None
       else Some(id -> (gs.length.toLong, gs.count(top).toLong))
     }.toMap
