@@ -90,10 +90,24 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
   } catch { case _: Throwable => None }
 
   // bind with SO_REUSEADDR so a bounced broker can come back on the
-  // same port while old accepted sockets linger in TIME_WAIT
+  // same port while old accepted sockets linger in TIME_WAIT. Linux
+  // only honors the reuse if the lingering TIME_WAIT sockets ALSO had
+  // SO_REUSEADDR (accepted sockets don't inherit it through Java — set
+  // in the accept loop), so an explicit-port bind additionally retries
+  // briefly to ride out a pre-fix lingerer or an ephemeral-port race.
   private def bindReusable(ss: ServerSocket): ServerSocket = {
     ss.setReuseAddress(true)
-    ss.bind(new java.net.InetSocketAddress(port))
+    val addr = new java.net.InetSocketAddress(port)
+    var attempt = 0
+    var bound = false
+    while (!bound) {
+      try { ss.bind(addr); bound = true }
+      catch {
+        case e: java.net.BindException if port != 0 && attempt < 20 =>
+          attempt += 1; Thread.sleep(250)
+        case e: Throwable => throw e
+      }
+    }
     ss
   }
 
@@ -131,6 +145,9 @@ class Mqtt5Server(backing: InMemoryBroker, port: Int = 0,
       try {
         val s = server.accept()
         s.setTcpNoDelay(true)
+        // let a bounced broker rebind while this socket sits in
+        // TIME_WAIT after close() (see bindReusable)
+        try s.setReuseAddress(true) catch { case _: Throwable => () }
         synchronized { conns += s }
         new Thread(() => handle(s), s"mqtt5-conn-${s.getPort}").start()
       } catch {
