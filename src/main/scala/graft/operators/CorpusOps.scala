@@ -218,6 +218,125 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** FNV-1a 64-bit over a line's UTF-8 bytes — the line identity the
+    * df count and the keep-filter share. Exact up to 64-bit
+    * collisions (the documented contract of the whole hash-key
+    * family, ≈ d²/2⁶⁵ corpus-wide).
+    */
+  private def lineHash(s: String): Long = {
+    val bs = s.getBytes("UTF-8")
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bs.length) { h ^= bs(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Exactly DuckDB's `string_split(t, chr(10))`: literal newline
+    * split, empties (including a trailing one) kept.
+    */
+  private def splitLines(t: String): Array[String] = t.split("\n", -1)
+
+  /** T19 — LINE-LEVEL corpus dedup (the C4 / RefinedWeb boilerplate
+    * pass): a line that occurs in `minDf`-or-more DISTINCT documents
+    * corpus-wide is boilerplate (navigation chrome, cookie banners,
+    * license footers) and is removed from EVERY document; each doc's
+    * surviving lines are rejoined in original order. This is the
+    * repetition-removal stage C4 runs at three-sentence granularity
+    * and RefinedWeb at line granularity — document-level dedup (D1)
+    * cannot catch it because the documents differ outside the
+    * repeated chrome.
+    *
+    * Scale shape — two scans, text never shuffles:
+    *  1. df scan: typed flatMap emits each doc's DISTINCT line
+    *     hashes (8 bytes/line, per-doc dedupe before the exchange),
+    *     partial-agged count, filter `df >= minDf`. Only long hashes
+    *     cross the wire.
+    *  2. rebuild scan: the banned frontier (boilerplate is by nature
+    *     a tiny fraction of distinct lines) is a bounded driver
+    *     collect — `maxBanned` guards the budget with a loud failure,
+    *     the boilerplateShare/IVF-fit precedent — broadcast as a
+    *     sorted long[]; one typed map per doc binary-searches each
+    *     line and rejoins survivors. Pure projection, zero shuffles.
+    *
+    * Docs whose every line is boilerplate stay in the corpus with
+    * empty `clean_text` (the pipeline's length filter drops them
+    * downstream — this operator must not silently change corpus
+    * membership).
+    */
+  def lineDedup(docs: DataFrame, minDf: Int = 3,
+      maxBanned: Int = 4000000): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (1 would drop every line): $minDf")
+    require(maxBanned > 0, s"maxBanned must be > 0: $maxBanned")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val bannedRows = ds
+      .flatMap { case (_, t) =>
+        val hs = splitLines(t).map(lineHash)
+        java.util.Arrays.sort(hs)
+        // per-doc dedupe: a line repeated WITHIN one doc counts once
+        // toward df (count of distinct docs), like the SQL
+        // count(DISTINCT doc_id)
+        var i = 0
+        var n = 0
+        val out = new Array[Long](hs.length)
+        while (i < hs.length) {
+          if (n == 0 || out(n - 1) != hs(i)) { out(n) = hs(i); n += 1 }
+          i += 1
+        }
+        out.take(n)
+      }
+      .toDF("h")
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h")).as[Long]
+      .limit(maxBanned + 1)
+      .collect()
+    require(bannedRows.length <= maxBanned,
+      s"banned-line frontier exceeds maxBanned=$maxBanned — raise the " +
+        "budget or raise minDf; refusing an unbounded driver collect")
+    java.util.Arrays.sort(bannedRows)
+    val bc = spark.sparkContext.broadcast(bannedRows)
+    ds.map { case (id, t) =>
+        val ls = splitLines(t)
+        val sb = new java.lang.StringBuilder
+        var kept = 0L
+        var dropped = 0L
+        var i = 0
+        while (i < ls.length) {
+          if (java.util.Arrays.binarySearch(bc.value, lineHash(ls(i))) >= 0)
+            dropped += 1
+          else {
+            if (kept > 0) sb.append('\n')
+            sb.append(ls(i))
+            kept += 1
+          }
+          i += 1
+        }
+        (id, sb.toString, kept, dropped)
+      }
+      .toDF("doc_id", "clean_text", "n_kept", "n_dropped")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered `line_dedup` query: the synthetic docs are
+    * single-line, so (the pii_scrub precedent) the query PLANTS
+    * deterministic multi-line structure — a per-source header and a
+    * per-lang footer (df ≈ corpus/#sources — dropped), the unique
+    * content line (kept), and a `ref` line shared by exactly two docs
+    * (df = 2 < minDf — kept), so both sides of the frontier are
+    * exercised, not vacuous. The oracle builds the identical text in
+    * SQL.
+    */
+  def lineDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = documents(spark, sfDir).select(col("doc_id"),
+      concat(lit("hdr "), col("source"), lit("\n"),
+        col("text"), lit("\n"),
+        lit("ref "), expr("doc_id div 2").cast("string"), lit("\n"),
+        lit("ftr "), col("lang")).as("text"))
+    lineDedup(planted)
+  }
+
   /** T16 — corpus DATA CARD: the per-source report a pipeline records
     * alongside every training-data release — document/token/char
     * volumes, exact-duplicate uniqueness, decimal-exact mean quality,

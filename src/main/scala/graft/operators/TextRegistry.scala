@@ -51,7 +51,8 @@ object TextRegistry {
     "screen_apply" -> ((s, d) => Dedup.screenApply(s, d)),
     "corpus_stats" -> (CorpusOps.corpusStats _),
     "top_ngrams" -> ((s, d) => CorpusOps.topNgrams(s, d)),
-    "boilerplate_share" -> ((s, d) => CorpusOps.boilerplateShare(s, d))
+    "boilerplate_share" -> ((s, d) => CorpusOps.boilerplateShare(s, d)),
+    "line_dedup" -> (CorpusOps.lineDedupQuery _)
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
@@ -451,6 +452,36 @@ object TextRegistry {
          | CAST(ROUND(SUM(CAST(q AS DECIMAL(18,4))), 2) AS DOUBLE)
          |   / count(q) AS avg_quality,
          | sum(is_en)::BIGINT AS n_en
-         |FROM m GROUP BY source ORDER BY source""".stripMargin
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // line-level dedup over the SAME planted multi-line text the
+    // Spark query builds: a line in >= 3 distinct docs is dropped
+    // everywhere; survivors rejoin in original order. string_split
+    // keeps empties exactly like the engine's limit=-1 split; docs
+    // with zero survivors keep an empty clean_text (LEFT JOIN +
+    // coalesce), matching the engine's corpus-membership contract.
+    "line_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  'hdr ' || source || chr(10) || text || chr(10) ||
+         |  'ref ' || (doc_id // 2)::VARCHAR || chr(10) ||
+         |  'ftr ' || lang AS t FROM documents),
+         |l AS (SELECT doc_id,
+         |  unnest(string_split(t, chr(10))) AS line,
+         |  generate_subscripts(string_split(t, chr(10)), 1) AS ord
+         |  FROM d),
+         |df AS (SELECT line, count(DISTINCT doc_id) AS df
+         |  FROM l GROUP BY line),
+         |kept AS (SELECT l.doc_id,
+         |  string_agg(l.line, chr(10) ORDER BY l.ord) AS clean_text,
+         |  count(*)::BIGINT AS n_kept
+         |  FROM l JOIN df ON l.line = df.line
+         |  WHERE df.df < 3 GROUP BY l.doc_id),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines
+         |  FROM l GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+         |  (tot.n_lines - coalesce(k.n_kept, 0))::BIGINT AS n_dropped
+         |FROM d JOIN tot USING (doc_id)
+         |LEFT JOIN kept k ON d.doc_id = k.doc_id
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -201,6 +201,73 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0L), "no boilerplate hit — vacuous test")
   }
 
+  test("lineDedup: df frontier, in-doc repeats, empty lines, emptied docs") {
+    import graft.operators.CorpusOps.lineDedup
+    // "boiler" sits in 3 distinct docs (dropped at minDf=3) — doc 0
+    // repeats it twice (counts ONCE toward df, BOTH occurrences
+    // dropped); "pair" sits in 2 docs (kept); doc 3 is entirely
+    // boilerplate (stays in the corpus, empty clean_text); doc 4 has
+    // an empty line and a trailing newline (split keeps empties —
+    // the empty line is in 2 docs only, kept).
+    val docs = Seq(
+      (0L, "boiler\nunique zero\nboiler\npair"),
+      (1L, "boiler\nunique one\npair"),
+      (2L, "boiler\nunique two"),
+      (3L, "boiler"),
+      (4L, "unique four\n\nlast\n"),
+      (5L, "unique five\n")).toDF("doc_id", "text")
+    val got = lineDedup(docs, minDf = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("unique zero\npair", 2L, 2L)))
+    assert(got(1L) == (("unique one\npair", 2L, 1L)))
+    assert(got(2L) == (("unique two", 1L, 1L)))
+    assert(got(3L) == (("", 0L, 1L)), "emptied doc must stay, empty")
+    // "" appears in docs 4 and 5 (trailing-newline empties): df=2, kept
+    assert(got(4L) == (("unique four\n\nlast\n", 4L, 0L)))
+    assert(got(5L) == (("unique five\n", 2L, 0L)))
+    assert(got.size == 6)
+  }
+
+  test("lineDedup guards the banned-frontier driver collect") {
+    import graft.operators.CorpusOps.lineDedup
+    val docs = Seq((0L, "a\nb"), (1L, "a\nb"), (2L, "a\nb"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      lineDedup(docs, minDf = 2, maxBanned = 1).collect()
+    }
+    assert(e.getMessage.contains("maxBanned"))
+  }
+
+  test("lineDedupQuery matches an exact in-driver line-df reference") {
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    val planted = raw.map { case (id, t, src, lang) =>
+      id -> s"hdr $src\n$t\nref ${id / 2}\nftr $lang"
+    }
+    val df = scala.collection.mutable.Map[String, Int]()
+    planted.foreach { case (_, t) =>
+      t.split("\n", -1).distinct.foreach(l =>
+        df(l) = df.getOrElse(l, 0) + 1)
+    }
+    val expected = planted.map { case (id, t) =>
+      val kept = t.split("\n", -1).filter(df(_) < 3)
+      id -> ((kept.mkString("\n"),
+        kept.length.toLong,
+        (t.split("\n", -1).length - kept.length).toLong))
+    }.toMap
+    val got = graft.operators.CorpusOps.lineDedupQuery(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // non-vacuous: headers/footers dropped, ref lines kept
+    assert(got.values.exists(_._3 >= 2L), "nothing dropped — vacuous")
+    assert(got.values.forall(_._2 >= 1L), "a doc lost its content line")
+  }
+
   test("mixSources hits each source's integer token target with the offset rule") {
     val budget = 20000L
     val got = CorpusOps.mixSources(spark, sf, budget).collect()
