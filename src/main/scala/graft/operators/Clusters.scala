@@ -90,6 +90,50 @@ object Clusters {
       .orderBy(col("doc_id"))
   }
 
+  /** D12 — SCORED dedup apply: keep each near-dup cluster's
+    * HIGHEST-QUALITY member (the T15 model score; ties broken toward
+    * the smaller doc_id), not its minimum id. Min-id keeping ([[
+    * dedupApply]]) is the cheap default, but when a cluster mixes a
+    * clean original with truncated or boilerplate-padded copies, the
+    * pipeline should retain the best copy — the standard refinement
+    * on top of MinHash clustering. Both the score and the keeper
+    * decision are oracle-checked (the score is T15's bit-exact
+    * rational arithmetic).
+    */
+  def dedupApplyBest(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.02): DataFrame =
+    dedupApplyBestFromClusters(graft.Tables.documents(spark, sfDir),
+      nearDupClusters(spark, sfDir, threshold))
+
+  /** [[dedupApplyBest]] from resolved `(doc_id, cluster_id)` labels.
+    *
+    * Shape: clusters hold only docs that appear in some pair, so the
+    * score join touches that small fraction — ids join INTO the
+    * corpus (broadcastable), each clustered doc is scored by the
+    * pure-projection kernel column, and the per-cluster argmax is ONE
+    * partial-agged `max(struct(score, -doc_id))` — no window, k rows
+    * out per cluster. The final removal is the same id-only LEFT ANTI
+    * join as D9; text never crosses a shuffle.
+    */
+  def dedupApplyBestFromClusters(docs: DataFrame,
+      clusters: DataFrame): DataFrame = {
+    val scored = docs
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        TextOps.modelQualityScore(col("text")).as("q"))
+    // lexicographic max over (score, -doc_id): max score, then min id
+    val keepers = scored
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select((-col("best.nid")).as("doc_id"))
+    val losers = clusters.select(col("doc_id"))
+      .join(keepers, Seq("doc_id"), "left_anti")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Connected components over an arbitrary `(doc_a, doc_b)` pair
     * frame — the testable core. Output: one row per node that appears
     * in any pair, `(doc_id, cluster_id)` with `cluster_id` = the

@@ -52,7 +52,8 @@ object TextRegistry {
     "corpus_stats" -> (CorpusOps.corpusStats _),
     "top_ngrams" -> ((s, d) => CorpusOps.topNgrams(s, d)),
     "boilerplate_share" -> ((s, d) => CorpusOps.boilerplateShare(s, d)),
-    "line_dedup" -> (CorpusOps.lineDedupQuery _)
+    "line_dedup" -> (CorpusOps.lineDedupQuery _),
+    "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d))
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
@@ -78,6 +79,31 @@ object TextRegistry {
        |  UNION
        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
        |)""".stripMargin
+
+  // T15 model-score CTE chain (qs(doc_id, q_score)) — shared by
+  // quality_classify and dedup_apply_best; q-prefixed names so it
+  // composes with CLUSTER_CTE (whose `t` is the shingle table)
+  private lazy val QSCORE_CTES =
+    s"""qt AS (SELECT doc_id, text, $TOKS AS tk FROM documents),
+       |qm AS (SELECT doc_id, len(tk)::BIGINT AS n,
+       |  length(text) AS n_chars,
+       |  len(list_filter(tk, x -> x IN $EN))::BIGINT AS sw,
+       |  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS pc,
+       |  len(list_distinct(list_transform(range(1, greatest(len(tk), 1)),
+       |    i -> concat_ws(' ', tk[i], tk[i+1]))))::BIGINT AS d2
+       | FROM qt),
+       |qtop AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM (
+       |  SELECT doc_id, w, count(*) AS c FROM
+       |    (SELECT doc_id, unnest(tk) AS w FROM qt) GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |qs AS (SELECT qm.doc_id,
+       |   least(n::DOUBLE, 400.0) / 400.0 * 0.35
+       | + least(sw::DOUBLE / n::DOUBLE * 4.0, 1.0) * 0.25
+       | + (1.0 - least(pc::DOUBLE / n_chars::DOUBLE * 5.0, 1.0)) * 0.15
+       | + (1.0 - top_c::DOUBLE / n::DOUBLE) * 0.15
+       | + (1.0 - CASE WHEN n <= 1 THEN 0.0
+       |     ELSE (n - 1 - d2)::DOUBLE / (n - 1) END) * 0.10 AS q_score
+       | FROM qm JOIN qtop USING (doc_id))""".stripMargin
 
   private val PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
@@ -339,28 +365,27 @@ object TextRegistry {
     // linear quality model — rational arithmetic only, term order
     // mirrors TextOps.qualityClassify exactly (left-assoc sums)
     "quality_classify" ->
-      s"""WITH t AS (SELECT doc_id, text, $TOKS AS tk FROM documents),
-         |m AS (SELECT doc_id, len(tk)::BIGINT AS n,
-         |  length(text) AS n_chars,
-         |  len(list_filter(tk, x -> x IN $EN))::BIGINT AS sw,
-         |  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS pc,
-         |  len(list_distinct(list_transform(range(1, greatest(len(tk), 1)),
-         |    i -> concat_ws(' ', tk[i], tk[i+1]))))::BIGINT AS d2
-         | FROM t),
-         |top AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM (
-         |  SELECT doc_id, w, count(*) AS c FROM
-         |    (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY doc_id, w)
-         |  GROUP BY doc_id),
-         |s AS (SELECT m.doc_id,
-         |   least(n::DOUBLE, 400.0) / 400.0 * 0.35
-         | + least(sw::DOUBLE / n::DOUBLE * 4.0, 1.0) * 0.25
-         | + (1.0 - least(pc::DOUBLE / n_chars::DOUBLE * 5.0, 1.0)) * 0.15
-         | + (1.0 - top_c::DOUBLE / n::DOUBLE) * 0.15
-         | + (1.0 - CASE WHEN n <= 1 THEN 0.0
-         |     ELSE (n - 1 - d2)::DOUBLE / (n - 1) END) * 0.10 AS q_score
-         | FROM m JOIN top USING (doc_id))
+      s"""WITH $QSCORE_CTES
          |SELECT doc_id, q_score, q_score >= 0.5 AS keep
-         |FROM s ORDER BY doc_id""".stripMargin,
+         |FROM qs ORDER BY doc_id""".stripMargin,
+    // scored dedup apply: same transitive closure as dedup_apply, but
+    // the keeper per cluster is the argmax of the T15 model score
+    // (ties toward the smaller doc_id) — score arithmetic identical
+    // to quality_classify, so the keeper decision is bit-exact
+    "dedup_apply_best" ->
+      s"""$CLUSTER_CTE,
+         |$QSCORE_CTES,
+         |c AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |      FROM reach GROUP BY src),
+         |k AS (SELECT doc_id FROM (
+         |  SELECT c.doc_id, row_number() OVER (
+         |    PARTITION BY c.cluster_id
+         |    ORDER BY qs.q_score DESC, c.doc_id) AS rn
+         |  FROM c JOIN qs ON c.doc_id = qs.doc_id) WHERE rn = 1)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+         |WHERE c.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM k)
+         |ORDER BY d.doc_id""".stripMargin,
     "contamination_screen" ->
       s"""WITH t AS (SELECT doc_id, $SH AS sh FROM documents),
          |tt AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),

@@ -121,6 +121,33 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
   }
 
+  test("dedupApplyBest keeps each cluster's argmax-quality member (ties to min id)") {
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusters = Clusters.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty, "no clusters — vacuous test")
+    val scores = TextOps.qualityClassify(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keepers = clusters.groupBy(_._2).values.map { members =>
+      members.map(_._1).minBy(id => (-scores(id), id))
+    }.toSet
+    val losers = clusters.map(_._1).toSet -- keepers
+    val got = Clusters.dedupApplyBest(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == all -- losers)
+    // non-vacuous refinement: at least one keeper must differ from
+    // the min-id rule, or this test degenerates into dedupApply's
+    val minIdKeepers = clusters.groupBy(_._2).values
+      .map(_.map(_._1).min).toSet
+    assert(keepers != minIdKeepers,
+      "argmax-quality picked exactly the min ids — widen the fixture")
+    val plan = Clusters.dedupApplyBest(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
+    assert(!plan.contains("Window"), s"keeper argmax must be an agg:\n$plan")
+  }
+
   test("screenApply keeps exactly the corpus minus the flagged doc side") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$sf/documents.parquet")
