@@ -459,6 +459,66 @@ object Similarity {
           .cast("int").as("q"))
       .orderBy(col("vec_id"), col("pos"))
 
+  /** S11 — RANDOM SIGN PROJECTION (Achlioptas-style ±1
+    * Johnson-Lindenstrauss): project `dIn`-dim embeddings to `dOut`
+    * signed sums `p[j] = Σᵢ s(j,i)·x[i]` — the dimensionality-cut a
+    * pipeline runs before LSH banding or coarse clustering when dim
+    * is large. The uniform 1/√dOut JL scale is OMITTED on purpose:
+    * cosine similarity is scale-invariant, so downstream ANN over the
+    * raw sums is identical, and the output stays EXACT.
+    *
+    * Oracle-exactness: each x[i] enters as its DECIMAL(18,4) unscaled
+    * long ([[graft.functions.CentroidKernels.dec4Scaled]] — the same
+    * rounding DuckDB's decimal cast applies, the k-means precedent),
+    * the signs are ±1, so every projected coordinate is an INTEGER
+    * sum (order-free, engine-reproducible bit-for-bit) emitted as
+    * `p_scaled` = 10⁴·projection. The sign matrix is public
+    * randomness both engines derive identically: s(j,i) = +1 iff the
+    * first hex digit of md5("j_i") is even — dOut×dIn digests
+    * computed ONCE on the driver (≈1k entries), never per row.
+    *
+    * Scale shape: ONE typed flatMap scan (dOut longs out per vector,
+    * a dIn/dOut-× shrink of what ANN shuffles downstream), no
+    * joins, no shuffles before the oracle-query sort. Scale contract:
+    * |Σ| < 2⁶³ needs dIn·max|x| < 9·10¹⁴ — any real embedding scale.
+    */
+  def embedProject(spark: SparkSession, sfDir: String,
+      dOut: Int = 16, dIn: Int = 64): DataFrame = {
+    require(dOut > 0 && dOut <= 4096, s"dOut out of range: $dOut")
+    require(dIn > 0 && dIn <= 65536, s"dIn out of range: $dIn")
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs: Array[Array[Long]] = Array.tabulate(dOut) { j =>
+      Array.tabulate(dIn) { i =>
+        val d = md.digest(s"${j}_${i}".getBytes("UTF-8"))
+        // first hex digit = high nibble of byte 0; even → +1
+        if ((((d(0) >> 4) & 0xf) & 1) == 0) 1L else -1L
+      }
+    }
+    embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        require(emb.length == dIn,
+          s"vec $id has dim ${emb.length}, expected $dIn")
+        val v = new Array[Long](dIn)
+        var i = 0
+        while (i < dIn) {
+          v(i) = graft.functions.CentroidKernels.dec4Scaled(emb(i).toDouble)
+          i += 1
+        }
+        (0 until dOut).iterator.map { j =>
+          val s = signs(j)
+          var acc = 0L
+          var t = 0
+          while (t < dIn) { acc += s(t) * v(t); t += 1 }
+          (id, j, acc)
+        }
+      }
+      .toDF("vec_id", "dim", "p_scaled")
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   /** S6 — Product-Quantization ANN (ADC scan + exact re-rank): the
     * memory-side scale path. IVF prunes WHICH vectors a query
     * touches; PQ shrinks WHAT each touched vector costs — `nSub`

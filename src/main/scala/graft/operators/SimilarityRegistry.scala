@@ -31,7 +31,8 @@ object SimilarityRegistry {
     "embed_kmeans" -> ((s, d) => Clustering.embedKmeans(s, d, k = 8)),
     "dedup_semantic" -> ((s, d) => Clustering.dedupSemantic(s, d, k = 8)),
     "semdedup_apply" -> ((s, d) => Clustering.semdedupApply(s, d, k = 8)),
-    "embed_quantize" -> ((s, d) => Similarity.embedQuantizeRows(s, d))
+    "embed_quantize" -> ((s, d) => Similarity.embedQuantizeRows(s, d)),
+    "embed_project" -> ((s, d) => Similarity.embedProject(s, d))
   )
 
   private val COS =
@@ -143,6 +144,24 @@ $tail"""
          |SELECT vec_id, scale,
          | generate_subscripts(v, 1) AS pos,
          | unnest(list_transform(v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS INT))) AS q
-         |FROM s ORDER BY vec_id, pos""".stripMargin
+         |FROM s ORDER BY vec_id, pos""".stripMargin,
+    // ±1 sign projection: the sign matrix is md5-parity public
+    // randomness, each coordinate a pure integer sum of DECIMAL(18,4)
+    // unscaled values — order-free, so the GROUP BY reproduces the
+    // engine's fixed-order loop bit-for-bit
+    "embed_project" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  generate_subscripts(embedding, 1) - 1 AS i,
+         |  CAST(CAST(unnest(embedding)::DOUBLE AS DECIMAL(18,4)) * 10000
+         |    AS BIGINT) AS v
+         | FROM embeddings),
+         |m AS (SELECT j, i,
+         |  CASE WHEN strpos('02468ace',
+         |    substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 1)) > 0
+         |  THEN 1 ELSE -1 END AS s
+         | FROM range(0, 16) t1(j), range(0, 64) t2(i))
+         |SELECT e.vec_id, m.j AS dim, sum(m.s * e.v)::BIGINT AS p_scaled
+         |FROM e JOIN m ON e.i = m.i
+         |GROUP BY e.vec_id, m.j ORDER BY vec_id, dim""".stripMargin
   )
 }

@@ -142,4 +142,49 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("embed_project: exact ±1 integer sums, cosine roughly preserved") {
+    def dec4(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValue()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Long = {
+      val d = md.digest(s"${j}_${i}".getBytes("UTF-8"))
+      if ((((d(0) >> 4) & 0xf) & 1) == 0) 1L else -1L
+    }
+    val orig = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expected = orig.flatMap { case (id, v) =>
+      (0 until 16).map(j =>
+        (id, j) -> v.indices.map(i => sign(j, i) * dec4(v(i).toDouble)).sum)
+    }
+    val got = Similarity.embedProject(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong.toInt) -> r.getLong(2))
+      .toMap
+    assert(got.size == orig.size * 16)
+    assert(got == expected)
+    // JL sanity: projected cosine tracks original cosine on average —
+    // a loose statistical bound (dOut=16), not a per-pair guarantee
+    def cosL(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    def cosF(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val ids = orig.keys.toArray.sorted.take(40)
+    val proj = ids.map(id =>
+      id -> (0 until 16).map(j => got((id, j))).toArray).toMap
+    val diffs = for {
+      a <- ids.indices; b <- (a + 1) until ids.length
+      if b - a <= 3 // a few hundred pairs is plenty
+    } yield math.abs(
+      cosF(orig(ids(a)), orig(ids(b))) - cosL(proj(ids(a)), proj(ids(b))))
+    assert(diffs.nonEmpty && diffs.sum / diffs.size < 0.25,
+      s"mean cosine distortion ${diffs.sum / diffs.size} too high")
+  }
 }
