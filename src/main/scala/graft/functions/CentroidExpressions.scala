@@ -84,6 +84,16 @@ object CentroidKernels {
     java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValue()
+
+  /** [[dec4Scaled]] at scale 12 — the LM-scoring precision: a
+    * per-token `ln` term (|x| ≤ ~30) becomes an exact long ≤ 3·10¹³,
+    * so per-doc sums stay order-free and overflow-safe through
+    * 3·10⁵-token documents.
+    */
+  def dec12Scaled(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValue()
 }
 
 private[functions] trait CentroidBase extends UnaryExpression {

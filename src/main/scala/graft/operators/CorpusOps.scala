@@ -139,12 +139,16 @@ object CorpusOps {
     * `limit = -1`). Verified against the harness DuckDB on
     * tab/newline/vertical-tab edge texts.
     */
-  private def trigramsOf(t: String): Iterator[String] = {
+  private[operators] def duckTokens(t: String): Array[String] = {
     var b = 0
     var e = t.length
     while (b < e && t.charAt(b) == ' ') b += 1
     while (e > b && t.charAt(e - 1) == ' ') e -= 1
-    val tk = t.substring(b, e).split("[ \t\n\f\r]+", -1)
+    t.substring(b, e).split("[ \t\n\f\r]+", -1)
+  }
+
+  private def trigramsOf(t: String): Iterator[String] = {
+    val tk = duckTokens(t)
     if (tk.length < 3) Iterator.empty
     else (0 to tk.length - 3).iterator
       .map(i => tk(i) + " " + tk(i + 1) + " " + tk(i + 2))

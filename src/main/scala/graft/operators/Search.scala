@@ -134,4 +134,106 @@ object Search {
         java.util.Arrays.asList(rows: _*), top.schema)
     } finally base.unpersist()
   }
+
+  /** The corpus token stream `(doc_id, token)` with the oracle's
+    * exact tokenization (`regexp_split_to_array(trim(text), '\s+')`
+    * — see [[CorpusOps.duckTokens]]), as a typed flatMap (never
+    * `explode(split(...))`, the linted Generate trap).
+    */
+  private def tokenStream(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => CorpusOps.duckTokens(t).map((id, _)) }
+      .toDF("doc_id", "w")
+  }
+
+  /** T20a — unigram-LM EVIDENCE per document, integer-exact (the
+    * oracle-checked core of [[lmPerplexity]], the bm25DocStats
+    * convention): for each doc, its token count, the sum of the
+    * corpus-wide counts of its tokens (with multiplicity), and the
+    * count of its rarest token. A doc whose `min_cnt` is 1 contains a
+    * corpus-unique token; a doc whose `sum_cnt/n_tokens` is large is
+    * made of very common words — the integer signals the smoothed LM
+    * score is built from.
+    *
+    * Scale shape: token strings shuffle twice (count-table groupBy,
+    * then the count join — both partial-agged / key-partitioned; the
+    * join is vocab×corpus-tokens, the standard scalable LM-train +
+    * score shape), one row per doc out. The corpus is scanned twice
+    * (train pass + score pass) — inherent to scoring against
+    * corpus-global statistics; both scans are the same cheap
+    * projection of (doc_id, text).
+    */
+  def lmDocStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = tokenStream(spark, sfDir)
+    val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    tok.join(cnt, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("sum_cnt"),
+        min(col("c")).as("min_cnt"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T20 — per-document PERPLEXITY under an add-one-smoothed unigram
+    * LM trained on the corpus itself (the CCNet-style LM quality
+    * filter, with the corpus as its own reference model):
+    * `ppl(d) = exp(ln(T+V+1) − (1/n)·Σ_w ln(c(w)+1))` — high for
+    * docs of rare tokens, low for boilerplate-common text. Add-one
+    * smoothing turns the per-token term into `ln(c+1)`, so the whole
+    * score needs only the count table plus two global scalars
+    * (T = total tokens, V = vocab size; one bounded agg folded in as
+    * literals, the BM25 stats precedent).
+    *
+    * Determinism at any partition count: each `ln(c+1)` enters the
+    * per-doc sum as its DECIMAL-scale-12 unscaled long (the
+    * dec4Scaled pattern at LM precision), so the shuffled aggregation
+    * is an exact integer sum — order-free — and only the final
+    * `exp(lnTV − s/10¹²/n)` runs in floats, one fixed-order
+    * expression. Scale contract: |Σ| < 2⁶³ holds through docs of
+    * 3×10⁵ tokens against any vocab ≤ 10¹². Rows-only for the driver
+    * oracle (JVM `ln`/`exp` differ from DuckDB's by 1 ulp on a tail
+    * of inputs — the bm25_search precedent); SearchSpec pins the ppl
+    * BIT-exactly against an in-driver reference, and the integer core
+    * is oracle-checked via [[lmDocStats]].
+    *
+    * The count table stays persisted (memory-and-disk) because the
+    * returned plan reads it twice removed — the stats job fills the
+    * cache, Spark's ContextCleaner reclaims it once the frame is
+    * unreachable (the boilerplateShare broadcast convention).
+    */
+  def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tok = tokenStream(spark, sfDir)
+    val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE bounded scalar job: vocab size + total tokens (fills the
+    // count-table cache as it aggregates)
+    val statRow = cnt.agg(count(lit(1)).as("v"), sum(col("c")).as("t")).head()
+    val vocab = statRow.getLong(0)
+    require(vocab > 0, "empty corpus")
+    val total = statRow.getLong(1)
+    val lnTV = math.log(total.toDouble + vocab.toDouble + 1.0)
+    tok.join(cnt, Seq("w"))
+      .select(col("doc_id"), col("c")).as[(Long, Long)]
+      .map { case (id, c) =>
+        (id, graft.functions.CentroidKernels.dec12Scaled(
+          math.log(c.toDouble + 1.0)))
+      }
+      .toDF("doc_id", "l")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("l")).as("s"))
+      .as[(Long, Long, Long)]
+      // final scalar in the typed layer: Catalyst's exp codegen is
+      // StrictMath-flavored and drifts 1 ulp from Math.exp on a tail
+      // of inputs — the typed map pins the exact JVM op sequence the
+      // spec reference uses
+      .map { case (id, n, s) =>
+        (id, n, math.exp(lnTV - s.toDouble / 1e12 / n.toDouble))
+      }
+      .toDF("doc_id", "n_tokens", "ppl")
+      .orderBy(col("doc_id"))
+  }
 }

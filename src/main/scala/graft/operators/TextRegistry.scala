@@ -53,7 +53,12 @@ object TextRegistry {
     "top_ngrams" -> ((s, d) => CorpusOps.topNgrams(s, d)),
     "boilerplate_share" -> ((s, d) => CorpusOps.boilerplateShare(s, d)),
     "line_dedup" -> (CorpusOps.lineDedupQuery _),
-    "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d))
+    "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d)),
+    "lm_doc_stats" -> (Search.lmDocStats _),
+    // rows-only: JVM ln/exp differ from DuckDB by 1 ulp on a tail of
+    // inputs (the bm25_search precedent); SearchSpec pins ppl
+    // bit-exactly, and the integer core is lm_doc_stats above
+    "lm_perplexity" -> (Search.lmPerplexity _)
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
@@ -478,6 +483,15 @@ object TextRegistry {
          |   / count(q) AS avg_quality,
          | sum(is_en)::BIGINT AS n_en
          |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // unigram-LM evidence: integer-exact count-table join — the
+    // oracle-checked core of lm_perplexity
+    "lm_doc_stats" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
+         |cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w)
+         |SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+         | sum(c.c)::BIGINT AS sum_cnt, min(c.c)::BIGINT AS min_cnt
+         |FROM tok JOIN cnt c USING (w)
+         |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin,
     // line-level dedup over the SAME planted multi-line text the
     // Spark query builds: a line in >= 3 distinct docs is dropped
     // everywhere; survivors rejoin in original order. string_split

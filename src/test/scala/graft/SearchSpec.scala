@@ -62,4 +62,43 @@ class SearchSpec extends AnyFunSuite {
     assert(stats == expected)
     assert(stats.nonEmpty, "query terms absent from corpus?")
   }
+
+  test("lmDocStats matches an exact in-driver count-table computation") {
+    val ds = docs
+    val cnt = scala.collection.mutable.Map[String, Long]()
+    ds.foreach(_._2.foreach(w => cnt(w) = cnt.getOrElse(w, 0L) + 1L))
+    val expected = ds.map { case (id, tk) =>
+      id -> ((tk.length.toLong, tk.map(cnt).sum, tk.map(cnt).min))
+    }.toMap
+    val got = graft.operators.Search.lmDocStats(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._3).toSet.size > 1,
+      "min_cnt constant across corpus — vacuous fixture")
+  }
+
+  test("lmPerplexity is bit-exact vs the in-driver smoothed-LM reference") {
+    import graft.functions.CentroidKernels.dec12Scaled
+    val ds = docs
+    val cnt = scala.collection.mutable.Map[String, Long]()
+    ds.foreach(_._2.foreach(w => cnt(w) = cnt.getOrElse(w, 0L) + 1L))
+    val vocab = cnt.size.toLong
+    val total = cnt.values.sum
+    val lnTV = math.log(total.toDouble + vocab.toDouble + 1.0)
+    val expected = ds.map { case (id, tk) =>
+      val s = tk.map(w => dec12Scaled(math.log(cnt(w).toDouble + 1.0))).sum
+      // the distributed expression's exact op order:
+      // exp(lnTV - s/1e12/n) — any drift is a strict != miss
+      id -> ((tk.length.toLong,
+        math.exp(lnTV - s.toDouble / 1e12 / tk.length.toDouble)))
+    }.toMap
+    val got = graft.operators.Search.lmPerplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+    // sanity: perplexities are positive, finite, and spread
+    val ppls = got.values.map(_._2)
+    assert(ppls.forall(p => p > 0.0 && java.lang.Double.isFinite(p)))
+    assert(ppls.max > ppls.min, "flat ppl across corpus — vacuous")
+  }
 }
