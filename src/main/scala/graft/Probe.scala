@@ -37,8 +37,10 @@ object Probe {
       "text_shingles", "text_novelty", "pack_sequences",
       "text_repetition", "pii_scrub", "quality_classify",
       "dedup_apply", "mix_sources", "screen_apply", "corpus_stats",
-      "top_ngrams", "boilerplate_share",
-      "bm25_search", "embed_kmeans", "embed_quantize",
+      "screen_ngram_overlap",
+      "top_ngrams", "top_ngrams_approx", "boilerplate_share",
+      "line_dedup", "dedup_apply_best", "lm_doc_stats", "lm_perplexity",
+      "bm25_search", "embed_kmeans", "embed_quantize", "embed_project",
       "pipeline_clean", "wordcount_salted",
       "multimodal_decode",
       "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",

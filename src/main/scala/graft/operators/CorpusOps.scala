@@ -184,6 +184,74 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** T21 — APPROXIMATE frequent-n-gram mining for corpora whose
+    * DISTINCT-gram table is itself too large to shuffle (the 100 TB
+    * regime [[topNgrams]]'s exact groupBy eventually hits: the
+    * exchange carries one row per distinct trigram — billions).
+    * Two bounded passes instead:
+    *
+    *  1. per-partition MISRA–GRIES(capacity) summaries (typed
+    *     mapPartitions, fixed memory): any gram with partition-local
+    *     count > partitionSize/capacity survives its partition's
+    *     summary, so the candidate union (≤ capacity rows per
+    *     partition, ids only ever partially-agged) contains every
+    *     gram with global count > totalGrams/capacity.
+    *  2. EXACT recount of the bounded candidate set (broadcast hash
+    *     set, one more scan, partial-agged count of candidate hits
+    *     only), then the same deterministic top-k frontier as T17.
+    *
+    * Output counts are EXACT (pass 2); only the candidate RECALL is
+    * approximate, with the classic guarantee above — the returned
+    * top-k equals the exact top-k whenever the true k-th count
+    * exceeds totalGrams/capacity (asserted against [[topNgrams]] in
+    * CorpusOpsSpec at test SFs; rows-only for the driver oracle
+    * because the candidate frontier under ties is summary-dependent).
+    */
+  def topNgramsApprox(spark: SparkSession, sfDir: String,
+      k: Int = 100, capacity: Int = 4096): DataFrame = {
+    require(k > 0 && k <= 100000,
+      s"k must be in 1..100000 (driver-bounded result), got $k")
+    require(capacity >= k,
+      s"capacity ($capacity) must be >= k ($k) for the recall bound")
+    import spark.implicits._
+    val grams = documents(spark, sfDir).select(col("text")).as[String]
+      .flatMap(trigramsOf)
+    val candidates = grams
+      .mapPartitions { it =>
+        // Misra–Gries: maintain ≤ capacity counters; on overflow,
+        // decrement all (lazily via a global offset would break the
+        // classic bound's simplicity — decrement explicitly, the
+        // eviction sweep amortizes to O(1) per arrival)
+        val m = new java.util.HashMap[String, Long](capacity * 2)
+        it.foreach { g =>
+          val c = m.get(g)
+          if (c != 0L || m.containsKey(g)) m.put(g, c + 1L)
+          else if (m.size < capacity) m.put(g, 1L)
+          else {
+            val e = m.entrySet().iterator()
+            while (e.hasNext) {
+              val en = e.next()
+              if (en.getValue == 1L) e.remove()
+              else en.setValue(en.getValue - 1L)
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        m.keySet().iterator().asScala
+      }
+      .distinct()
+      .limit(capacity * 1024) // bounded by partitions × capacity anyway
+      .collect()
+    val bc = spark.sparkContext.broadcast(candidates.toSet)
+    grams
+      .filter(g => bc.value.contains(g))
+      .toDF("ngram")
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** T18 — per-document BOILERPLATE SHARE: how much of each document
     * is made of the corpus' [[topNgrams]] — the Gopher-style signal a
     * pipeline thresholds to drop template-heavy documents. Consumes
@@ -227,7 +295,7 @@ object CorpusOps {
     * collisions (the documented contract of the whole hash-key
     * family, ≈ d²/2⁶⁵ corpus-wide).
     */
-  private def lineHash(s: String): Long = {
+  private[graft] def lineHash(s: String): Long = {
     val bs = s.getBytes("UTF-8")
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -267,14 +335,20 @@ object CorpusOps {
     * downstream — this operator must not silently change corpus
     * membership).
     */
-  def lineDedup(docs: DataFrame, minDf: Int = 3,
-      maxBanned: Int = 4000000): DataFrame = {
+  /** The banned-line frontier of [[lineDedup]]'s df pass, as the
+    * sorted hash array the rebuild scan binary-searches — exposed so
+    * a STREAMING pipeline can mine the frontier from the historical
+    * corpus once and scrub arrivals statelessly
+    * ([[graft.streaming.StreamingOps.streamingLineDedup]]).
+    */
+  def bannedLineFrontier(docs: DataFrame, minDf: Int = 3,
+      maxBanned: Int = 4000000): Array[Long] = {
     require(minDf >= 2, s"minDf must be >= 2 (1 would drop every line): $minDf")
     require(maxBanned > 0, s"maxBanned must be > 0: $maxBanned")
     val spark = docs.sparkSession
     import spark.implicits._
-    val ds = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-    val bannedRows = ds
+    val bannedRows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
       .flatMap { case (_, t) =>
         val hs = splitLines(t).map(lineHash)
         java.util.Arrays.sort(hs)
@@ -300,7 +374,16 @@ object CorpusOps {
       s"banned-line frontier exceeds maxBanned=$maxBanned — raise the " +
         "budget or raise minDf; refusing an unbounded driver collect")
     java.util.Arrays.sort(bannedRows)
-    val bc = spark.sparkContext.broadcast(bannedRows)
+    bannedRows
+  }
+
+  def lineDedup(docs: DataFrame, minDf: Int = 3,
+      maxBanned: Int = 4000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val bc = spark.sparkContext.broadcast(
+      bannedLineFrontier(docs, minDf, maxBanned))
     ds.map { case (id, t) =>
         val ls = splitLines(t)
         val sb = new java.lang.StringBuilder

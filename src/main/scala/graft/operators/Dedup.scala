@@ -104,6 +104,118 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** D13 — VERBATIM n-GRAM OVERLAP SCREEN (the GPT-3/Llama eval
+    * decontamination standard): flag every corpus doc that shares at
+    * least one verbatim `n`-token window with ANY reference doc —
+    * no jaccard threshold, no denominator; a single leaked eval
+    * question inside a long document must flag it, which a
+    * similarity ratio dilutes away. Complements [[screenDocs]] (the
+    * jaccard screen) the way D10 exact-substring complements D4.
+    * Output: `(doc_id, n_overlap)` = how many of the doc's DISTINCT
+    * n-grams sit in the reference set, for flagged docs only.
+    *
+    * Shape (the [[screenDocsIndexed]] recipe without the pair tail):
+    * reference pass — n-gram FNV keys of the `refMod` subset, distinct,
+    * budget-guarded bounded collect, broadcast as a sorted long[];
+    * corpus pass — ONE typed map per doc binary-searching its
+    * distinct gram keys. Zero data shuffles, per-doc bounded state;
+    * exact up to 64-bit collisions (the hash-key family contract).
+    * Tokenization/gram construction mirrors the oracle exactly
+    * ([[CorpusOps.duckTokens]] + space-joined windows).
+    */
+  def screenNgramOverlap(docsDf: DataFrame,
+      n: Int = 13, refMod: Int = 7,
+      maxRefGrams: Int = 100000000): DataFrame = {
+    require(n >= 2 && n <= 64, s"n out of range: $n")
+    require(refMod >= 2, s"refMod must be >= 2: $refMod")
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val docs = docsDf
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    def gramKeys(t: String): Array[Long] = {
+      val tk = CorpusOps.duckTokens(t)
+      if (tk.length < n) Array.emptyLongArray
+      else {
+        val out = new Array[Long](tk.length - n + 1)
+        var i = 0
+        while (i <= tk.length - n) {
+          // FNV over the space-joined window — identical bytes to the
+          // oracle's concat_ws(' ', ...) gram string
+          var h = 0xcbf29ce484222325L
+          var w = 0
+          while (w < n) {
+            if (w > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+            val bs = tk(i + w).getBytes("UTF-8")
+            var b = 0
+            while (b < bs.length) {
+              h ^= bs(b) & 0xffL; h *= 0x100000001b3L; b += 1
+            }
+            w += 1
+          }
+          out(i) = h
+          i += 1
+        }
+        java.util.Arrays.sort(out)
+        var m = 0
+        var j = 0
+        while (j < out.length) {
+          if (m == 0 || out(m - 1) != out(j)) { out(m) = out(j); m += 1 }
+          j += 1
+        }
+        java.util.Arrays.copyOf(out, m)
+      }
+    }
+    val refKeys = docs
+      .filter(col("doc_id") % refMod === 0)
+      .flatMap { case (_, t) => gramKeys(t) }
+      .toDF("h").distinct()
+      .select(col("h")).as[Long]
+      .limit(maxRefGrams + 1)
+      .collect()
+    require(refKeys.length <= maxRefGrams,
+      s"reference n-gram set exceeds maxRefGrams=$maxRefGrams — an eval " +
+        "reference should be orders of magnitude smaller than the corpus; " +
+        "refusing an unbounded driver collect")
+    java.util.Arrays.sort(refKeys)
+    val bc = spark.sparkContext.broadcast(refKeys)
+    docs
+      .filter(col("doc_id") % refMod =!= 0)
+      .map { case (id, t) =>
+        val ks = gramKeys(t)
+        var hits = 0L
+        var i = 0
+        while (i < ks.length) {
+          if (java.util.Arrays.binarySearch(bc.value, ks(i)) >= 0)
+            hits += 1
+          i += 1
+        }
+        (id, hits)
+      }
+      .filter(_._2 > 0L)
+      .toDF("doc_id", "n_overlap")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered `screen_ngram_overlap` query: random word-soup
+    * has no natural verbatim 13-gram collisions, so (the pii_scrub
+    * planting precedent) a fixed 13-token phrase is appended to every
+    * doc_id ≡ 3 (mod 11) — by CRT that set intersects the reference
+    * ids (≡ 0 mod 7), so the phrase legitimately sits in the
+    * reference set and each planted non-ref doc gains exactly one
+    * overlapping distinct 13-gram... plus the 12 bridge grams its
+    * suffix forms with the plant, all absent from refs (their
+    * prefixes differ per doc). The oracle builds the identical text.
+    */
+  def screenNgramOverlapQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val phrase = (0 until 13).map(i => s"ev$i").mkString(" ")
+    val planted = documents(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 11 === 3,
+        concat(col("text"), lit(" " + phrase)))
+        .otherwise(col("text")).as("text"))
+    screenNgramOverlap(planted)
+  }
+
   // ---- shared pieces of the two screen shapes ----
 
   /** Parallelism floor: a compact parquet input yields few splits

@@ -54,6 +54,11 @@ object TextRegistry {
     "boilerplate_share" -> ((s, d) => CorpusOps.boilerplateShare(s, d)),
     "line_dedup" -> (CorpusOps.lineDedupQuery _),
     "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d)),
+    // rows-only: exact counts on an MG-mined candidate set — the
+    // frontier under summary-dependent ties has no SQL oracle; the
+    // top-k == exact-top-k guarantee is spec'd vs topNgrams
+    "top_ngrams_approx" -> ((s, d) => CorpusOps.topNgramsApprox(s, d)),
+    "screen_ngram_overlap" -> (Dedup.screenNgramOverlapQuery _),
     "lm_doc_stats" -> (Search.lmDocStats _),
     // rows-only: JVM ln/exp differ from DuckDB by 1 ulp on a tail of
     // inputs (the bm25_search precedent); SearchSpec pins ppl
@@ -483,6 +488,24 @@ object TextRegistry {
          |   / count(q) AS avg_quality,
          | sum(is_en)::BIGINT AS n_en
          |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // verbatim 13-gram overlap vs the reference subset, over the SAME
+    // planted text the Spark query builds; counts are distinct-gram
+    // hits per flagged non-ref doc — integer-exact
+    "screen_ngram_overlap" ->
+      s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 11 = 3
+         |  THEN text || ' ev0 ev1 ev2 ev3 ev4 ev5 ev6 ev7 ev8 ev9 ev10 ev11 ev12'
+         |  ELSE text END AS text FROM documents),
+         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM d),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 11, 1)),
+         |    i -> array_to_string(list_slice(tk, i, i + 12), ' ')))) AS gm
+         |  FROM t WHERE len(tk) >= 13),
+         |r AS (SELECT DISTINCT gm FROM g WHERE doc_id % 7 = 0)
+         |SELECT g.doc_id, count(*)::BIGINT AS n_overlap
+         |FROM g JOIN r USING (gm)
+         |WHERE g.doc_id % 7 <> 0
+         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
     // unigram-LM evidence: integer-exact count-table join — the
     // oracle-checked core of lm_perplexity
     "lm_doc_stats" ->

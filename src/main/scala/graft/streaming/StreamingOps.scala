@@ -329,4 +329,39 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), col("ref_id"), col("jaccard"))
       .dropDuplicatesWithinWatermark("doc_id", "ref_id")
   }
+
+  /** X10 — STREAM-SIDE LINE DEDUP: scrub each arriving document
+    * against a PRECOMPUTED banned-line frontier (the batch
+    * [[graft.operators.CorpusOps.lineDedup]] df pass over the
+    * historical corpus — the stream–static split every production
+    * line-dedup runs: the frontier is mined offline, arrivals are
+    * scrubbed online). Stateless pure projection — no watermark, no
+    * state store — so it composes into any `readStream` pipeline; the
+    * broadcast sorted long[] is the same binary-search structure as
+    * the batch rebuild scan, and stream output is asserted identical
+    * to the batch operator on the same rows.
+    */
+  def streamingLineDedup(docs: Dataset[StreamDoc],
+      bannedSorted: Array[Long]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(bannedSorted)
+    docs.map { d =>
+      val ls = d.text.split("\n", -1)
+      val sb = new java.lang.StringBuilder
+      var kept = 0L
+      var dropped = 0L
+      var i = 0
+      while (i < ls.length) {
+        if (java.util.Arrays.binarySearch(bc.value,
+            graft.operators.CorpusOps.lineHash(ls(i))) >= 0) dropped += 1
+        else {
+          if (kept > 0) sb.append('\n')
+          sb.append(ls(i))
+          kept += 1
+        }
+        i += 1
+      }
+      (d.doc_id, d.ts, sb.toString, kept, dropped)
+    }.toDF("doc_id", "ts", "clean_text", "n_kept", "n_dropped")
+  }
 }

@@ -162,6 +162,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), s"explode crept back in:\n$plan")
   }
 
+  test("topNgramsApprox == exact topNgrams when counts clear the MG bound") {
+    val k = 50
+    val capacity = 16384
+    val exact = CorpusOps.topNgrams(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the guarantee's PRECONDITION must hold at this capacity — the
+    // k-th count clears totalGrams/capacity (at 4096 this fixture's
+    // count-5 tail sits BELOW the bound and MG legitimately misses
+    // count-6 grams; the operator's contract is conditional)
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(r => refGrams(r.getString(0)).length)
+      .sum.toLong
+    assert(exact.last._2 > total / capacity,
+      s"fixture too flat for the certification bound " +
+        s"(kth=${exact.last._2}, N/m=${total / capacity})")
+    val approx = CorpusOps.topNgramsApprox(spark, sf, k, capacity)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(approx == exact,
+      "MG candidates missed a true top-k gram despite the bound holding")
+  }
+
   test("gram tokenization mirrors DuckDB on edge whitespace (tabs, newlines, \\x0B)") {
     // verified DuckDB 1.0.0 behavior: trim strips spaces ONLY, so a
     // leading tab yields an edge empty token; a trailing newline

@@ -54,6 +54,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming line dedup scrubs arrivals identically to the batch operator") {
+    import graft.streaming.StreamingOps.StreamDoc
+    import spark.implicits._
+    // historical corpus: "boiler" sits in 3 docs (banned at minDf=3),
+    // "pair" in 2 (kept); the frontier is mined batch-side once
+    val hist = Seq(
+      (0L, "boiler\nhist zero\npair"),
+      (1L, "boiler\nhist one\npair"),
+      (2L, "boiler\nhist two")).toDF("doc_id", "text")
+    val banned = graft.operators.CorpusOps.bannedLineFrontier(hist)
+    val arrivals = Seq(
+      StreamDoc(10L, ts(0), "boiler\nfresh ten"),
+      StreamDoc(11L, ts(1), "pair\nfresh eleven\nboiler"),
+      StreamDoc(12L, ts(2), "boiler")) // fully scrubbed, stays
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingLineDedup(in.toDS(), banned)
+      .writeStream.format("memory").queryName("line_dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("line_dedup_out").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+      // batch operator over the same rows (frontier from hist ∪ the
+      // arrival's own lines would differ — the stream contract is
+      // scrub-vs-historical-frontier, so compare against a batch
+      // rebuild with the SAME frontier): expected values by hand
+      assert(got(10L) == (("fresh ten", 1L, 1L)))
+      assert(got(11L) == (("pair\nfresh eleven", 2L, 1L)))
+      assert(got(12L) == (("", 0L, 1L)))
+      assert(got.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming near-dup within one batch keeps the earliest copy") {
     import graft.streaming.StreamingOps.StreamDoc
     val base = "alpha beta gamma delta epsilon zeta eta theta " * 10

@@ -196,6 +196,64 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no verbatim 8-token overlap in corpus — vacuous")
   }
 
+  test("screen_ngram_overlap flags exactly the docs sharing a 13-gram with a ref") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand corpus: refs are % 7 == 0. doc 3 embeds ref 0's middle 13
+    // tokens verbatim; doc 4 shares only 12 consecutive tokens (below
+    // the window); doc 5 is disjoint.
+    val refText = (0 until 20).map(i => s"r$i").mkString(" ")
+    val steal13 = (2 until 15).map(i => s"r$i").mkString(" ")
+    val steal12 = (2 until 14).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (0L, refText),
+      (3L, s"alpha beta $steal13 gamma"),
+      (4L, s"alpha beta $steal12 gamma delta epsilon"),
+      (5L, (0 until 20).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.screenNgramOverlap(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 3's distinct 13-grams include exactly TWO windows fully
+    // inside ref 0's token stream? No: its windows mixing alpha/beta/
+    // gamma differ; the stolen run r2..r14 is 13 tokens = exactly one
+    // window, and ref 0 contains it (r2..r14 ⊂ r0..r19)
+    assert(got == Map(3L -> 1L), s"got $got")
+
+    val sf = "/root/testdata/sf0.001"
+    val flagged = graft.operators.Dedup
+      .screenNgramOverlapQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flagged.nonEmpty, "planted phrase flagged nothing — vacuous")
+    // full in-driver reference over the same planted corpus: natural
+    // overlaps exist too (exact-duplicate docs share every window),
+    // so expected = exact distinct-gram overlap counts, not just the
+    // planted ids
+    val phrase = (0 until 13).map(i => s"ev$i").mkString(" ")
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        if (r.getLong(0) % 11 == 3) r.getString(1) + " " + phrase
+        else r.getString(1)))
+    def windows(t: String): Set[String] = {
+      val tk = t.trim.split("\\s+")
+      if (tk.length < 13) Set.empty
+      else (0 to tk.length - 13).map(i =>
+        tk.slice(i, i + 13).mkString(" ")).toSet
+    }
+    val refSet = planted.filter(_._1 % 7 == 0)
+      .flatMap(p => windows(p._2)).toSet
+    val expected = planted.filter(_._1 % 7 != 0).flatMap { case (id, t) =>
+      val ov = windows(t).count(refSet)
+      if (ov > 0) Some(id -> ov.toLong) else None
+    }.toMap
+    assert(flagged == expected)
+    // the plant is doing its job: every planted non-ref with >= 13
+    // tokens is among the flagged
+    val plantedIds = planted.filter(p => p._1 % 11 == 3 && p._1 % 7 != 0)
+      .filter(p => windows(p._2).nonEmpty).map(_._1).toSet
+    assert(plantedIds.subsetOf(flagged.keySet))
+  }
+
   test("wordcount total equals token total") {
     val total = TextOps.wordcount(spark, sf)
       .agg(sum("n")).head().getLong(0)
