@@ -53,9 +53,6 @@ object Probe {
       "contamination_screen_indexed" -> (() =>
         operators.Dedup.screenDocsIndexed(
           graft.Tables.documents(spark, sfDir))),
-      "contamination_screen_join" -> (() =>
-        operators.Dedup.screenDocsJoin(
-          graft.Tables.documents(spark, sfDir))),
       // near-dup regime: 16-bit bands -> ~corpus/65536 per bucket +
       // true-duplicate groups; exact pairs (cosine 1.0) recall is 1.0
       // at any scale because identical vectors share every signature
@@ -92,7 +89,15 @@ object Probe {
           .localCheckpoint(true)
         operators.Clusters.dedupApplyFromClusters(
           graft.Tables.documents(spark, sfDir), clusters)
-      }))
+      }),
+      // LAST on purpose: the deliberately-degraded join fallback is
+      // the probe's heaviest stressor and has twice taken the whole
+      // session down with a driver OOM under host memory pressure —
+      // run it when nothing is left to poison (or give the forked JVM
+      // more heap via SPARK_DRIVER_MEM)
+      "contamination_screen_join" -> (() =>
+        operators.Dedup.screenDocsJoin(
+          graft.Tables.documents(spark, sfDir))))
 
     // warm codegen/JIT on the small SF so timings are steady-state
     val warmDir = "/root/testdata/sf0.01"

@@ -135,17 +135,24 @@ object Search {
     } finally base.unpersist()
   }
 
-  /** The corpus token stream `(doc_id, token)` with the oracle's
-    * exact tokenization (`regexp_split_to_array(trim(text), '\s+')`
-    * — see [[CorpusOps.duckTokens]]), as a typed flatMap (never
-    * `explode(split(...))`, the linted Generate trap).
+  /** The corpus token stream `(doc_id, fnv64(token))` with the
+    * oracle's exact tokenization (`regexp_split_to_array(trim(text),
+    * '\s+')` — see [[CorpusOps.duckTokens]]), as a typed flatMap
+    * (never `explode(split(...))`, the linted Generate trap). Tokens
+    * travel as 8-byte FNV keys, not strings — the count-table groupBy
+    * and the count join are the LM family's only shuffles, and
+    * hashing them is the same trade the jaccard posting family made
+    * (SURVEY §8b): exact up to 64-bit collisions, ≈ v²/2⁶⁵ over the
+    * vocabulary.
     */
   private def tokenStream(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
     documents(spark, sfDir).select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .flatMap { case (id, t) => CorpusOps.duckTokens(t).map((id, _)) }
+      .flatMap { case (id, t) =>
+        CorpusOps.duckTokens(t).map(w => (id, CorpusOps.lineHash(w)))
+      }
       .toDF("doc_id", "w")
   }
 
