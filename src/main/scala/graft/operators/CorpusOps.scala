@@ -206,13 +206,29 @@ object CorpusOps {
     * exceeds totalGrams/capacity (asserted against [[topNgrams]] in
     * CorpusOpsSpec at test SFs; rows-only for the driver oracle
     * because the candidate frontier under ties is summary-dependent).
+    *
+    * The candidate union is ≤ capacity × #partitions distinct grams
+    * (each partition's MG summary contributes at most `capacity`);
+    * the driver collect is budgeted by `maxCandidates` and FAILS
+    * LOUDLY past it (the [[bannedLineFrontier]] contract — a silent
+    * `limit` would drop an arbitrary candidate subset and void the
+    * recall guarantee this operator exists to provide). At 10⁶
+    * partitions the union can genuinely exceed any driver budget; the
+    * loud failure tells the caller to raise `capacity`'s selectivity
+    * (fewer survivors per partition via a larger corpus-per-partition
+    * ratio), coalesce the scan, or raise the budget knowingly. Budget
+    * cost: candidates are short strings — 8M trigrams ≈ a few hundred
+    * MB of driver heap, the same order as the banned-line frontier.
     */
   def topNgramsApprox(spark: SparkSession, sfDir: String,
-      k: Int = 100, capacity: Int = 4096): DataFrame = {
+      k: Int = 100, capacity: Int = 4096,
+      maxCandidates: Int = 8000000): DataFrame = {
     require(k > 0 && k <= 100000,
       s"k must be in 1..100000 (driver-bounded result), got $k")
     require(capacity >= k,
       s"capacity ($capacity) must be >= k ($k) for the recall bound")
+    require(maxCandidates >= capacity,
+      s"maxCandidates ($maxCandidates) must be >= capacity ($capacity)")
     import spark.implicits._
     val grams = documents(spark, sfDir).select(col("text")).as[String]
       .flatMap(trigramsOf)
@@ -240,8 +256,13 @@ object CorpusOps {
         m.keySet().iterator().asScala
       }
       .distinct()
-      .limit(capacity * 1024) // bounded by partitions × capacity anyway
+      .limit(maxCandidates + 1)
       .collect()
+    require(candidates.length <= maxCandidates,
+      s"MG candidate union exceeds maxCandidates=$maxCandidates — the " +
+        "recall guarantee cannot survive a silent truncation; raise the " +
+        "budget, raise capacity selectivity (more corpus per partition), " +
+        "or coalesce the scan to fewer partitions")
     val bc = spark.sparkContext.broadcast(candidates.toSet)
     grams
       .filter(g => bc.value.contains(g))
