@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.documents
 
@@ -20,12 +19,22 @@ object CorpusOps {
     * threshold).
     *
     * Shape: `shingle_keys` postings (two longs, same pack as the
-    * dedup family), df per shingle via a window partitioned BY
-    * SHINGLE (distributed — no global window), then one agg per doc.
-    * Work is Θ(postings); the shingle window and the doc agg are the
-    * only shuffles. Exact up to 64-bit shingle-key collisions (zero
-    * at oracle scale, ≈ d²/2⁶⁵ corpus-wide — the documented contract
-    * of the whole shingle-key family).
+    * dedup family), then two PARTIAL-AGGREGATED groupBys — never a
+    * window partitioned by shingle: a window moves EVERY posting of a
+    * given shingle to one task with no map-side combine, and a
+    * power-law corpus has stop-shingles present in a large fraction
+    * of documents (one key carrying 10⁸⁺ rows on a single task).
+    * With groupBy, map-side combine collapses each map partition's
+    * postings to one row per distinct shingle before the exchange, so
+    * a hot shingle costs #partitions rows at its reducer, not
+    * #postings. And because a shingle with df == 1 has exactly ONE
+    * posting, `min(doc_id)` of its group IS the owning document — the
+    * unique-shingle counts per doc come straight off the shingle agg,
+    * no join back onto the postings at all. Work is Θ(postings); the
+    * shingle agg and the two doc-keyed aggs are the only shuffles.
+    * Exact up to 64-bit shingle-key collisions (zero at oracle scale,
+    * ≈ d²/2⁶⁵ corpus-wide — the documented contract of the whole
+    * shingle-key family).
     */
   def textNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -36,12 +45,17 @@ object CorpusOps {
       .as[(Long, Array[Long])]
       .flatMap { case (id, keys) => keys.map(h => (h, id)) }
       .toDF("shingle", "doc_id")
-    postings
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    val nShingles = postings
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val nUnique = postings
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    nShingles.join(nUnique, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_unique"))
       .withColumn("novelty",
         col("n_unique").cast("double") / col("n_shingles"))
       .orderBy(col("doc_id"))

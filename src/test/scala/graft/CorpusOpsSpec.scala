@@ -317,16 +317,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length == totals.size)
   }
 
-  test("packing plan has no unpartitioned window, novelty window is keyed") {
+  test("packing plan has no unpartitioned window, novelty df is partial-agged") {
     val packPlan = CorpusOps.packSequences(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!packPlan.contains("Window"),
       s"packing must not use a window operator:\n$packPlan")
     val novPlan = CorpusOps.textNovelty(spark, sf)
       .queryExecution.executedPlan.toString
-    // the df window is partitioned by shingle — distributed; an
-    // unpartitioned window logs/plans with an empty partition spec
-    assert(novPlan.contains("windowspecdefinition(shingle"),
-      s"novelty df window not keyed by shingle:\n$novPlan")
+    // the df computation must be a groupBy with map-side combine —
+    // NEVER a window partitioned by shingle, which puts every posting
+    // of a hot stop-shingle on one task with no partial aggregation
+    assert(!novPlan.contains("Window"),
+      s"novelty df regressed to a shingle-partitioned window:\n$novPlan")
+    assert(novPlan.contains("partial_count") ||
+      novPlan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"novelty shingle df not partially aggregated:\n$novPlan")
+  }
+
+  test("topNgramsApprox fails loudly when the candidate union exceeds its budget") {
+    // The guard can only trip when the union across partitions exceeds
+    // the budget (a single partition's summary is ≤ capacity ≤
+    // maxCandidates by construction), so build the many-partition
+    // regime the 100 TB scan hits: 8 docs in 8 separate parquet files,
+    // each doc carrying its own 2 heavy disjoint trigrams, read with a
+    // tiny split size so every file is its own partition. Each
+    // partition's MG summary is its doc's 2 grams → union = 16 > 2.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mgbudget").toString
+    (0 until 8).map { i =>
+      (i.toLong, "s", Array.fill(12)(s"a$i b$i").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+      .repartition(8, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        CorpusOps.topNgramsApprox(spark, dir, k = 2, capacity = 2,
+          maxCandidates = 2)
+      }
+      assert(e.getMessage.contains("maxCandidates"),
+        s"wrong failure: ${e.getMessage}")
+      // and the same shape SUCCEEDS with an adequate budget — the
+      // guard is a budget check, not a ban on multi-partition unions
+      val ok = CorpusOps.topNgramsApprox(spark, dir, k = 2, capacity = 2,
+        maxCandidates = 1000).collect()
+      assert(ok.length == 2 && ok.forall(_.getLong(1) >= 11L),
+        s"recount wrong under the multi-partition union: ${ok.toSeq}")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+      spark.conf.set("spark.sql.files.openCostInBytes", oc)
+    }
   }
 }

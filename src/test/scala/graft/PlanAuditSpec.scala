@@ -180,6 +180,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"merge-count kernel missing from plan")
   }
 
+  test("textNovelty shingle df is partial-agged — no window over raw postings") {
+    // a window partitioned by shingle puts every posting of a hot
+    // stop-shingle on ONE task (no map-side combine) — a power-law
+    // corpus scale-killer. The df must come from a groupBy whose
+    // partial aggregate collapses postings before the exchange.
+    val plan = planOf(graft.operators.CorpusOps.textNovelty(spark, sf))
+    assert(!plan.contains("Window"),
+      s"shingle df regressed to a window over raw postings:\n$plan")
+    assert(plan.contains("partial_count") ||
+      plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"shingle df exchange not preceded by partial aggregation:\n$plan")
+  }
+
   test("no query pushes a higher-order function into a Filter (whole surface)") {
     // the alias-substitution trap, third sighting (r9 embed_quantize,
     // 171.7 s at 100×): Generate's implicit size>0/isnotnull predicate
