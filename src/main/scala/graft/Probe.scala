@@ -90,6 +90,21 @@ object Probe {
         operators.Clusters.dedupApplyFromClusters(
           graft.Tables.documents(spark, sfDir), clusters)
       }),
+      // same chain with the BEST-QUALITY keeper (D12) instead of the
+      // min-id keeper: pairs materialized once → clusters → scored
+      // apply — measures the scored apply's PIPELINE cost directly
+      // (standalone dedup_apply_best re-derives pairs+clusters, so
+      // its probe row mostly times the jaccard stage again)
+      "dedup_apply_best_chain" -> (() => {
+        import org.apache.spark.sql.functions.col
+        val pairs = operators.Dedup.jaccardPairs(spark, sfDir)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint(true)
+        val clusters = operators.Clusters.clusterPairs(pairs)
+          .localCheckpoint(true)
+        operators.Clusters.dedupApplyBestFromClusters(
+          graft.Tables.documents(spark, sfDir), clusters)
+      }),
       // LAST on purpose: the deliberately-degraded join fallback is
       // the probe's heaviest stressor and has twice taken the whole
       // session down with a driver OOM under host memory pressure —

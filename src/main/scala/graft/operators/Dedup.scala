@@ -125,7 +125,7 @@ object Dedup {
     */
   def screenNgramOverlap(docsDf: DataFrame,
       n: Int = 13, refMod: Int = 7,
-      maxRefGrams: Int = 100000000): DataFrame = {
+      maxRefGrams: Int = 10000000): DataFrame = {
     require(n >= 2 && n <= 64, s"n out of range: $n")
     require(refMod >= 2, s"refMod must be >= 2: $refMod")
     val spark = docsDf.sparkSession
@@ -173,9 +173,12 @@ object Dedup {
       .limit(maxRefGrams + 1)
       .collect()
     require(refKeys.length <= maxRefGrams,
-      s"reference n-gram set exceeds maxRefGrams=$maxRefGrams — an eval " +
-        "reference should be orders of magnitude smaller than the corpus; " +
-        "refusing an unbounded driver collect")
+      s"reference n-gram set exceeds maxRefGrams=$maxRefGrams (~8 bytes " +
+        "per gram on the driver and in the broadcast: the default 10M ≈ " +
+        "80 MB) — an eval reference should be orders of magnitude smaller " +
+        "than the corpus, so a breach usually means a mis-specified " +
+        "reference subset; raise the budget knowingly if the reference " +
+        "really is that large")
     java.util.Arrays.sort(refKeys)
     val bc = spark.sparkContext.broadcast(refKeys)
     docs

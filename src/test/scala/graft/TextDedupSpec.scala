@@ -219,6 +219,15 @@ class TextDedupSpec extends AnyFunSuite {
     // window, and ref 0 contains it (r2..r14 ⊂ r0..r19)
     assert(got == Map(3L -> 1L), s"got $got")
 
+    // the reference-gram driver collect is budget-guarded and fails
+    // LOUDLY past maxRefGrams (ref 0 has 8 distinct 13-grams > 2) —
+    // a mis-specified reference subset must not OOM an executor or
+    // the driver before the guard names the budget
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.screenNgramOverlap(docs, maxRefGrams = 2)
+    }
+    assert(e.getMessage.contains("maxRefGrams"), e.getMessage)
+
     val sf = "/root/testdata/sf0.001"
     val flagged = graft.operators.Dedup
       .screenNgramOverlapQuery(spark, sf).collect()
