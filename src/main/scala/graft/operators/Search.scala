@@ -243,4 +243,134 @@ object Search {
       .toDF("doc_id", "n_tokens", "ppl")
       .orderBy(col("doc_id"))
   }
+
+  /** The DSIR feature stream `(doc_id, fnv64(feature))`: hashed
+    * unigrams AND bigrams with multiplicity — the feature space of
+    * Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023), which selects pretraining data by the likelihood ratio of
+    * each document under a target-domain bag-of-ngrams model vs the
+    * raw-corpus model. Same typed-flatMap shape and 8-byte hashed
+    * keys as [[tokenStream]] (tokens never shuffle as strings);
+    * bigrams join on a single 0x20 so the SQL oracle's
+    * `concat_ws(' ', ...)` builds identical bytes, and tokens contain
+    * no whitespace by construction so unigram/bigram strings cannot
+    * collide.
+    */
+  private def featureStream(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val tk = CorpusOps.duckTokens(t)
+        val n = tk.length
+        val out = new Array[(Long, Long)](n + math.max(n - 1, 0))
+        var i = 0
+        while (i < n) {
+          out(i) = (id, CorpusOps.lineHash(tk(i)))
+          i += 1
+        }
+        var j = 0
+        while (j < n - 1) {
+          out(n + j) = (id, CorpusOps.lineHash(tk(j) + " " + tk(j + 1)))
+          j += 1
+        }
+        out
+      }
+      .toDF("doc_id", "w")
+  }
+
+  /** T22a — DSIR EVIDENCE per document, integer-exact (the
+    * [[lmDocStats]] convention): for each doc, its feature count
+    * (unigrams + bigrams, with multiplicity) and the sums of the
+    * corpus-wide and target-subset counts of its features. The target
+    * model is the `doc_id % refMod == 0` subset — the same standing
+    * convention as the contamination screens (a pipeline would pass
+    * its curated target corpus instead).
+    *
+    * Scale shape: ONE count-table groupBy computes both models
+    * (corpus count + conditional target count per feature — partial
+    * aggregation collapses the stream map-side), one count join, one
+    * per-doc agg. Work is Θ(features); nothing collects.
+    */
+  def dsirDocStats(spark: SparkSession, sfDir: String,
+      refMod: Int = 7): DataFrame = {
+    require(refMod >= 2, s"refMod must be >= 2: $refMod")
+    val f = featureStream(spark, sfDir)
+    val cnt = f.groupBy(col("w"))
+      .agg(count(lit(1)).as("cq"),
+        sum(when(col("doc_id") % refMod === 0, 1L).otherwise(0L))
+          .as("ct"))
+    f.join(cnt, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("cq")).as("sum_cq"),
+        sum(col("ct")).as("sum_ct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T22 — DSIR IMPORTANCE LOG-WEIGHT per document: the add-one
+    * smoothed bag-of-ngrams log-likelihood ratio
+    * `Σ_f ln((ct(f)+1)/(Tt+V)) − ln((cq(f)+1)/(Tq+V))` of the target
+    * model over the raw model — the score DSIR resamples by to tilt a
+    * 100 TB crawl toward a target domain. High = looks like the
+    * target; low = generic crawl. A pipeline thresholds or
+    * Gumbel-top-k's this column; both are order-statistics on the
+    * deterministic weight, so the weight itself is the operator.
+    *
+    * Determinism at any partition count (the [[lmPerplexity]]
+    * contract): each per-feature term enters the doc sum as its
+    * DECIMAL-scale-12 unscaled long, so the shuffled aggregation is
+    * an exact integer sum; the global shift `n·(ln(Tq+V) − ln(Tt+V))`
+    * applies once per doc in a fixed-order typed map. |term| ≤
+    * ln(corpus features + 1) keeps |Σ| < 2⁶³ through docs of 3×10⁵
+    * tokens against corpora ≤ 10¹² features. Rows-only for the
+    * driver oracle (JVM ln 1-ulp drift, the bm25 precedent);
+    * SearchSpec pins the weights BIT-exactly against an in-driver
+    * reference and the integer core is oracle-checked via
+    * [[dsirDocStats]].
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String,
+      refMod: Int = 7): DataFrame = {
+    require(refMod >= 2, s"refMod must be >= 2: $refMod")
+    import spark.implicits._
+    val f = featureStream(spark, sfDir)
+    val cnt = f.groupBy(col("w"))
+      .agg(count(lit(1)).as("cq"),
+        sum(when(col("doc_id") % refMod === 0, 1L).otherwise(0L))
+          .as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE bounded scalar job: shared vocab size + both model totals
+    // (fills the count-table cache as it aggregates; ContextCleaner
+    // reclaims the cache once the frame is unreachable — the
+    // lmPerplexity convention)
+    val statRow = cnt.agg(count(lit(1)).as("v"),
+      sum(col("cq")).as("tq"), sum(col("ct")).as("tt")).head()
+    val vocab = statRow.getLong(0)
+    require(vocab > 0, "empty corpus")
+    val tq = statRow.getLong(1)
+    val tt = statRow.getLong(2)
+    require(tt > 0,
+      s"target subset (doc_id % $refMod == 0) has no features")
+    val shift = math.log(tq.toDouble + vocab.toDouble) -
+      math.log(tt.toDouble + vocab.toDouble)
+    f.join(cnt, Seq("w"))
+      .select(col("doc_id"), col("cq"), col("ct"))
+      .as[(Long, Long, Long)]
+      .map { case (id, q, t) =>
+        (id, graft.functions.CentroidKernels.dec12Scaled(
+          math.log(t.toDouble + 1.0) - math.log(q.toDouble + 1.0)))
+      }
+      .toDF("doc_id", "l")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("l")).as("s"))
+      .as[(Long, Long, Long)]
+      // fixed-order final scalar in the typed layer (the lmPerplexity
+      // codegen-drift note applies to ln here too)
+      .map { case (id, n, s) =>
+        (id, n, s.toDouble / 1e12 + n.toDouble * shift)
+      }
+      .toDF("doc_id", "n_feats", "dsir_logw")
+      .orderBy(col("doc_id"))
+  }
 }

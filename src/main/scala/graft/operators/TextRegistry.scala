@@ -63,7 +63,12 @@ object TextRegistry {
     // rows-only: JVM ln/exp differ from DuckDB by 1 ulp on a tail of
     // inputs (the bm25_search precedent); SearchSpec pins ppl
     // bit-exactly, and the integer core is lm_doc_stats above
-    "lm_perplexity" -> (Search.lmPerplexity _)
+    "lm_perplexity" -> (Search.lmPerplexity _),
+    "dsir_doc_stats" -> ((s, d) => Search.dsirDocStats(s, d)),
+    // rows-only: same JVM-ln 1-ulp reasoning as lm_perplexity;
+    // SearchSpec pins the log-weights bit-exactly and the integer
+    // core is dsir_doc_stats above
+    "dsir_weights" -> ((s, d) => Search.dsirWeights(s, d))
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
@@ -506,6 +511,26 @@ object TextRegistry {
          |FROM g JOIN r USING (gm)
          |WHERE g.doc_id % 7 <> 0
          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    // DSIR evidence: integer-exact per-doc sums of corpus and
+    // target-subset counts over the unigram+bigram feature stream —
+    // the oracle-checked core of dsir_weights. Bigram windows via
+    // range(1, greatest(len, 1)) (i, i+1 pairs; empty for
+    // single-token docs), concat_ws matching the engine's single
+    // 0x20 join byte-for-byte.
+    "dsir_doc_stats" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |f AS (SELECT doc_id, unnest(toks) AS g FROM t
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(toks), 1)),
+         |    i -> concat_ws(' ', toks[i], toks[i+1]))) AS g FROM t),
+         |cnt AS (SELECT g, count(*)::BIGINT AS cq,
+         |  sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS ct
+         |  FROM f GROUP BY g)
+         |SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+         | sum(cnt.cq)::BIGINT AS sum_cq, sum(cnt.ct)::BIGINT AS sum_ct
+         |FROM f JOIN cnt USING (g)
+         |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
     // unigram-LM evidence: integer-exact count-table join — the
     // oracle-checked core of lm_perplexity
     "lm_doc_stats" ->

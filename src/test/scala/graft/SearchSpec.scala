@@ -101,4 +101,71 @@ class SearchSpec extends AnyFunSuite {
     assert(ppls.forall(p => p > 0.0 && java.lang.Double.isFinite(p)))
     assert(ppls.max > ppls.min, "flat ppl across corpus — vacuous")
   }
+
+  private def feats(tk: Array[String]): Seq[String] =
+    tk.toSeq ++ (0 until tk.length - 1).map(i => tk(i) + " " + tk(i + 1))
+
+  private def dsirModels: (Array[(Long, Array[String])],
+      Map[String, Long], Map[String, Long]) = {
+    val ds = docs
+    val cq = scala.collection.mutable.Map[String, Long]()
+    val ct = scala.collection.mutable.Map[String, Long]()
+    ds.foreach { case (id, tk) =>
+      feats(tk).foreach { g =>
+        cq(g) = cq.getOrElse(g, 0L) + 1L
+        if (id % 7 == 0) ct(g) = ct.getOrElse(g, 0L) + 1L
+      }
+    }
+    (ds, cq.toMap, ct.toMap)
+  }
+
+  test("dsirDocStats matches an exact in-driver two-model count table") {
+    val (ds, cq, ct) = dsirModels
+    val expected = ds.map { case (id, tk) =>
+      val fs = feats(tk)
+      id -> ((fs.length.toLong, fs.map(cq).sum,
+        fs.map(g => ct.getOrElse(g, 0L)).sum))
+    }.toMap
+    val got = Search.dsirDocStats(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._3 > 0L), "target counts all zero — vacuous")
+    // bigrams are real features: n_feats = 2·n_tokens − 1 per doc
+    ds.foreach { case (id, tk) =>
+      assert(got(id)._1 == 2L * tk.length - 1, s"doc $id feature count")
+    }
+  }
+
+  test("dsirWeights is bit-exact vs the in-driver importance-ratio reference") {
+    import graft.functions.CentroidKernels.dec12Scaled
+    val (ds, cq, ct) = dsirModels
+    val vocab = cq.size.toLong
+    val tq = cq.values.sum
+    val tt = ct.values.sum
+    val shift = math.log(tq.toDouble + vocab.toDouble) -
+      math.log(tt.toDouble + vocab.toDouble)
+    val expected = ds.map { case (id, tk) =>
+      val fs = feats(tk)
+      // the distributed pipeline's exact op order: per-feature
+      // dec12-scaled ln-ratio, integer sum, then s/1e12 + n·shift —
+      // any drift is a strict != miss
+      val s = fs.map(g => dec12Scaled(
+        math.log(ct.getOrElse(g, 0L).toDouble + 1.0) -
+          math.log(cq(g).toDouble + 1.0))).sum
+      id -> ((fs.length.toLong,
+        s.toDouble / 1e12 + fs.length.toDouble * shift))
+    }.toMap
+    val got = Search.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+    // the weight means something: target-subset docs (the model's own
+    // training data) must average a higher importance weight than the
+    // rest of the corpus
+    val (tgt, rest) = got.toSeq.partition(_._1 % 7 == 0)
+    val tgtMean = tgt.map(_._2._2).sum / tgt.size
+    val restMean = rest.map(_._2._2).sum / rest.size
+    assert(tgtMean > restMean,
+      s"target mean $tgtMean <= rest mean $restMean — weight is noise")
+  }
 }
