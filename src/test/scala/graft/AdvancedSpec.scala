@@ -15,7 +15,11 @@ class AdvancedSpec extends AnyFunSuite {
     // spot-verify one matched row against a direct subquery
     val matched = asof.filter(col("last_orderkey").isNotNull).head()
     val uid = matched.getAs[Long]("user_id")
-    val ts = matched.getAs[java.sql.Timestamp]("ts")
+    // type-agnostic: driver-generated events have shipped ts as both
+    // TIMESTAMP(NANOS) (collects as java.sql.Timestamp through the
+    // nanos truncation) and timestamp[us] NTZ (collects as
+    // java.time.LocalDateTime); lit() accepts either
+    val ts = matched.getAs[Any]("ts")
     val expect = graft.Tables.orders(spark, sf)
       .filter(col("o_custkey") === uid && col("o_orderdate") <= lit(ts))
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
