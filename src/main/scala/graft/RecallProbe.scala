@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate RECALL measurement on the PERTURBED probe corpus
+  * (SURVEY §8i): replica corpora make exact-dup recall trivially 1.0,
+  * so `tools/make_probe.py --perturb` rewrites ~1/7 of token types
+  * per copy — copies become genuine near-duplicates with jaccard
+  * well below 1.0 — and this main measures what fraction of the TRUE
+  * near-dup pairs each production LSH path recovers, against an
+  * exact verifier run inside the known construction groups.
+  *
+  * Ground truth: every perturbed doc descends from base doc
+  * `doc_id % nBase`; base docs that are themselves exact duplicates
+  * (the sf0.1 corpus has planted dup groups) merge into one expanded
+  * group, so cross-base near-dup pairs are not missed. Within each
+  * group the truth pass computes EXACT shingle-key jaccard and exact
+  * simhash Hamming for every pair — the all-pairs work is bounded by
+  * group size (copies × base dup-group), never corpus-quadratic.
+  * Truth uses the same kernels as the operators (`shingle_keys`,
+  * `simhash_text`), so recall isolates CANDIDATE GENERATION loss —
+  * the only approximate stage — not verifier drift.
+  *
+  * Output: one JSON line per (method, jaccard-band) with truth size,
+  * found size, recall; plus the simhash row against Hamming ≤ 3
+  * truth (pigeonhole guarantees recall 1.0 short of bucket-cap
+  * drops, so the row VERIFIES the guarantee at scale).
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sfpert")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val copies = args.headOption.map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.functions.HashFunctions.{shingle_keys, simhash_text}
+    import graft.functions.TextFunctions.fingerprintMd5
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val nTotal = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
+    require(nTotal % copies == 0,
+      s"doc count $nTotal not divisible by copies=$copies — pass the " +
+        "copy count make_probe.py was run with")
+    val nBase = nTotal / copies
+
+    // expanded groups: base exact-dup resolution from the unperturbed
+    // copy-0 slice, broadcast back over base = doc_id % nBase
+    val baseGroup = docs.filter(col("doc_id") < nBase)
+      .select(col("doc_id").as("base"),
+        fingerprintMd5(col("text")).as("fp"))
+      .withColumn("grp",
+        min(col("base")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .select(col("base"), col("grp"))
+
+    val keyed = docs
+      .select(col("doc_id"),
+        shingle_keys(col("text"), lit(""), 3).as("sh"),
+        simhash_text(col("text")).as("sim"))
+      .withColumn("base", col("doc_id") % nBase)
+      .join(broadcast(baseGroup), Seq("base"))
+      .select(col("grp"), col("doc_id"), col("sh"), col("sim"))
+
+    // all-pairs EXACT verify inside each expanded group; emit pairs
+    // that could matter for any measured band (jaccard ≥ 0.25 or
+    // Hamming ≤ 3) — cross-slice perturbed pairs sit near j≈0.22 and
+    // are below every band under test
+    val truth = keyed
+      .as[(Long, Long, Array[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.toArray.sortBy(_._2)
+        val out = Seq.newBuilder[(Long, Long, Double, Int)]
+        var i = 0
+        while (i < ms.length) {
+          var j = i + 1
+          while (j < ms.length) {
+            val a = ms(i)._3; val b = ms(j)._3
+            var x = 0; var y = 0; var inter = 0
+            while (x < a.length && y < b.length) {
+              if (a(x) == b(y)) { inter += 1; x += 1; y += 1 }
+              else if (a(x) < b(y)) x += 1
+              else y += 1
+            }
+            val union = a.length + b.length - inter
+            val jac = if (union == 0) 0.0 else inter.toDouble / union
+            val ham = java.lang.Long.bitCount(ms(i)._4 ^ ms(j)._4)
+            if (jac >= 0.25 || ham <= 3)
+              out += ((ms(i)._2, ms(j)._2, jac, ham))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("doc_a", "doc_b", "jac", "ham")
+      .localCheckpoint(true)
+
+    val bands = Seq((0.3, 0.4), (0.4, 0.5), (0.5, 1.01))
+    def recallOf(name: String, found: org.apache.spark.sql.DataFrame,
+        sec: Double): Unit = {
+      val f = found.select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+      bands.foreach { case (lo, hi) =>
+        val t = truth.filter(col("jac") >= lo && col("jac") < hi)
+        val nT = t.count()
+        val nF = t.join(f, Seq("doc_a", "doc_b"), "left_semi").count()
+        val r = if (nT == 0) -1.0 else nF.toDouble / nT
+        println(f"""{"method":"$name","band":"[$lo%.1f,${
+          math.min(hi, 1.0)}%.1f)","truth":$nT,"found":$nF,"recall":$r%.4f,"sec":$sec%.1f}""")
+      }
+    }
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // production cross-block paths at near-dup scale parameters
+    // (16 bands × 2 rows: P[candidate] ≈ 0.98 at j=0.45)
+    val (lsh, lshSec) = timed {
+      operators.Dedup.jaccardPairsLsh(spark, sfDir,
+        threshold = 0.3, k = 32, bands = 16)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    }
+    recallOf("jaccard_lsh_t0.3", lsh, lshSec)
+
+    val (mh, mhSec) = timed {
+      operators.MinHashDedup.minhashPairs(spark, sfDir,
+        k = 32, bands = 16, minEst = 0.3)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    }
+    recallOf("minhash_b16_e0.3", mh, mhSec)
+
+    // simhash truth is Hamming ≤ 3 — the operator's own contract
+    val (sh, shSec) = timed {
+      operators.MinHashDedup.simhashPairs(spark, sfDir, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    }
+    val tSim = truth.filter(col("ham") <= 3)
+    val nT = tSim.count()
+    val nF = tSim.join(sh, Seq("doc_a", "doc_b"), "left_semi").count()
+    println(f"""{"method":"simhash_h3","band":"ham<=3","truth":$nT,"found":$nF,"recall":${
+      if (nT == 0) -1.0 else nF.toDouble / nT}%.4f,"sec":$shSec%.1f}""")
+
+    spark.stop()
+  }
+}

@@ -153,7 +153,7 @@ object CorpusOps {
     * `limit = -1`). Verified against the harness DuckDB on
     * tab/newline/vertical-tab edge texts.
     */
-  private[operators] def duckTokens(t: String): Array[String] = {
+  private[graft] def duckTokens(t: String): Array[String] = {
     var b = 0
     var e = t.length
     while (b < e && t.charAt(b) == ' ') b += 1

@@ -373,4 +373,62 @@ object Search {
       .toDF("doc_id", "n_feats", "dsir_logw")
       .orderBy(col("doc_id"))
   }
+
+  /** The mined DSIR models in stream-scoring form: sorted feature
+    * keys with both counts (binary-search lookup), plus the FULL
+    * corpus scalars (smoothing denominators are corpus-global even
+    * when the frontier is frequency-floored). Serializable for
+    * broadcast.
+    */
+  final case class DsirModel(keys: Array[Long], ct: Array[Long],
+      cq: Array[Long], vocab: Long, tq: Long, tt: Long) {
+    def shift: Double = math.log(tq.toDouble + vocab.toDouble) -
+      math.log(tt.toDouble + vocab.toDouble)
+  }
+
+  /** Bounded export of the DSIR count models for STREAM-side scoring
+    * (the stream–static split: models mined offline over the
+    * historical corpus, arrivals scored online). `minCount` floors
+    * the frontier by corpus frequency — features below it score as
+    * unseen (ct=cq=0 → ln-ratio 0, shift-only), the standard
+    * frontier truncation; at the default 1 the frontier is the full
+    * vocabulary and stream scores equal the batch [[dsirWeights]]
+    * BIT-exactly on docs drawn from the modeled corpus
+    * (StreamingSpec pins this). The driver collect is budgeted by
+    * `maxVocab` and FAILS LOUDLY past it (the bannedLineFrontier
+    * contract; ~24 bytes per feature — the default 10M ≈ 240 MB):
+    * raise `minCount` to shrink the frontier, or raise the budget
+    * knowingly.
+    */
+  def dsirModel(spark: SparkSession, sfDir: String, refMod: Int = 7,
+      minCount: Long = 1, maxVocab: Int = 10000000): DsirModel = {
+    require(refMod >= 2, s"refMod must be >= 2: $refMod")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
+    val f = featureStream(spark, sfDir)
+    val cnt = f.groupBy(col("w"))
+      .agg(count(lit(1)).as("cq"),
+        sum(when(col("doc_id") % refMod === 0, 1L).otherwise(0L))
+          .as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val statRow = cnt.agg(count(lit(1)).as("v"),
+        sum(col("cq")).as("tq"), sum(col("ct")).as("tt")).head()
+      val vocab = statRow.getLong(0)
+      require(vocab > 0, "empty corpus")
+      val rows = cnt.filter(col("cq") >= minCount)
+        .select(col("w"), col("ct"), col("cq"))
+        .orderBy(col("w"))
+        .limit(maxVocab + 1)
+        .collect()
+      require(rows.length <= maxVocab,
+        s"DSIR model frontier exceeds maxVocab=$maxVocab (~24 bytes per " +
+          "feature on the driver and in the broadcast) — raise minCount " +
+          "to floor the frontier by corpus frequency, or raise the " +
+          "budget knowingly")
+      DsirModel(rows.map(_.getLong(0)), rows.map(_.getLong(1)),
+        rows.map(_.getLong(2)), vocab, statRow.getLong(1),
+        statRow.getLong(2))
+    } finally { cnt.unpersist(); () }
+  }
 }

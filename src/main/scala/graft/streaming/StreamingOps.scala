@@ -364,4 +364,49 @@ object StreamingOps {
       (d.doc_id, d.ts, sb.toString, kept, dropped)
     }.toDF("doc_id", "ts", "clean_text", "n_kept", "n_dropped")
   }
+
+  /** X11 — STREAM-SIDE DSIR SCORING: score each arriving document's
+    * target-domain importance log-weight against PRECOMPUTED count
+    * models (the batch [[graft.operators.Search.dsirModel]] export
+    * over the historical corpus — the same stream–static split as
+    * X10: models mined offline, arrivals scored online, so a
+    * pipeline can route or down-weight crawl documents the moment
+    * they arrive). Stateless pure projection — no watermark, no
+    * state store; the broadcast model is sorted long arrays with
+    * binary-search lookup.
+    *
+    * Score algebra mirrors the batch operator's exact op order
+    * (per-feature dec12-scaled ln-ratio, integer sum, then
+    * `s/1e12 + n·shift`), so on documents drawn from the modeled
+    * corpus with a full-vocabulary frontier the stream score equals
+    * [[graft.operators.Search.dsirWeights]] BIT-exactly
+    * (StreamingSpec pins it). Features outside the frontier score as
+    * unseen: ct=cq=0 → ln-ratio 0, the add-one smoothing contract.
+    */
+  def streamingDsirScore(docs: Dataset[StreamDoc],
+      model: graft.operators.Search.DsirModel): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val shift = model.shift
+    docs.map { d =>
+      val m = bc.value
+      val tk = graft.operators.CorpusOps.duckTokens(d.text)
+      var s = 0L
+      var n = 0L
+      def add(g: String): Unit = {
+        val i = java.util.Arrays.binarySearch(m.keys,
+          graft.operators.CorpusOps.lineHash(g))
+        val t = if (i >= 0) m.ct(i) else 0L
+        val q = if (i >= 0) m.cq(i) else 0L
+        s += graft.functions.CentroidKernels.dec12Scaled(
+          math.log(t.toDouble + 1.0) - math.log(q.toDouble + 1.0))
+        n += 1
+      }
+      var i = 0
+      while (i < tk.length) { add(tk(i)); i += 1 }
+      var j = 0
+      while (j < tk.length - 1) { add(tk(j) + " " + tk(j + 1)); j += 1 }
+      (d.doc_id, d.ts, n, s.toDouble / 1e12 + n.toDouble * shift)
+    }.toDF("doc_id", "ts", "n_feats", "dsir_logw")
+  }
 }

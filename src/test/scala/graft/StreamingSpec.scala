@@ -89,6 +89,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR scores equal the batch weights bit-exactly") {
+    import graft.streaming.StreamingOps.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    // models mined batch-side over the full corpus (full-vocab
+    // frontier at test scale), then a handful of the SAME corpus docs
+    // arrive on the stream: every feature is in the frontier, so the
+    // stream score must equal the batch operator's weight exactly
+    val model = graft.operators.Search.dsirModel(spark, sf)
+    val batch = graft.operators.Search.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val arrivals = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 9 == 0).take(12)
+      .zipWithIndex
+      .map { case (r, i) => StreamDoc(r.getLong(0), ts(i), r.getString(1)) }
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingDsirScore(in.toDS(), model)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.size == arrivals.length)
+      got.foreach { case (id, v) =>
+        assert(v == batch(id), s"doc $id: stream $v != batch ${batch(id)}")
+      }
+    } finally q.stop()
+
+    // frequency-floored frontier: unseen features score as ct=cq=0
+    // (shift-only) — a doc of purely novel features scores n·shift
+    val floored = model.copy(keys = Array.emptyLongArray,
+      ct = Array.emptyLongArray, cq = Array.emptyLongArray)
+    val in2 = MemoryStream[StreamDoc]
+    val q2 = StreamingOps.streamingDsirScore(in2.toDS(), floored)
+      .writeStream.format("memory").queryName("dsir_oov")
+      .outputMode("append").start()
+    try {
+      in2.addData(StreamDoc(99L, ts(0), "zzz qqq"))
+      q2.processAllAvailable()
+      val r = spark.table("dsir_oov").collect().head
+      assert(r.getLong(2) == 3L) // 2 unigrams + 1 bigram
+      assert(r.getDouble(3) == 3.0 * model.shift)
+    } finally q2.stop()
+  }
+
   test("streaming near-dup within one batch keeps the earliest copy") {
     import graft.streaming.StreamingOps.StreamDoc
     val base = "alpha beta gamma delta epsilon zeta eta theta " * 10
