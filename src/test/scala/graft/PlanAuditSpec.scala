@@ -193,6 +193,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"shingle df exchange not preceded by partial aggregation:\n$plan")
   }
 
+  test("dsir count-table aggs are partial; no strings cross a shuffle") {
+    val plan = planOf(graft.operators.Search.dsirDocStats(spark, sf))
+    assert(!plan.contains("Window"), s"window crept into dsir:\n$plan")
+    assert(plan.contains("partial_count") ||
+      plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"dsir count table not partially aggregated:\n$plan")
+    // features travel as 8-byte FNV keys — the text column must never
+    // reach an exchange
+    plan.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"text column in dsir shuffle: $l")
+    }
+  }
+
   test("no query pushes a higher-order function into a Filter (whole surface)") {
     // the alias-substitution trap, third sighting (r9 embed_quantize,
     // 171.7 s at 100×): Generate's implicit size>0/isnotnull predicate
