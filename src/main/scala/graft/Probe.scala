@@ -40,7 +40,7 @@ object Probe {
       "screen_ngram_overlap",
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
       "line_dedup", "dedup_apply_best", "lm_doc_stats", "lm_perplexity",
-      "dsir_doc_stats", "dsir_weights",
+      "dsir_doc_stats", "dsir_weights", "dsir_select",
       "bm25_search", "embed_kmeans", "embed_quantize", "embed_project",
       "pipeline_clean", "wordcount_salted",
       "multimodal_decode",

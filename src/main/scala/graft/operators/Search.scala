@@ -374,6 +374,40 @@ object Search {
       .orderBy(col("doc_id"))
   }
 
+  /** T23 — DSIR SELECTION: the documents a pipeline KEEPS — taken in
+    * DESCENDING importance-weight order until a token budget, the
+    * deterministic τ→0 variant of DSIR's resampling step (pure
+    * exploitation, no Gumbel noise — noise-free selection is what
+    * makes a backfill reproduce the same corpus; a sampled variant
+    * is a seeded perturbation of the same ranking). The crossing doc
+    * is included — its token range STARTS inside the budget, the
+    * [[graft.operators.CorpusOps.mixSources]] offset rule.
+    *
+    * Scale shape: the ranking is [[graft.plans.GlobalOrder
+    * .withPrefixSum]] over `(weight DESC, doc_id)` — per-partition
+    * partial sums + offset pass, never `sum() OVER (ORDER BY ...)`
+    * whose unpartitioned window moves the corpus to one task. Ties
+    * break by doc_id so the frontier is a total order. Rows-only for
+    * the driver oracle (the weight is float-ordered; JVM-ln 1-ulp —
+    * the dsir_weights precedent); SearchSpec pins the selected SET
+    * exactly against the in-driver reference ranking.
+    */
+  def dsirSelect(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 20000L, refMod: Int = 7): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
+    import graft.functions.TextFunctions.tokenCount
+    val w = dsirWeights(spark, sfDir, refMod)
+      .select(col("doc_id"), col("dsir_logw"))
+    val toks = documents(spark, sfDir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.plans.GlobalOrder.withPrefixSum(w.join(toks, Seq("doc_id")),
+        Seq(col("dsir_logw").desc, col("doc_id")), "n_tokens", "cum")
+      .filter(col("cum") - col("n_tokens") < budgetTokens)
+      .select(col("doc_id"), col("n_tokens"), col("dsir_logw"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The mined DSIR models in stream-scoring form: sorted feature
     * keys with both counts (binary-search lookup), plus the FULL
     * corpus scalars (smoothing denominators are corpus-global even

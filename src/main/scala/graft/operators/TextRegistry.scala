@@ -68,7 +68,10 @@ object TextRegistry {
     // rows-only: same JVM-ln 1-ulp reasoning as lm_perplexity;
     // SearchSpec pins the log-weights bit-exactly and the integer
     // core is dsir_doc_stats above
-    "dsir_weights" -> ((s, d) => Search.dsirWeights(s, d))
+    "dsir_weights" -> ((s, d) => Search.dsirWeights(s, d)),
+    // rows-only: selection ranks by the float weight; SearchSpec pins
+    // the selected set exactly vs the in-driver reference ranking
+    "dsir_select" -> ((s, d) => Search.dsirSelect(s, d))
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.

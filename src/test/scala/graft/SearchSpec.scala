@@ -168,4 +168,29 @@ class SearchSpec extends AnyFunSuite {
     assert(tgtMean > restMean,
       s"target mean $tgtMean <= rest mean $restMean — weight is noise")
   }
+
+  test("dsirSelect takes docs in weight order to the token budget (offset rule)") {
+    val budget = 20000L
+    // reference ranking from the batch weights (bit-exact per the
+    // test above) + whitespace token counts, greedy offset packing
+    val weights = Search.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val toks = docs.map { case (id, tk) => id -> tk.length.toLong }.toMap
+    var cum = 0L
+    val expected = weights.toSeq
+      .sortBy { case (id, w) => (-w, id) }
+      .flatMap { case (id, w) =>
+        val start = cum; cum += toks(id)
+        if (start < budget) Some((id, toks(id), w)) else None
+      }.toSet
+    val got = Search.dsirSelect(spark, sf, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    // non-vacuous: a real subset, and it prefers high-weight docs
+    assert(got.nonEmpty && got.size < weights.size)
+    val selMean = got.toSeq.map(_._3).sum / got.size
+    val allMean = weights.values.sum / weights.size
+    assert(selMean > allMean,
+      s"selected mean $selMean <= corpus mean $allMean")
+  }
 }
