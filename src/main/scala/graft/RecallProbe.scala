@@ -32,6 +32,16 @@ object RecallProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sfpert")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val copies = args.headOption.map(_.toInt).getOrElse(100)
+    // optional method subset after the copy count (cheap re-runs when
+    // a long session dies partway): jaccard_lsh minhash simhash ann
+    val methodNames =
+      Set("jaccard_lsh", "minhash", "simhash", "ann")
+    val picked = args.drop(1).toSet
+    val badNames = picked.diff(methodNames)
+    require(badNames.isEmpty,
+      s"unknown methods: ${badNames.mkString(", ")} (usage: runMain " +
+        s"graft.RecallProbe [copies] [${methodNames.mkString("|")} ...])")
+    def wanted(m: String): Boolean = picked.isEmpty || picked(m)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,7 +82,7 @@ object RecallProbe {
     // that could matter for any measured band (jaccard ≥ 0.25 or
     // Hamming ≤ 3) — cross-slice perturbed pairs sit near j≈0.22 and
     // are below every band under test
-    val truth = keyed
+    lazy val truth = keyed
       .as[(Long, Long, Array[Long], Long)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -126,31 +136,70 @@ object RecallProbe {
 
     // production cross-block paths at near-dup scale parameters
     // (16 bands × 2 rows: P[candidate] ≈ 0.98 at j=0.45)
-    val (lsh, lshSec) = timed {
-      operators.Dedup.jaccardPairsLsh(spark, sfDir,
-        threshold = 0.3, k = 32, bands = 16)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    if (wanted("jaccard_lsh")) {
+      val (lsh, lshSec) = timed {
+        operators.Dedup.jaccardPairsLsh(spark, sfDir,
+          threshold = 0.3, k = 32, bands = 16)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      }
+      recallOf("jaccard_lsh_t0.3", lsh, lshSec)
     }
-    recallOf("jaccard_lsh_t0.3", lsh, lshSec)
 
-    val (mh, mhSec) = timed {
-      operators.MinHashDedup.minhashPairs(spark, sfDir,
-        k = 32, bands = 16, minEst = 0.3)
-        .filter(col("jaccard") >= 0.3)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    if (wanted("minhash")) {
+      val (mh, mhSec) = timed {
+        operators.MinHashDedup.minhashPairs(spark, sfDir,
+          k = 32, bands = 16, minEst = 0.3)
+          .filter(col("jaccard") >= 0.3)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      }
+      recallOf("minhash_b16_e0.3", mh, mhSec)
     }
-    recallOf("minhash_b16_e0.3", mh, mhSec)
 
     // simhash truth is Hamming ≤ 3 — the operator's own contract
-    val (sh, shSec) = timed {
-      operators.MinHashDedup.simhashPairs(spark, sfDir, maxHamming = 3)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    if (wanted("simhash")) {
+      val (sh, shSec) = timed {
+        operators.MinHashDedup.simhashPairs(spark, sfDir, maxHamming = 3)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      }
+      val tSim = truth.filter(col("ham") <= 3)
+      val nT = tSim.count()
+      val nF = tSim.join(sh, Seq("doc_a", "doc_b"), "left_semi").count()
+      println(f"""{"method":"simhash_h3","band":"ham<=3","truth":$nT,"found":$nF,"recall":${
+        if (nT == 0) -1.0 else nF.toDouble / nT}%.4f,"sec":$shSec%.1f}""")
     }
-    val tSim = truth.filter(col("ham") <= 3)
-    val nT = tSim.count()
-    val nF = tSim.join(sh, Seq("doc_a", "doc_b"), "left_semi").count()
-    println(f"""{"method":"simhash_h3","band":"ham<=3","truth":$nT,"found":$nF,"recall":${
-      if (nT == 0) -1.0 else nF.toDouble / nT}%.4f,"sec":$shSec%.1f}""")
+
+    // ---- ANN recall@k: approximate paths vs the exact brute-force
+    // top-k on the same queries (vec_id < nQueries, every path's
+    // query convention). Pair-set recall over (query_id, neighbor_id).
+    if (wanted("ann")) {
+      val annQ = 100
+      val annK = 10
+      val (bf, bfSec) = timed {
+        operators.Similarity.annBruteForce(spark, sfDir,
+          nQueries = annQ, k = annK)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+      }
+      val nBf = bf.count()
+      println(f"""{"method":"ann_bruteforce","band":"top$annK","truth":$nBf,"found":$nBf,"recall":1.0,"sec":$bfSec%.1f}""")
+      def annRecall(name: String,
+          mk: => org.apache.spark.sql.DataFrame): Unit = {
+        val (found, sec) = timed {
+          mk.select(col("query_id"), col("neighbor_id"))
+            .localCheckpoint(true)
+        }
+        val hit = bf.join(found, Seq("query_id", "neighbor_id"),
+          "left_semi").count()
+        println(f"""{"method":"$name","band":"top$annK","truth":$nBf,"found":$hit,"recall":${
+          hit.toDouble / nBf}%.4f,"sec":$sec%.1f}""")
+      }
+      annRecall("ann_lsh", operators.Similarity.annLsh(spark, sfDir,
+        k = annK, nQueries = annQ))
+      annRecall("ann_ivf", operators.Similarity.annIvf(spark, sfDir,
+        k = annK, nQueries = annQ))
+      annRecall("ann_pq", operators.Similarity.annPq(spark, sfDir,
+        k = annK, nQueries = annQ))
+    }
 
     spark.stop()
   }
