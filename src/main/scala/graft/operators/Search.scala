@@ -450,9 +450,14 @@ object Search {
         sum(col("cq")).as("tq"), sum(col("ct")).as("tt")).head()
       val vocab = statRow.getLong(0)
       require(vocab > 0, "empty corpus")
+      // no cluster-side orderBy before the bounded collect: every
+      // frontier row must fit the budget anyway (the require below),
+      // so sorting distributes nothing the driver can't do itself —
+      // a TakeOrdered at k=maxVocab builds a 10M-entry heap PER
+      // PARTITION just to feed a collect that would fail loudly
+      // regardless
       val rows = cnt.filter(col("cq") >= minCount)
         .select(col("w"), col("ct"), col("cq"))
-        .orderBy(col("w"))
         .limit(maxVocab + 1)
         .collect()
       require(rows.length <= maxVocab,
@@ -460,8 +465,9 @@ object Search {
           "feature on the driver and in the broadcast) — raise minCount " +
           "to floor the frontier by corpus frequency, or raise the " +
           "budget knowingly")
-      DsirModel(rows.map(_.getLong(0)), rows.map(_.getLong(1)),
-        rows.map(_.getLong(2)), vocab, statRow.getLong(1),
+      val sorted = rows.sortBy(_.getLong(0))
+      DsirModel(sorted.map(_.getLong(0)), sorted.map(_.getLong(1)),
+        sorted.map(_.getLong(2)), vocab, statRow.getLong(1),
         statRow.getLong(2))
     } finally { cnt.unpersist(); () }
   }
