@@ -65,6 +65,14 @@ object Probe {
       "dedup_semantic_scaled" -> (() =>
         operators.Clustering.dedupSemantic(spark, sfDir,
           k = 64, iters = 2, threshold = 0.99)),
+      // IVF at honest scale parameters: 64 cells over 200k vectors
+      // (~3k/cell; a real deployment sizes nCells ~ sqrt(n)) probing
+      // 8 — 12.5% of the corpus scanned per query instead of the
+      // registry default's 25% (nCells=8, nProbe=2, sized for the
+      // oracle corpus)
+      "ann_ivf_scaled" -> (() =>
+        Similarity.annIvf(spark, sfDir, nCells = 64, nProbe = 8,
+          k = 10, nQueries = 100)),
       // same query at the library default AutoK: k = ceil(n/1000)
       // from a bounded count (200 cells at the 100× probe's 200k)
       "dedup_semantic_auto" -> (() =>

@@ -197,6 +197,11 @@ object RecallProbe {
         k = annK, nQueries = annQ))
       annRecall("ann_ivf", operators.Similarity.annIvf(spark, sfDir,
         k = annK, nQueries = annQ))
+      // honest scale parameters: 64 cells (~3k vectors each), probe 8
+      // — 12.5% of the corpus per query; the recall cost of realistic
+      // cell counts is the number a deployment tunes against
+      annRecall("ann_ivf_scaled", operators.Similarity.annIvf(spark,
+        sfDir, nCells = 64, nProbe = 8, k = annK, nQueries = annQ))
       annRecall("ann_pq", operators.Similarity.annPq(spark, sfDir,
         k = annK, nQueries = annQ))
     }
