@@ -169,6 +169,20 @@ class SearchSpec extends AnyFunSuite {
       s"target mean $tgtMean <= rest mean $restMean — weight is noise")
   }
 
+  test("dsirModel guards its frontier collect with a loud maxVocab budget") {
+    val e = intercept[IllegalArgumentException] {
+      Search.dsirModel(spark, sf, maxVocab = 10)
+    }
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+    // and the minCount floor genuinely shrinks the frontier: floored
+    // models keep fewer features than the full vocabulary
+    val full = Search.dsirModel(spark, sf)
+    val floored = Search.dsirModel(spark, sf, minCount = 3)
+    assert(floored.keys.length < full.keys.length)
+    assert(floored.vocab == full.vocab && floored.tq == full.tq,
+      "smoothing scalars must stay corpus-global under flooring")
+  }
+
   test("dsirSelect takes docs in weight order to the token budget (offset rule)") {
     val budget = 20000L
     // reference ranking from the batch weights (bit-exact per the
