@@ -41,6 +41,7 @@ object Probe {
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
       "line_dedup", "dedup_apply_best", "lm_doc_stats", "lm_perplexity",
       "dsir_doc_stats", "dsir_weights", "dsir_select",
+      "dsir_select_sampled",
       "bm25_search", "embed_kmeans", "embed_quantize", "embed_project",
       "pipeline_clean", "wordcount_salted",
       "multimodal_decode",
@@ -113,6 +114,22 @@ object Probe {
           .localCheckpoint(true)
         operators.Clusters.dedupApplyBestFromClusters(
           graft.Tables.documents(spark, sfDir), clusters)
+      }),
+      // DSIR shared-derivation chain: ONE weight pass localCheckpointed,
+      // feeding the deterministic selection AND a seeded sample — vs
+      // dsir_select + dsir_select_sampled standalone, which each
+      // re-derive the two-model weight pass (~14 s of their probe rows)
+      "dsir_chain_shared" -> (() => {
+        import org.apache.spark.sql.functions.col
+        val docs = graft.Tables.documents(spark, sfDir)
+        val w = operators.Search.dsirWeights(spark, sfDir)
+          .localCheckpoint(true)
+        val det = operators.Search.dsirSelectFromWeights(docs, w)
+          .select(col("doc_id"))
+        val smp = operators.Search
+          .dsirSelectSampledFromWeights(docs, w)
+          .select(col("doc_id"))
+        det.union(smp)
       }),
       // LAST on purpose: the deliberately-degraded join fallback is
       // the probe's heaviest stressor and has twice taken the whole

@@ -322,9 +322,13 @@ object Search {
     * contract): each per-feature term enters the doc sum as its
     * DECIMAL-scale-12 unscaled long, so the shuffled aggregation is
     * an exact integer sum; the global shift `n·(ln(Tq+V) − ln(Tt+V))`
-    * applies once per doc in a fixed-order typed map. |term| ≤
-    * ln(corpus features + 1) keeps |Σ| < 2⁶³ through docs of 3×10⁵
-    * tokens against corpora ≤ 10¹² features. Rows-only for the
+    * applies once per doc in a fixed-order typed map. Overflow bound:
+    * the terms are ONE-SIDED — ct(f) ≤ cq(f) always (the target is a
+    * subset of the corpus), so every term is ≤ 0 and ≥ −ln(cq+1) ≥
+    * −ln(Tq+1) — hence |Σ| ≤ (2n−1)·ln(Tq+1)·10¹², which stays
+    * < 2⁶³ through docs of ~1.5×10⁵ tokens (3×10⁵ features) against
+    * corpora of Tq ≤ 10¹² features; longer docs must be pre-chunked
+    * (the packedOf convention). Rows-only for the
     * driver oracle (JVM ln 1-ulp drift, the bm25 precedent);
     * SearchSpec pins the weights BIT-exactly against an in-driver
     * reference and the integer core is oracle-checked via
@@ -393,18 +397,108 @@ object Search {
     * exactly against the in-driver reference ranking.
     */
   def dsirSelect(spark: SparkSession, sfDir: String,
-      budgetTokens: Long = 20000L, refMod: Int = 7): DataFrame = {
+      budgetTokens: Long = 20000L, refMod: Int = 7): DataFrame =
+    dsirSelectFromWeights(documents(spark, sfDir),
+      dsirWeights(spark, sfDir, refMod), budgetTokens)
+
+  /** [[dsirSelect]] from a MATERIALIZED `(doc_id, dsir_logw)` weight
+    * frame — the shared-derivation entry point (the
+    * [[Clusters.dedupApplyFromPairs]] convention): the standalone
+    * query re-derives the full two-model weight pass per call (its
+    * honest benchmark contract), but a pipeline selecting several
+    * budgets — or a deterministic AND a sampled corpus — from one
+    * scoring run should `localCheckpoint` the weight frame once and
+    * feed it here. `docs` supplies the token counts (doc_id, text).
+    */
+  def dsirSelectFromWeights(docs: DataFrame, weights: DataFrame,
+      budgetTokens: Long = 20000L): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
     import graft.functions.TextFunctions.tokenCount
-    val w = dsirWeights(spark, sfDir, refMod)
-      .select(col("doc_id"), col("dsir_logw"))
-    val toks = documents(spark, sfDir)
+    val w = weights.select(col("doc_id"), col("dsir_logw"))
+    val toks = docs
       .select(col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"))
     graft.plans.GlobalOrder.withPrefixSum(w.join(toks, Seq("doc_id")),
         Seq(col("dsir_logw").desc, col("doc_id")), "n_tokens", "cum")
       .filter(col("cum") - col("n_tokens") < budgetTokens)
       .select(col("doc_id"), col("n_tokens"), col("dsir_logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The seeded standard-Gumbel variate of one document: a pure
+    * function of (seed, doc_id) — splitmix64 finalizer → uniform in
+    * (0, 1) → `−ln(−ln(u))` — so the perturbation is reproducible at
+    * any partition count and across backfills (no RNG state, the
+    * md5-ordering convention of [[CorpusOps.mixSources]]).
+    */
+  private[graft] def gumbelOf(seed: Long, id: Long): Double = {
+    var h = (seed ^ id) + 0x9e3779b97f4a7c15L
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h = h ^ (h >>> 31)
+    // 53-bit mantissa → u ∈ (0, 1): the +0.5 offset keeps u strictly
+    // inside the open interval, so both ln's are finite
+    val u = ((h >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+    -math.log(-math.log(u))
+  }
+
+  /** T23b — SAMPLED DSIR selection: the resampling step the DSIR
+    * paper actually performs (Xie et al. §2: sample without
+    * replacement with probability ∝ exp(logw/τ)), via the Gumbel
+    * top-k trick — rank documents by `logw + τ·G(seed, doc_id)` with
+    * per-doc seeded standard-Gumbel noise and take the budget prefix
+    * of that ranking. Ranking by `logw + τ·G` IS sampling without
+    * replacement from softmax(logw/τ) (Vieira 2014 / Kool et al.
+    * 2019), and the formulation makes the two contracts literal:
+    * τ = 0 RECOVERS [[dsirSelect]] exactly (noise term vanishes,
+    * doc_id tie-break and all — SearchSpec pins the set equality),
+    * and a fixed seed literal makes the sample a deterministic
+    * artifact a backfill reproduces bit-for-bit.
+    *
+    * Scale shape: identical to [[dsirSelect]] — the noise is one
+    * pure-function typed map over the weight frame (no RNG state, no
+    * shuffle added), then the same GlobalOrder prefix-sum ranking.
+    * Rows-only for the driver oracle (float-ordered ranking, the
+    * dsir_select precedent); SearchSpec pins reproducibility, the
+    * τ→0 recovery, and the tilt (sampled selections still prefer
+    * high-weight docs).
+    */
+  def dsirSelectSampled(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 20000L, refMod: Int = 7,
+      tau: Double = 1.0, seed: Long = 42L): DataFrame =
+    dsirSelectSampledFromWeights(documents(spark, sfDir),
+      dsirWeights(spark, sfDir, refMod), budgetTokens, tau, seed)
+
+  /** [[dsirSelectSampled]] from a materialized weight frame (the
+    * shared-derivation entry point — one weight pass can feed the
+    * deterministic selection and any number of seeded samples).
+    */
+  def dsirSelectSampledFromWeights(docs: DataFrame, weights: DataFrame,
+      budgetTokens: Long = 20000L, tau: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
+    require(tau >= 0.0 && java.lang.Double.isFinite(tau),
+      s"tau must be finite and >= 0: $tau")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokenCount
+    // the perturbed key in a typed map: deterministic per (seed, id),
+    // and kept out of Catalyst arithmetic on purpose — splitmix64
+    // needs wrapping long multiplies, which ANSI-mode column exprs
+    // reject
+    val perturbed = weights.select(col("doc_id"), col("dsir_logw"))
+      .as[(Long, Double)]
+      .map { case (id, w) => (id, w, w + tau * gumbelOf(seed, id)) }
+      .toDF("doc_id", "dsir_logw", "gkey")
+    val toks = docs
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.plans.GlobalOrder.withPrefixSum(
+        perturbed.join(toks, Seq("doc_id")),
+        Seq(col("gkey").desc, col("doc_id")), "n_tokens", "cum")
+      .filter(col("cum") - col("n_tokens") < budgetTokens)
+      .select(col("doc_id"), col("n_tokens"), col("dsir_logw"),
+        col("gkey"))
       .orderBy(col("doc_id"))
   }
 

@@ -71,7 +71,11 @@ object TextRegistry {
     "dsir_weights" -> ((s, d) => Search.dsirWeights(s, d)),
     // rows-only: selection ranks by the float weight; SearchSpec pins
     // the selected set exactly vs the in-driver reference ranking
-    "dsir_select" -> ((s, d) => Search.dsirSelect(s, d))
+    "dsir_select" -> ((s, d) => Search.dsirSelect(s, d)),
+    // rows-only: seeded Gumbel-top-k sampled selection — float-keyed
+    // ranking like dsir_select; SearchSpec pins seed reproducibility
+    // and the τ=0 recovery of the deterministic selection
+    "dsir_select_sampled" -> ((s, d) => Search.dsirSelectSampled(s, d))
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.

@@ -207,4 +207,61 @@ class SearchSpec extends AnyFunSuite {
     assert(selMean > allMean,
       s"selected mean $selMean <= corpus mean $allMean")
   }
+
+  test("dsirSelectFromWeights reproduces dsirSelect from a shared weight pass") {
+    val w = Search.dsirWeights(spark, sf).localCheckpoint(true)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val shared = Search.dsirSelectFromWeights(docs, w, 20000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val standalone = Search.dsirSelect(spark, sf, 20000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(shared == standalone)
+  }
+
+  test("dsirSelectSampled: seed-reproducible, τ=0 recovers dsirSelect, tilt holds") {
+    // τ = 0: the noise term vanishes and the sampled ranking IS the
+    // deterministic one, doc_id tie-breaks included — exact set match
+    val det = Search.dsirSelect(spark, sf, 20000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tau0 = Search.dsirSelectSampled(spark, sf, 20000L, tau = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tau0 == det)
+
+    // fixed seed: two independent runs produce the identical sample
+    // (the backfill-reproducibility contract)
+    val a = Search.dsirSelectSampled(spark, sf, 20000L, tau = 1.0,
+      seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSet
+    val b = Search.dsirSelectSampled(spark, sf, 20000L, tau = 1.0,
+      seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSet
+    assert(a == b)
+
+    // different seeds genuinely resample (τ at the weight spread's
+    // scale: the noise must move the frontier on this corpus)
+    val c = Search.dsirSelectSampled(spark, sf, 20000L, tau = 1.0,
+      seed = 43L).collect().map(_.getLong(0)).toSet
+    assert(a.map(_._1) != c, "seed change did not move the sample")
+
+    // the sample is a perturbation of the SAME ranking: selected docs
+    // still average a higher weight than the corpus
+    val weights = Search.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val selMean = a.toSeq.map(p => weights(p._1)).sum / a.size
+    val allMean = weights.values.sum / weights.size
+    assert(selMean > allMean,
+      s"sampled mean $selMean <= corpus mean $allMean — tilt lost")
+  }
+
+  test("gumbelOf is a pure function of (seed, id) with sane variates") {
+    val g1 = Search.gumbelOf(42L, 7L)
+    val g2 = Search.gumbelOf(42L, 7L)
+    assert(g1 == g2)
+    assert(Search.gumbelOf(43L, 7L) != g1)
+    val vs = (0L until 10000L).map(Search.gumbelOf(42L, _))
+    assert(vs.forall(java.lang.Double.isFinite))
+    // standard Gumbel: mean ≈ γ ≈ 0.5772, a loose sanity band
+    val mean = vs.sum / vs.size
+    assert(mean > 0.45 && mean < 0.7, s"gumbel mean $mean off")
+  }
 }
