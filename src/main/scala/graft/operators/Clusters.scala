@@ -116,6 +116,18 @@ object Clusters {
     * join as D9; text never crosses a shuffle.
     */
   def dedupApplyBestFromClusters(docs: DataFrame,
+      clusters: DataFrame): DataFrame =
+    dedupApplyBestKeepAll(docs, clusters)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** The D12 scored-keeper removal preserving EVERY column of `docs`
+    * — the composable form a pipeline chains further stages onto
+    * ([[Pipeline.pipelineFull]] needs the text column downstream;
+    * the registered query keeps the (doc_id, source, n_chars)
+    * diagnostic contract above).
+    */
+  def dedupApplyBestKeepAll(docs: DataFrame,
       clusters: DataFrame): DataFrame = {
     val scored = docs
       .join(clusters.select(col("doc_id"), col("cluster_id")),
@@ -130,8 +142,6 @@ object Clusters {
     val losers = clusters.select(col("doc_id"))
       .join(keepers, Seq("doc_id"), "left_anti")
     docs.join(losers, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
   }
 
   /** Connected components over an arbitrary `(doc_a, doc_b)` pair

@@ -76,10 +76,18 @@ object CorpusOps {
     * whose unpartitioned window moves the entire corpus to one task.
     */
   def packSequences(spark: SparkSession, sfDir: String,
+      targetTokens: Long = 2048L): DataFrame =
+    packSequencesDocs(documents(spark, sfDir), targetTokens)
+
+  /** [[packSequences]] over an arbitrary `(doc_id, text)` frame — the
+    * composable core (the pipeline packs the corpus that SURVIVED its
+    * upstream stages, not the raw table).
+    */
+  def packSequencesDocs(docs: DataFrame,
       targetTokens: Long = 2048L): DataFrame = {
     require(targetTokens > 0, s"targetTokens must be > 0: $targetTokens")
     import graft.functions.TextFunctions.tokenCount
-    val toks = documents(spark, sfDir)
+    val toks = docs
       .select(col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"))
     // `div` (long integer division — both operands non-negative), not
@@ -114,11 +122,18 @@ object CorpusOps {
     * would put an entire source (terabytes at 100 TB) on ONE task.
     */
   def mixSources(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 20000L): DataFrame =
+    mixSourcesDocs(documents(spark, sfDir), budgetTokens)
+
+  /** [[mixSources]] over an arbitrary `(doc_id, source, text)` frame
+    * — the composable core.
+    */
+  def mixSourcesDocs(docs: DataFrame,
       budgetTokens: Long = 20000L): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
     import graft.functions.TextFunctions.tokenCount
     import org.apache.spark.sql.functions.broadcast
-    val d = documents(spark, sfDir)
+    val d = docs
       .select(col("doc_id"), col("source"),
         tokenCount(col("text")).cast("long").as("n"),
         md5(col("text")).as("h"))

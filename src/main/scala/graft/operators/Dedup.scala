@@ -541,7 +541,16 @@ object Dedup {
     * oracle, which states the same semantics pairwise.
     */
   def jaccardPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.02, maxDf: Int = 100): DataFrame = {
+      threshold: Double = 0.02, maxDf: Int = 100): DataFrame =
+    jaccardPairsDocs(documents(spark, sfDir), threshold, maxDf)
+
+  /** [[jaccardPairs]] over an arbitrary `(doc_id, source, text)`
+    * frame — the composable core ([[Pipeline.pipelineFull]] feeds it
+    * the line-cleaned corpus instead of the raw table).
+    */
+  def jaccardPairsDocs(docs: DataFrame, threshold: Double = 0.02,
+      maxDf: Int = 100): DataFrame = {
+    val spark = docs.sparkSession
     // Single scan: shingle set per doc, then postings carrying the
     // doc's set size so no later join back is needed. The explode is
     // a typed flatMap, NOT explode(): Catalyst inlines a computed
@@ -568,7 +577,7 @@ object Dedup {
     // real scale, zero at oracle scale). The flatMap (not explode) is
     // deliberate: Catalyst re-evaluates a computed array per OUTPUT
     // row under Generate.
-    val postings = documents(spark, sfDir)
+    val postings = docs
       .select(col("doc_id"), graft.functions.HashFunctions
         .shingle_keys(col("text"), col("source"), 3).as("keys"))
       .as[(Long, Array[Long])]

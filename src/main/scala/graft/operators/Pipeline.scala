@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+
+/** P1 — the FULL production recipe as ONE composed operator: what a
+  * training-data pipeline actually ships when it turns a raw crawl
+  * into packed training batches. Stage order is the standard curation
+  * sequence (CCNet/C4/RefinedWeb-style):
+  *
+  *  1. model-scored QUALITY gate (T15, pure projection) — drop
+  *     low-score docs before anything expensive touches them;
+  *  2. LINE-level boilerplate removal (T19) — repeated chrome
+  *     (df ≥ minDf) cut from every survivor, text rebuilt;
+  *  3. scored FUZZY DEDUP (D4 → D8 → D12) over the CLEANED text —
+  *     pairs derived ONCE, clusters resolved from them, each cluster
+  *     keeping its highest-quality member;
+  *  4. contamination SCREEN (D7/D11) — survivors overlapping the
+  *     reference subset above threshold are dropped, refs stay;
+  *  5. temperature SOURCE MIXING (T13) — √-weighted per-source token
+  *     budgets, md5-deterministic selection;
+  *  6. sequence PACKING (T10) — offset packing of the final corpus
+  *     into targetTokens bins.
+  *
+  * SHARED DERIVATIONS are the point of composing (vs calling the six
+  * registered queries, each of which re-derives its inputs from the
+  * raw table): the cleaned corpus is localCheckpointed ONCE and feeds
+  * dedup scoring, the screen, the mixer and the packer; the jaccard
+  * pair list is localCheckpointed ONCE and feeds cluster resolution
+  * (the dedup_chain_shared precedent, SURVEY §8g — 27 s vs ~83 s
+  * summed at the 100× probe). `share = false` disables both
+  * checkpoints; PipelineSpec pins that the output SET is identical
+  * either way, and equals the stagewise application of the standalone
+  * stage operators.
+  *
+  * Scale shape: every stage keeps its standalone shape (kernel
+  * projections, partial-agged postings, star-contraction, id-only
+  * anti-joins, keyed prefix-sums); the composition adds NO new
+  * shuffle — stage handoffs are semi/anti joins on 8-byte ids, and
+  * text crosses the wire only at the two checkpoint writes. Rows-only
+  * for the driver oracle: stage 3's pair input is float-thresholded
+  * and stage 2's rebuilt text feeds it, so the end-to-end SQL would
+  * be the CLUSTER_CTE recursive closure over string_agg-rebuilt text
+  * — each stage is already oracle-checked standalone (quality_classify,
+  * line_dedup, dedup_apply_best, screen_apply, mix_sources,
+  * pack_sequences); PipelineSpec pins the composition.
+  */
+object Pipeline {
+
+  def pipelineFull(docs: DataFrame,
+      minDf: Int = 3,
+      dedupThreshold: Double = 0.02,
+      screenThreshold: Double = 0.05, refMod: Int = 7,
+      mixBudget: Long = 20000L, packTarget: Long = 2048L,
+      share: Boolean = true): DataFrame = {
+    // 1. quality gate — T15's rational-arithmetic linear model
+    val kept = docs
+      .filter(TextOps.modelQualityScore(col("text")) >= lit(0.5))
+    // 2. line dedup over the survivors; clean_text becomes the text
+    //    every later stage sees (empty-text docs stay — corpus
+    //    membership is the dedup stages' decision, per T19's contract)
+    val cleaned = kept.select(col("doc_id"), col("source"))
+      .join(CorpusOps.lineDedup(kept, minDf)
+        .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("clean_text").as("text"),
+        length(col("clean_text")).cast("long").as("n_chars"))
+    val corpus = if (share) cleaned.localCheckpoint(true) else cleaned
+    // 3. ONE pair derivation → clusters → best-quality keeper
+    val pairs0 = Dedup.jaccardPairsDocs(corpus, dedupThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val pairs = if (share) pairs0.localCheckpoint(true) else pairs0
+    val clusters = Clusters.clusterPairs(pairs)
+    val deduped = Clusters.dedupApplyBestKeepAll(corpus, clusters)
+    // 4. decontamination screen (reference members stay — D11)
+    val flagged = Dedup.screenDocs(deduped, screenThreshold, refMod)
+      .select(col("doc_id")).distinct()
+    val screened = deduped.join(flagged, Seq("doc_id"), "left_anti")
+    // 5. temperature mixing — selection only, ids join back
+    val picked = CorpusOps.mixSourcesDocs(screened, mixBudget)
+      .select(col("doc_id"))
+    val mixed = screened.join(picked, Seq("doc_id"), "left_semi")
+    // 6. offset packing of the final corpus
+    CorpusOps.packSequencesDocs(mixed, packTarget)
+      .join(mixed.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered `pipeline_full` query: the synthetic docs are
+    * single-line, so the query plants the SAME deterministic
+    * multi-line structure as the `line_dedup` query (hdr/ref/ftr —
+    * both sides of the line-df frontier exercised) and runs the full
+    * recipe over it.
+    */
+  def pipelineFullQuery(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineFull(plantedDocs(spark, sfDir))
+
+  /** The planted multi-line corpus shared by the query, the spec and
+    * the probe (the [[CorpusOps.lineDedupQuery]] construction, with
+    * `source` kept for blocking/mixing).
+    */
+  def plantedDocs(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).select(col("doc_id"), col("source"),
+      concat(lit("hdr "), col("source"), lit("\n"),
+        col("text"), lit("\n"),
+        lit("ref "), expr("doc_id div 2").cast("string"), lit("\n"),
+        lit("ftr "), col("lang")).as("text"))
+}

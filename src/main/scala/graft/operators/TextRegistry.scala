@@ -75,7 +75,12 @@ object TextRegistry {
     // rows-only: seeded Gumbel-top-k sampled selection — float-keyed
     // ranking like dsir_select; SearchSpec pins seed reproducibility
     // and the τ=0 recovery of the deterministic selection
-    "dsir_select_sampled" -> ((s, d) => Search.dsirSelectSampled(s, d))
+    "dsir_select_sampled" -> ((s, d) => Search.dsirSelectSampled(s, d)),
+    // rows-only: the composed production recipe — each stage is
+    // oracle-checked standalone; the end-to-end chain (float-
+    // thresholded pairs over line-rebuilt text) is pinned by
+    // PipelineSpec's stagewise set-equality instead
+    "pipeline_full" -> (Pipeline.pipelineFullQuery _)
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Clusters, CorpusOps, Dedup, Pipeline, TextOps}
+
+/** P1 pipeline_full: the composed recipe must equal the stagewise
+  * application of the standalone stage operators (the
+  * dedup_chain_shared precedent — sharing derivations is a plan
+  * optimization, never a semantics change), and its output must
+  * satisfy every stage's invariant at once.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def collectOut(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("pipelineFull equals the stagewise chain of standalone operators") {
+    val planted = Pipeline.plantedDocs(spark, sf)
+    val full = collectOut(Pipeline.pipelineFull(planted))
+
+    // stagewise: each stage invoked standalone, no shared checkpoints
+    val kept = planted
+      .filter(TextOps.modelQualityScore(col("text")) >= lit(0.5))
+    val cleaned = kept.select(col("doc_id"), col("source"))
+      .join(CorpusOps.lineDedup(kept).select(col("doc_id"),
+        col("clean_text")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("clean_text").as("text"),
+        length(col("clean_text")).cast("long").as("n_chars"))
+    val clusters = Clusters.clusterPairs(
+      Dedup.jaccardPairsDocs(cleaned).select(col("doc_a"), col("doc_b")))
+    val deduped = Clusters.dedupApplyBestKeepAll(cleaned, clusters)
+    val flagged = Dedup.screenDocs(deduped)
+      .select(col("doc_id")).distinct()
+    val screened = deduped.join(flagged, Seq("doc_id"), "left_anti")
+    val picked = CorpusOps.mixSourcesDocs(screened).select(col("doc_id"))
+    val mixed = screened.join(picked, Seq("doc_id"), "left_semi")
+    val expected = collectOut(
+      CorpusOps.packSequencesDocs(mixed)
+        .join(mixed.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("bin")))
+
+    assert(full == expected)
+    assert(full.nonEmpty, "pipeline produced an empty corpus")
+
+    // ...and the share=false path (no checkpoints) is the same set:
+    // materialization barriers must not change semantics
+    val unshared = collectOut(
+      Pipeline.pipelineFull(planted, share = false))
+    assert(unshared == full)
+  }
+
+  test("pipelineFull output satisfies every stage invariant at once") {
+    val planted = Pipeline.plantedDocs(spark, sf)
+    val out = Pipeline.pipelineFull(planted).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ids = out.map(_._1).toSet
+    assert(ids.size == out.length, "duplicate doc_ids in output")
+
+    // stage 1: every selected doc passed the quality gate
+    val qualityIds = planted
+      .filter(TextOps.modelQualityScore(col("text")) >= lit(0.5))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(qualityIds), "a doc skipped the quality gate")
+
+    // stage 3: no near-dup cluster (over the cleaned text) keeps two
+    // members
+    val kept = planted
+      .filter(TextOps.modelQualityScore(col("text")) >= lit(0.5))
+    val cleaned = kept.select(col("doc_id"), col("source"))
+      .join(CorpusOps.lineDedup(kept).select(col("doc_id"),
+        col("clean_text")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("clean_text").as("text"),
+        length(col("clean_text")).cast("long").as("n_chars"))
+    val clusters = Clusters.clusterPairs(
+      Dedup.jaccardPairsDocs(cleaned).select(col("doc_a"), col("doc_b")))
+    val clusterOf = clusters
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perCluster = ids.toSeq.flatMap(id => clusterOf.get(id))
+      .groupBy(identity).view.mapValues(_.size)
+    assert(perCluster.values.forall(_ == 1),
+      s"cluster kept two members: ${perCluster.filter(_._2 > 1)}")
+
+    // stage 4: no selected doc is screen-flagged (flags computed over
+    // the post-dedup corpus, exactly as the pipeline screens it)
+    val deduped = Clusters.dedupApplyBestKeepAll(cleaned, clusters)
+    val flaggedIds = Dedup.screenDocs(deduped)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(flaggedIds).isEmpty,
+      s"screen-flagged docs survived: ${ids.intersect(flaggedIds).take(5)}")
+
+    // stage 6: bins follow the sequential offset packer exactly —
+    // the single-threaded greedy reference over the selected docs in
+    // doc_id order
+    var cum = 0L
+    out.sortBy(_._1).foreach { case (id, _, n, bin) =>
+      assert(bin == cum / 2048L, s"doc $id bin $bin != ${cum / 2048L}")
+      cum += n
+    }
+  }
+}
