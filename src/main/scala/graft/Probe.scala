@@ -39,7 +39,8 @@ object Probe {
       "dedup_apply", "mix_sources", "screen_apply", "corpus_stats",
       "screen_ngram_overlap",
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
-      "line_dedup", "dedup_apply_best", "lm_doc_stats", "lm_perplexity",
+      "line_dedup", "substring_scrub", "dedup_apply_best",
+      "lm_doc_stats", "lm_perplexity",
       "dsir_doc_stats", "dsir_weights", "dsir_select",
       "dsir_select_sampled",
       "bm25_search", "embed_kmeans", "embed_quantize", "embed_project",

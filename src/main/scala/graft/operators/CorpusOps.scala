@@ -474,6 +474,153 @@ object CorpusOps {
     lineDedup(planted)
   }
 
+  /** Window-position FNV-64 hashes of a doc's tokens: one hash per
+    * START position of a `w`-token window, over the space-joined
+    * window bytes (identical to the oracle's
+    * `array_to_string(tk[i:i+w-1], ' ')` string). O(n·w) per doc —
+    * the [[Dedup.screenNgramOverlap]] convention; positions are NOT
+    * deduped here (the scrub needs every occurrence's coverage).
+    */
+  private def windowHashes(tk: Array[String], w: Int): Array[Long] = {
+    if (tk.length < w) Array.emptyLongArray
+    else {
+      val out = new Array[Long](tk.length - w + 1)
+      var i = 0
+      while (i <= tk.length - w) {
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < w) {
+          if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+          val bs = tk(i + j).getBytes("UTF-8")
+          var b = 0
+          while (b < bs.length) {
+            h ^= bs(b) & 0xffL; h *= 0x100000001b3L; b += 1
+          }
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** T24 — SPAN-LEVEL SUBSTRING SCRUB: the APPLY form of D10's
+    * exact-substring criterion, done the way the Lee et al. 2022
+    * pipeline (arXiv:2107.06499) actually edits the corpus — REMOVE
+    * the duplicated span, not the document: every token covered by a
+    * verbatim `w`-token window that also occurs in an EARLIER
+    * (lower doc_id) document is cut, and the surviving tokens are
+    * rejoined in order (single spaces — the tokenizer-canonical form;
+    * original inter-token whitespace is not preserved). The first
+    * occurrence keeps its text; exact duplicates therefore scrub to
+    * an empty `clean_text` (substring dedup subsumes exact dedup),
+    * and docs sharing only a quoted passage lose just the passage —
+    * [[lineDedup]] generalized from line granularity to token
+    * windows.
+    *
+    * Scale shape (the [[lineDedup]] two-scan recipe): only windows
+    * with df ≥ 2 can scrub anything (a df-1 window's min owner is the
+    * doc itself), so the frontier is (hash, min-owner) of SHARED
+    * windows only — per-doc-distinct 8-byte emits, partial-agged
+    * min/count, bounded driver collect guarded by `maxShared` with a
+    * loud failure (~16 bytes/window; the default 4M ≈ 64 MB),
+    * broadcast as two sorted primitive arrays. The rebuild scan is a
+    * pure typed map — zero data shuffles, text never crosses the
+    * wire. Exact up to 64-bit window-hash collisions (the hash-key
+    * family contract).
+    */
+  def substringScrub(docs: DataFrame, w: Int = 8,
+      maxShared: Int = 4000000): DataFrame = {
+    require(w >= 2 && w <= 64, s"w out of range: $w")
+    require(maxShared > 0, s"maxShared must be > 0: $maxShared")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val shared = ds
+      .flatMap { case (id, t) =>
+        val hs = windowHashes(duckTokens(t), w).clone()
+        // per-doc dedupe: df counts distinct docs, and one emit per
+        // (window, doc) keeps the shuffle Θ(distinct windows)
+        java.util.Arrays.sort(hs)
+        var i = 0
+        var n = 0
+        while (i < hs.length) {
+          if (n == 0 || hs(n - 1) != hs(i)) { hs(n) = hs(i); n += 1 }
+          i += 1
+        }
+        java.util.Arrays.copyOf(hs, n).map(h => (h, id))
+      }
+      .toDF("h", "doc_id")
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("owner"), count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"), col("owner")).as[(Long, Long)]
+      .limit(maxShared + 1)
+      .collect()
+    require(shared.length <= maxShared,
+      s"shared-window frontier exceeds maxShared=$maxShared (~16 bytes " +
+        "per window on the driver and in the broadcast) — raise the " +
+        "budget knowingly or raise w; refusing an unbounded driver " +
+        "collect")
+    val sorted = shared.sortBy(_._1)
+    val keys = sorted.map(_._1)
+    val owners = sorted.map(_._2)
+    val bc = spark.sparkContext.broadcast((keys, owners))
+    ds.map { case (id, t) =>
+        val tk = duckTokens(t)
+        val hs = windowHashes(tk, w)
+        val covered = new Array[Boolean](tk.length)
+        var i = 0
+        while (i < hs.length) {
+          val p = java.util.Arrays.binarySearch(bc.value._1, hs(i))
+          if (p >= 0 && bc.value._2(p) < id) {
+            var j = i
+            while (j < i + w) { covered(j) = true; j += 1 }
+          }
+          i += 1
+        }
+        val sb = new java.lang.StringBuilder
+        var kept = 0L
+        var dropped = 0L
+        var j = 0
+        while (j < tk.length) {
+          if (covered(j)) dropped += 1
+          else {
+            if (kept > 0) sb.append(' ')
+            sb.append(tk(j))
+            kept += 1
+          }
+          j += 1
+        }
+        (id, sb.toString, kept, dropped)
+      }
+      .toDF("doc_id", "clean_text", "n_kept", "n_dropped")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered `substring_scrub` query: natural word-soup shares
+    * no verbatim 8-token windows, so (the screen_ngram_overlap
+    * planting precedent) a fixed 10-token passage is appended to
+    * every doc_id ≡ 5 (mod 13) — its three fully-internal windows are
+    * shared by all planted docs, so the LOWEST planted id keeps the
+    * passage and every later one is scrubbed back to its original
+    * text, while each doc's bridge windows (suffix + passage prefix)
+    * stay unique and uncut. The corpus' planted exact-dup groups
+    * exercise the full-scrub path (every window owned by the group
+    * minimum → empty clean_text). The oracle builds the identical
+    * text in SQL.
+    */
+  def substringScrubQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val phrase = (0 until 10).map(i => s"sp$i").mkString(" ")
+    val planted = documents(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 13 === 5,
+        concat(col("text"), lit(" " + phrase)))
+        .otherwise(col("text")).as("text"))
+    substringScrub(planted)
+  }
+
   /** T16 — corpus DATA CARD: the per-source report a pipeline records
     * alongside every training-data release — document/token/char
     * volumes, exact-duplicate uniqueness, decimal-exact mean quality,

@@ -80,7 +80,8 @@ object TextRegistry {
     // oracle-checked standalone; the end-to-end chain (float-
     // thresholded pairs over line-rebuilt text) is pinned by
     // PipelineSpec's stagewise set-equality instead
-    "pipeline_full" -> (Pipeline.pipelineFullQuery _)
+    "pipeline_full" -> (Pipeline.pipelineFullQuery _),
+    "substring_scrub" -> (CorpusOps.substringScrubQuery _)
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
@@ -552,6 +553,41 @@ object TextRegistry {
          | sum(c.c)::BIGINT AS sum_cnt, min(c.c)::BIGINT AS min_cnt
          |FROM tok JOIN cnt c USING (w)
          |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin,
+    // span-level substring scrub over the SAME planted shared-passage
+    // text the Spark query builds: a token is cut iff some verbatim
+    // 8-token window covering it also occurs in a lower-id doc;
+    // survivors rejoin with single spaces. The engine matches windows
+    // by FNV-64 of the space-joined window (collision odds ≈ d²/2⁶⁵ —
+    // zero at oracle scale), the oracle by the window string itself.
+    "substring_scrub" ->
+      s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 13 = 5
+         |  THEN text || ' sp0 sp1 sp2 sp3 sp4 sp5 sp6 sp7 sp8 sp9'
+         |  ELSE text END AS text FROM documents),
+         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM d),
+         |wi AS (SELECT doc_id, tk,
+         |  unnest(range(1, greatest(len(tk) - 6, 1))) AS i FROM t),
+         |w AS (SELECT doc_id, i,
+         |  array_to_string(tk[i:i+7], ' ') AS win FROM wi),
+         |own AS (SELECT win, min(doc_id) AS owner FROM (
+         |  SELECT DISTINCT doc_id, win FROM w) GROUP BY win),
+         |bad AS (SELECT w.doc_id, w.i FROM w JOIN own USING (win)
+         |  WHERE own.owner < w.doc_id),
+         |tok AS (SELECT doc_id, unnest(tk) AS tok,
+         |  generate_subscripts(tk, 1) AS j FROM t),
+         |keptt AS (SELECT tok.doc_id, tok.j, tok.tok FROM tok
+         |  WHERE NOT EXISTS (SELECT 1 FROM bad
+         |    WHERE bad.doc_id = tok.doc_id
+         |      AND bad.i <= tok.j AND tok.j <= bad.i + 7)),
+         |res AS (SELECT doc_id,
+         |  string_agg(tok, ' ' ORDER BY j) AS clean_text,
+         |  count(*)::BIGINT AS n_kept FROM keptt GROUP BY doc_id),
+         |tot AS (SELECT doc_id, len(tk)::BIGINT AS n_tok FROM t)
+         |SELECT tot.doc_id, coalesce(res.clean_text, '') AS clean_text,
+         |  coalesce(res.n_kept, 0)::BIGINT AS n_kept,
+         |  (tot.n_tok - coalesce(res.n_kept, 0))::BIGINT AS n_dropped
+         |FROM tot LEFT JOIN res ON tot.doc_id = res.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
     // line-level dedup over the SAME planted multi-line text the
     // Spark query builds: a line in >= 3 distinct docs is dropped
     // everywhere; survivors rejoin in original order. string_split

@@ -250,6 +250,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("substringScrub cuts exactly the windows owned by earlier docs") {
+    import graft.operators.CorpusOps.substringScrub
+    // doc 1 embeds doc 0's full 8-token window (positions 3..10) —
+    // scrubbed, its unique frame kept; doc 2 is an exact dup of doc 0
+    // — every window owned by 0, fully scrubbed; doc 3 is short (< 8
+    // tokens) — untouchable; doc 0 (the first occurrence) keeps all.
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x y z a b c d e f g h w"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "a b c")).toDF("doc_id", "text")
+    val got = substringScrub(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("a b c d e f g h i j", 10L, 0L)))
+    assert(got(1L) == (("x y z w", 4L, 8L)))
+    assert(got(2L) == (("", 0L, 10L)), "exact dup must scrub to empty")
+    assert(got(3L) == (("a b c", 3L, 0L)))
+    assert(got.size == 4)
+
+    // overlapping shared windows merge their coverage: doc 5 shares
+    // doc 4's 9-token run — both 8-token windows hit, 9 tokens cut
+    val docs2 = Seq(
+      (4L, "p q r s t u v w x"),
+      (5L, "k p q r s t u v w x m")).toDF("doc_id", "text")
+    val got2 = substringScrub(docs2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got2(5L) == (("k m", 2L, 9L)))
+  }
+
+  test("substringScrub guards the shared-window frontier collect") {
+    import graft.operators.CorpusOps.substringScrub
+    val t = (0 until 32).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, t), (1L, t), (2L, t)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      substringScrub(docs, maxShared = 3).collect()
+    }
+    assert(e.getMessage.contains("maxShared"))
+  }
+
   test("lineDedup guards the banned-frontier driver collect") {
     import graft.operators.CorpusOps.lineDedup
     val docs = Seq((0L, "a\nb"), (1L, "a\nb"), (2L, "a\nb"))
