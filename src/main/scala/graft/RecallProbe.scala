@@ -143,6 +143,15 @@ object RecallProbe {
           .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
       }
       recallOf("jaccard_lsh_t0.3", lsh, lshSec)
+      // the auto-scaled shape (lshParamsFor: 64 × (32×2) at t=0.3 —
+      // S-curve 0.951 at the threshold itself vs the pinned default's
+      // 0.779): the [0.3,0.4) band must clear 0.9 without blowing the
+      // candidate volume (sec stays same order as the pinned row)
+      val (lshAuto, lshAutoSec) = timed {
+        operators.Dedup.jaccardPairsLsh(spark, sfDir, threshold = 0.3)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      }
+      recallOf("jaccard_lsh_auto_t0.3", lshAuto, lshAutoSec)
     }
 
     if (wanted("minhash")) {

@@ -676,19 +676,61 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Auto-pick the MinHash-LSH shape `(k, bands)` for a requested
+    * jaccard threshold: the banding S-curve `1 − (1 − t^r)^b`
+    * (r = k/bands rows per band) must clear `targetRecall` AT the
+    * threshold itself, not only well above it — the round-11 recall
+    * probe measured 0.865 in the [0.3, 0.4) truth band when the
+    * k=32 × (16×2) default (S-curve centered for j ≈ 0.5, its
+    * midpoint (1/b)^(1/r) = 0.25) was asked for t = 0.3. Preference
+    * order: the LARGEST rows-per-band r that clears the target with
+    * the SMALLEST signature k — big r keeps band buckets selective
+    * (candidate volume ∝ Σ bucket², and a band key of r minhashes
+    * collides at rate j^r), extra k only costs one more kernel pass.
+    * The scan covers r ∈ {8,4,2,1} × k ∈ {32,64,128}; t = 0.5 →
+    * (32, 16) — exactly the historical default, so existing measured
+    * recall numbers are unchanged — while t = 0.3 → (64, 32)
+    * (S-curve 0.951 at 0.3 vs the default's 0.779) and high
+    * thresholds move to fewer, longer bands (t = 0.7 → (64, 16) at
+    * r = 4: more selective buckets, not less recall).
+    */
+  private[graft] def lshParamsFor(threshold: Double,
+      targetRecall: Double = 0.95): (Int, Int) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val combos = for {
+      r <- Seq(8, 4, 2, 1)
+      k <- Seq(32, 64, 128)
+    } yield (k, k / r, r)
+    combos.collectFirst {
+      case (k, b, r)
+        if 1.0 - math.pow(1.0 - math.pow(threshold, r), b) >= targetRecall =>
+        (k, b)
+    }.getOrElse((128, 128))
+  }
+
   /** D4b — CROSS-BLOCK exact jaccard: same output contract as
     * [[jaccardPairs]] but with no block-key assumption — candidates
-    * come from MinHash-LSH banding (16 bands × 2 rows at k=32:
-    * P[candidate] ≈ 99% at j=0.5, 1.0 for exact duplicates), each
-    * verified with the exact sorted-key intersection. This is the
-    * shape for corpora where no `source` blocking exists or near-dups
-    * cross blocks; the banding threshold regime means it targets
-    * NEAR-duplicates (j ≥ ~0.5) — the blocked verifier remains the
-    * tool for weak-overlap mining inside known blocks.
+    * come from MinHash-LSH banding, each candidate verified with the
+    * exact sorted-key intersection. This is the shape for corpora
+    * where no `source` blocking exists or near-dups cross blocks.
+    * By default (`k`/`bands` ≤ 0) the banding shape is picked by
+    * [[lshParamsFor]] from the requested threshold — t = 0.5 keeps
+    * the historical 32 × (16×2), t = 0.3 widens to 64 × (32×2) so
+    * the S-curve clears 0.95 at the threshold itself; pass explicit
+    * k/bands to pin a shape.
     */
   def jaccardPairsLsh(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5, k: Int = 32, bands: Int = 16,
-      maxBucket: Int = 5000): DataFrame =
+      threshold: Double = 0.5, k: Int = -1, bands: Int = -1,
+      maxBucket: Int = 5000): DataFrame = {
+    val (ak, ab) =
+      if (k > 0 && bands > 0) (k, bands) else lshParamsFor(threshold)
+    jaccardPairsLshShaped(spark, sfDir, threshold, ak, ab, maxBucket)
+  }
+
+  private def jaccardPairsLshShaped(spark: SparkSession, sfDir: String,
+      threshold: Double, k: Int, bands: Int,
+      maxBucket: Int): DataFrame =
     // signature pre-filter at threshold − 0.2 (≈2.3σ of the k=32
     // estimator at j=0.5): implausible in-bucket pairs are dropped
     // inside the pair flatMap and never reach the verify join, which

@@ -138,6 +138,49 @@ class TextDedupSpec extends AnyFunSuite {
       }
   }
 
+  test("lshParamsFor centers the banding S-curve on the requested threshold") {
+    def sCurve(t: Double, k: Int, b: Int): Double = {
+      val r = k / b
+      1.0 - math.pow(1.0 - math.pow(t, r), b)
+    }
+    // t=0.5 keeps the historical default — measured recall numbers
+    // (0.998 at j>=0.5, RECALL_r11) stay attached to this shape
+    assert(Dedup.lshParamsFor(0.5) == ((32, 16)))
+    // t=0.3: the r11 gap case — the auto shape must clear 0.95 AT the
+    // threshold where the pinned default sat at 0.779
+    assert(Dedup.lshParamsFor(0.3) == ((64, 32)))
+    assert(sCurve(0.3, 32, 16) < 0.8)
+    // every auto shape clears the target at its own threshold, with
+    // bands dividing k (the minhashPairs slicing contract)
+    Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95).foreach { t =>
+      val (k, b) = Dedup.lshParamsFor(t)
+      assert(k % b == 0, s"t=$t: bands $b do not divide k $k")
+      assert(sCurve(t, k, b) >= 0.95,
+        s"t=$t: S-curve ${sCurve(t, k, b)} below target at ($k, $b)")
+    }
+    // high thresholds buy SELECTIVITY (longer bands), not just recall
+    val (k7, b7) = Dedup.lshParamsFor(0.7)
+    assert(k7 / b7 >= 4, s"t=0.7 rows-per-band ${k7 / b7} < 4")
+  }
+
+  test("auto-scaled LSH at t=0.3 recalls the blocked verifier's weak pairs") {
+    // the regime the fixed 16×2 banding under-recalled: pairs in
+    // [0.3, 0.5) from the blocked exact verifier must now surface
+    // through the auto-picked cross-block shape
+    val blocked = Dedup.jaccardPairs(spark, sf, threshold = 0.3)
+      .filter(col("jaccard") < 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.jaccardPairsLsh(spark, sf, threshold = 0.3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (blocked.nonEmpty) {
+      val recalled = blocked.count(auto.contains).toDouble / blocked.size
+      assert(recalled >= 0.9,
+        s"auto-shape recall $recalled < 0.9 on ${blocked.size} weak pairs")
+    }
+  }
+
   test("jaccard pairs are symmetric-free, thresholded, in [0,1]") {
     val df = Dedup.jaccardPairs(spark, sf, 0.02)
     assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
