@@ -39,6 +39,7 @@ object Probe {
       "dedup_apply", "mix_sources", "screen_apply", "corpus_stats",
       "screen_ngram_overlap",
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
+      "bpe_train", "pack_sequences_bpe",
       "line_dedup", "substring_scrub", "dedup_apply_best",
       "lm_doc_stats", "lm_perplexity",
       "dsir_doc_stats", "dsir_weights", "dsir_select",

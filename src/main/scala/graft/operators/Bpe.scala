@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+
+/** T25 — corpus-mined BYTE-PAIR ENCODING for tokenizer-accurate
+  * budgets: real pipelines budget packing, mixing and DSIR selection
+  * by SUBWORD counts, not whitespace tokens. This is the public BPE
+  * algorithm (Sennrich et al. 2016, arXiv:1508.07909) trained on the
+  * corpus itself — merges mined from the corpus' own word-frequency
+  * table, no external vocabulary, so the whole path stays
+  * self-contained and deterministic.
+  *
+  * Conventions (documented, since sketch internals are engine
+  * design): symbols start at Unicode code points WITHIN words (the
+  * whitespace tokenizer pre-splits; no end-of-word marker, no
+  * cross-word merges); training picks the highest-count adjacent
+  * pair each round with ties broken toward the lexicographically
+  * SMALLEST (left, right) — a total order, so the mined merge table
+  * is reproducible anywhere; encoding merges the lowest-RANK pair's
+  * occurrences left-to-right until none applies (the standard
+  * encoder loop), so `count = |pieces|` is a pure function of
+  * (word, merges).
+  *
+  * Scale shape: the DISTRIBUTED work is one word-count groupBy
+  * (partial-agged, words hash-spread); the fit is a BOUNDED driver
+  * computation over the distinct-word frequency table — the
+  * dsirModel/IVF-fit precedent, budget-guarded by `maxWords` with a
+  * loud failure (natural-language vocabularies are Heaps-law bounded:
+  * a 100 TB corpus has ~10⁷ distinct words, ≈ a few hundred MB of
+  * driver heap at the default budget). Scoring broadcasts the merge
+  * ranks (a few KB) into a zero-shuffle typed map.
+  */
+object Bpe {
+
+  /** A mined merge table. `rank` maps an adjacent symbol pair to its
+    * merge priority (0 = first mined = applied first at encode).
+    */
+  final case class BpeModel(merges: Array[(String, String)])
+      extends Serializable {
+    @transient lazy val rank: Map[(String, String), Int] =
+      merges.iterator.zipWithIndex.toMap
+
+    /** Number of BPE pieces `word` encodes to: code-point symbols,
+      * then repeatedly merge every left-to-right occurrence of the
+      * lowest-rank adjacent pair (the standard encoder loop).
+      */
+    def encodeCount(word: String): Int = {
+      if (word.isEmpty) return 0
+      var syms = new java.util.ArrayList[String]()
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val n = Character.charCount(cp)
+        syms.add(word.substring(i, i + n))
+        i += n
+      }
+      var done = syms.size <= 1
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var j = 0
+        while (j < syms.size - 1) {
+          rank.get((syms.get(j), syms.get(j + 1))).foreach { r =>
+            if (r < bestRank) bestRank = r
+          }
+          j += 1
+        }
+        if (bestRank == Int.MaxValue) done = true
+        else {
+          val (l, r) = merges(bestRank)
+          val next = new java.util.ArrayList[String](syms.size)
+          var p = 0
+          while (p < syms.size) {
+            if (p < syms.size - 1 && syms.get(p) == l &&
+                syms.get(p + 1) == r) {
+              next.add(l + r)
+              p += 2
+            } else {
+              next.add(syms.get(p))
+              p += 1
+            }
+          }
+          syms = next
+          if (syms.size <= 1) done = true
+        }
+      }
+      syms.size
+    }
+  }
+
+  /** The corpus word-frequency table `(word, n)` over the oracle's
+    * exact tokenization ([[CorpusOps.duckTokens]]).
+    */
+  private def wordCounts(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("text")).as[String]
+      .flatMap(CorpusOps.duckTokens(_))
+      .toDF("word")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Mine `nMerges` merges from the corpus. The driver fit is
+    * budget-guarded: the distinct-word table must fit `maxWords`
+    * (loud failure past it — raise knowingly; a vocabulary that
+    * large usually means the tokenizer is mis-splitting).
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 200,
+      maxWords: Int = 4000000): BpeModel = {
+    require(nMerges >= 1 && nMerges <= 100000,
+      s"nMerges must be in 1..100000: $nMerges")
+    require(maxWords >= 1, s"maxWords must be >= 1: $maxWords")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = wordCounts(docs).as[(String, Long)]
+      .limit(maxWords + 1)
+      .collect()
+    require(rows.length <= maxWords,
+      s"distinct-word table exceeds maxWords=$maxWords — the BPE fit " +
+        "is a bounded driver computation; raise the budget knowingly " +
+        "or check the tokenizer (a vocabulary this large usually means " +
+        "mis-split text)")
+    BpeModel(trainOn(rows, nMerges))
+  }
+
+  /** The driver-side mine over a word-frequency table — the testable
+    * core. Each round counts weighted adjacent-pair frequencies over
+    * the current symbol sequences, merges the winner everywhere, and
+    * stops early when no pair repeats.
+    */
+  private[graft] def trainOn(words: Array[(String, Long)],
+      nMerges: Int): Array[(String, String)] = {
+    // code-point symbol sequences, one per distinct word
+    val seqs = words.map { case (w, c) =>
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        b += w.substring(i, i + n)
+        i += n
+      }
+      (b, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var round = 0
+    var dry = false
+    while (round < nMerges && !dry) {
+      val pc = scala.collection.mutable.HashMap[(String, String), Long]()
+      seqs.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      // a pair seen once cannot be worth a merge slot; stopping at
+      // max count 1 also guarantees termination on tiny corpora
+      val best = pc.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, (k, c)) =>
+          acc match {
+            case Some((bk, bc))
+              if bc > c || (bc == c && implicitly[Ordering[(String, String)]]
+                .lteq(bk, k)) => acc
+            case _ => Some((k, c))
+          }
+      }
+      best match {
+        case Some(((l, r), c)) if c >= 2 =>
+          merges += ((l, r))
+          seqs.foreach { case (syms, _) =>
+            var i = 0
+            while (i < syms.length - 1) {
+              if (syms(i) == l && syms(i + 1) == r) {
+                syms(i) = l + r
+                syms.remove(i + 1)
+                // do NOT back up: occurrences merge left-to-right,
+                // non-overlapping — the encoder's convention
+              }
+              i += 1
+            }
+          }
+        case _ => dry = true
+      }
+      round += 1
+    }
+    merges.toArray
+  }
+
+  /** Per-document BPE token counts `(doc_id, n_tokens)` under a mined
+    * model — the pluggable counter for
+    * [[CorpusOps.packSequencesCounted]] /
+    * [[CorpusOps.mixSourcesCounted]] /
+    * [[Search.dsirSelectFromWeightsCounted]]. Broadcast ranks, one
+    * zero-shuffle typed map.
+    */
+  def bpeCounts(docs: DataFrame, model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        var n = 0L
+        CorpusOps.duckTokens(t).foreach { w =>
+          n += bc.value.encodeCount(w)
+        }
+        (id, n)
+      }
+      .toDF("doc_id", "n_tokens")
+  }
+
+  /** The registered `bpe_train` query: the mined merge table itself,
+    * `(rank, left, right)` — rows-only (an iterative frequency mine
+    * has no ANSI-SQL statement; BpeSpec pins determinism and the
+    * hand-computed mine on a constructed corpus).
+    */
+  def bpeTrainQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = bpeTrain(documents(spark, sfDir))
+    import spark.implicits._
+    spark.createDataset(model.merges.toIndexedSeq.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) })
+      .toDF("rank", "left", "right")
+      .orderBy(col("rank"))
+  }
+
+  /** T10b — sequence packing budgeted by MINED SUBWORD counts instead
+    * of whitespace tokens (the tokenizer-accurate form of
+    * [[CorpusOps.packSequences]]): train on the corpus, count each
+    * doc under the model, pack the counts. Eager fit at construction
+    * (the boilerplateShare convention).
+    */
+  def packSequencesBpe(spark: SparkSession, sfDir: String,
+      targetTokens: Long = 2048L, nMerges: Int = 200): DataFrame = {
+    val docs = documents(spark, sfDir)
+    CorpusOps.packSequencesCounted(
+      bpeCounts(docs, bpeTrain(docs, nMerges)), targetTokens)
+  }
+}

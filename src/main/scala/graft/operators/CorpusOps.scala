@@ -85,17 +85,27 @@ object CorpusOps {
     */
   def packSequencesDocs(docs: DataFrame,
       targetTokens: Long = 2048L): DataFrame = {
-    require(targetTokens > 0, s"targetTokens must be > 0: $targetTokens")
     import graft.functions.TextFunctions.tokenCount
-    val toks = docs
+    packSequencesCounted(docs
       .select(col("doc_id"),
-        tokenCount(col("text")).cast("long").as("n_tokens"))
+        tokenCount(col("text")).cast("long").as("n_tokens")),
+      targetTokens)
+  }
+
+  /** The packing core over an arbitrary `(doc_id, n_tokens)` counts
+    * frame — the token COUNTER is pluggable: whitespace kernel by
+    * default ([[packSequencesDocs]]), corpus-mined subword counts for
+    * tokenizer-accurate budgets ([[Bpe.packSequencesBpe]]).
+    */
+  def packSequencesCounted(counts: DataFrame,
+      targetTokens: Long = 2048L): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be > 0: $targetTokens")
     // `div` (long integer division — both operands non-negative), not
     // floor(double /): past 2^53 cumulative tokens the double rounds
     // and can diverge from integer division, at odds with the 100 TB
     // contract.
     graft.plans.GlobalOrder
-      .withPrefixSum(toks, Seq(col("doc_id")), "n_tokens", "cum")
+      .withPrefixSum(counts, Seq(col("doc_id")), "n_tokens", "cum")
       .select(col("doc_id"), col("n_tokens"),
         expr(s"(cum - n_tokens) div ${targetTokens}L").as("bin"))
       .orderBy(col("doc_id"))
@@ -130,13 +140,23 @@ object CorpusOps {
     */
   def mixSourcesDocs(docs: DataFrame,
       budgetTokens: Long = 20000L): DataFrame = {
-    require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
     import graft.functions.TextFunctions.tokenCount
-    import org.apache.spark.sql.functions.broadcast
-    val d = docs
+    mixSourcesCounted(docs
       .select(col("doc_id"), col("source"),
         tokenCount(col("text")).cast("long").as("n"),
-        md5(col("text")).as("h"))
+        md5(col("text")).as("h")),
+      budgetTokens)
+  }
+
+  /** The mixing core over an arbitrary `(doc_id, source, n, h)` frame
+    * (`n` = token count, `h` = the deterministic selection-order key)
+    * — the counter is pluggable, the [[packSequencesCounted]]
+    * convention.
+    */
+  def mixSourcesCounted(d: DataFrame,
+      budgetTokens: Long = 20000L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
+    import org.apache.spark.sql.functions.broadcast
     val w = d.groupBy(col("source"))
       .agg(sum(col("n")).as("t"))
       .select(col("source"),

@@ -412,13 +412,23 @@ object Search {
     */
   def dsirSelectFromWeights(docs: DataFrame, weights: DataFrame,
       budgetTokens: Long = 20000L): DataFrame = {
-    require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
     import graft.functions.TextFunctions.tokenCount
+    dsirSelectFromWeightsCounted(
+      docs.select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens")),
+      weights, budgetTokens)
+  }
+
+  /** [[dsirSelectFromWeights]] with a pluggable `(doc_id, n_tokens)`
+    * counts frame (the [[CorpusOps.packSequencesCounted]] convention
+    * — [[Bpe.bpeCounts]] budgets by mined subwords instead of
+    * whitespace tokens).
+    */
+  def dsirSelectFromWeightsCounted(counts: DataFrame,
+      weights: DataFrame, budgetTokens: Long = 20000L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
     val w = weights.select(col("doc_id"), col("dsir_logw"))
-    val toks = docs
-      .select(col("doc_id"),
-        tokenCount(col("text")).cast("long").as("n_tokens"))
-    graft.plans.GlobalOrder.withPrefixSum(w.join(toks, Seq("doc_id")),
+    graft.plans.GlobalOrder.withPrefixSum(w.join(counts, Seq("doc_id")),
         Seq(col("dsir_logw").desc, col("doc_id")), "n_tokens", "cum")
       .filter(col("cum") - col("n_tokens") < budgetTokens)
       .select(col("doc_id"), col("n_tokens"), col("dsir_logw"))

@@ -81,7 +81,13 @@ object TextRegistry {
     // thresholded pairs over line-rebuilt text) is pinned by
     // PipelineSpec's stagewise set-equality instead
     "pipeline_full" -> (Pipeline.pipelineFullQuery _),
-    "substring_scrub" -> (CorpusOps.substringScrubQuery _)
+    "substring_scrub" -> (CorpusOps.substringScrubQuery _),
+    // rows-only: an iterative frequency mine has no ANSI-SQL
+    // statement; BpeSpec pins determinism + a hand-computed mine
+    "bpe_train" -> (Bpe.bpeTrainQuery _),
+    // rows-only: bins derive from the mined subword counts; the
+    // sequential-packer reference is pinned in BpeSpec
+    "pack_sequences_bpe" -> ((s, d) => Bpe.packSequencesBpe(s, d))
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Bpe, CorpusOps}
+
+/** T25 corpus-mined BPE: the mine is pinned against hand-computed
+  * merges, determinism across runs, encoder invariants, and the
+  * packing-by-subwords row against the sequential packer reference.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import scala.language.implicitConversions
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("trainOn mines the hand-computed merge sequence") {
+    // counts: "ab"×3, "abc"×1 → pair (a,b) weight 4 wins round 1;
+    // round 2: ("ab","c") weight 1 < 2 → dry, mine stops
+    val m1 = Bpe.trainOn(Array(("ab", 3L), ("abc", 1L)), nMerges = 10)
+    assert(m1.toSeq == Seq(("a", "b")))
+
+    // "abc"×2 keeps mining: (a,b)=5 wins, then ("ab","c")=2
+    val m2 = Bpe.trainOn(Array(("ab", 3L), ("abc", 2L)), nMerges = 10)
+    assert(m2.toSeq == Seq(("a", "b"), ("ab", "c")))
+
+    // tie-break: ("aa"×2, "bb"×2) — (a,a) and (b,b) both weight 2;
+    // the lexicographically smaller pair wins the first slot
+    val m3 = Bpe.trainOn(Array(("aa", 2L), ("bb", 2L)), nMerges = 10)
+    assert(m3.toSeq == Seq(("a", "a"), ("b", "b")))
+
+    // left-to-right non-overlapping pair counting: "aaa"×2 counts
+    // (a,a) at weight 4 (two positions × two words) and merges to
+    // ["aa","a"]; round 2's ("aa","a") has weight 2 and merges too
+    val m4 = Bpe.trainOn(Array(("aaa", 2L)), nMerges = 10)
+    assert(m4.toSeq == Seq(("a", "a"), ("aa", "a")))
+  }
+
+  test("encodeCount applies merges by rank, lowest first") {
+    val model = Bpe.BpeModel(Array(("a", "b"), ("ab", "c")))
+    assert(model.encodeCount("abc") == 1)   // ab+c → abc
+    assert(model.encodeCount("ab") == 1)
+    assert(model.encodeCount("ba") == 2)    // no merge applies
+    assert(model.encodeCount("abab") == 2)  // ab, ab
+    assert(model.encodeCount("xyz") == 3)
+    assert(model.encodeCount("") == 0)
+    // rank order matters: (b,c) unmined, so "bc" stays two pieces
+    assert(model.encodeCount("bc") == 2)
+    // multi-code-point safety: astral symbols count once each
+    val astral = new String(Character.toChars(0x1F600))
+    assert(Bpe.BpeModel(Array.empty).encodeCount(astral + "a") == 2)
+  }
+
+  test("bpeTrain is deterministic and guards the word-table collect") {
+    val docs = graft.Tables.documents(spark, sf)
+    val a = Bpe.bpeTrain(docs, nMerges = 50)
+    val b = Bpe.bpeTrain(docs, nMerges = 50)
+    assert(a.merges.toSeq == b.merges.toSeq)
+    assert(a.merges.nonEmpty, "no merges mined from the corpus")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.bpeTrain(docs, maxWords = 5)
+    }
+    assert(e.getMessage.contains("maxWords"))
+  }
+
+  test("bpeCounts: 1 <= pieces <= code points per word, fewer than chars overall") {
+    val docs = graft.Tables.documents(spark, sf)
+    val model = Bpe.bpeTrain(docs, nMerges = 200)
+    val ws = graft.functions.TextFunctions.tokenCount(col("text"))
+    val joined = Bpe.bpeCounts(docs, model)
+      .join(docs.select(col("doc_id"),
+        ws.cast("long").as("n_ws"),
+        length(col("text")).cast("long").as("n_chars")), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, bpe, nws, nchars) =>
+      assert(bpe >= nws, s"doc $id: $bpe subwords < $nws words")
+      assert(bpe <= nchars, s"doc $id: $bpe subwords > $nchars chars")
+    }
+    // the mine actually compresses: corpus-wide subwords are strictly
+    // fewer than corpus-wide code points minus whitespace
+    val totBpe = joined.map(_._2).sum
+    val totChars = joined.map(_._4).sum
+    assert(totBpe < totChars,
+      s"BPE did not compress: $totBpe pieces vs $totChars chars")
+  }
+
+  test("packSequencesBpe bins follow the sequential packer over BPE counts") {
+    val out = Bpe.packSequencesBpe(spark, sf, targetTokens = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    var cum = 0L
+    out.sortBy(_._1).foreach { case (id, n, bin) =>
+      assert(bin == cum / 512L, s"doc $id bin $bin != ${cum / 512L}")
+      cum += n
+    }
+    // and the counts really are the model's counts, not whitespace
+    val docs = graft.Tables.documents(spark, sf)
+    val model = Bpe.bpeTrain(docs, 200)
+    val expect = Bpe.bpeCounts(docs, model).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, n, _) => assert(n == expect(id)) }
+  }
+
+  test("counted cores accept the BPE counter (mix + dsir threading)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val model = Bpe.bpeTrain(docs, 200)
+    val counts = Bpe.bpeCounts(docs, model).localCheckpoint(true)
+    // mix: per-source budgets from subword totals — offset rule holds
+    val d = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .join(counts.withColumnRenamed("n_tokens", "n"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n"), col("h"))
+    val mixed = CorpusOps.mixSourcesCounted(d, budgetTokens = 20000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(mixed.nonEmpty && mixed.length < docs.count())
+    val cmap = counts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mixed.foreach { case (id, _, n) => assert(n == cmap(id)) }
+    // dsir: selection under subword budgets stays a budget prefix
+    val w = graft.operators.Search.dsirWeights(spark, sf)
+      .localCheckpoint(true)
+    val sel = graft.operators.Search
+      .dsirSelectFromWeightsCounted(counts, w, budgetTokens = 20000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sel.nonEmpty)
+    sel.foreach { case (id, n, _) => assert(n == cmap(id)) }
+    // offset rule: ranked by (logw desc, id), every selected doc's
+    // token range starts inside the budget
+    val wmap = w.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ranked = wmap.toSeq.sortBy { case (id, lw) => (-lw, id) }
+    var cum = 0L
+    val expectSel = ranked.flatMap { case (id, _) =>
+      val start = cum; cum += cmap(id)
+      if (start < 20000L) Some(id) else None
+    }.toSet
+    assert(sel.map(_._1).toSet == expectSel)
+  }
+}
