@@ -121,6 +121,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.sniffFormat("not media at all".getBytes) == "opaque")
   }
 
+  test("a media.parquet shipped with the corpus overrides fixture synthesis") {
+    import graft.multimodal.MediaCodecs
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_media_ship").toFile
+    try {
+      val png = MediaCodecs.encodePng(8, 6, "shipped".getBytes("UTF-8"))
+      Seq((99001L, "png", png))
+        .toDF("doc_id", "fmt", "content")
+        .write.mode("overwrite").parquet(s"$dir/media.parquet")
+      // no documents.parquet in dir: if the loader tried to synthesize
+      // the fixture instead of reading the shipped bytes, it would die
+      val got = Multimodal.realMediaTable(spark, dir.toString).collect()
+      assert(got.length == 1)
+      assert(got(0).getLong(0) == 99001L)
+      assert(java.util.Arrays.equals(
+        got(0).getAs[Array[Byte]]("content"), png))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("registered decode query emits only harness-sortable scalar columns") {
     val df = graft.operators.ConnectorRegistry
       .queries("multimodal_decode")(spark, sf)

@@ -75,5 +75,23 @@ con.execute(f"""
         FROM '{src}/events.parquet', ks)
   TO '{out}/events.parquet' (FORMAT PARQUET)""")
 
-for t in ["documents", "embeddings", "events"]:
+# Pre-encoded media fixture: replicate the engine-built sf0.1 media
+# cache (JDK-encoded PNG/WAV blobs) with shifted doc_ids, so the
+# probe's multimodal_decode row reads bytes that already exist — the
+# production shape — instead of timing fixture synthesis. Falls back
+# silently if the cache was never built (the engine then builds its
+# own per-dir cache on first decode, the pre-r12 behavior).
+import glob
+media_src = sorted(glob.glob("/tmp/graft_media_cache/sf0.1-*"))
+if media_src:
+    con.execute(f"""
+      COPY (SELECT doc_id + {n_docs}*k AS doc_id, fmt, content
+            FROM parquet_scan('{media_src[0]}/*.parquet'), ks)
+      TO '{out}/media.parquet' (FORMAT PARQUET)""")
+else:
+    print("media: sf0.1 fixture cache missing (run any sf0.1 "
+          "multimodal query once to build it); probe will re-encode")
+
+for t in ["documents", "embeddings", "events"] + (
+        ["media"] if media_src else []):
     print(t, con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0])
