@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * exact verifier run inside the known construction groups.
   *
   * Ground truth: every perturbed doc descends from base doc
-  * `doc_id % nBase`; base docs that are themselves exact duplicates
-  * (the sf0.1 corpus has planted dup groups) merge into one expanded
-  * group, so cross-base near-dup pairs are not missed. Within each
+  * `doc_id % nBase`; base docs that are exact duplicates OR base-level
+  * near-duplicates (exact jaccard ≥ 0.25 over the unperturbed copy-0
+  * slice — the sf0.1 corpus plants BOTH kinds of group) merge into
+  * one expanded group, so cross-base pairs — including descendants of
+  * two near-dup bases, which land squarely in the [0.3, 0.5) truth
+  * bands (ADVICE r11) — are not missed. Within each
   * group the truth pass computes EXACT shingle-key jaccard and exact
   * simhash Hamming for every pair — the all-pairs work is bounded by
   * group size (copies × base dup-group), never corpus-quadratic.
@@ -60,15 +63,32 @@ object RecallProbe {
         "copy count make_probe.py was run with")
     val nBase = nTotal / copies
 
-    // expanded groups: base exact-dup resolution from the unperturbed
-    // copy-0 slice, broadcast back over base = doc_id % nBase
-    val baseGroup = docs.filter(col("doc_id") < nBase)
-      .select(col("doc_id").as("base"),
-        fingerprintMd5(col("text")).as("fp"))
-      .withColumn("grp",
-        min(col("base")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .select(col("base"), col("grp"))
+    // expanded groups: bases merge when EXACTLY duplicate or base-
+    // level NEAR-duplicate (exact jaccard >= 0.25 on the unperturbed
+    // copy-0 slice, all-pairs via the inverted-posting verifier in
+    // ONE source-less block — cheap at base scale). Without the
+    // near-dup pass, descendants of two planted near-dup bases form
+    // true cross-base pairs in the [0.3, 0.5) bands that the truth
+    // denominator would silently miss (ADVICE r11).
+    val base = docs.filter(col("doc_id") < nBase)
+    val fpW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+    val fpEdges = base
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+      .withColumn("m", min(col("doc_id")).over(fpW))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("doc_a"), col("m").as("doc_b"))
+    val ndEdges = operators.Dedup.jaccardPairsDocs(
+        base.select(col("doc_id"), lit("").as("source"), col("text")),
+        threshold = 0.25, maxDf = 1000)
+      .select(col("doc_a"), col("doc_b"))
+    val clustered = operators.Clusters
+      .clusterPairs(fpEdges.union(ndEdges))
+      .withColumnRenamed("doc_id", "base")
+    val baseGroup = base.select(col("doc_id").as("base"))
+      .join(clustered, Seq("base"), "left")
+      .select(col("base"),
+        coalesce(col("cluster_id"), col("base")).as("grp"))
 
     val keyed = docs
       .select(col("doc_id"),
