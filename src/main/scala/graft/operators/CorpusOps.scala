@@ -525,7 +525,7 @@ object CorpusOps {
     }
   }
 
-  /** T24 — SPAN-LEVEL SUBSTRING SCRUB: the APPLY form of D10's
+  /** D15 — SPAN-LEVEL SUBSTRING SCRUB: the APPLY form of D10's
     * exact-substring criterion, done the way the Lee et al. 2022
     * pipeline (arXiv:2107.06499) actually edits the corpus — REMOVE
     * the duplicated span, not the document: every token covered by a
