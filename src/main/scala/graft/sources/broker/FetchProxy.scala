@@ -90,7 +90,24 @@ class FetchProxyServer(broker: MqttBroker,
     sslKeystore: Option[(String, String)] = None, bindPort: Int = 0) {
   private def bindReusable(ss: ServerSocket): ServerSocket = {
     ss.setReuseAddress(true)
-    ss.bind(new java.net.InetSocketAddress(bindPort))
+    // A restart on a PINNED port (bindPort != 0 — the same-advertised-
+    // address recovery path) can race the previous listener's kernel
+    // teardown: SO_REUSEADDR clears TIME_WAIT but not the window in
+    // which the old fd is still closing. Retry briefly instead of
+    // failing the restart; an ephemeral bind (port 0) never collides
+    // and keeps the no-retry fast path.
+    var attempt = 0
+    var bound = false
+    while (!bound) {
+      try {
+        ss.bind(new java.net.InetSocketAddress(bindPort))
+        bound = true
+      } catch {
+        case _: java.net.BindException if bindPort != 0 && attempt < 50 =>
+          attempt += 1
+          Thread.sleep(20)
+      }
+    }
     ss
   }
   private val server: ServerSocket = sslKeystore match {
