@@ -38,13 +38,14 @@ import graft.Tables.documents
   * projections, partial-agged postings, star-contraction, id-only
   * anti-joins, keyed prefix-sums); the composition adds NO new
   * shuffle — stage handoffs are semi/anti joins on 8-byte ids, and
-  * text crosses the wire only at the two checkpoint writes. Rows-only
-  * for the driver oracle: stage 3's pair input is float-thresholded
-  * and stage 2's rebuilt text feeds it, so the end-to-end SQL would
-  * be the CLUSTER_CTE recursive closure over string_agg-rebuilt text
-  * — each stage is already oracle-checked standalone (quality_classify,
-  * line_dedup, dedup_apply_best, screen_apply, mix_sources,
-  * pack_sequences); PipelineSpec pins the composition.
+  * text crosses the wire only at the two checkpoint writes.
+  * ORACLE-CHECKED end to end: the DuckDB statement composes the
+  * quality CTEs, the line-dedup rebuild, the recursive pair closure
+  * + scored keeper (a second quality chain over the CLEANED text,
+  * exactly as stage 3 scores it), the screen, integer-target mixing
+  * and offset packing — every output column is an int or string, so
+  * the whole recipe hash-matches; PipelineSpec additionally pins the
+  * stagewise set-equality and share-on/off equivalence.
   */
 object Pipeline {
 

@@ -76,10 +76,11 @@ object TextRegistry {
     // ranking like dsir_select; SearchSpec pins seed reproducibility
     // and the τ=0 recovery of the deterministic selection
     "dsir_select_sampled" -> ((s, d) => Search.dsirSelectSampled(s, d)),
-    // rows-only: the composed production recipe — each stage is
-    // oracle-checked standalone; the end-to-end chain (float-
-    // thresholded pairs over line-rebuilt text) is pinned by
-    // PipelineSpec's stagewise set-equality instead
+    // hash-checked END TO END: the six-stage recipe's oracle composes
+    // the quality/line-dedup/closure/keeper/screen/mix/pack CTEs over
+    // the line-rebuilt clean text (int/string output only);
+    // PipelineSpec additionally pins stagewise set-equality and the
+    // share-on/off equivalence
     "pipeline_full" -> (Pipeline.pipelineFullQuery _),
     "substring_scrub" -> (CorpusOps.substringScrubQuery _),
     // rows-only: an iterative frequency mine has no ANSI-SQL
@@ -559,6 +560,125 @@ object TextRegistry {
          | sum(c.c)::BIGINT AS sum_cnt, min(c.c)::BIGINT AS min_cnt
          |FROM tok JOIN cnt c USING (w)
          |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin,
+    // the FULL six-stage recipe, end to end, over the same planted
+    // multi-line text the Spark query builds: T15 quality gate (the
+    // quality_classify CTEs) → T19 line dedup (the line_dedup CTEs,
+    // df over the quality-kept corpus) → D4 pairs + recursive closure
+    // + D12 scored keeper, ALL over the line-rebuilt clean text (a
+    // second QSCORE chain scores the cleaned text, exactly like the
+    // engine) → D7/D11 screen → T13 integer-target mixing → T10
+    // offset packing. Output is all ints/strings — hash-exact.
+    "pipeline_full" ->
+      s"""WITH RECURSIVE d0 AS (SELECT doc_id, source,
+         |  'hdr ' || source || chr(10) || text || chr(10) ||
+         |  'ref ' || (doc_id // 2)::VARCHAR || chr(10) ||
+         |  'ftr ' || lang AS text FROM documents),
+         |q1t AS (SELECT doc_id, text, $TOKS AS tk FROM d0),
+         |q1m AS (SELECT doc_id, len(tk)::BIGINT AS n,
+         |  length(text) AS n_chars,
+         |  len(list_filter(tk, x -> x IN $EN))::BIGINT AS sw,
+         |  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS pc,
+         |  len(list_distinct(list_transform(range(1, greatest(len(tk), 1)),
+         |    i -> concat_ws(' ', tk[i], tk[i+1]))))::BIGINT AS d2
+         | FROM q1t),
+         |q1top AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM (
+         |  SELECT doc_id, w, count(*) AS c FROM
+         |    (SELECT doc_id, unnest(tk) AS w FROM q1t) GROUP BY doc_id, w)
+         |  GROUP BY doc_id),
+         |q1s AS (SELECT q1m.doc_id,
+         |   least(n::DOUBLE, 400.0) / 400.0 * 0.35
+         | + least(sw::DOUBLE / n::DOUBLE * 4.0, 1.0) * 0.25
+         | + (1.0 - least(pc::DOUBLE / n_chars::DOUBLE * 5.0, 1.0)) * 0.15
+         | + (1.0 - top_c::DOUBLE / n::DOUBLE) * 0.15
+         | + (1.0 - CASE WHEN n <= 1 THEN 0.0
+         |     ELSE (n - 1 - d2)::DOUBLE / (n - 1) END) * 0.10 AS q_score
+         | FROM q1m JOIN q1top USING (doc_id)),
+         |keep1 AS (SELECT doc_id FROM q1s WHERE q_score >= 0.5),
+         |l AS (SELECT d0.doc_id,
+         |  unnest(string_split(text, chr(10))) AS line,
+         |  generate_subscripts(string_split(text, chr(10)), 1) AS ord
+         |  FROM d0 JOIN keep1 USING (doc_id)),
+         |ldf AS (SELECT line, count(DISTINCT doc_id) AS df
+         |  FROM l GROUP BY line),
+         |lkept AS (SELECT l.doc_id,
+         |  string_agg(l.line, chr(10) ORDER BY l.ord) AS clean_text
+         |  FROM l JOIN ldf USING (line) WHERE ldf.df < 3
+         |  GROUP BY l.doc_id),
+         |c0 AS (SELECT keep1.doc_id, d0.source,
+         |  coalesce(lkept.clean_text, '') AS text
+         |  FROM keep1 JOIN d0 USING (doc_id)
+         |  LEFT JOIN lkept ON keep1.doc_id = lkept.doc_id),
+         |t AS (SELECT doc_id, source, $SH AS sh FROM c0),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM t a JOIN t b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |    >= 0.02),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION SELECT doc_b, doc_a FROM p),
+         |reach(src, dst) AS (SELECT a, a FROM und
+         |  UNION SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |c AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |q2t AS (SELECT c0.doc_id, c0.text, $TOKS AS tk FROM c0
+         |  JOIN c ON c0.doc_id = c.doc_id),
+         |q2m AS (SELECT doc_id, len(tk)::BIGINT AS n,
+         |  length(text) AS n_chars,
+         |  len(list_filter(tk, x -> x IN $EN))::BIGINT AS sw,
+         |  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS pc,
+         |  len(list_distinct(list_transform(range(1, greatest(len(tk), 1)),
+         |    i -> concat_ws(' ', tk[i], tk[i+1]))))::BIGINT AS d2
+         | FROM q2t),
+         |q2top AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM (
+         |  SELECT doc_id, w, count(*) AS c FROM
+         |    (SELECT doc_id, unnest(tk) AS w FROM q2t) GROUP BY doc_id, w)
+         |  GROUP BY doc_id),
+         |q2s AS (SELECT q2m.doc_id,
+         |   least(n::DOUBLE, 400.0) / 400.0 * 0.35
+         | + least(sw::DOUBLE / n::DOUBLE * 4.0, 1.0) * 0.25
+         | + (1.0 - least(pc::DOUBLE / n_chars::DOUBLE * 5.0, 1.0)) * 0.15
+         | + (1.0 - top_c::DOUBLE / n::DOUBLE) * 0.15
+         | + (1.0 - CASE WHEN n <= 1 THEN 0.0
+         |     ELSE (n - 1 - d2)::DOUBLE / (n - 1) END) * 0.10 AS q_score
+         | FROM q2m JOIN q2top USING (doc_id)),
+         |k AS (SELECT doc_id FROM (
+         |  SELECT c.doc_id, row_number() OVER (
+         |    PARTITION BY c.cluster_id
+         |    ORDER BY q2s.q_score DESC, c.doc_id) AS rn
+         |  FROM c JOIN q2s ON c.doc_id = q2s.doc_id) WHERE rn = 1),
+         |surv2 AS (SELECT doc_id FROM c0 WHERE doc_id NOT IN (
+         |  SELECT doc_id FROM c WHERE doc_id NOT IN
+         |    (SELECT doc_id FROM k))),
+         |tt AS (SELECT t.doc_id, t.sh FROM t JOIN surv2 USING (doc_id)
+         |  WHERE len(sh) > 0),
+         |rf AS (SELECT doc_id AS ref_id, sh AS rsh FROM tt
+         |  WHERE doc_id % 7 = 0),
+         |flagged AS (SELECT DISTINCT tt.doc_id FROM tt
+         |  JOIN rf ON tt.doc_id != rf.ref_id
+         |  WHERE len(list_intersect(tt.sh, rf.rsh))::DOUBLE
+         |    / (len(tt.sh) + len(rf.rsh) - len(list_intersect(tt.sh, rf.rsh)))
+         |    >= 0.05),
+         |surv3 AS (SELECT doc_id FROM surv2 WHERE doc_id NOT IN
+         |  (SELECT doc_id FROM flagged)),
+         |md AS (SELECT c0.doc_id, c0.source, len($TOKS)::BIGINT AS n,
+         |  md5(c0.text) AS h FROM c0 JOIN surv3 USING (doc_id)),
+         |ms AS (SELECT source, floor(sqrt(sum(n)::DOUBLE))::BIGINT AS w
+         |  FROM md GROUP BY source),
+         |mw AS (SELECT source, (20000 * w) // (SELECT sum(w) FROM ms)
+         |  AS target FROM ms),
+         |mc AS (SELECT md.doc_id, md.source, md.n,
+         |  sum(md.n) OVER (PARTITION BY md.source
+         |    ORDER BY md.h, md.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  mw.target FROM md JOIN mw USING (source)),
+         |picked AS (SELECT doc_id, source, n FROM mc
+         |  WHERE cum - n < target)
+         |SELECT doc_id, source, n AS n_tokens,
+         | ((sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+         |   // 2048)::BIGINT AS bin
+         |FROM picked ORDER BY doc_id""".stripMargin,
     // span-level substring scrub over the SAME planted shared-passage
     // text the Spark query builds: a token is cut iff some verbatim
     // 8-token window covering it also occurs in a lower-id doc;
