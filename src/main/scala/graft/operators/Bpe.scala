@@ -226,6 +226,43 @@ object Bpe {
       .orderBy(col("rank"))
   }
 
+  /** Persist a mined model as `(rank, left, right)` parquet — the
+    * merge table IS the tokenizer, so a model mined once over the
+    * historical corpus becomes a shareable artifact: the packing job,
+    * the streaming scorer and next month's backfill all load the
+    * SAME bytes instead of re-mining (BPE is corpus-dependent; a
+    * re-mine over a grown corpus is a different tokenizer and a
+    * silent budget drift).
+    */
+  def saveModel(model: BpeModel, path: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    spark.createDataset(model.merges.toIndexedSeq.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) })
+      .toDF("rank", "left", "right")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model saved by [[saveModel]]. Ranks must be the dense
+    * range 0..n−1 (anything else means a hand-edited or truncated
+    * table — fail loudly rather than tokenize differently).
+    */
+  def loadModel(spark: SparkSession, path: String): BpeModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .as[(Int, String, String)]
+      .collect()
+      .sortBy(_._1)
+    rows.iterator.zipWithIndex.foreach { case ((r, _, _), i) =>
+      require(r == i,
+        s"merge table ranks not dense at position $i (found $r): " +
+          "refusing a truncated or reordered tokenizer")
+    }
+    BpeModel(rows.map { case (_, l, r) => (l, r) })
+  }
+
   /** T10b — sequence packing budgeted by MINED SUBWORD counts instead
     * of whitespace tokens (the tokenizer-accurate form of
     * [[CorpusOps.packSequences]]): train on the corpus, count each

@@ -550,14 +550,21 @@ object CorpusOps {
     * wire. Exact up to 64-bit window-hash collisions (the hash-key
     * family contract).
     */
-  def substringScrub(docs: DataFrame, w: Int = 8,
-      maxShared: Int = 4000000): DataFrame = {
+  /** The shared-window frontier of [[substringScrub]]'s df pass —
+    * `(sorted window hashes, aligned min-owner ids)` — exposed so a
+    * STREAMING pipeline can mine it from the historical corpus once
+    * and scrub arrivals statelessly
+    * ([[graft.streaming.StreamingOps.streamingSubstringScrub]], the
+    * bannedLineFrontier/X10 recipe).
+    */
+  def sharedWindowFrontier(docs: DataFrame, w: Int = 8,
+      maxShared: Int = 4000000): (Array[Long], Array[Long]) = {
     require(w >= 2 && w <= 64, s"w out of range: $w")
     require(maxShared > 0, s"maxShared must be > 0: $maxShared")
     val spark = docs.sparkSession
     import spark.implicits._
-    val ds = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-    val shared = ds
+    val shared = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
       .flatMap { case (id, t) =>
         val hs = windowHashes(duckTokens(t), w).clone()
         // per-doc dedupe: df counts distinct docs, and one emit per
@@ -584,36 +591,55 @@ object CorpusOps {
         "budget knowingly or raise w; refusing an unbounded driver " +
         "collect")
     val sorted = shared.sortBy(_._1)
-    val keys = sorted.map(_._1)
-    val owners = sorted.map(_._2)
+    (sorted.map(_._1), sorted.map(_._2))
+  }
+
+  /** The per-doc scrub kernel shared by the batch rebuild scan and
+    * the streaming twin: cut every token covered by a frontier window
+    * whose owner is a LOWER id, rejoin survivors with single spaces.
+    * Returns (clean_text, n_kept, n_dropped).
+    */
+  private[graft] def scrubTokens(tk: Array[String], id: Long,
+      keys: Array[Long], owners: Array[Long],
+      w: Int): (String, Long, Long) = {
+    val hs = windowHashes(tk, w)
+    val covered = new Array[Boolean](tk.length)
+    var i = 0
+    while (i < hs.length) {
+      val p = java.util.Arrays.binarySearch(keys, hs(i))
+      if (p >= 0 && owners(p) < id) {
+        var j = i
+        while (j < i + w) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var dropped = 0L
+    var j = 0
+    while (j < tk.length) {
+      if (covered(j)) dropped += 1
+      else {
+        if (kept > 0) sb.append(' ')
+        sb.append(tk(j))
+        kept += 1
+      }
+      j += 1
+    }
+    (sb.toString, kept, dropped)
+  }
+
+  def substringScrub(docs: DataFrame, w: Int = 8,
+      maxShared: Int = 4000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (keys, owners) = sharedWindowFrontier(docs, w, maxShared)
     val bc = spark.sparkContext.broadcast((keys, owners))
-    ds.map { case (id, t) =>
-        val tk = duckTokens(t)
-        val hs = windowHashes(tk, w)
-        val covered = new Array[Boolean](tk.length)
-        var i = 0
-        while (i < hs.length) {
-          val p = java.util.Arrays.binarySearch(bc.value._1, hs(i))
-          if (p >= 0 && bc.value._2(p) < id) {
-            var j = i
-            while (j < i + w) { covered(j) = true; j += 1 }
-          }
-          i += 1
-        }
-        val sb = new java.lang.StringBuilder
-        var kept = 0L
-        var dropped = 0L
-        var j = 0
-        while (j < tk.length) {
-          if (covered(j)) dropped += 1
-          else {
-            if (kept > 0) sb.append(' ')
-            sb.append(tk(j))
-            kept += 1
-          }
-          j += 1
-        }
-        (id, sb.toString, kept, dropped)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val (txt, kept, dropped) = scrubTokens(duckTokens(t), id,
+          bc.value._1, bc.value._2, w)
+        (id, txt, kept, dropped)
       }
       .toDF("doc_id", "clean_text", "n_kept", "n_dropped")
       .orderBy(col("doc_id"))

@@ -409,4 +409,31 @@ object StreamingOps {
       (d.doc_id, d.ts, n, s.toDouble / 1e12 + n.toDouble * shift)
     }.toDF("doc_id", "ts", "n_feats", "dsir_logw")
   }
+
+  /** X12 — STREAM-SIDE SUBSTRING SCRUB: cut duplicated spans from
+    * each arriving document against a PRECOMPUTED shared-window
+    * frontier (the batch [[graft.operators.CorpusOps
+    * .sharedWindowFrontier]] mined over the historical corpus — the
+    * same stream–static split as X10's line dedup: frontier offline,
+    * arrivals scrubbed online). Stateless pure projection — no
+    * watermark, no state store; the broadcast (sorted hashes, aligned
+    * owners) pair is the exact structure the batch rebuild scan
+    * binary-searches, and the per-doc kernel IS the batch kernel
+    * ([[graft.operators.CorpusOps.scrubTokens]]), so stream output is
+    * asserted identical to the batch operator under the same
+    * frontier. Arrivals carry ids above the historical range, so
+    * every frontier hit scrubs (owner < id always) — exactly the
+    * deploy semantics: history owns its spans, arrivals lose copies.
+    */
+  def streamingSubstringScrub(docs: Dataset[StreamDoc],
+      frontier: (Array[Long], Array[Long]), w: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(frontier)
+    docs.map { d =>
+      val (txt, kept, dropped) = graft.operators.CorpusOps.scrubTokens(
+        graft.operators.CorpusOps.duckTokens(d.text), d.doc_id,
+        bc.value._1, bc.value._2, w)
+      (d.doc_id, d.ts, txt, kept, dropped)
+    }.toDF("doc_id", "ts", "clean_text", "n_kept", "n_dropped")
+  }
 }

@@ -103,6 +103,37 @@ class BpeSpec extends AnyFunSuite {
     out.foreach { case (id, n, _) => assert(n == expect(id)) }
   }
 
+  test("saveModel/loadModel round-trip the tokenizer byte-for-byte") {
+    val docs = graft.Tables.documents(spark, sf)
+    val model = Bpe.bpeTrain(docs, nMerges = 60)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe").toFile
+    try {
+      val path = s"$dir/merges.parquet"
+      Bpe.saveModel(model, path, spark)
+      val loaded = Bpe.loadModel(spark, path)
+      assert(loaded.merges.toSeq == model.merges.toSeq)
+      // same tokenizer: identical counts on a word sample
+      Seq("the", "table", "scanned", "xyzzy").foreach { w =>
+        assert(loaded.encodeCount(w) == model.encodeCount(w))
+      }
+      // a truncated/reordered table refuses to load
+      import spark.implicits._
+      spark.createDataset(Seq((0, "a", "b"), (2, "c", "d")))
+        .toDF("rank", "left", "right")
+        .write.mode("overwrite").parquet(path)
+      val e = intercept[IllegalArgumentException] {
+        Bpe.loadModel(spark, path)
+      }
+      assert(e.getMessage.contains("dense"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("counted cores accept the BPE counter (mix + dsir threading)") {
     val docs = graft.Tables.documents(spark, sf)
     val model = Bpe.bpeTrain(docs, 200)

@@ -89,6 +89,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming substring scrub equals the batch kernel under one frontier") {
+    import graft.streaming.StreamingOps.StreamDoc
+    import spark.implicits._
+    // historical corpus: docs 0 and 1 share an 8-token run (owner 0);
+    // the frontier holds exactly its windows
+    val hist = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x a b c d e f g h y")).toDF("doc_id", "text")
+    val frontier = graft.operators.CorpusOps.sharedWindowFrontier(hist)
+    assert(frontier._1.nonEmpty)
+    val arrivals = Seq(
+      StreamDoc(10L, ts(0), "k a b c d e f g h m"),   // span scrubbed
+      StreamDoc(11L, ts(1), "a b c d e f g h i j"),   // fully covered? (only shared windows)
+      StreamDoc(12L, ts(2), "fresh words only here"))
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingSubstringScrub(in.toDS(), frontier)
+      .writeStream.format("memory").queryName("sub_scrub_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("sub_scrub_out").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+      // the batch kernel over the same rows with the SAME frontier is
+      // the contract — compute it directly
+      arrivals.foreach { d =>
+        val expect = graft.operators.CorpusOps.scrubTokens(
+          graft.operators.CorpusOps.duckTokens(d.text), d.doc_id,
+          frontier._1, frontier._2, 8)
+        assert(got(d.doc_id) == expect, s"doc ${d.doc_id}")
+      }
+      // and the values are the hand-expected ones: the shared span
+      // "a b c d e f g h" scrubs from every arrival containing it
+      assert(got(10L) == (("k m", 2L, 8L)))
+      // doc 11 contains the shared windows PLUS hist-0's tail windows
+      // ("b c d e f g h i", "c d e f g h i j") which are df=1 in hist
+      // → only the 8 tokens under the SHARED window are cut
+      assert(got(11L) == (("i j", 2L, 8L)))
+      assert(got(12L) == (("fresh words only here", 4L, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming DSIR scores equal the batch weights bit-exactly") {
     import graft.streaming.StreamingOps.StreamDoc
     val sf = "/root/testdata/sf0.001"
