@@ -206,6 +206,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_full composes without windows or cartesian products") {
+    // the composed recipe must inherit every stage's scale shape: the
+    // only Window anywhere in the stages is banned (pack/mix run on
+    // GlobalOrder prefix-sums; the keeper is a partial-agged argmax),
+    // and no stage handoff may degenerate into a cartesian join. The
+    // eager line-dedup/checkpoint stages run at construction; this
+    // audits the final composed plan.
+    val plan = planOf(graft.operators.Pipeline.pipelineFull(
+      graft.operators.Pipeline.plantedDocs(spark, sf)))
+    assert(!plan.contains("Window"),
+      s"window crept into pipeline_full:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in pipeline_full:\n$plan")
+    // the ONE sanctioned nested-loop join: mixSources' scalar total —
+    // #sources rows × the single sum(w) row (broadcast, bounded by
+    // construction). Any OTHER BNLJ is an unbounded join regression.
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("tot#")),
+      s"non-scalar nested-loop join in pipeline_full:\n${bnlj.mkString("\n")}")
+  }
+
   test("no query pushes a higher-order function into a Filter (whole surface)") {
     // the alias-substitution trap, third sighting (r9 embed_quantize,
     // 171.7 s at 100×): Generate's implicit size>0/isnotnull predicate
