@@ -117,6 +117,19 @@ object Probe {
         operators.Clusters.dedupApplyBestFromClusters(
           graft.Tables.documents(spark, sfDir), clusters)
       }),
+      // head-to-head with the registry's substring_scrub: the
+      // never-collects shuffle-join shape vs the broadcast-frontier
+      // default, on the same planted corpus
+      "substring_scrub_join" -> (() => {
+        import org.apache.spark.sql.functions.{col, concat, lit, when}
+        val phrase = (0 until 10).map(i => s"sp$i").mkString(" ")
+        val planted = graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 5,
+              concat(col("text"), lit(" " + phrase)))
+              .otherwise(col("text")).as("text"))
+        operators.CorpusOps.substringScrubJoin(planted)
+      }),
       // DSIR shared-derivation chain: ONE weight pass localCheckpointed,
       // feeding the deterministic selection AND a seeded sample — vs
       // dsir_select + dsir_select_sampled standalone, which each

@@ -594,6 +594,27 @@ object CorpusOps {
     (sorted.map(_._1), sorted.map(_._2))
   }
 
+  /** Rebuild a doc from its coverage mask: survivors rejoin with
+    * single spaces. Returns (clean_text, n_kept, n_dropped).
+    */
+  private def rebuildFrom(tk: Array[String],
+      covered: Array[Boolean]): (String, Long, Long) = {
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var dropped = 0L
+    var j = 0
+    while (j < tk.length) {
+      if (covered(j)) dropped += 1
+      else {
+        if (kept > 0) sb.append(' ')
+        sb.append(tk(j))
+        kept += 1
+      }
+      j += 1
+    }
+    (sb.toString, kept, dropped)
+  }
+
   /** The per-doc scrub kernel shared by the batch rebuild scan and
     * the streaming twin: cut every token covered by a frontier window
     * whose owner is a LOWER id, rejoin survivors with single spaces.
@@ -613,20 +634,68 @@ object CorpusOps {
       }
       i += 1
     }
-    val sb = new java.lang.StringBuilder
-    var kept = 0L
-    var dropped = 0L
-    var j = 0
-    while (j < tk.length) {
-      if (covered(j)) dropped += 1
-      else {
-        if (kept > 0) sb.append(' ')
-        sb.append(tk(j))
-        kept += 1
+    rebuildFrom(tk, covered)
+  }
+
+  /** The SHUFFLE-JOIN scrub shape for corpora whose shared-window
+    * frontier exceeds any driver budget — the [[substringScrub]] /
+    * broadcast analogue of the screenDocsIndexed/screenDocsJoin
+    * duality. The broadcast frontier grows with the corpus'
+    * DUPLICATION VOLUME, not its vocabulary (every window of every
+    * duplicated doc is shared), so a dup-heavy 100 TB crawl breaches
+    * `maxShared` long before the vocabulary is interesting; this
+    * shape never collects:
+    *
+    *  1. per-OCCURRENCE postings `(h, doc_id, pos)` (two longs + an
+    *     int; positions matter — coverage is positional);
+    *  2. window owners = ONE partial-agged `min(doc_id)` per hash
+    *     (no df filter needed: a df-1 window's owner is the doc
+    *     itself and can never scrub);
+    *  3. postings ⋈ owners on the 8-byte hash, `owner < doc_id`
+    *     keeps the BAD positions, collected per doc as a sorted
+    *     int array;
+    *  4. one id-keyed join back onto the docs — text crosses a
+    *     shuffle ONCE — and the same coverage rebuild as the
+    *     broadcast path.
+    *
+    * Output is identical to [[substringScrub]] by construction
+    * (CorpusOpsSpec pins the set equality); prefer the broadcast
+    * shape whenever the frontier fits — it never shuffles text.
+    */
+  def substringScrubJoin(docs: DataFrame, w: Int = 8): DataFrame = {
+    require(w >= 2 && w <= 64, s"w out of range: $w")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val occ = ds
+      .flatMap { case (id, t) =>
+        val hs = windowHashes(duckTokens(t), w)
+        hs.iterator.zipWithIndex.map { case (h, i) => (h, id, i) }
       }
-      j += 1
-    }
-    (sb.toString, kept, dropped)
+      .toDF("h", "doc_id", "pos")
+    val owners = occ.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("owner"))
+    val bad = occ.join(owners, Seq("h"))
+      .filter(col("owner") < col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("bad"))
+    ds.toDF("doc_id", "text")
+      .join(bad, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("bad"), array()).as("bad"))
+      .as[(Long, String, Seq[Int])]
+      .map { case (id, t, badPos) =>
+        val tk = duckTokens(t)
+        val covered = new Array[Boolean](tk.length)
+        badPos.foreach { p =>
+          var j = p
+          while (j < p + w && j < tk.length) { covered(j) = true; j += 1 }
+        }
+        val (txt, kept, dropped) = rebuildFrom(tk, covered)
+        (id, txt, kept, dropped)
+      }
+      .toDF("doc_id", "clean_text", "n_kept", "n_dropped")
+      .orderBy(col("doc_id"))
   }
 
   def substringScrub(docs: DataFrame, w: Int = 8,

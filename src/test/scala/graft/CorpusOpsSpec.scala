@@ -281,6 +281,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got2(5L) == (("k m", 2L, 9L)))
   }
 
+  test("substringScrubJoin equals the broadcast scrub on every corpus shape") {
+    import graft.operators.CorpusOps.{substringScrub, substringScrubJoin}
+    def collectAll(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    // the hand-built shapes: partial overlap, exact dup, short doc,
+    // merged coverage
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x y z a b c d e f g h w"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "a b c"),
+      (4L, "k p q r s t u v w x m")).toDF("doc_id", "text")
+    assert(collectAll(substringScrubJoin(docs)) ==
+      collectAll(substringScrub(docs)))
+    // and the real planted query corpus at sf0.001 (dup groups +
+    // shared passages + empty-window docs)
+    val phrase = (0 until 10).map(i => s"sp$i").mkString(" ")
+    val planted = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 5,
+          concat(col("text"), lit(" " + phrase)))
+          .otherwise(col("text")).as("text"))
+    assert(collectAll(substringScrubJoin(planted)) ==
+      collectAll(substringScrub(planted)))
+  }
+
   test("substringScrub guards the shared-window frontier collect") {
     import graft.operators.CorpusOps.substringScrub
     val t = (0 until 32).map(i => s"w$i").mkString(" ")
