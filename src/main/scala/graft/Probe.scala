@@ -45,7 +45,8 @@ object Probe {
       "dsir_doc_stats", "dsir_weights", "dsir_select",
       "dsir_select_sampled",
       "bm25_search", "embed_kmeans", "embed_quantize", "embed_project",
-      "pipeline_clean", "pipeline_full", "wordcount_salted",
+      "pipeline_clean", "pipeline_full", "pipeline_scrub",
+      "wordcount_salted",
       "multimodal_decode",
       "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
       "q_events_tumbling", "q_events_sliding", "q_sessionize",

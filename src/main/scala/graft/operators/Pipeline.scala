@@ -74,20 +74,74 @@ object Pipeline {
     val pairs = if (share) pairs0.localCheckpoint(true) else pairs0
     val clusters = Clusters.clusterPairs(pairs)
     val deduped = Clusters.dedupApplyBestKeepAll(corpus, clusters)
-    // 4. decontamination screen (reference members stay — D11)
-    val flagged = Dedup.screenDocs(deduped, screenThreshold, refMod)
+    screenMixPack(deduped, screenThreshold, refMod, mixBudget,
+      packTarget)
+  }
+
+  /** The shared recipe tail (stages 4–6): decontamination screen
+    * (refs stay), temperature mixing, offset packing. `corpus` must
+    * carry (doc_id, source, text).
+    */
+  private def screenMixPack(corpus: DataFrame, screenThreshold: Double,
+      refMod: Int, mixBudget: Long, packTarget: Long): DataFrame = {
+    val flagged = Dedup.screenDocs(corpus, screenThreshold, refMod)
       .select(col("doc_id")).distinct()
-    val screened = deduped.join(flagged, Seq("doc_id"), "left_anti")
-    // 5. temperature mixing — selection only, ids join back
+    val screened = corpus.join(flagged, Seq("doc_id"), "left_anti")
     val picked = CorpusOps.mixSourcesDocs(screened, mixBudget)
       .select(col("doc_id"))
     val mixed = screened.join(picked, Seq("doc_id"), "left_semi")
-    // 6. offset packing of the final corpus
     CorpusOps.packSequencesDocs(mixed, packTarget)
       .join(mixed.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
       .orderBy(col("doc_id"))
   }
+
+  /** P2 — the SPAN-LEVEL curation recipe: the same chain with the
+    * Lee et al. substring SCRUB (D15) as the dedup stage instead of
+    * doc-level cluster dedup — duplicated spans are REMOVED from
+    * later docs, documents survive — followed by a minimum-length
+    * gate (`minTokens`, the Gopher-style filter every span-removal
+    * pipeline runs next: exact dups scrub to nothing and must not
+    * reach packing as empty rows). Stages: T15 quality gate → T19
+    * line dedup → D15 substring scrub → length gate → D7/D11 screen
+    * → T13 mixing → T10 packing, over the same shared-derivation
+    * skeleton as [[pipelineFull]].
+    *
+    * Oracle-checked end to end like P1: the scrub stage's
+    * window-ownership/coverage SQL composes into the same CTE chain;
+    * output is all ints/strings. PipelineSpec pins the stagewise
+    * set-equality and the length-gate invariant.
+    */
+  def pipelineScrub(docs: DataFrame,
+      minDf: Int = 3, w: Int = 8, minTokens: Long = 8L,
+      screenThreshold: Double = 0.05, refMod: Int = 7,
+      mixBudget: Long = 20000L, packTarget: Long = 2048L,
+      share: Boolean = true): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1: $minTokens")
+    val kept = docs
+      .filter(TextOps.modelQualityScore(col("text")) >= lit(0.5))
+    val cleaned = kept.select(col("doc_id"), col("source"))
+      .join(CorpusOps.lineDedup(kept, minDf)
+        .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("clean_text").as("text"))
+    val corpus = if (share) cleaned.localCheckpoint(true) else cleaned
+    // 3'. span-level scrub over the cleaned text + length gate
+    val scrubbed = corpus.select(col("doc_id"), col("source"))
+      .join(CorpusOps.substringScrub(corpus, w)
+        .filter(col("n_kept") >= minTokens)
+        .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("clean_text").as("text"))
+    screenMixPack(scrubbed, screenThreshold, refMod, mixBudget,
+      packTarget)
+  }
+
+  /** The registered `pipeline_scrub` query (the [[pipelineFullQuery]]
+    * planting).
+    */
+  def pipelineScrubQuery(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineScrub(plantedDocs(spark, sfDir))
 
   /** The registered `pipeline_full` query: the synthetic docs are
     * single-line, so the query plants the SAME deterministic

@@ -82,6 +82,10 @@ object TextRegistry {
     // PipelineSpec additionally pins stagewise set-equality and the
     // share-on/off equivalence
     "pipeline_full" -> (Pipeline.pipelineFullQuery _),
+    // hash-checked end to end like pipeline_full — the Lee et al.
+    // span-removal recipe: scrub CTEs replace the closure/keeper
+    // stages, plus the post-scrub minimum-length gate
+    "pipeline_scrub" -> (Pipeline.pipelineScrubQuery _),
     "substring_scrub" -> (CorpusOps.substringScrubQuery _),
     // rows-only: an iterative frequency mine has no ANSI-SQL
     // statement; BpeSpec pins determinism + a hand-computed mine
@@ -663,6 +667,98 @@ object TextRegistry {
          |  (SELECT doc_id FROM flagged)),
          |md AS (SELECT c0.doc_id, c0.source, len($TOKS)::BIGINT AS n,
          |  md5(c0.text) AS h FROM c0 JOIN surv3 USING (doc_id)),
+         |ms AS (SELECT source, floor(sqrt(sum(n)::DOUBLE))::BIGINT AS w
+         |  FROM md GROUP BY source),
+         |mw AS (SELECT source, (20000 * w) // (SELECT sum(w) FROM ms)
+         |  AS target FROM ms),
+         |mc AS (SELECT md.doc_id, md.source, md.n,
+         |  sum(md.n) OVER (PARTITION BY md.source
+         |    ORDER BY md.h, md.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  mw.target FROM md JOIN mw USING (source)),
+         |picked AS (SELECT doc_id, source, n FROM mc
+         |  WHERE cum - n < target)
+         |SELECT doc_id, source, n AS n_tokens,
+         | ((sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+         |   // 2048)::BIGINT AS bin
+         |FROM picked ORDER BY doc_id""".stripMargin,
+    // the SPAN-LEVEL recipe end to end: same prefix as pipeline_full
+    // (quality gate + line dedup), then the substring-scrub CTEs over
+    // the cleaned text, the n_kept >= 8 length gate, and the shared
+    // screen/mix/pack tail — all-int/string output, hash-exact
+    "pipeline_scrub" ->
+      s"""WITH d0 AS (SELECT doc_id, source,
+         |  'hdr ' || source || chr(10) || text || chr(10) ||
+         |  'ref ' || (doc_id // 2)::VARCHAR || chr(10) ||
+         |  'ftr ' || lang AS text FROM documents),
+         |q1t AS (SELECT doc_id, text, $TOKS AS tk FROM d0),
+         |q1m AS (SELECT doc_id, len(tk)::BIGINT AS n,
+         |  length(text) AS n_chars,
+         |  len(list_filter(tk, x -> x IN $EN))::BIGINT AS sw,
+         |  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS pc,
+         |  len(list_distinct(list_transform(range(1, greatest(len(tk), 1)),
+         |    i -> concat_ws(' ', tk[i], tk[i+1]))))::BIGINT AS d2
+         | FROM q1t),
+         |q1top AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM (
+         |  SELECT doc_id, w, count(*) AS c FROM
+         |    (SELECT doc_id, unnest(tk) AS w FROM q1t) GROUP BY doc_id, w)
+         |  GROUP BY doc_id),
+         |q1s AS (SELECT q1m.doc_id,
+         |   least(n::DOUBLE, 400.0) / 400.0 * 0.35
+         | + least(sw::DOUBLE / n::DOUBLE * 4.0, 1.0) * 0.25
+         | + (1.0 - least(pc::DOUBLE / n_chars::DOUBLE * 5.0, 1.0)) * 0.15
+         | + (1.0 - top_c::DOUBLE / n::DOUBLE) * 0.15
+         | + (1.0 - CASE WHEN n <= 1 THEN 0.0
+         |     ELSE (n - 1 - d2)::DOUBLE / (n - 1) END) * 0.10 AS q_score
+         | FROM q1m JOIN q1top USING (doc_id)),
+         |keep1 AS (SELECT doc_id FROM q1s WHERE q_score >= 0.5),
+         |l AS (SELECT d0.doc_id,
+         |  unnest(string_split(text, chr(10))) AS line,
+         |  generate_subscripts(string_split(text, chr(10)), 1) AS ord
+         |  FROM d0 JOIN keep1 USING (doc_id)),
+         |ldf AS (SELECT line, count(DISTINCT doc_id) AS df
+         |  FROM l GROUP BY line),
+         |lkept AS (SELECT l.doc_id,
+         |  string_agg(l.line, chr(10) ORDER BY l.ord) AS clean_text
+         |  FROM l JOIN ldf USING (line) WHERE ldf.df < 3
+         |  GROUP BY l.doc_id),
+         |c0 AS (SELECT keep1.doc_id, d0.source,
+         |  coalesce(lkept.clean_text, '') AS text
+         |  FROM keep1 JOIN d0 USING (doc_id)
+         |  LEFT JOIN lkept ON keep1.doc_id = lkept.doc_id),
+         |st AS (SELECT doc_id, $TOKS AS tk FROM c0),
+         |wi AS (SELECT doc_id, tk,
+         |  unnest(range(1, greatest(len(tk) - 6, 1))) AS i FROM st),
+         |w2 AS (SELECT doc_id, i,
+         |  array_to_string(tk[i:i+7], ' ') AS win FROM wi),
+         |own AS (SELECT win, min(doc_id) AS owner FROM (
+         |  SELECT DISTINCT doc_id, win FROM w2) GROUP BY win),
+         |bad AS (SELECT w2.doc_id, w2.i FROM w2 JOIN own USING (win)
+         |  WHERE own.owner < w2.doc_id),
+         |tok AS (SELECT doc_id, unnest(tk) AS tok,
+         |  generate_subscripts(tk, 1) AS j FROM st),
+         |keptt AS (SELECT tok.doc_id, tok.j, tok.tok FROM tok
+         |  WHERE NOT EXISTS (SELECT 1 FROM bad
+         |    WHERE bad.doc_id = tok.doc_id
+         |      AND bad.i <= tok.j AND tok.j <= bad.i + 7)),
+         |scr AS (SELECT doc_id,
+         |  string_agg(tok, ' ' ORDER BY j) AS text,
+         |  count(*)::BIGINT AS n_kept FROM keptt GROUP BY doc_id),
+         |s0 AS (SELECT c0.doc_id, c0.source, scr.text
+         |  FROM c0 JOIN scr USING (doc_id) WHERE scr.n_kept >= 8),
+         |t2 AS (SELECT doc_id, $SH AS sh FROM s0),
+         |tt2 AS (SELECT doc_id, sh FROM t2 WHERE len(sh) > 0),
+         |rf2 AS (SELECT doc_id AS ref_id, sh AS rsh FROM tt2
+         |  WHERE doc_id % 7 = 0),
+         |flag2 AS (SELECT DISTINCT tt2.doc_id FROM tt2
+         |  JOIN rf2 ON tt2.doc_id != rf2.ref_id
+         |  WHERE len(list_intersect(tt2.sh, rf2.rsh))::DOUBLE
+         |    / (len(tt2.sh) + len(rf2.rsh) - len(list_intersect(tt2.sh, rf2.rsh)))
+         |    >= 0.05),
+         |md AS (SELECT s0.doc_id, s0.source, len($TOKS)::BIGINT AS n,
+         |  md5(s0.text) AS h FROM s0
+         |  WHERE s0.doc_id NOT IN (SELECT doc_id FROM flag2)),
          |ms AS (SELECT source, floor(sqrt(sum(n)::DOUBLE))::BIGINT AS w
          |  FROM md GROUP BY source),
          |mw AS (SELECT source, (20000 * w) // (SELECT sum(w) FROM ms)

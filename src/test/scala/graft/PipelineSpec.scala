@@ -56,6 +56,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(unshared == full)
   }
 
+  test("pipelineScrub equals its stagewise chain; length gate holds") {
+    val planted = Pipeline.plantedDocs(spark, sf)
+    val full = collectOut(Pipeline.pipelineScrub(planted))
+    assert(full.nonEmpty, "scrub pipeline produced an empty corpus")
+
+    // stagewise with the standalone operators, no shared checkpoints
+    val kept = planted
+      .filter(TextOps.modelQualityScore(col("text")) >= lit(0.5))
+    val cleaned = kept.select(col("doc_id"), col("source"))
+      .join(CorpusOps.lineDedup(kept).select(col("doc_id"),
+        col("clean_text")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("clean_text").as("text"))
+    val scrubbed = cleaned.select(col("doc_id"), col("source"))
+      .join(CorpusOps.substringScrub(cleaned)
+        .filter(col("n_kept") >= 8)
+        .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("clean_text").as("text"))
+    val flagged = Dedup.screenDocs(scrubbed)
+      .select(col("doc_id")).distinct()
+    val screened = scrubbed.join(flagged, Seq("doc_id"), "left_anti")
+    val picked = CorpusOps.mixSourcesDocs(screened).select(col("doc_id"))
+    val mixed = screened.join(picked, Seq("doc_id"), "left_semi")
+    val expected = collectOut(
+      CorpusOps.packSequencesDocs(mixed)
+        .join(mixed.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("bin")))
+    assert(full == expected)
+
+    // length gate: every selected doc still has >= 8 tokens AFTER the
+    // scrub (its packed n_tokens is the scrubbed count)
+    assert(full.forall(_._3 >= 8L),
+      s"sub-gate doc reached packing: ${full.filter(_._3 < 8L).take(3)}")
+
+    // share=false path identical
+    assert(collectOut(Pipeline.pipelineScrub(planted, share = false))
+      == full)
+  }
+
   test("pipelineFull output satisfies every stage invariant at once") {
     val planted = Pipeline.plantedDocs(spark, sf)
     val out = Pipeline.pipelineFull(planted).collect().map(r =>
