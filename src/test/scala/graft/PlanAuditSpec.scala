@@ -213,19 +213,26 @@ class PlanAuditSpec extends AnyFunSuite {
     // and no stage handoff may degenerate into a cartesian join. The
     // eager line-dedup/checkpoint stages run at construction; this
     // audits the final composed plan.
-    val plan = planOf(graft.operators.Pipeline.pipelineFull(
-      graft.operators.Pipeline.plantedDocs(spark, sf)))
-    assert(!plan.contains("Window"),
-      s"window crept into pipeline_full:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"cartesian product in pipeline_full:\n$plan")
-    // the ONE sanctioned nested-loop join: mixSources' scalar total —
-    // #sources rows × the single sum(w) row (broadcast, bounded by
-    // construction). Any OTHER BNLJ is an unbounded join regression.
-    val bnlj = plan.linesIterator
-      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
-    assert(bnlj.forall(_.contains("tot#")),
-      s"non-scalar nested-loop join in pipeline_full:\n${bnlj.mkString("\n")}")
+    Seq(
+      "pipeline_full" -> graft.operators.Pipeline.pipelineFull(
+        graft.operators.Pipeline.plantedDocs(spark, sf)),
+      "pipeline_scrub" -> graft.operators.Pipeline.pipelineScrub(
+        graft.operators.Pipeline.plantedDocs(spark, sf))
+    ).foreach { case (name, df) =>
+      val plan = planOf(df)
+      assert(!plan.contains("Window"),
+        s"window crept into $name:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian product in $name:\n$plan")
+      // the ONE sanctioned nested-loop join: mixSources' scalar total
+      // — #sources rows × the single sum(w) row (broadcast, bounded
+      // by construction). Any OTHER BNLJ is an unbounded join
+      // regression.
+      val bnlj = plan.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnlj.forall(_.contains("tot#")),
+        s"non-scalar nested-loop join in $name:\n${bnlj.mkString("\n")}")
+    }
   }
 
   test("no query pushes a higher-order function into a Filter (whole surface)") {
