@@ -197,17 +197,36 @@ object Bpe {
     * [[Search.dsirSelectFromWeightsCounted]]. Broadcast ranks, one
     * zero-shuffle typed map.
     */
-  def bpeCounts(docs: DataFrame, model: BpeModel): DataFrame = {
+  def bpeCounts(docs: DataFrame, model: BpeModel,
+      memoWords: Int = 2000000): DataFrame = {
+    require(memoWords >= 0, s"memoWords must be >= 0: $memoWords")
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) =>
-        var n = 0L
-        CorpusOps.duckTokens(t).foreach { w =>
-          n += bc.value.encodeCount(w)
+      .mapPartitions { it =>
+        val m = bc.value
+        // encodeCount is a pure function of the word, and token
+        // streams are Zipf-distributed: a per-partition memo turns
+        // the encoder loop from per-OCCURRENCE to per-DISTINCT-word.
+        // Bounded (~60 B/entry at the 2M default ≈ 120 MB worst-case
+        // per task; real vocabularies saturate far below it) — past
+        // the cap new words are encoded uncached, never evicted:
+        // correctness never depends on the cache.
+        val memo = new java.util.HashMap[String, Integer](1 << 16)
+        it.map { case (id, t) =>
+          var n = 0L
+          CorpusOps.duckTokens(t).foreach { w =>
+            val hit = memo.get(w)
+            if (hit ne null) n += hit.intValue()
+            else {
+              val c = m.encodeCount(w)
+              if (memo.size < memoWords) memo.put(w, Integer.valueOf(c))
+              n += c
+            }
+          }
+          (id, n)
         }
-        (id, n)
       }
       .toDF("doc_id", "n_tokens")
   }

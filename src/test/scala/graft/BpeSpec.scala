@@ -86,6 +86,17 @@ class BpeSpec extends AnyFunSuite {
       s"BPE did not compress: $totBpe pieces vs $totChars chars")
   }
 
+  test("bpeCounts memo is invisible: cached == uncached == cap-straddling") {
+    val docs = graft.Tables.documents(spark, sf)
+    val model = Bpe.bpeTrain(docs, nMerges = 100)
+    def run(cap: Int) = Bpe.bpeCounts(docs, model, memoWords = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val cached = run(2000000)
+    assert(cached == run(0), "memo off drifted from memo on")
+    // a tiny cap exercises the saturated-cache branch mid-stream
+    assert(cached == run(3), "saturated memo drifted")
+  }
+
   test("packSequencesBpe bins follow the sequential packer over BPE counts") {
     val out = Bpe.packSequencesBpe(spark, sf, targetTokens = 512)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
