@@ -36,7 +36,8 @@ object Probe {
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",
       "text_repetition", "pii_scrub", "quality_classify",
-      "dedup_apply", "mix_sources", "screen_apply", "corpus_stats",
+      "dedup_apply", "mix_sources", "mix_sources_sampled",
+      "screen_apply", "corpus_stats",
       "screen_ngram_overlap",
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
       "bpe_train", "pack_sequences_bpe",

@@ -173,6 +173,95 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T13b — SAMPLED source mixing: [[mixSources]] with the per-source
+    * document order drawn by SEEDED noise instead of md5 rank — the
+    * stochastic mixing a pipeline wants when consecutive backfills
+    * should draw DIFFERENT (but individually reproducible) corpus
+    * slices per source, mirroring [[Search.dsirSelectSampled]]'s
+    * Gumbel contract. Each doc's selection key is
+    * `base(h) + τ·G(seed, doc_id)`: `base` maps the md5 rank into
+    * [0,1) (the top 60 bits, rounded to double — rounding is
+    * monotone, and `h` itself tie-breaks the lost low bits), `G` is
+    * the seeded standard-Gumbel variate
+    * ([[Search.gumbelOf]] — a pure function of (seed, doc_id), no RNG
+    * state). τ interpolates the contract: τ = 0 RECOVERS
+    * [[mixSources]] EXACTLY — the sort key degrades to
+    * (base(h), h, doc_id) and base is monotone in h, so the order IS
+    * (h, doc_id) — while τ → ∞ approaches a uniform seeded
+    * permutation within each source (equal weights under Gumbel
+    * perturbation = sampling without replacement from the uniform
+    * distribution, Vieira 2014). Per-source token targets are the
+    * SAME integers as the deterministic mix (weights come from the
+    * full per-source token mass, which sampling does not change).
+    *
+    * Scale shape: identical to [[mixSources]] — the noise is one
+    * pure-function typed map (splitmix64 needs wrapping multiplies,
+    * which ANSI-mode column arithmetic rejects), then the same keyed
+    * two-pass prefix-sum; no shuffle added. Rows-only for the driver
+    * oracle (float-ordered frontier, the dsir_select_sampled
+    * precedent); CorpusOpsSpec pins the full in-driver reference
+    * selection, the τ=0 recovery, seed reproducibility and seed
+    * sensitivity.
+    */
+  def mixSourcesSampled(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 20000L, tau: Double = 1.0,
+      seed: Long = 42L): DataFrame =
+    mixSourcesSampledDocs(documents(spark, sfDir), budgetTokens, tau,
+      seed)
+
+  /** [[mixSourcesSampled]] over an arbitrary `(doc_id, source, text)`
+    * frame — the composable core.
+    */
+  def mixSourcesSampledDocs(docs: DataFrame,
+      budgetTokens: Long = 20000L, tau: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
+    require(tau >= 0.0 && java.lang.Double.isFinite(tau),
+      s"tau must be finite and >= 0: $tau")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    import graft.functions.TextFunctions.tokenCount
+    val d = docs.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).cast("long").as("n"),
+      md5(col("text")).as("h"))
+    val w = d.groupBy(col("source"))
+      .agg(sum(col("n")).as("t"))
+      .select(col("source"),
+        floor(sqrt(col("t").cast("double"))).cast("long").as("w"))
+    val targets = w
+      .crossJoin(broadcast(w.agg(sum(col("w")).as("tot"))))
+      .select(col("source"),
+        expr(s"(${budgetTokens}L * w) div tot").as("target"))
+    val keyed = d.as[(Long, String, Long, String)]
+      .map { case (id, src, n, h) =>
+        (id, src, n, h, gumbelKey(h, tau, seed, id))
+      }
+      .toDF("doc_id", "source", "n", "h", "gkey")
+    val cum = graft.plans.GlobalOrder.withPrefixSumKeyed(
+      keyed, "source", Seq(col("gkey"), col("h"), col("doc_id")),
+      "n", "cum")
+    cum.join(broadcast(targets), Seq("source"))
+      .filter(col("cum") - col("n") < col("target"))
+      .select(col("doc_id"), col("source"), col("n").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The sampled selection key: md5 rank folded into [0,1) (top 60
+    * bits rounded to double — monotone in the hex string, ties
+    * carried by the `h` tie-break, so the `(gkey, h, …)` sort at
+    * τ=0 IS the md5 sort) plus the seeded
+    * Gumbel perturbation at temperature τ. Shared by the operator's
+    * typed map and the spec's in-driver reference — one definition,
+    * bit-identical on both sides.
+    */
+  private[graft] def gumbelKey(h: String, tau: Double, seed: Long,
+      id: Long): Double = {
+    val base = java.lang.Long.parseLong(h.substring(0, 15), 16)
+      .toDouble / (1L << 60).toDouble
+    base + tau * Search.gumbelOf(seed, id)
+  }
+
   /** The word-trigram stream of one document — THE shared gram
     * builder for T17 mining and T18 counting: both stages must build
     * byte-identical grams or the counting stage silently scores zero

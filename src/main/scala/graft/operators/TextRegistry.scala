@@ -37,6 +37,11 @@ object TextRegistry {
     "pack_sequences" -> ((s, d) => CorpusOps.packSequences(s, d)),
     "text_repetition" -> (TextOps.textRepetition _),
     "mix_sources" -> ((s, d) => CorpusOps.mixSources(s, d)),
+    // rows-only: seeded Gumbel-perturbed per-source order — float
+    // keys like dsir_select_sampled; CorpusOpsSpec pins the full
+    // in-driver reference selection, the τ=0 recovery of
+    // mix_sources, seed reproducibility and seed sensitivity
+    "mix_sources_sampled" -> ((s, d) => CorpusOps.mixSourcesSampled(s, d)),
     "bm25_doc_stats" -> ((s, d) => Search.bm25DocStats(s, d)),
     // rows-only: ln differs from DuckDB's by 1 ulp on ~0.5% of idf
     // inputs; scores are pinned bit-exactly by SearchSpec instead,

@@ -385,6 +385,53 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length == totals.size)
   }
 
+  test("mixSourcesSampled: in-driver reference, τ=0 recovery, seed contract") {
+    val budget = 20000L
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val det = collect(CorpusOps.mixSources(spark, sf, budget))
+    // τ=0: the Gumbel term vanishes and the (gkey, h, doc_id) sort
+    // IS the md5 sort — exact recovery of the deterministic mix
+    assert(collect(CorpusOps.mixSourcesSampled(spark, sf, budget,
+      tau = 0.0, seed = 7L)) == det, "τ=0 did not recover mixSources")
+    // a fixed seed is a deterministic artifact; a different seed
+    // genuinely resamples
+    val s42a = collect(CorpusOps.mixSourcesSampled(spark, sf, budget,
+      tau = 1.0, seed = 42L))
+    val s42b = collect(CorpusOps.mixSourcesSampled(spark, sf, budget,
+      tau = 1.0, seed = 42L))
+    val s43 = collect(CorpusOps.mixSourcesSampled(spark, sf, budget,
+      tau = 1.0, seed = 43L))
+    assert(s42a == s42b, "same seed drifted across runs")
+    assert(s42a != s43, "different seeds produced the same sample")
+    // full in-driver reference: same integer targets as the
+    // deterministic mix, per-source prefix of the perturbed-key order
+    // (gumbelKey shared with the operator — one definition)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getString(3)))
+    val totals = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val ws = totals.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+    val totW = ws.values.sum
+    val targets = ws.view.mapValues(w => budget * w / totW).toMap
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (CorpusOps.gumbelKey(d._4, 1.0, 42L, d._1),
+          d._4, d._1))
+        .toSeq.flatMap { case (id, _, n, _) =>
+          val start = cum; cum += n
+          if (start < targets(src)) Some((id, src, n)) else None
+        }
+    }.toSet
+    assert(s42a == expected)
+    // sampling changes the draw, not the budget: every source is
+    // still represented
+    assert(s42a.map(_._2) == totals.keySet)
+  }
+
   test("packing plan has no unpartitioned window, novelty df is partial-agged") {
     val packPlan = CorpusOps.packSequences(spark, sf)
       .queryExecution.executedPlan.toString
