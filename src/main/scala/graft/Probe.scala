@@ -38,6 +38,7 @@ object Probe {
       "text_repetition", "pii_scrub", "quality_classify",
       "dedup_apply", "mix_sources", "mix_sources_sampled",
       "screen_apply", "corpus_stats",
+      "source_overlap", "source_overlap_sketch",
       "screen_ngram_overlap",
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
       "bpe_train", "pack_sequences_bpe",

@@ -134,9 +134,101 @@ case class TopKBy(left: Expression, right: Expression, k: Int,
   override def prettyName: String = "topk_by"
 }
 
+/** bottom_k_distinct(h, k) — the k SMALLEST DISTINCT longs per group:
+  * the KMV / bottom-k sketch of a hashed set (Bar-Yossef et al. 2002;
+  * Beyer et al. SIGMOD 2007). A bounded java.util.TreeSet per group
+  * (add, trim the max past k) combines map-side like [[TopKBy]], so
+  * at most k hashes per group per partition reach the shuffle —
+  * per-source sketches over a 100 TB corpus shuffle k·sources longs.
+  * Distinctness is intrinsic (a set), so the sketch is insensitive to
+  * how often a value repeats — exactly the "distinct documents"
+  * semantics overlap estimation needs. Output: ascending long array;
+  * EXACTLY the distinct set when the group has ≤ k distinct values.
+  */
+case class BottomKDistinct(child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression]
+    with ImplicitCastInputTypes {
+  require(k > 0 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")
+
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(LongType)
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def offer(buf: java.util.TreeSet[java.lang.Long],
+      v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last()) {
+      if (buf.add(v)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+      b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) offer(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(
+      buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bb.array()
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { offer(buf, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): BottomKDistinct =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BottomKDistinct =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(
+      newChild: Expression): BottomKDistinct = copy(child = newChild)
+  override def prettyName: String = "bottom_k_distinct"
+}
+
 object AggFunctions {
   /** Exact top-k (ord desc, id asc) per group, map-side combined. */
   def topk_by(ord: Column, id: Column, k: Int): Column =
     ColumnBridge.column(TopKBy(ColumnBridge.expression(ord),
       ColumnBridge.expression(id), k).toAggregateExpression())
+
+  /** The k smallest distinct longs per group (KMV sketch), map-side
+    * combined; exactly the distinct set when it has ≤ k values.
+    */
+  def bottom_k_distinct(h: Column, k: Int): Column =
+    ColumnBridge.column(BottomKDistinct(ColumnBridge.expression(h), k)
+      .toAggregateExpression())
 }

@@ -262,6 +262,131 @@ object CorpusOps {
     base + tau * Search.gumbelOf(seed, id)
   }
 
+  /** T26 — CROSS-SOURCE OVERLAP MATRIX: for every pair of sources,
+    * how many DISTINCT documents (by content fingerprint) they share
+    * — the "how much of source B is already in source A"
+    * release-engineering question (CommonCrawl snapshots vs a curated
+    * set, vendor drops vs the existing corpus) that decides whether a
+    * new source is worth ingesting BEFORE the dedup pass runs.
+    * Output: one row per unordered source pair `(src_a < src_b)` with
+    * the distinct-doc sizes and the intersection count — all
+    * integers, so the whole matrix hash-matches the oracle; Jaccard /
+    * containment are one division away.
+    *
+    * Scale shape: distinct (source, fp) is one partial-agged
+    * exchange; the intersection is a fp-keyed self-equi-join whose
+    * per-fp fan-out is bounded by #sources² (sources are dozens, not
+    * data-sized), then a #source²-row agg; the size table joins in
+    * broadcast. Nothing driver-side.
+    */
+  def sourceOverlapQuery(spark: SparkSession, sfDir: String): DataFrame =
+    sourceOverlapDocs(plantCrossSource(documents(spark, sfDir)))
+
+  /** The registered query plants deterministic doc_id-derived shared
+    * passages (`doc_id % 3 == 0` docs collapse to one of 16 canonical
+    * texts, hitting every source) — the pii_scrub non-vacuity
+    * convention: the raw test corpus has NO cross-source exact dups,
+    * and an all-zero matrix would verify nothing. Mirrored in the
+    * oracle SQL.
+    */
+  private[graft] def plantCrossSource(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(lit("shared passage "), (col("doc_id") % 16).cast("string")))
+        .otherwise(col("text")))
+
+  /** [[sourceOverlapQuery]] over an arbitrary `(source, text)` frame
+    * — the composable core.
+    */
+  def sourceOverlapDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val f = docs.select(col("source"), md5(col("text")).as("fp"))
+      .distinct()
+    val s = f.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val i = f.as("a")
+      .join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    // the FULL matrix, zero pairs included — "no overlap" is a
+    // finding, not a missing row
+    val pairs = s.as("sa")
+      .join(broadcast(s.as("sb")), col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("src_a"), col("sb.source").as("src_b"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"))
+    pairs.join(broadcast(i), Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** T26b — SKETCHED source overlap: the 100 TB path when even the
+    * distinct-fingerprint self-join is unwelcome. One scan builds a
+    * per-source KMV / bottom-k sketch (the k smallest distinct
+    * xxhash64 values — [[graft.functions.BottomKDistinct]], map-side
+    * combined, k longs per source per partition on the wire), the
+    * driver merges #sources bounded sketches pairwise: Jaccard ≈
+    * |X ∩ A_k ∩ B_k| / |X| with X the k smallest of the sketch
+    * union — the classic KMV pair estimator (Beyer et al. SIGMOD
+    * 2007), EXACT whenever a pair's true union fits k (x ∈ X ∩ fullA
+    * ⇒ x ∈ A_k, so membership tests against sketches are never
+    * wrong, only truncated). Driver work is #sources² · O(k) on
+    * longs, budget-guarded by `maxSources` with a loud failure.
+    * Rows-only (a fixed-size hash sketch has no ANSI-SQL oracle);
+    * CorpusOpsSpec pins sketch == exact in the k-covers-union
+    * regime and a bounded-error planted case where k is saturated.
+    */
+  def sourceOverlapSketch(spark: SparkSession, sfDir: String,
+      k: Int = 1024, maxSources: Int = 4096): DataFrame =
+    sourceOverlapSketchDocs(plantCrossSource(documents(spark, sfDir)),
+      k, maxSources)
+
+  /** [[sourceOverlapSketch]] over an arbitrary `(source, text)` frame
+    * — the composable core.
+    */
+  def sourceOverlapSketchDocs(docs: DataFrame, k: Int = 1024,
+      maxSources: Int = 4096): DataFrame = {
+    require(k > 0 && k <= (1 << 20), s"k must be in [1, 2^20]: $k")
+    require(maxSources >= 2, s"maxSources must be >= 2: $maxSources")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sk = docs
+      .select(col("source"), xxhash64(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.AggFunctions
+        .bottom_k_distinct(col("h"), k).as("sk"))
+      .as[(String, Array[Long])]
+      .collect()
+      .sortBy(_._1)
+    require(sk.length <= maxSources,
+      s"${sk.length} sources exceed maxSources=$maxSources — the " +
+        "pairwise merge is a bounded driver computation (#sources² · " +
+        "k longs); raise the budget knowingly")
+    val rows = for {
+      i <- sk.indices
+      j <- (i + 1) until sk.length
+    } yield (sk(i)._1, sk(j)._1, kmvJaccard(sk(i)._2, sk(j)._2, k))
+    spark.createDataset(rows)
+      .toDF("src_a", "src_b", "j_est")
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** The KMV pair estimator over two ascending distinct-hash sketches:
+    * two-pointer merge of the k smallest union values, counting those
+    * present in BOTH sketches.
+    */
+  private[graft] def kmvJaccard(a: Array[Long], b: Array[Long],
+      k: Int): Double = {
+    var ia = 0; var ib = 0; var taken = 0; var inter = 0
+    while (taken < k && (ia < a.length || ib < b.length)) {
+      if (ib >= b.length || (ia < a.length && a(ia) < b(ib))) ia += 1
+      else if (ia >= a.length || b(ib) < a(ia)) ib += 1
+      else { inter += 1; ia += 1; ib += 1 }
+      taken += 1
+    }
+    if (taken == 0) 0.0 else inter.toDouble / taken.toDouble
+  }
+
   /** The word-trigram stream of one document — THE shared gram
     * builder for T17 mining and T18 counting: both stages must build
     * byte-identical grams or the counting stage silently scores zero

@@ -55,6 +55,11 @@ object TextRegistry {
     "text_rolling_fp" -> (MinHashDedup.rollingFingerprints _),
     "screen_apply" -> ((s, d) => Dedup.screenApply(s, d)),
     "corpus_stats" -> (CorpusOps.corpusStats _),
+    "source_overlap" -> (CorpusOps.sourceOverlapQuery _),
+    // rows-only: a fixed-size KMV hash sketch has no ANSI-SQL oracle;
+    // CorpusOpsSpec pins sketch == exact when k covers the union and
+    // a bounded-error case where the sketch saturates
+    "source_overlap_sketch" -> ((s, d) => CorpusOps.sourceOverlapSketch(s, d)),
     "top_ngrams" -> ((s, d) => CorpusOps.topNgrams(s, d)),
     "boilerplate_share" -> ((s, d) => CorpusOps.boilerplateShare(s, d)),
     "line_dedup" -> (CorpusOps.lineDedupQuery _),
@@ -350,6 +355,26 @@ object TextRegistry {
          |SELECT doc_id, dl, tf0, tf1, tf2 FROM t
          |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
          |ORDER BY doc_id""".stripMargin,
+    // cross-source distinct-fingerprint overlap matrix over planted
+    // doc_id-derived shared passages (the raw corpus has no
+    // cross-source exact dups — an all-zero matrix verifies nothing);
+    // all-integer output, full matrix incl. zero pairs
+    "source_overlap" ->
+      """WITH p AS (SELECT source,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN concat('shared passage ', (doc_id % 16)::VARCHAR)
+        |    ELSE text END AS text FROM documents),
+        |f AS (SELECT DISTINCT source, md5(text) AS fp FROM p),
+        |s AS (SELECT source, count(*)::BIGINT AS n FROM f GROUP BY source),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        count(*)::BIGINT AS n_common
+        |      FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT sa.source AS src_a, sb.source AS src_b, sa.n AS n_a,
+        |       sb.n AS n_b, coalesce(i.n_common, 0)::BIGINT AS n_common
+        |FROM s sa JOIN s sb ON sa.source < sb.source
+        |LEFT JOIN i ON i.src_a = sa.source AND i.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     // temperature-rebalanced source mixing: per-source targets are
     // integer (floor(sqrt) weights, integer division) so no float
     // summation order can drift a boundary doc; docs taken in md5

@@ -432,6 +432,66 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(s42a.map(_._2) == totals.keySet)
   }
 
+  test("BottomKDistinct == sorted distinct take-k on shuffled multi-partition input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // repeats + negatives + a hot value, spread over 8 partitions
+    val vals = Seq.fill(5000)(rnd.nextLong() % 1000) ++ Seq.fill(200)(42L)
+    val got = spark.createDataset(rnd.shuffle(vals)).repartition(8)
+      .toDF("h").agg(graft.functions.AggFunctions
+        .bottom_k_distinct(col("h"), 64).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == vals.distinct.sorted.take(64))
+    // k past the distinct count returns the whole distinct set
+    val all = spark.createDataset(vals).repartition(8).toDF("h")
+      .agg(graft.functions.AggFunctions
+        .bottom_k_distinct(col("h"), 1 << 16).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(all == vals.distinct.sorted)
+  }
+
+  test("sourceOverlap: planted matrix is non-vacuous; sketch == exact when k covers") {
+    val exact = CorpusOps.sourceOverlapQuery(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(exact.nonEmpty)
+    assert(exact.values.exists(_._3 > 0L), "no overlap planted — vacuous")
+    assert(exact.values.exists(v => v._3 < math.min(v._1, v._2)),
+      "every pair fully overlaps — vacuous the other way")
+    // sketch with k >= every pair's true union: the KMV estimate IS
+    // the exact Jaccard (membership against sketches is never wrong,
+    // only truncated)
+    val est = CorpusOps.sourceOverlapSketch(spark, sf, k = 4096)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getDouble(2))).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (pair, j) =>
+      val (na, nb, c) = exact(pair)
+      assert(j == c.toDouble / (na + nb - c).toDouble,
+        s"$pair: sketch $j != exact ${c.toDouble / (na + nb - c)}")
+    }
+  }
+
+  test("sourceOverlapSketch: bounded error when saturated, loud source budget") {
+    import spark.implicits._
+    // two synthetic sources, |A|=|B|=9000, |A∩B|=3000 → J = 0.2;
+    // k=512 saturates both sketches
+    val docs = ((0 until 9000).map(i => (i.toLong, "a", s"text $i")) ++
+      (0 until 9000).map(i => (i.toLong + 100000, "b", s"text ${i + 6000}")))
+    val df = spark.createDataset(docs).toDF("doc_id", "source", "text")
+    val j = CorpusOps.sourceOverlapSketchDocs(df, k = 512)
+      .collect()(0).getDouble(2)
+    assert(math.abs(j - 0.2) < 0.06, s"KMV estimate $j too far from 0.2")
+    // the source budget fails loudly: 3 sources > maxSources = 2
+    val three = spark.createDataset(docs :+ (999999L, "c", "only one"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.sourceOverlapSketchDocs(three, k = 512, maxSources = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("exceed maxSources"))
+  }
+
   test("packing plan has no unpartitioned window, novelty df is partial-agged") {
     val packPlan = CorpusOps.packSequences(spark, sf)
       .queryExecution.executedPlan.toString
