@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+
+/** T27 — multinomial Naive Bayes over class-conditional word counts:
+  * the one-pass, closed-form member of the model-scored curation
+  * family (T15 scores with fixed heuristic weights; DSIR scores a
+  * target/raw likelihood ratio; NB learns a per-CLASS model and
+  * assigns each doc the argmax class). The standing self-train
+  * convention applies: the corpus' own `lang` column is the label —
+  * a pipeline would pass its labeled seed set and classify a
+  * different corpus (the composable `*Docs` cores take any
+  * `(doc_id, lang, text)` frame).
+  *
+  * Why NB and not logistic regression: the fastText-style curation
+  * classifiers (CCNet, the GPT-3 quality filter) are iterative fits;
+  * multinomial NB is the ONE-GROUPBY closed form — per-class counts
+  * ARE the model, so training is a single partial-agged shuffle and
+  * the whole fit is oracle-checkable. At 100 TB that is the
+  * difference between a pass over the corpus and a training loop.
+  *
+  * Scale shape: tokens shuffle once as 8-byte FNV64 hashes to build
+  * the `(lang, w) → c` model table; scoring joins the corpus token
+  * stream against the model on `w` (the lmDocStats join shape — the
+  * stream fans out only by the ≤ `maxClasses` classes that contain
+  * the token); per-class scalars are one bounded collect folded in as
+  * a broadcast local frame. Nothing else collects.
+  */
+object Classify {
+
+  /** Classes are a cross-join multiplier on the zero-filled output
+    * and the model fan-out — bound them loudly (a label column with
+    * runaway cardinality is a bug, not a workload).
+    */
+  private val maxClasses = 1024
+
+  /** The labeled token stream `(doc_id, lang, w)` — FNV64-hashed
+    * tokens, the [[Search]] convention (strings never shuffle).
+    */
+  private def labeledTokens(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, lang, t) =>
+        CorpusOps.duckTokens(t).map(w => (id, lang, CorpusOps.lineHash(w)))
+      }
+      .toDF("doc_id", "lang", "w")
+  }
+
+  def nbDocStats(spark: SparkSession, sfDir: String): DataFrame =
+    nbDocStatsDocs(documents(spark, sfDir))
+
+  /** T27a — NB EVIDENCE per (document, class), integer-exact (the
+    * lmDocStats convention): for every doc and every class, how many
+    * of the doc's token occurrences appear in that class's training
+    * counts (`n_matched`) and the sum of those class-conditional
+    * counts (`sum_c`) — the integer signals the smoothed NB score is
+    * built from. Zero-filled: every (doc, class) pair is present, so
+    * the frame IS the dense score matrix skeleton. Hash-checked
+    * against the DuckDB oracle.
+    */
+  def nbDocStatsDocs(docs: DataFrame): DataFrame = {
+    val tok = labeledTokens(docs)
+    val cls = tok.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val matched = tok.select(col("doc_id"), col("w"))
+      .join(cls, Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val langs = docs.select(col("lang")).distinct()
+    val pairs = docs.select(col("doc_id")).crossJoin(broadcast(langs))
+    pairs.join(matched, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n"), lit(0L)).as("n_matched"),
+        coalesce(col("s"), lit(0L)).as("sum_c"))
+      .orderBy(col("doc_id"), col("lang"))
+  }
+
+  def nbClassify(spark: SparkSession, sfDir: String): DataFrame =
+    nbClassifyDocs(documents(spark, sfDir))
+
+  /** T27 — NB CLASSIFICATION: assign each doc
+    * `argmax_s [ ln(N_s/N) + Σ_w ln((c_s(w)+1)/(T_s+V)) ]` — add-one
+    * smoothed multinomial NB with the corpus-global vocabulary V.
+    * The sum decomposes as
+    * `Σ ln(c_s(w)+1) − n_d·ln(T_s+V) + ln(N_s/N)`, and unmatched
+    * tokens contribute `ln(0+1) = 0` — so the Σ term needs only the
+    * inner-joined matches, exactly the [[nbDocStatsDocs]] join.
+    *
+    * EXACT argmax at any partition count: every ln enters as its
+    * DECIMAL-scale-12 unscaled long (per-match terms summed
+    * order-free; the per-class scalars `dec12(ln(T_s+V))`,
+    * `dec12(ln(N_s/N))` computed ONCE driver-side and folded in as a
+    * broadcast local frame), so the per-(doc, class) score is one
+    * exact integer and the argmax is integer ordering — no float
+    * comparison anywhere in the decision. Ties (identical scaled
+    * scores) break to the lexicographically LARGEST class, a total
+    * order. Overflow: |score| ≤ n_d·ln(T_s+V)·10¹² plus lower-order
+    * terms — safe through docs of ~3×10⁵ tokens against classes of
+    * T_s ≤ 10¹² tokens (the dsirWeights convention).
+    *
+    * Rows-only for the driver oracle (the reported score is the
+    * scaled float; JVM-ln 1-ulp drift — and on near-tied classes a
+    * 1-ulp drift could even flip a cross-engine argmax); NbSpec pins
+    * scores AND predictions bit-exactly against an in-driver
+    * reference, planted-class recovery, and the integer core is
+    * hash-checked via [[nbDocStats]].
+    */
+  def nbClassifyDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.CentroidKernels.dec12Scaled
+    val tok = labeledTokens(docs)
+    val cls = tok.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE bounded stats job: per-class token totals + doc priors
+    // (fills the model cache as it aggregates), plus the shared-vocab
+    // scalar off the cached model
+    val stats = cls.groupBy(col("lang")).agg(sum(col("c")).as("ts"))
+      .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("ns")),
+        Seq("lang"))
+      .collect()
+    require(stats.nonEmpty, "empty corpus")
+    require(stats.length <= maxClasses,
+      s"${stats.length} classes exceed maxClasses=$maxClasses — the " +
+        "label column has runaway cardinality (zero-fill and model " +
+        "fan-out scale with it); pass a corpus with a real label")
+    val vocab = cls.agg(count_distinct(col("w"))).head().getLong(0)
+    val nDocs = stats.map(_.getLong(2)).sum
+    // per-class scalars as dec12 longs, JVM libm once on the driver
+    val classFrame = stats.toSeq.map { r =>
+      (r.getString(0),
+        dec12Scaled(math.log(r.getLong(1).toDouble + vocab.toDouble)),
+        dec12Scaled(math.log(r.getLong(2).toDouble / nDocs.toDouble)))
+    }.toDF("lang", "ln_denom", "ln_prior")
+    val suml = tok.select(col("doc_id"), col("w"))
+      .join(cls, Seq("w"))
+      .select(col("doc_id"), col("lang"), col("c"))
+      .as[(Long, String, Long)]
+      // typed map for the per-match term — the lmPerplexity
+      // codegen-drift note applies to ln here too
+      .map { case (id, lang, c) =>
+        (id, lang, dec12Scaled(math.log(c.toDouble + 1.0)))
+      }
+      .toDF("doc_id", "lang", "l")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("l")).as("suml"))
+    val nTok = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    docs.select(col("doc_id")).crossJoin(broadcast(classFrame))
+      .join(suml, Seq("doc_id", "lang"), "left")
+      .join(nTok, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        (coalesce(col("suml"), lit(0L)) -
+          col("n_tokens") * col("ln_denom") + col("ln_prior"))
+          .as("score_scaled"))
+      .groupBy(col("doc_id"))
+      // integer argmax: max(struct) orders by score_scaled then lang
+      // — ties go to the lexicographically largest class
+      .agg(max(struct(col("score_scaled"), col("lang"))).as("m"))
+      .select(col("doc_id"), col("m.lang").as("pred_lang"),
+        (col("m.score_scaled").cast("double") / 1e12).as("score"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -575,4 +575,136 @@ object Search {
         statRow.getLong(2))
     } finally { cnt.unpersist(); () }
   }
+
+  /** The positional bigram stream `(doc_id, bg, p, w2)` as FNV64
+    * hashes of the bigram string, its context (left) token, and its
+    * predicted (right) token — the [[featureStream]] convention
+    * (8-byte keys shuffle, strings never do). The bigram joins on a
+    * single 0x20 so the SQL oracle's `concat_ws(' ', ...)` builds
+    * identical bytes; tokens contain no whitespace by construction,
+    * so `split_part(bg, ' ', 1)` recovers the context token exactly.
+    * Docs of fewer than two tokens emit nothing (no positions to
+    * condition on) — consistent with the oracle's empty
+    * `range(1, len)` list.
+    */
+  private def bigramStream(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val tk = CorpusOps.duckTokens(t)
+        (0 until tk.length - 1).iterator.map { j =>
+          (id, CorpusOps.lineHash(tk(j) + " " + tk(j + 1)),
+            CorpusOps.lineHash(tk(j)), CorpusOps.lineHash(tk(j + 1)))
+        }
+      }
+      .toDF("doc_id", "bg", "p", "w2")
+  }
+
+  /** T26a — bigram-LM EVIDENCE per document, integer-exact (the
+    * [[lmDocStats]] convention, one model order up): for each doc
+    * with ≥ 2 tokens, its bigram count, the sum of corpus-wide counts
+    * of its bigrams, the sum of corpus-wide counts of their CONTEXT
+    * tokens (the conditional denominator the order-2 model divides
+    * by), and the count of its rarest bigram. `min_c2 = 1` flags a
+    * corpus-unique transition; a large `sum_c2/sum_ctx` ratio means
+    * the doc's transitions are predictable given their contexts — the
+    * integer signals the interpolated score is built from.
+    *
+    * Scale shape: the model join runs MODEL-side first (bigram-vocab
+    * rows join the unigram table once) so the corpus-sized stream
+    * joins exactly one table; all keys are 8-byte hashes; two corpus
+    * scans (bigram-count pass + score pass), inherent to scoring
+    * against corpus-global statistics.
+    */
+  def lm2DocStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val bgs = bigramStream(spark, sfDir)
+    val ucnt = tokenStream(spark, sfDir).groupBy(col("w"))
+      .agg(count(lit(1)).as("c1"))
+    // min(p) is deterministic and exact: p is a pure function of bg
+    // (up to the documented FNV64 collision bound)
+    val bcnt = bgs.groupBy(col("bg"))
+      .agg(count(lit(1)).as("c2"), min(col("p")).as("p"))
+    val model = bcnt
+      .join(ucnt.select(col("w").as("p"), col("c1").as("c1p")), Seq("p"))
+      .select(col("bg"), col("c2"), col("c1p"))
+    bgs.select(col("doc_id"), col("bg")).join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c2")).as("sum_c2"),
+        sum(col("c1p")).as("sum_ctx"), min(col("c2")).as("min_c2"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T26 — per-document PERPLEXITY under a Jelinek–Mercer
+    * INTERPOLATED BIGRAM LM trained on the corpus itself — the
+    * order-2 upgrade of [[lmPerplexity]] (real perplexity filters —
+    * CCNet's KenLM stage — score with higher-order models because
+    * unigram perplexity cannot see scrambled word order):
+    * `P(w|p) = λ·(c2(p,w)+1)/(c1(p)+V) + (1−λ)·(c1(w)+1)/(T+V)`,
+    * `ppl2(d) = exp(−(1/n)·Σ ln P)` over the doc's n bigram
+    * positions. Repetitive/boilerplate text scores low; shuffled or
+    * rare-transition text scores high even when its unigram mix is
+    * ordinary (Lm2Spec pins exactly this separation).
+    *
+    * Determinism at any partition count (the [[lmPerplexity]]
+    * contract): every count entering a term is an exact integer, the
+    * term is ONE fixed-shape float expression per bigram row, and it
+    * enters the per-doc sum as its DECIMAL-scale-12 unscaled long —
+    * an order-free integer aggregation; only the final
+    * `exp(−s/10¹²/n)` runs in floats, in a typed map (Catalyst's exp
+    * codegen drifts 1 ulp from Math.exp on a tail of inputs).
+    * Overflow bound: `P ≥ (1−λ)/(T+V)` ⇒ |term| ≤ ln(T+V) − ln(1−λ),
+    * so |Σ| ≤ n·(ln(T+V)+1.39)·10¹² at the default λ — safe through
+    * docs of ~3×10⁵ tokens against corpora of T ≤ 10¹² tokens; longer
+    * docs must be pre-chunked (the dsirWeights convention). Rows-only
+    * for the driver oracle (JVM ln/exp 1-ulp drift, the bm25
+    * precedent); Lm2Spec pins ppl2 BIT-exactly against an in-driver
+    * reference, and the integer core is oracle-checked via
+    * [[lm2DocStats]].
+    */
+  def lm2Perplexity(spark: SparkSession, sfDir: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0.0 && lambda < 1.0,
+      s"lambda must be in [0, 1) — the unigram floor keeps P > 0: $lambda")
+    import spark.implicits._
+    val bgs = bigramStream(spark, sfDir)
+    val ucnt = tokenStream(spark, sfDir).groupBy(col("w"))
+      .agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE bounded scalar job: unigram vocab + total tokens (fills the
+    // unigram cache both model joins below read — the lmPerplexity
+    // ContextCleaner convention)
+    val statRow = ucnt.agg(count(lit(1)).as("v"), sum(col("c1")).as("t"))
+      .head()
+    val vocab = statRow.getLong(0)
+    require(vocab > 0, "empty corpus")
+    val total = statRow.getLong(1)
+    val bcnt = bgs.groupBy(col("bg"))
+      .agg(count(lit(1)).as("c2"), min(col("p")).as("p"),
+        min(col("w2")).as("w2"))
+    val model = bcnt
+      .join(ucnt.select(col("w").as("p"), col("c1").as("c1p")), Seq("p"))
+      .join(ucnt.select(col("w").as("w2"), col("c1").as("c1w")), Seq("w2"))
+      .select(col("bg"), col("c2"), col("c1p"), col("c1w"))
+    bgs.select(col("doc_id"), col("bg")).join(model, Seq("bg"))
+      .select(col("doc_id"), col("c2"), col("c1p"), col("c1w"))
+      .as[(Long, Long, Long, Long)]
+      .map { case (id, c2, c1p, c1w) =>
+        (id, graft.functions.CentroidKernels.dec12Scaled(math.log(
+          lambda * (c2.toDouble + 1.0) /
+            (c1p.toDouble + vocab.toDouble) +
+          (1.0 - lambda) * (c1w.toDouble + 1.0) /
+            (total.toDouble + vocab.toDouble))))
+      }
+      .toDF("doc_id", "l")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("l")).as("s"))
+      .as[(Long, Long, Long)]
+      .map { case (id, n, s) =>
+        (id, n, math.exp(-(s.toDouble / 1e12) / n.toDouble))
+      }
+      .toDF("doc_id", "n_bigrams", "ppl2")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -74,6 +74,17 @@ object TextRegistry {
     // inputs (the bm25_search precedent); SearchSpec pins ppl
     // bit-exactly, and the integer core is lm_doc_stats above
     "lm_perplexity" -> (Search.lmPerplexity _),
+    "lm2_doc_stats" -> (Search.lm2DocStats _),
+    // rows-only: same JVM-ln/exp 1-ulp reasoning as lm_perplexity;
+    // Lm2Spec pins ppl2 bit-exactly against an in-driver reference
+    // and the integer core is lm2_doc_stats above
+    "lm2_perplexity" -> ((s, d) => Search.lm2Perplexity(s, d)),
+    "nb_doc_stats" -> (Classify.nbDocStats _),
+    // rows-only: the score is the scaled float (JVM-ln 1-ulp drift,
+    // and a 1-ulp drift can flip a near-tied cross-engine argmax);
+    // NbSpec pins scores AND predictions bit-exactly plus
+    // planted-class recovery; integer core is nb_doc_stats above
+    "nb_classify" -> (Classify.nbClassify _),
     "dsir_doc_stats" -> ((s, d) => Search.dsirDocStats(s, d)),
     // rows-only: same JVM-ln 1-ulp reasoning as lm_perplexity;
     // SearchSpec pins the log-weights bit-exactly and the integer
@@ -594,6 +605,45 @@ object TextRegistry {
          | sum(c.c)::BIGINT AS sum_cnt, min(c.c)::BIGINT AS min_cnt
          |FROM tok JOIN cnt c USING (w)
          |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin,
+    // bigram-LM evidence: integer-exact positional-bigram counts plus
+    // the context-token (conditional-denominator) counts — the
+    // oracle-checked core of lm2_perplexity. Bigram strings join on a
+    // single 0x20, exactly the bytes the Spark kernel hashes;
+    // split_part recovers the context token because tokens contain no
+    // whitespace by construction.
+    "lm2_doc_stats" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS w FROM d),
+         |u AS (SELECT w, count(*)::BIGINT AS c1 FROM tok GROUP BY w),
+         |bs AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, greatest(len(tk), 1)),
+         |    i -> concat_ws(' ', tk[i], tk[i+1]))) AS b FROM d),
+         |b2 AS (SELECT b, count(*)::BIGINT AS c2 FROM bs GROUP BY b),
+         |m AS (SELECT b2.b, b2.c2, u.c1 AS c1p
+         |  FROM b2 JOIN u ON u.w = split_part(b2.b, ' ', 1))
+         |SELECT bs.doc_id, count(*)::BIGINT AS n_bigrams,
+         | sum(m.c2)::BIGINT AS sum_c2, sum(m.c1p)::BIGINT AS sum_ctx,
+         | min(m.c2)::BIGINT AS min_c2
+         |FROM bs JOIN m USING (b)
+         |GROUP BY bs.doc_id ORDER BY doc_id""".stripMargin,
+    // NB evidence: per-(doc, class) matched-token occurrences and
+    // class-conditional count sums, zero-filled over the full
+    // doc × class cross — the oracle-checked core of nb_classify
+    "nb_doc_stats" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($TOKS) AS w
+         |  FROM documents),
+         |cls AS (SELECT lang, w, count(*)::BIGINT AS c FROM tok
+         |  GROUP BY lang, w),
+         |m AS (SELECT t.doc_id, c.lang AS clang,
+         |  count(*)::BIGINT AS n, sum(c.c)::BIGINT AS s
+         |  FROM tok t JOIN cls c USING (w) GROUP BY t.doc_id, c.lang)
+         |SELECT d.doc_id, l.lang,
+         | coalesce(m.n, 0)::BIGINT AS n_matched,
+         | coalesce(m.s, 0)::BIGINT AS sum_c
+         |FROM documents d
+         |CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+         |LEFT JOIN m ON m.doc_id = d.doc_id AND m.clang = l.lang
+         |ORDER BY d.doc_id, l.lang""".stripMargin,
     // the FULL six-stage recipe, end to end, over the same planted
     // multi-line text the Spark query builds: T15 quality gate (the
     // quality_classify CTEs) → T19 line dedup (the line_dedup CTEs,
