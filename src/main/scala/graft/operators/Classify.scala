@@ -166,4 +166,75 @@ object Classify {
         (col("m.score_scaled").cast("double") / 1e12).as("score"))
       .orderBy(col("doc_id"))
   }
+
+  /** The trained NB model in stream-scoring form (the
+    * [[Search.DsirModel]] convention): classes in sorted label order,
+    * each with its sorted feature keys + counts (binary-search
+    * lookup) and its dec12-scaled smoothing scalars — computed ONCE
+    * with the exact JVM op order the batch classifier uses, so stream
+    * and batch scores are the same integers. Serializable for
+    * broadcast.
+    */
+  final case class NbModel(langs: Array[String],
+      keys: Array[Array[Long]], cnt: Array[Array[Long]],
+      lnDenom: Array[Long], lnPrior: Array[Long])
+
+  /** Bounded export of the NB model for STREAM-side classification
+    * (the stream–static split: the model fit offline over the
+    * labeled corpus, arrivals classified online). `minCount` floors
+    * the per-class frontier by count — floored features score as
+    * unmatched (`ln(0+1) = 0`), the same contribution batch gives
+    * tokens absent from a class, so at the default 1 stream scores
+    * equal [[nbClassifyDocs]] BIT-exactly on any document
+    * (StreamingSpec pins it; matched-term semantics are identical
+    * even off-corpus). The driver collect is budgeted by `maxVocab`
+    * TOTAL (lang, w) rows and FAILS LOUDLY past it (the dsirModel
+    * contract; ~24 bytes per row).
+    */
+  def nbModel(spark: SparkSession, sfDir: String, minCount: Long = 1,
+      maxVocab: Int = 10000000): NbModel = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
+    val docs = documents(spark, sfDir)
+    val tok = labeledTokens(docs)
+    val cls = tok.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = cls.groupBy(col("lang")).agg(sum(col("c")).as("ts"))
+        .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("ns")),
+          Seq("lang"))
+        .collect()
+      require(stats.nonEmpty, "empty corpus")
+      require(stats.length <= maxClasses,
+        s"${stats.length} classes exceed maxClasses=$maxClasses")
+      val vocab = cls.agg(count_distinct(col("w"))).head().getLong(0)
+      val nDocs = stats.map(_.getLong(2)).sum
+      // no cluster-side orderBy before the bounded collect — the
+      // dsirModel reasoning
+      val rows = cls.filter(col("c") >= minCount)
+        .select(col("lang"), col("w"), col("c"))
+        .limit(maxVocab + 1)
+        .collect()
+      require(rows.length <= maxVocab,
+        s"NB model frontier exceeds maxVocab=$maxVocab total (lang, " +
+          "token) rows — raise minCount to floor the frontier, or " +
+          "raise the budget knowingly")
+      import graft.functions.CentroidKernels.dec12Scaled
+      val langs = stats.map(_.getString(0)).sorted
+      val byLang = rows.groupBy(_.getString(0))
+      val sortedPerLang = langs.map { l =>
+        byLang.getOrElse(l, Array.empty).map(r =>
+          (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      }
+      val statByLang = stats.map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      NbModel(langs,
+        sortedPerLang.map(_.map(_._1)), sortedPerLang.map(_.map(_._2)),
+        langs.map(l => dec12Scaled(math.log(
+          statByLang(l)._1.toDouble + vocab.toDouble))),
+        langs.map(l => dec12Scaled(math.log(
+          statByLang(l)._2.toDouble / nDocs.toDouble))))
+    } finally { cls.unpersist(); () }
+  }
 }

@@ -707,4 +707,103 @@ object Search {
       .toDF("doc_id", "n_bigrams", "ppl2")
       .orderBy(col("doc_id"))
   }
+
+  /** The mined bigram-LM tables in stream-scoring form (the
+    * [[DsirModel]] convention): sorted unigram and bigram hash keys
+    * with counts (binary-search lookup) plus the corpus scalars.
+    * Serializable for broadcast.
+    */
+  final case class Lm2Model(uKeys: Array[Long], uCnt: Array[Long],
+      bKeys: Array[Long], bCnt: Array[Long], vocab: Long, total: Long)
+
+  /** Bounded export of the bigram-LM count tables for STREAM-side
+    * perplexity scoring (the [[dsirModel]] stream–static split: the
+    * model mined offline, arrivals scored online). `minCount` floors
+    * BOTH tables by corpus frequency — floored entries look up as 0
+    * and the add-one smoothing absorbs them, the standard frontier
+    * truncation; at the default 1 the frontier is complete and stream
+    * scores equal the batch [[lm2Perplexity]] BIT-exactly on docs
+    * drawn from the modeled corpus (StreamingSpec pins it). The
+    * driver collect is budgeted by `maxVocab` TOTAL rows across both
+    * tables and FAILS LOUDLY past it (~16 bytes per row).
+    */
+  def lm2Model(spark: SparkSession, sfDir: String, minCount: Long = 1,
+      maxVocab: Int = 10000000): Lm2Model = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
+    val ucnt = tokenStream(spark, sfDir).groupBy(col("w"))
+      .agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val statRow = ucnt.agg(count(lit(1)).as("v"),
+        sum(col("c1")).as("t")).head()
+      val vocab = statRow.getLong(0)
+      require(vocab > 0, "empty corpus")
+      // no cluster-side orderBy before the bounded collects — the
+      // dsirModel reasoning
+      val uRows = ucnt.filter(col("c1") >= minCount)
+        .limit(maxVocab + 1).collect()
+      val bRows = bigramStream(spark, sfDir).groupBy(col("bg"))
+        .agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= minCount)
+        .limit(maxVocab + 1).collect()
+      require(uRows.length + bRows.length <= maxVocab,
+        s"LM model frontier exceeds maxVocab=$maxVocab total rows " +
+          s"(${uRows.length} unigrams + ${bRows.length} bigrams) — " +
+          "raise minCount to floor the frontier, or raise the budget " +
+          "knowingly")
+      val u = uRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val b = bRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      Lm2Model(u.map(_._1), u.map(_._2), b.map(_._1), b.map(_._2),
+        vocab, statRow.getLong(1))
+    } finally { ucnt.unpersist(); () }
+  }
+
+  /** T26b — PERPLEXITY-BAND SELECTION: the CCNet gate — rank every
+    * document by LM perplexity and keep one equal-population band
+    * (CCNet trains on the head/middle split and discards the tail;
+    * the default keeps the MIDDLE tertile: not boilerplate-degenerate
+    * (head), not noise (tail)). Banding is by exact GLOBAL RANK, not
+    * approximate quantiles — band populations differ by at most one
+    * doc and a backfill reproduces the same split bit-for-bit.
+    */
+  def pplSelect(spark: SparkSession, sfDir: String, nBands: Int = 3,
+      keepBand: Int = 1): DataFrame =
+    pplSelectFromScores(lm2Perplexity(spark, sfDir), "ppl2",
+      nBands, keepBand)
+
+  /** [[pplSelect]] over an arbitrary materialized score frame — the
+    * shared-derivation entry point (the [[dsirSelectFromWeights]]
+    * convention), with the score column pluggable so the order-1
+    * [[lmPerplexity]] or any model score gates the same way. The
+    * scores are `localCheckpoint`ed here: banding needs the corpus
+    * COUNT and the ranked pass over the same frame, and without the
+    * checkpoint the upstream scoring pipeline would run twice
+    * (doc_id + score is 16 bytes/doc on executor storage — bounded,
+    * the pipeline_full sharing contract).
+    *
+    * Scale shape: rank comes from [[graft.plans.GlobalOrder
+    * .withPrefixSum]] over ones — per-partition partials + offset
+    * pass, never an unpartitioned `row_number()` window; the band is
+    * pure integer arithmetic `(rank−1)·nBands div N`. Rows-only for
+    * the driver oracle (float-ordered ranking, the dsir_select
+    * precedent); Lm2Spec pins the selected SET against the in-driver
+    * reference ranking and the ≤1-doc band-population balance.
+    */
+  def pplSelectFromScores(scores: DataFrame, scoreCol: String = "ppl2",
+      nBands: Int = 3, keepBand: Int = 1): DataFrame = {
+    require(nBands >= 2, s"nBands must be >= 2: $nBands")
+    require(keepBand >= 0 && keepBand < nBands,
+      s"keepBand must be in [0, $nBands): $keepBand")
+    val s = scores.select(col("doc_id"), col(scoreCol))
+      .localCheckpoint()
+    val n = s.count()
+    require(n > 0, "empty score frame")
+    graft.plans.GlobalOrder.withPrefixSum(
+        s.withColumn("one", lit(1L)),
+        Seq(col(scoreCol), col("doc_id")), "one", "rank")
+      .filter(expr(s"(rank - 1L) * ${nBands}L div ${n}L") === keepBand)
+      .select(col("doc_id"), col(scoreCol))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -85,6 +85,10 @@ object TextRegistry {
     // NbSpec pins scores AND predictions bit-exactly plus
     // planted-class recovery; integer core is nb_doc_stats above
     "nb_classify" -> (Classify.nbClassify _),
+    // rows-only: float-ordered ranking over the lm2 score (the
+    // dsir_select precedent); Lm2Spec pins the selected set against
+    // the in-driver reference ranking and the band balance
+    "ppl_select" -> ((s, d) => Search.pplSelect(s, d)),
     "dsir_doc_stats" -> ((s, d) => Search.dsirDocStats(s, d)),
     // rows-only: same JVM-ln 1-ulp reasoning as lm_perplexity;
     // SearchSpec pins the log-weights bit-exactly and the integer

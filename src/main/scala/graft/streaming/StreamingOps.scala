@@ -436,4 +436,114 @@ object StreamingOps {
       (d.doc_id, d.ts, txt, kept, dropped)
     }.toDF("doc_id", "ts", "clean_text", "n_kept", "n_dropped")
   }
+
+  /** X13 — STREAM-SIDE NB CLASSIFICATION: route each arriving
+    * document to its argmax class under a PRECOMPUTED Naive Bayes
+    * model (the batch [[graft.operators.Classify.nbModel]] export —
+    * the same stream–static split as X11's DSIR scoring: the model
+    * fit offline over the labeled corpus, arrivals classified
+    * online). Stateless pure projection — no watermark, no state
+    * store; the broadcast model is per-class sorted long arrays with
+    * binary-search lookup.
+    *
+    * The decision is EXACT integer arithmetic end to end (per-match
+    * dec12-scaled `ln(c+1)` terms, the model's precomputed dec12
+    * scalars, integer argmax with the tie → lexicographically
+    * largest class), mirroring the batch operator's op order — so
+    * stream predictions AND scores equal
+    * [[graft.operators.Classify.nbClassifyDocs]] bit-exactly on any
+    * document at the default full frontier (StreamingSpec pins it;
+    * unmatched tokens contribute 0 in both engines, so even
+    * off-corpus text agrees). Class labels compare as Scala strings
+    * — identical to Catalyst's UTF8String ordering for the ASCII
+    * labels this corpus uses (both are code-point orders there).
+    */
+  def streamingNbClassify(docs: Dataset[StreamDoc],
+      model: graft.operators.Classify.NbModel): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs.map { d =>
+      val m = bc.value
+      val tk = graft.operators.CorpusOps.duckTokens(d.text)
+      val hs = tk.map(graft.operators.CorpusOps.lineHash)
+      var bestScore = Long.MinValue
+      var bestLang = ""
+      var k = 0
+      while (k < m.langs.length) {
+        var suml = 0L
+        var i = 0
+        while (i < hs.length) {
+          val j = java.util.Arrays.binarySearch(m.keys(k), hs(i))
+          if (j >= 0) suml += graft.functions.CentroidKernels
+            .dec12Scaled(math.log(m.cnt(k)(j).toDouble + 1.0))
+          i += 1
+        }
+        val score = suml - hs.length.toLong * m.lnDenom(k) + m.lnPrior(k)
+        if (score > bestScore ||
+            (score == bestScore && m.langs(k).compareTo(bestLang) > 0)) {
+          bestScore = score
+          bestLang = m.langs(k)
+        }
+        k += 1
+      }
+      (d.doc_id, d.ts, bestLang, bestScore.toDouble / 1e12)
+    }.toDF("doc_id", "ts", "pred_lang", "score")
+  }
+
+  /** X14 — STREAM-SIDE BIGRAM-LM PERPLEXITY: score each arriving
+    * document under a PRECOMPUTED interpolated bigram LM (the batch
+    * [[graft.operators.Search.lm2Model]] export — the stream–static
+    * split again: model mined offline, arrivals scored online, the
+    * CCNet-style perplexity gate applied the moment a crawl document
+    * arrives). Stateless pure projection; the broadcast model is two
+    * sorted long arrays with binary-search lookup.
+    *
+    * Score algebra mirrors the batch operator's exact op order
+    * (per-position dec12-scaled interpolated term, integer sum, then
+    * `exp(−s/10¹²/n)`), so on documents drawn from the modeled corpus
+    * with a full frontier the stream ppl2 equals
+    * [[graft.operators.Search.lm2Perplexity]] BIT-exactly
+    * (StreamingSpec pins it). OUT-of-model lookups score as count 0 —
+    * the add-one smoothing absorbs them, which generalizes the batch
+    * inner-join semantics to novel text (novel transitions price at
+    * the smoothing floor, raising ppl2 — exactly what a perplexity
+    * gate wants from unseen junk). Docs of fewer than two tokens
+    * have no transitions and emit nothing, the batch contract.
+    */
+  def streamingLm2Score(docs: Dataset[StreamDoc],
+      model: graft.operators.Search.Lm2Model,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0.0 && lambda < 1.0,
+      s"lambda must be in [0, 1): $lambda")
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs.flatMap { d =>
+      val m = bc.value
+      val tk = graft.operators.CorpusOps.duckTokens(d.text)
+      if (tk.length < 2) None
+      else {
+        def look(keys: Array[Long], cnt: Array[Long], g: String): Long = {
+          val i = java.util.Arrays.binarySearch(keys,
+            graft.operators.CorpusOps.lineHash(g))
+          if (i >= 0) cnt(i) else 0L
+        }
+        var s = 0L
+        var j = 0
+        while (j < tk.length - 1) {
+          val c2 = look(m.bKeys, m.bCnt, tk(j) + " " + tk(j + 1))
+          val c1p = look(m.uKeys, m.uCnt, tk(j))
+          val c1w = look(m.uKeys, m.uCnt, tk(j + 1))
+          s += graft.functions.CentroidKernels.dec12Scaled(math.log(
+            lambda * (c2.toDouble + 1.0) /
+              (c1p.toDouble + m.vocab.toDouble) +
+            (1.0 - lambda) * (c1w.toDouble + 1.0) /
+              (m.total.toDouble + m.vocab.toDouble)))
+          j += 1
+        }
+        val n = tk.length - 1
+        Some((d.doc_id, d.ts, n.toLong,
+          math.exp(-(s.toDouble / 1e12) / n.toDouble)))
+      }
+    }.toDF("doc_id", "ts", "n_bigrams", "ppl2")
+  }
 }

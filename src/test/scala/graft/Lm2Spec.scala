@@ -91,6 +91,30 @@ class Lm2Spec extends AnyFunSuite {
     assert(ppls.max > ppls.min, "flat ppl2 across corpus — vacuous")
   }
 
+  test("pplSelect keeps exactly the middle band of the reference ranking") {
+    val (ds, u, b2) = models
+    val vocab = u.size.toLong
+    val total = u.values.sum
+    val ranked = ds.filter(_._2.length >= 2)
+      .map { case (id, tk) => (ppl2Of(tk, u, b2, vocab, total), id) }
+      .sorted
+    val n = ranked.length
+    def band(nBands: Int, keep: Int): Set[Long] =
+      ranked.zipWithIndex.collect {
+        case ((_, id), r) if r.toLong * nBands / n == keep => id
+      }.toSet
+    val got = Search.pplSelect(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == band(3, 1))
+    // band populations balance to within one doc, and the three
+    // bands partition the scored corpus
+    val sizes = (0 until 3).map(k =>
+      Search.pplSelect(spark, sf, 3, k).count())
+    assert(sizes.sum == n.toLong)
+    assert(sizes.max - sizes.min <= 1,
+      s"band populations unbalanced: $sizes")
+  }
+
   test("the bigram model is order-sensitive where the unigram model is blind") {
     // the sf corpora are iid word salad (order carries no signal
     // there by construction), so the property is shown on a PLANTED

@@ -377,4 +377,102 @@ class StreamingSpec extends AnyFunSuite {
       assert(counts == Map("spark" -> 3L, "flink" -> 2L))
     } finally q.stop()
   }
+
+  test("streaming NB predictions and scores equal the batch classifier bit-exactly") {
+    import graft.streaming.StreamingOps.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    // model fit batch-side over the labeled corpus (full frontier at
+    // test scale), then a handful of the SAME corpus docs arrive on
+    // the stream: predictions and scaled scores are exact integers on
+    // both paths, so equality is strict
+    val model = graft.operators.Classify.nbModel(spark, sf)
+    val batch = graft.operators.Classify.nbClassify(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val arrivals = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 9 == 0).take(12)
+      .zipWithIndex
+      .map { case (r, i) => StreamDoc(r.getLong(0), ts(i), r.getString(1)) }
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingNbClassify(in.toDS(), model)
+      .writeStream.format("memory").queryName("nb_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("nb_out").collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), r.getDouble(3)))).toMap
+      assert(got.size == arrivals.length)
+      got.foreach { case (id, v) =>
+        assert(v == batch(id), s"doc $id: stream $v != batch ${batch(id)}")
+      }
+    } finally q.stop()
+
+    // OOV contract: a doc of purely novel tokens matches nothing in
+    // any class — its scores reduce to the smoothing scalars, and the
+    // winner is the argmax of (−n·lnDenom + lnPrior), computable from
+    // the exported model directly
+    val expected = model.langs.indices.map(k =>
+      (-2L * model.lnDenom(k) + model.lnPrior(k), model.langs(k))).max
+    val in2 = MemoryStream[StreamDoc]
+    val q2 = StreamingOps.streamingNbClassify(in2.toDS(), model)
+      .writeStream.format("memory").queryName("nb_oov")
+      .outputMode("append").start()
+    try {
+      in2.addData(StreamDoc(99L, ts(0), "zzz qqq"))
+      q2.processAllAvailable()
+      val r = spark.table("nb_oov").collect().head
+      assert(r.getString(2) == expected._2)
+      assert(r.getDouble(3) == expected._1.toDouble / 1e12)
+    } finally q2.stop()
+  }
+
+  test("streaming bigram-LM perplexity equals the batch operator bit-exactly") {
+    import graft.streaming.StreamingOps.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    val model = graft.operators.Search.lm2Model(spark, sf)
+    val batch = graft.operators.Search.lm2Perplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val arrivals = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 9 == 0).take(12)
+      .zipWithIndex
+      .map { case (r, i) => StreamDoc(r.getLong(0), ts(i), r.getString(1)) }
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingLm2Score(in.toDS(), model)
+      .writeStream.format("memory").queryName("lm2_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("lm2_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.size == arrivals.length)
+      got.foreach { case (id, v) =>
+        assert(v == batch(id), s"doc $id: stream $v != batch ${batch(id)}")
+      }
+    } finally q.stop()
+
+    // OOV contract: a wholly novel 2-token doc prices its single
+    // transition at the smoothing floor — computable from the model
+    // scalars alone
+    val lam = 0.75
+    val floor = graft.functions.CentroidKernels.dec12Scaled(math.log(
+      lam / model.vocab.toDouble +
+        (1.0 - lam) / (model.total.toDouble + model.vocab.toDouble)))
+    val in2 = MemoryStream[StreamDoc]
+    val q2 = StreamingOps.streamingLm2Score(in2.toDS(), model)
+      .writeStream.format("memory").queryName("lm2_oov")
+      .outputMode("append").start()
+    try {
+      in2.addData(StreamDoc(99L, ts(0), "zzz qqq"),
+        StreamDoc(100L, ts(1), "solo"))
+      q2.processAllAvailable()
+      val rs = spark.table("lm2_oov").collect()
+      // the 1-token doc emits nothing (no transitions), batch contract
+      assert(rs.length == 1 && rs.head.getLong(0) == 99L)
+      assert(rs.head.getDouble(3) ==
+        math.exp(-(floor.toDouble / 1e12) / 1.0))
+    } finally q2.stop()
+  }
 }
