@@ -192,7 +192,28 @@ object Classify {
     * contract; ~24 bytes per row).
     */
   def nbModel(spark: SparkSession, sfDir: String, minCount: Long = 1,
-      maxVocab: Int = 10000000): NbModel = {
+      maxVocab: Int = 10000000): NbModel =
+    fitModel(spark, sfDir, None, minCount, maxVocab)
+
+  /** Fit AND persist in one pass: the model's exact integer
+    * statistics written as ONE parquet table (the [[Bpe.saveModel]]
+    * convention — the classifier is a shareable artifact a different
+    * cluster loads and applies). Layout is typed rows: `kind` 0 =
+    * per-(class, token) count (`lang, k`=hash, `v`=count), 1 =
+    * per-class scalars (`lang, v`=token total, `v2`=doc count), 2 =
+    * the global scalars (`v`=shared vocab, `v2`=total docs). The
+    * dec12 smoothing scalars are NOT stored — fit and [[loadModel]]
+    * both derive them from the integers in [[buildModel]], the single
+    * place that op order lives, so a loaded model scores
+    * bit-identically to the freshly fit one (NbSpec pins it).
+    */
+  def nbModelSaved(spark: SparkSession, sfDir: String, path: String,
+      minCount: Long = 1, maxVocab: Int = 10000000): NbModel =
+    fitModel(spark, sfDir, Some(path), minCount, maxVocab)
+
+  private def fitModel(spark: SparkSession, sfDir: String,
+      savePath: Option[String], minCount: Long,
+      maxVocab: Int): NbModel = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
     require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
     val docs = documents(spark, sfDir)
@@ -220,21 +241,70 @@ object Classify {
         s"NB model frontier exceeds maxVocab=$maxVocab total (lang, " +
           "token) rows — raise minCount to floor the frontier, or " +
           "raise the budget knowingly")
-      import graft.functions.CentroidKernels.dec12Scaled
-      val langs = stats.map(_.getString(0)).sorted
-      val byLang = rows.groupBy(_.getString(0))
-      val sortedPerLang = langs.map { l =>
-        byLang.getOrElse(l, Array.empty).map(r =>
-          (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val countRows = rows.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+      val classRows = stats.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+      savePath.foreach { path =>
+        import spark.implicits._
+        (countRows.toIndexedSeq.map { case (l, k, v) => (0, l, k, v, 0L) } ++
+          classRows.toIndexedSeq.map { case (l, ts, ns) => (1, l, 0L, ts, ns) } ++
+          Seq((2, "", 0L, vocab, nDocs)))
+          .toDF("kind", "lang", "k", "v", "v2")
+          .repartition(1)
+          .write.mode("overwrite").parquet(path)
       }
-      val statByLang = stats.map(r =>
-        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      NbModel(langs,
-        sortedPerLang.map(_.map(_._1)), sortedPerLang.map(_.map(_._2)),
-        langs.map(l => dec12Scaled(math.log(
-          statByLang(l)._1.toDouble + vocab.toDouble))),
-        langs.map(l => dec12Scaled(math.log(
-          statByLang(l)._2.toDouble / nDocs.toDouble))))
+      buildModel(countRows, classRows, vocab, nDocs)
     } finally { cls.unpersist(); () }
+  }
+
+  /** Load a model persisted by [[nbModelSaved]]. Refuses an
+    * internally inconsistent artifact (missing global row, class
+    * rows not covering the count rows, doc totals that do not sum) —
+    * a truncated table must fail loudly rather than classify
+    * differently. */
+  def loadModel(spark: SparkSession, path: String): NbModel = {
+    val rows = spark.read.parquet(path)
+      .select(col("kind").cast("int"), col("lang"), col("k"),
+        col("v"), col("v2"))
+      .collect()
+    val global = rows.filter(_.getInt(0) == 2)
+    require(global.length == 1,
+      s"NB artifact must carry exactly one global row, found " +
+        s"${global.length}")
+    val vocab = global.head.getLong(3)
+    val nDocs = global.head.getLong(4)
+    val classRows = rows.filter(_.getInt(0) == 1)
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4)))
+    val countRows = rows.filter(_.getInt(0) == 0)
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    require(classRows.nonEmpty, "NB artifact has no class rows")
+    require(classRows.map(_._3).sum == nDocs,
+      "NB artifact class doc counts do not sum to the global total")
+    val known = classRows.map(_._1).toSet
+    countRows.foreach { case (l, _, _) =>
+      require(known(l), s"count row for unknown class '$l'") }
+    buildModel(countRows, classRows, vocab, nDocs)
+  }
+
+  /** Assemble an [[NbModel]] from exact integer statistics — the
+    * SINGLE place the dec12 smoothing scalars are derived, so fit,
+    * fit-and-save, and load produce the same integers. */
+  private def buildModel(countRows: Array[(String, Long, Long)],
+      classRows: Array[(String, Long, Long)], vocab: Long,
+      nDocs: Long): NbModel = {
+    import graft.functions.CentroidKernels.dec12Scaled
+    val langs = classRows.map(_._1).sorted
+    val byLang = countRows.groupBy(_._1)
+    val sortedPerLang = langs.map(l =>
+      byLang.getOrElse(l, Array.empty).map(r => (r._2, r._3))
+        .sortBy(_._1))
+    val statByLang = classRows.map(r => r._1 -> ((r._2, r._3))).toMap
+    NbModel(langs,
+      sortedPerLang.map(_.map(_._1)), sortedPerLang.map(_.map(_._2)),
+      langs.map(l => dec12Scaled(math.log(
+        statByLang(l)._1.toDouble + vocab.toDouble))),
+      langs.map(l => dec12Scaled(math.log(
+        statByLang(l)._2.toDouble / nDocs.toDouble))))
   }
 }

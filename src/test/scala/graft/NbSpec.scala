@@ -112,4 +112,26 @@ class NbSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got.values.forall(_ == "zz"), s"tie-break drifted: $got")
   }
+
+  test("a persisted NB model loads bit-identical and refuses a truncated artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    val fit = Classify.nbModelSaved(spark, sf, s"$dir/m")
+    val loaded = Classify.loadModel(spark, s"$dir/m")
+    assert(loaded.langs.toSeq == fit.langs.toSeq)
+    assert(loaded.lnDenom.toSeq == fit.lnDenom.toSeq)
+    assert(loaded.lnPrior.toSeq == fit.lnPrior.toSeq)
+    fit.langs.indices.foreach { k =>
+      assert(loaded.keys(k).toSeq == fit.keys(k).toSeq)
+      assert(loaded.cnt(k).toSeq == fit.cnt(k).toSeq)
+    }
+    // a damaged artifact must refuse, not classify differently:
+    // stripping the global row loses the smoothing denominators
+    val crippled = spark.read.parquet(s"$dir/m")
+      .filter(org.apache.spark.sql.functions.col("kind") =!= 2)
+    crippled.write.mode("overwrite").parquet(s"$dir/bad")
+    val e = intercept[IllegalArgumentException] {
+      Classify.loadModel(spark, s"$dir/bad")
+    }
+    assert(e.getMessage.contains("global row"))
+  }
 }
