@@ -986,4 +986,53 @@ object CorpusOps {
         sum(col("is_en")).as("n_en"))
       .orderBy(col("source"))
   }
+
+  /** T28 — token-window DOC CHUNKING with overlap: split every
+    * document into windows of `chunkTokens` tokens advancing by
+    * `chunkTokens − overlap` (the embedding/RAG pre-chunk, and the
+    * pre-chunk this engine's own bounds keep pointing at — the
+    * dsir/lm dec12 overflow contracts and the jaccard posting packer
+    * all say "pre-chunk oversized documents"; this is that operator).
+    * Chunk rule: one chunk when the doc fits; otherwise starts at
+    * 0, stride, 2·stride, … and the LAST chunk is the remainder from
+    * its start to the end (may be shorter, never empty, always
+    * starts within the doc). Chunk text is TOKEN-CANONICAL (tokens
+    * re-joined on single spaces) — every token-level operator
+    * downstream is invariant to that normalization, and it is what
+    * makes the oracle byte-identical.
+    *
+    * Scale shape: a pure typed flatMap projection — zero shuffles,
+    * zero aggregations; output fan-out is Θ(corpus tokens / stride).
+    * Fully hash-checked (strings + ints only).
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String,
+      chunkTokens: Int = 2048, overlap: Int = 256): DataFrame =
+    chunkDocsOf(documents(spark, sfDir), chunkTokens, overlap)
+
+  /** [[chunkDocs]] over an arbitrary `(doc_id, text)` frame — the
+    * composable core. `overlap` must leave a positive stride. */
+  def chunkDocsOf(docs: DataFrame, chunkTokens: Int = 2048,
+      overlap: Int = 256): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap")
+    val stride = chunkTokens - overlap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val tk = duckTokens(t)
+        val n = tk.length
+        val nChunks =
+          if (n <= chunkTokens) 1
+          else (n - chunkTokens + stride - 1) / stride + 1
+        (0 until nChunks).iterator.map { i =>
+          val s = i * stride
+          val e = math.min(s + chunkTokens, n)
+          (id, i.toLong, tk.slice(s, e).mkString(" "), (e - s).toLong)
+        }
+      }
+      .toDF("doc_id", "chunk_id", "text", "n_tokens")
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

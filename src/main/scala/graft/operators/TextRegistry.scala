@@ -89,6 +89,10 @@ object TextRegistry {
     // dsir_select precedent); Lm2Spec pins the selected set against
     // the in-driver reference ranking and the band balance
     "ppl_select" -> ((s, d) => Search.pplSelect(s, d)),
+    // small windows (32/8) so the sf corpora actually multi-chunk;
+    // the API default is 2048/256
+    "chunk_docs" -> ((s, d) =>
+      CorpusOps.chunkDocs(s, d, chunkTokens = 32, overlap = 8)),
     "dsir_doc_stats" -> ((s, d) => Search.dsirDocStats(s, d)),
     // rows-only: same JVM-ln 1-ulp reasoning as lm_perplexity;
     // SearchSpec pins the log-weights bit-exactly and the integer
@@ -648,6 +652,22 @@ object TextRegistry {
          |CROSS JOIN (SELECT DISTINCT lang FROM documents) l
          |LEFT JOIN m ON m.doc_id = d.doc_id AND m.clang = l.lang
          |ORDER BY d.doc_id, l.lang""".stripMargin,
+    // token-window chunking, byte-identical text: list_slice is
+    // 1-based inclusive and clamps at the list end, exactly the
+    // Spark kernel's slice(s, min(s+chunk, n)); chunk text re-joins
+    // tokens on single spaces on both engines
+    "chunk_docs" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |n AS (SELECT doc_id, tk, len(tk) AS nt FROM d),
+         |c AS (SELECT doc_id, tk,
+         |  unnest(range(0, CASE WHEN nt <= 32 THEN 1
+         |    ELSE (nt - 32 + 23) // 24 + 1 END)) AS chunk_id FROM n)
+         |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+         | array_to_string(list_slice(tk, chunk_id*24 + 1,
+         |   chunk_id*24 + 32), ' ') AS text,
+         | len(list_slice(tk, chunk_id*24 + 1,
+         |   chunk_id*24 + 32))::BIGINT AS n_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // the FULL six-stage recipe, end to end, over the same planted
     // multi-line text the Spark query builds: T15 quality gate (the
     // quality_classify CTEs) → T19 line dedup (the line_dedup CTEs,
