@@ -137,16 +137,18 @@ object Classify {
         dec12Scaled(math.log(r.getLong(1).toDouble + vocab.toDouble)),
         dec12Scaled(math.log(r.getLong(2).toDouble / nDocs.toDouble)))
     }.toDF("lang", "ln_denom", "ln_prior")
-    val suml = tok.select(col("doc_id"), col("w"))
-      .join(cls, Seq("w"))
-      .select(col("doc_id"), col("lang"), col("c"))
-      .as[(Long, String, Long)]
-      // typed map for the per-match term — the lmPerplexity
-      // codegen-drift note applies to ln here too
-      .map { case (id, lang, c) =>
-        (id, lang, dec12Scaled(math.log(c.toDouble + 1.0)))
+    // per-match term precomputed once per (class, token) MODEL entry
+    // (the lmPerplexity trick — JVM libm in a model-sized typed map):
+    // the corpus-sized join carries the dec12 long, never a typed
+    // boundary or a libm call per token occurrence
+    val term = cls.select(col("lang"), col("w"), col("c"))
+      .as[(String, Long, Long)]
+      .map { case (lang, w, c) =>
+        (lang, w, dec12Scaled(math.log(c.toDouble + 1.0)))
       }
-      .toDF("doc_id", "lang", "l")
+      .toDF("lang", "w", "l")
+    val suml = tok.select(col("doc_id"), col("w"))
+      .join(term, Seq("w"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("l")).as("suml"))
     val nTok = tok.groupBy(col("doc_id"))
