@@ -45,7 +45,7 @@ object Probe {
       "line_dedup", "substring_scrub", "dedup_apply_best",
       "lm_doc_stats", "lm_perplexity",
       "lm2_doc_stats", "lm2_perplexity", "ppl_select",
-      "nb_doc_stats", "nb_classify", "chunk_docs",
+      "nb_doc_stats", "nb_classify", "chunk_docs", "vocab_growth",
       "dsir_doc_stats", "dsir_weights", "dsir_select",
       "dsir_select_sampled",
       "bm25_search", "embed_kmeans", "embed_quantize", "embed_project",

@@ -1009,6 +1009,49 @@ object CorpusOps {
       chunkTokens: Int = 2048, overlap: Int = 256): DataFrame =
     chunkDocsOf(documents(spark, sfDir), chunkTokens, overlap)
 
+  /** T29 — VOCABULARY GROWTH CURVE (Heaps' law diagnostic): for each
+    * `step`-doc prefix of the corpus in doc_id order, the cumulative
+    * token count, the number of never-before-seen words the bucket
+    * introduced, and the cumulative vocabulary. The data-card curve
+    * that sizes BPE vocab budgets, predicts dedup yield (a flattening
+    * curve means replication), and spots ingestion anomalies (a
+    * vocab spike mid-corpus is a new source or an encoding bug).
+    *
+    * Exact, not sampled: a word's first sighting is `min(doc_id)` —
+    * one partial-agged groupBy over hashed tokens; bucket counts are
+    * tiny (`n_docs/step` rows) and their running sums go through
+    * [[graft.plans.GlobalOrder.withPrefixSum]] all the same (a
+    * small-frame window would be harmless today and a review trap
+    * tomorrow). Buckets carrying no documents don't exist; buckets
+    * whose words were all seen before report `new_words = 0`.
+    * Fully hash-checked (ints only).
+    */
+  def vocabGrowth(spark: SparkSession, sfDir: String,
+      step: Long = 50L): DataFrame = {
+    require(step >= 1, s"step must be >= 1: $step")
+    import spark.implicits._
+    val tok = documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => duckTokens(t).map(w => (id, lineHash(w))) }
+      .toDF("doc_id", "w")
+    val buckets = tok
+      .select(expr(s"doc_id div ${step}L").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("toks"))
+    val firsts = tok.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      .select(expr(s"fd div ${step}L").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nw"))
+    val joined = buckets.join(firsts, Seq("b"), "left")
+      .select(col("b"), col("toks"),
+        coalesce(col("nw"), lit(0L)).as("new_words"))
+    val cumToks = graft.plans.GlobalOrder
+      .withPrefixSum(joined, Seq(col("b")), "toks", "tokens_seen")
+    graft.plans.GlobalOrder
+      .withPrefixSum(cumToks, Seq(col("b")), "new_words", "vocab")
+      .select(((col("b") + 1L) * step).as("docs_seen"),
+        col("tokens_seen"), col("new_words"), col("vocab"))
+      .orderBy(col("docs_seen"))
+  }
+
   /** [[chunkDocs]] over an arbitrary `(doc_id, text)` frame — the
     * composable core. `overlap` must leave a positive stride. */
   def chunkDocsOf(docs: DataFrame, chunkTokens: Int = 2048,

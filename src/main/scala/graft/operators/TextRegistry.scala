@@ -93,6 +93,9 @@ object TextRegistry {
     // the API default is 2048/256
     "chunk_docs" -> ((s, d) =>
       CorpusOps.chunkDocs(s, d, chunkTokens = 32, overlap = 8)),
+    // step=10 so the sf corpora produce a real curve (the API
+    // default is 50)
+    "vocab_growth" -> ((s, d) => CorpusOps.vocabGrowth(s, d, step = 10L)),
     "dsir_doc_stats" -> ((s, d) => Search.dsirDocStats(s, d)),
     // rows-only: same JVM-ln 1-ulp reasoning as lm_perplexity;
     // SearchSpec pins the log-weights bit-exactly and the integer
@@ -668,6 +671,22 @@ object TextRegistry {
          | len(list_slice(tk, chunk_id*24 + 1,
          |   chunk_id*24 + 32))::BIGINT AS n_tokens
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // Heaps-law growth curve: first sighting = min(doc_id) per word,
+    // bucketed by step-10 doc prefixes; running sums are window sums
+    // here and GlobalOrder prefix-sums in the engine
+    "vocab_growth" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
+         |tb AS (SELECT doc_id // 10 AS b, count(*)::BIGINT AS toks
+         |  FROM tok GROUP BY 1),
+         |f AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+         |nb AS (SELECT fd // 10 AS b, count(*)::BIGINT AS nw
+         |  FROM f GROUP BY 1)
+         |SELECT (tb.b + 1) * 10 AS docs_seen,
+         | sum(tb.toks) OVER (ORDER BY tb.b)::BIGINT AS tokens_seen,
+         | coalesce(nb.nw, 0)::BIGINT AS new_words,
+         | sum(coalesce(nb.nw, 0)) OVER (ORDER BY tb.b)::BIGINT AS vocab
+         |FROM tb LEFT JOIN nb ON nb.b = tb.b
+         |ORDER BY docs_seen""".stripMargin,
     // the FULL six-stage recipe, end to end, over the same planted
     // multi-line text the Spark query builds: T15 quality gate (the
     // quality_classify CTEs) → T19 line dedup (the line_dedup CTEs,

@@ -546,4 +546,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.files.openCostInBytes", oc)
     }
   }
+
+  test("vocabGrowth matches the in-driver first-sighting curve") {
+    val sf = "/root/testdata/sf0.001"
+    val step = 10L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> CorpusOps.duckTokens(r.getString(1)))
+      .sortBy(_._1)
+    val firstSeen = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (id, tk) =>
+      tk.foreach(w => if (!firstSeen.contains(w)) firstSeen(w) = id)
+    }
+    val buckets = docs.map(_._1 / step).distinct.sorted
+    var cumT = 0L
+    var cumV = 0L
+    val expected = buckets.map { b =>
+      val toks = docs.filter(_._1 / step == b).map(_._2.length.toLong).sum
+      val nw = firstSeen.values.count(_ / step == b).toLong
+      cumT += toks
+      cumV += nw
+      ((b + 1) * step, cumT, nw, cumV)
+    }.toSeq
+    val got = CorpusOps.vocabGrowth(spark, sf, step).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the curve ends at the exact corpus totals and never decreases
+    assert(got.last._2 == docs.map(_._2.length.toLong).sum)
+    assert(got.last._4 == firstSeen.size.toLong)
+    assert(got.map(_._4) == got.map(_._4).sorted)
+  }
 }
