@@ -1052,6 +1052,28 @@ object CorpusOps {
       .orderBy(col("docs_seen"))
   }
 
+  /** The chunk kernel — token array → `(chunk_id, text, n_tokens)`
+    * windows — shared verbatim by the batch operator and
+    * [[graft.streaming.StreamingOps.streamingChunk]] (the scrubTokens
+    * convention: one kernel, two execution modes, identical output).
+    */
+  private[graft] def chunkWindows(tk: Array[String], chunkTokens: Int,
+      overlap: Int): Iterator[(Long, String, Long)] = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap")
+    val stride = chunkTokens - overlap
+    val n = tk.length
+    val nChunks =
+      if (n <= chunkTokens) 1
+      else (n - chunkTokens + stride - 1) / stride + 1
+    (0 until nChunks).iterator.map { i =>
+      val s = i * stride
+      val e = math.min(s + chunkTokens, n)
+      (i.toLong, tk.slice(s, e).mkString(" "), (e - s).toLong)
+    }
+  }
+
   /** [[chunkDocs]] over an arbitrary `(doc_id, text)` frame — the
     * composable core. `overlap` must leave a positive stride. */
   def chunkDocsOf(docs: DataFrame, chunkTokens: Int = 2048,
@@ -1059,21 +1081,12 @@ object CorpusOps {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens): $overlap")
-    val stride = chunkTokens - overlap
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
-        val tk = duckTokens(t)
-        val n = tk.length
-        val nChunks =
-          if (n <= chunkTokens) 1
-          else (n - chunkTokens + stride - 1) / stride + 1
-        (0 until nChunks).iterator.map { i =>
-          val s = i * stride
-          val e = math.min(s + chunkTokens, n)
-          (id, i.toLong, tk.slice(s, e).mkString(" "), (e - s).toLong)
-        }
+        chunkWindows(duckTokens(t), chunkTokens, overlap)
+          .map { case (cid, txt, n) => (id, cid, txt, n) }
       }
       .toDF("doc_id", "chunk_id", "text", "n_tokens")
       .orderBy(col("doc_id"), col("chunk_id"))

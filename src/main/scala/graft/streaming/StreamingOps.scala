@@ -546,4 +546,26 @@ object StreamingOps {
       }
     }.toDF("doc_id", "ts", "n_bigrams", "ppl2")
   }
+
+  /** X15 — STREAMING CHUNKING: split each arriving document into
+    * token windows with overlap the moment it arrives (the pre-embed
+    * / pre-train chunking of T28, applied online — an ingestion
+    * pipeline chunks before it embeds or packs). Stateless pure
+    * projection with per-row fan-out; the per-doc kernel IS the batch
+    * [[graft.operators.CorpusOps.chunkWindows]], so stream chunks are
+    * asserted identical to the batch operator on the same documents.
+    */
+  def streamingChunk(docs: Dataset[StreamDoc], chunkTokens: Int = 2048,
+      overlap: Int = 256): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap")
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      graft.operators.CorpusOps.chunkWindows(
+          graft.operators.CorpusOps.duckTokens(d.text), chunkTokens,
+          overlap)
+        .map { case (cid, txt, n) => (d.doc_id, d.ts, cid, txt, n) }
+    }.toDF("doc_id", "ts", "chunk_id", "text", "n_tokens")
+  }
 }

@@ -475,4 +475,36 @@ class StreamingSpec extends AnyFunSuite {
         math.exp(-(floor.toDouble / 1e12) / 1.0))
     } finally q2.stop()
   }
+
+  test("streaming chunking equals the batch operator on the same docs") {
+    import graft.streaming.StreamingOps.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 7 == 0).take(20)
+    val batch = graft.operators.CorpusOps.chunkDocsOf(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq),
+          spark.read.parquet(s"$sf/documents.parquet")
+            .select("doc_id", "text").schema),
+        chunkTokens = 32, overlap = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    val arrivals = rows.zipWithIndex.map { case (r, i) =>
+      StreamDoc(r.getLong(0), ts(i), r.getString(1)) }
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingChunk(in.toDS(), 32, 8)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("chunk_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2)) ->
+          ((r.getString(3), r.getLong(4)))).toMap
+      assert(got == batch)
+      assert(got.nonEmpty && got.keys.exists(_._2 > 0L),
+        "vacuous: no doc multi-chunked")
+    } finally q.stop()
+  }
 }
