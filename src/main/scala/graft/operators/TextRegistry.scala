@@ -124,7 +124,13 @@ object TextRegistry {
     "bpe_train" -> (Bpe.bpeTrainQuery _),
     // rows-only: bins derive from the mined subword counts; the
     // sequential-packer reference is pinned in BpeSpec
-    "pack_sequences_bpe" -> ((s, d) => Bpe.packSequencesBpe(s, d))
+    "pack_sequences_bpe" -> ((s, d) => Bpe.packSequencesBpe(s, d)),
+    "dedup_index_build" -> (IncrementalDedup.indexBuildQuery _),
+    "dedup_incremental_exact" -> (IncrementalDedup.incrementalExact _),
+    // rows-only: signature-estimated jaccard (engine-specific hash
+    // family, the dedup_minhash_pairs reasoning); spec'd equivalent
+    // to minhashPairs restricted to increment×index pairs
+    "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalNear(s, d))
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
@@ -295,6 +301,22 @@ object TextRegistry {
         | CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fp)
         |      THEN 1 ELSE 0 END AS is_dup
         |FROM f ORDER BY doc_id""".stripMargin,
+    "dedup_index_build" ->
+      s"""SELECT doc_id,
+         | md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+         | CASE WHEN len($TOKS) < 3 THEN 0 ELSE len($SH) END AS n_sh
+         |FROM documents WHERE doc_id % 5 <> 0 ORDER BY doc_id""".stripMargin,
+    "dedup_incremental_exact" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        | FROM documents),
+        |refs AS (SELECT fp, MIN(doc_id) AS ref_id FROM f
+        | WHERE doc_id % 5 <> 0 GROUP BY fp)
+        |SELECT f.doc_id,
+        | CASE WHEN r.ref_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+        | r.ref_id
+        |FROM f LEFT JOIN refs r USING (fp)
+        |WHERE f.doc_id % 5 = 0 ORDER BY f.doc_id""".stripMargin,
     "dedup_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, source, $SH AS sh FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{IncrementalDedup, MinHashDedup}
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact screen verdicts match brute force on planted dups") {
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val old = docsDf(Seq(
+      1L -> shared,
+      2L -> "completely unrelated old document number two",
+      3L -> shared, // older dup of the same fp -> ref must be 1
+      4L -> "   the quick brown fox jumps over the lazy dog again  "
+    )) // 4 canonicalizes to the same fp as 1/3 (whitespace collapse)
+    val fresh = docsDf(Seq(
+      10L -> shared, // dup of min(1,3,4)=1
+      11L -> "a genuinely novel increment document",
+      12L -> "completely unrelated old document number two" // dup of 2
+    ))
+    val got = IncrementalDedup
+      .screenExactDocs(fresh, IncrementalDedup.buildIndex(old))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSeq
+    assert(got == Seq((10L, 1, 1L), (11L, 0, -1L), (12L, 1, 2L)))
+  }
+
+  test("near screen == monolithic minhashPairs restricted to straddling pairs") {
+    // The equivalence contract: split the sf corpus old/new, screen
+    // the increment against the old-half index, and the result must
+    // be exactly the monolithic pair list restricted to pairs with
+    // one doc on each side of the split — same pairs, same estimates.
+    val mono = MinHashDedup.minhashPairs(spark, sf, minEst = 0.5)
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, e) =>
+        if (a % 5 == 0) (a, b, e) else (b, a, e) } // (new, old, est)
+      .toSet
+    val inc = IncrementalDedup.incrementalNear(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(inc == mono, s"inc-only=${inc -- mono} mono-only=${mono -- inc}")
+    assert(inc.nonEmpty, "sf corpus should produce straddling near-dups")
+  }
+
+  test("persisted index round-trips bit-exactly through parquet") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_inc_idx").toString
+    val old = IncrementalDedup.oldDocs(spark, sf)
+    val fresh = IncrementalDedup.newDocs(spark, sf)
+    IncrementalDedup.saveIndex(old, dir)
+    val loaded = IncrementalDedup.loadIndex(spark, dir)
+    val mem = IncrementalDedup.buildIndex(old)
+
+    def exactOf(ix: org.apache.spark.sql.DataFrame) =
+      IncrementalDedup.screenExactDocs(fresh, ix).collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    def nearOf(ix: org.apache.spark.sql.DataFrame) =
+      IncrementalDedup.screenNearDocs(fresh, ix).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    assert(exactOf(loaded) == exactOf(mem))
+    assert(nearOf(loaded) == nearOf(mem))
+  }
+
+  test("loadIndex refuses a table without the index schema") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bad_idx").toString
+    import spark.implicits._
+    Seq((1L, "x")).toDF("doc_id", "text").write
+      .mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.loadIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("not an IncrementalDedup index"))
+  }
+
+  test("shingle-less increment docs are exact-screened but carry no near identity") {
+    val old = docsDf(Seq(
+      1L -> "one two three four five six seven eight",
+      2L -> "hi"))
+    val fresh = docsDf(Seq(10L -> "hi", 11L -> "yo"))
+    val ex = IncrementalDedup
+      .screenExactDocs(fresh, IncrementalDedup.buildIndex(old))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(ex == Seq((10L, 1), (11L, 0))) // exact identity still works
+    val near = IncrementalDedup
+      .screenNearDocs(fresh, IncrementalDedup.buildIndex(old))
+    assert(near.count() == 0) // no shingles -> no (meaningless) pairs
+  }
+
+  test("registered queries are well-formed and non-degenerate at sf") {
+    val build = IncrementalDedup.indexBuildQuery(spark, sf)
+    assert(build.columns.toSeq == Seq("doc_id", "fp", "n_sh"))
+    val nOld = build.count()
+    assert(nOld > 0)
+    val ex = IncrementalDedup.incrementalExact(spark, sf)
+    assert(ex.columns.toSeq == Seq("doc_id", "is_dup", "ref_id"))
+    // one verdict row per increment doc, no fan-out
+    assert(ex.count() ==
+      IncrementalDedup.newDocs(spark, sf).count())
+  }
+}
