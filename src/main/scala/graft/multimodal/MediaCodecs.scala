@@ -79,13 +79,39 @@ object MediaCodecs {
     decodeImageIO(bytes)
   }
 
+  /** Raw PNG decode for the common profile (features face): the
+    * shared [[pngLumPlane]] unfilter pass followed by one histogram
+    * loop over the luminance plane — numerically identical to the
+    * former fused accumulation (same integer luminance, same
+    * row-major order for the double sum).
+    */
+  private def decodePngFast(bytes: Array[Byte]): Option[ImageInfo] =
+    pngLumPlane(bytes).map { case (w, h, bpp, lum) =>
+      val hist = new Array[Float](8)
+      var lumSum = 0.0
+      var i = 0
+      while (i < lum.length) {
+        val l = lum(i) & 0xff
+        lumSum += l
+        hist((l >> 5) & 7) += 1f
+        i += 1
+      }
+      val n = (w * h).toFloat
+      var j = 0
+      while (j < 8) { hist(j) /= n; j += 1 }
+      ImageInfo(w, h, bpp, lumSum / n, hist)
+    }
+
   /** Raw PNG decode for the common profile: 8-bit, colorType 2 (RGB)
     * or 6 (RGBA), non-interlaced. One Inflater pass over the IDAT
     * stream, per-scanline filter reconstruction (None/Sub/Up/Average/
-    * Paeth), features accumulated directly from the filtered bytes —
-    * no BufferedImage, no per-pixel virtual calls.
+    * Paeth), reduced to an 8-bit LUMINANCE plane (row-major) — the
+    * shared substrate for feature extraction and content signatures.
+    * No BufferedImage, no per-pixel virtual calls. Returns
+    * (width, height, channels, lum).
     */
-  private def decodePngFast(bytes: Array[Byte]): Option[ImageInfo] = {
+  private[graft] def pngLumPlane(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     def i32(off: Int): Int =
       ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
         ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
@@ -125,9 +151,8 @@ object MediaCodecs {
     }
     inf.end()
     if (filled < raw.length) return None
-    // filter reconstruction + fused luminance features
-    val hist = new Array[Float](8)
-    var lumSum = 0.0
+    // filter reconstruction + luminance reduction
+    val lum = new Array[Byte](w * h)
     val prev = new Array[Byte](stride)
     val cur = new Array[Byte](stride)
     var y = 0
@@ -168,20 +193,68 @@ object MediaCodecs {
         case _ => return None
       }
       var x = 0
+      var xi = 0
       while (x < stride) {
-        val lum = ((cur(x) & 0xff) * 299 + (cur(x + 1) & 0xff) * 587 +
-          (cur(x + 2) & 0xff) * 114) / 1000
-        lumSum += lum
-        hist((lum >> 5) & 7) += 1f
+        lum(y * w + xi) = (((cur(x) & 0xff) * 299 +
+          (cur(x + 1) & 0xff) * 587 +
+          (cur(x + 2) & 0xff) * 114) / 1000).toByte
         x += bpp
+        xi += 1
       }
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    val n = (w * h).toFloat
-    var i = 0
-    while (i < 8) { hist(i) /= n; i += 1 }
-    Some(ImageInfo(w, h, bpp, lumSum / n, hist))
+    Some((w, h, bpp, lum))
+  }
+
+  /** ImageIO-decoded luminance plane (any JDK-readable format) —
+    * same integer luminance as [[pngLumPlane]], so a PNG and a BMP of
+    * the same pixels reduce to the same plane.
+    */
+  private[graft] def imageIOLumPlane(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val pixels = img.getRGB(0, 0, w, h, null, 0, w)
+      val lum = new Array[Byte](w * h)
+      var i = 0
+      while (i < pixels.length) {
+        val p = pixels(i)
+        lum(i) = ((((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+          (p & 0xff) * 114) / 1000).toByte
+        i += 1
+      }
+      Some((w, h, img.getColorModel.getNumComponents, lum))
+    }
+  }
+
+  /** Luminance plane with the [[decodeImage]] routing: fast PNG path
+    * first, ImageIO for everything else the JDK can read.
+    */
+  def lumPlane(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (sniffFormat(bytes) == "png") {
+      try {
+        val fast = pngLumPlane(bytes)
+        if (fast.isDefined) return fast
+      } catch { case _: Exception => () }
+    }
+    imageIOLumPlane(bytes)
+  }
+
+  /** Encode EXPLICIT rgb pixels (0xRRGGBB, row-major) through the
+    * real PNG codec — the pixel-controlled fixture encoder the
+    * signature specs plant structured content with.
+    */
+  def encodePngRgb(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == width * height,
+      s"rgb length ${rgb.length} != $width x $height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, rgb, 0, width)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** ImageIO fallback (any format the JDK can read). Bulk getRGB into
@@ -278,7 +351,21 @@ object MediaCodecs {
   /** Direct RIFF chunk walk for uncompressed PCM16: no stream stack,
     * no AudioSystem provider lookup per row.
     */
-  private def decodeWavFast(bytes: Array[Byte]): Option[AudioInfo] = {
+  private def decodeWavFast(bytes: Array[Byte]): Option[AudioInfo] =
+    wavLayout(bytes).map { case (sampleRate, channels, blockAlign,
+        dataOff, dataLen) =>
+      val frames = dataLen.toLong / blockAlign
+      featurizePcm16(bytes, dataOff, dataLen, bigEndian = false,
+        sampleRate, channels, frames)
+    }
+
+  /** RIFF/WAVE chunk walk for the plain PCM16 profile: locates the
+    * fmt and data chunks without touching the samples. Returns
+    * (sampleRate, channels, blockAlign, dataOff, dataLen) — the
+    * shared parse for feature extraction and content signatures.
+    */
+  private[graft] def wavLayout(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     def u16(off: Int): Int =
       (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
     def u32(off: Int): Long =
@@ -306,9 +393,7 @@ object MediaCodecs {
     }
     if (sampleRate <= 0 || channels <= 0 || blockAlign <= 0 ||
       dataOff < 0) return None
-    val frames = dataLen.toLong / blockAlign
-    Some(featurizePcm16(bytes, dataOff, dataLen, bigEndian = false,
-      sampleRate, channels, frames))
+    Some((sampleRate, channels, blockAlign, dataOff, dataLen))
   }
 
   private[graft] def decodeWavJavax(bytes: Array[Byte]): Option[AudioInfo] = {

@@ -240,6 +240,126 @@ object Multimodal {
       .toDF("doc_id", "content", "width", "height")
   }
 
+  /** M4 — content signatures per media row: container-independent
+    * exact digest + 64-bit perceptual hash (see [[MediaSignature]]).
+    * One decode per row, partition-wise; bytes never shuffle — the
+    * signature projection is what reaches downstream joins (the
+    * dedup codes-only philosophy: at 100 TB of media, dedup moves
+    * ~50-byte signatures, not payloads). Formats no JDK codec reads
+    * get an exact-byte digest and NO perceptual identity (null
+    * phash) — opaque blobs dedup exactly or not at all.
+    */
+  def mediaSignaturesOf(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          MediaSignature.of(bytes) match {
+            case Some(s) => (id, s.kind, s.contentDigest, Some(s.phash))
+            case None =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              md.update("raw".getBytes("US-ASCII")); md.update(bytes)
+              (id, "opaque",
+                md.digest().map("%02x".format(_)).mkString,
+                Option.empty[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "kind", "content_digest", "phash")
+  }
+
+  /** Registered `media_phash` (rows-only: no SQL engine decodes PNG;
+    * MediaDedupSpec pins the signatures bit-exactly on planted
+    * fixtures through both decode paths).
+    */
+  def mediaSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    mediaSignaturesOf(realMediaTable(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  /** M5 — media dedup verdicts: one row per media doc with
+    * `is_dup` = an EARLIER (lower doc_id) duplicate exists, and
+    * `keeper_id` = the id to dedup to. Exact identity via the
+    * content digest (groupBy min, the dedupExact shape on ~32-byte
+    * keys); near identity via the simhashPairs banding on the
+    * perceptual hash — 4 × 16-bit chunks guarantee recall at Hamming
+    * ≤ `maxHamming` = 3, candidates verified by popcount inside
+    * bounded buckets (`maxBucket`, observed + dropped loudly).
+    * Signatures are localCheckpointed so the decode pass runs once
+    * across the exact and near branches (the ppl_select convention).
+    * Transitive closure composes downstream via Clusters — this
+    * operator's contract is the per-doc earlier-duplicate verdict.
+    */
+  def mediaDedupOf(media: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 5000): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sigs = mediaSignaturesOf(media).localCheckpoint()
+
+    val exact = sigs.groupBy(col("content_digest"))
+      .agg(min(col("doc_id")).as("exact_keeper"))
+
+    val chunks = 4
+    val banded = sigs.filter(col("phash").isNotNull)
+      .select(col("doc_id"), col("kind"), col("phash"))
+      .as[(Long, String, Long)]
+      .flatMap { case (id, kind, ph) =>
+        (0 until chunks).map { c =>
+          (kind, c, (ph >>> (16 * c)) & 0xffffL, id, ph)
+        }
+      }
+      .toDF("kind", "chunk", "cval", "doc_id", "phash")
+
+    val nearRefs = banded
+      .groupBy(col("kind"), col("chunk"), col("cval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("phash"))))
+        .as("members"))
+      .filter(size(col("members")) > 1)
+      .observe("media_bucket_cap",
+        sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("members")) <= maxBucket)
+      .select(col("members"))
+      .distinct()
+      .as[Seq[(Long, Long)]]
+      .flatMap { members =>
+        val n = members.length
+        val out = Seq.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val (a, pa) = members(i); val (b, pb) = members(j)
+            if (java.lang.Long.bitCount(pa ^ pb) <= maxHamming)
+              out += ((b, a)) // members sorted: a < b -> b's earlier ref
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("doc_id", "near_id")
+      .groupBy(col("doc_id"))
+      .agg(min(col("near_id")).as("near_ref"))
+
+    sigs.join(exact, Seq("content_digest"))
+      .join(nearRefs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("kind"),
+        (col("exact_keeper") < col("doc_id") ||
+          col("near_ref").isNotNull).cast("int").as("is_dup"),
+        least(col("exact_keeper"),
+          coalesce(col("near_ref"), col("exact_keeper"))).as("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registered `media_dedup` (rows-only; the screen_apply
+    * precedent: verdicts are trivially clean at the sf scales and
+    * non-degenerate on the replicated probe corpus).
+    */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    mediaDedupOf(realMediaTable(spark, sfDir))
+
   /** M3 — chunk / frame-sample the binary payload: fixed 256-byte
     * chunks via posexplode, keeping every `stride`-th chunk (frame
     * sampling). Pure column ops — no driver loops, no UDF.

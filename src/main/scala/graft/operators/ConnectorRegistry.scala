@@ -17,7 +17,15 @@ object ConnectorRegistry {
     // a BIGINT so every output column is harness-sortable; the raw
     // array stays on decodeMediaFeatures for the Dataset API.
     "multimodal_decode" -> ((s: SparkSession, d: String) =>
-      graft.multimodal.Multimodal.decodeMediaFeaturesDigest(s, d).toDF())
+      graft.multimodal.Multimodal.decodeMediaFeaturesDigest(s, d).toDF()),
+    // rows-only: signatures come from real codec decodes (luminance
+    // planes, PCM envelopes); MediaDedupSpec pins them bit-exactly
+    // on planted fixtures through both decode paths
+    "media_phash" -> (graft.multimodal.Multimodal.mediaSignatures _),
+    // rows-only: per-doc earlier-duplicate verdicts over the
+    // signatures; spec'd on planted exact/re-encoded/resized/
+    // perturbed variants, non-degenerate on the replicated probe
+    "media_dedup" -> (graft.multimodal.Multimodal.mediaDedup _)
   )
 
   val oracle: Map[String, String] = Map(
