@@ -43,6 +43,8 @@ object Probe {
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
       "bpe_train", "pack_sequences_bpe",
       "line_dedup", "substring_scrub", "dedup_apply_best",
+      "dedup_index_build", "dedup_incremental_exact", "dedup_incremental",
+      "media_phash", "media_dedup",
       "lm_doc_stats", "lm_perplexity",
       "lm2_doc_stats", "lm2_perplexity", "ppl_select",
       "nb_doc_stats", "nb_classify", "chunk_docs", "vocab_growth",

@@ -139,6 +139,21 @@ object HashKernels {
     c
   }
 
+  /** Positional agreement of two equal-length long arrays — the
+    * MinHash signature-agreement count (est jaccard = agree / k).
+    * Unequal lengths compare the common prefix (callers pin k).
+    */
+  def positionalAgreeCount(a: ArrayData, b: ArrayData): Int = {
+    val x = a.toLongArray(); val y = b.toLongArray()
+    val n = math.min(x.length, y.length)
+    var i = 0; var c = 0
+    while (i < n) {
+      if (x(i) == y(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash over token hashes (Charikar '02): per-bit vote of
     * every token's FNV hash, sign → bit.
     */
@@ -1045,6 +1060,26 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Positional signature agreement (codegen'd): the column-space
+  * MinHash estimate kernel for the streaming incremental screen,
+  * where a typed flatMap would strip the watermark.
+  */
+case class PositionalAgreeCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.positionalAgreeCount(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashKernels.positionalAgreeCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 object HashFunctions {
   def shingle_keys(text: Column, source: Column, n: Int): Column =
     ColumnBridge.column(ShingleKeys(ColumnBridge.expression(text),
@@ -1057,6 +1092,9 @@ object HashFunctions {
     ColumnBridge.column(CanonicalMd5(ColumnBridge.expression(text)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+  def positional_agree_count(a: Column, b: Column): Column =
+    ColumnBridge.column(PositionalAgreeCount(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))

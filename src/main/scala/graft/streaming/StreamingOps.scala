@@ -568,4 +568,69 @@ object StreamingOps {
         .map { case (cid, txt, n) => (d.doc_id, d.ts, cid, txt, n) }
     }.toDF("doc_id", "ts", "chunk_id", "text", "n_tokens")
   }
+
+  /** X16 — STREAMING INCREMENTAL DEDUP SCREEN: every arriving
+    * document is screened against the PERSISTED corpus index of
+    * [[graft.operators.IncrementalDedup]] — the streaming face of
+    * `dedup_incremental`, completing the batch-artifact / stream-
+    * score split for the dedup family (X10 line frontier, X11 DSIR
+    * model, X13/X14 classifier and LM exports; here the artifact is
+    * the distributed index table, stream-static joined, never
+    * collected).
+    *
+    * Two verdict kinds in one output, mirroring the batch pair:
+    * `match_kind` = "exact" rows (fingerprint hit, ref = min indexed
+    * id per fp, est = 1.0) and "near" rows (band collision with
+    * signature agreement ≥ `minEst`, est = agreement / k). Codes
+    * only — the index carries no text, so the screen joins 16-byte
+    * band keys + k-long signatures. Column space end to end (the X8
+    * lesson: a typed flatMap would strip the watermark); the
+    * agreement runs through the codegen'd `positional_agree_count`
+    * kernel, once per candidate. Same-pair multi-band collisions are
+    * deduplicated with watermark-bounded state.
+    */
+  def streamingIncrementalScreen(docs: Dataset[StreamDoc],
+      index: DataFrame, k: Int = 32, bands: Int = 8,
+      minEst: Double = 0.5,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.HashFunctions._
+    require(minEst > 0,
+      s"minEst must be > 0 (got $minEst): unshingleable docs carry the " +
+        "sentinel signature and rely on minEst > 0 plus the n_sh > 0 " +
+        "index filter to stay out of the near output")
+    val rows = k / bands
+    require(rows * bands == k, s"bands ($bands) must divide k ($k)")
+
+    val exactRefs = index.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("ref_id"))
+    val indexBands = index.filter(col("n_sh") > 0)
+      .select(col("doc_id").as("ref_id"), col("sig").as("ref_sig"),
+        posexplode(bandSigs(col("sig"), bands, rows)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bsig"))
+
+    val scored = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        canonical_md5(col("text")).as("fp"),
+        minhash_keys(shingle_keys(col("text"), lit(""), 3), k).as("sig"))
+
+    val exact = scored.join(exactRefs, Seq("fp"))
+      .select(col("doc_id"), col("ts"), lit("exact").as("match_kind"),
+        col("ref_id"), lit(1.0).as("est_jaccard"))
+
+    val near = scored
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(bandSigs(col("sig"), bands, rows)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bsig"))
+      .join(indexBands, Seq("band", "bsig"))
+      .withColumn("est_jaccard",
+        positional_agree_count(col("sig"), col("ref_sig"))
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("doc_id"), col("ts"), lit("near").as("match_kind"),
+        col("ref_id"), col("est_jaccard"))
+
+    exact.unionByName(near)
+      .dropDuplicatesWithinWatermark("doc_id", "match_kind", "ref_id")
+  }
 }

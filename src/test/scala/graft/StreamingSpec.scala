@@ -507,4 +507,58 @@ class StreamingSpec extends AnyFunSuite {
         "vacuous: no doc multi-chunked")
     } finally q.stop()
   }
+
+  test("streaming incremental screen equals the batch screens under one persisted index") {
+    import graft.streaming.StreamingOps.StreamDoc
+    import graft.operators.IncrementalDedup
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_x16_idx").toString
+    IncrementalDedup.saveIndex(IncrementalDedup.oldDocs(spark, sf), dir)
+    val index = IncrementalDedup.loadIndex(spark, dir)
+
+    // increment = the sf new half, plus two planted exact copies of
+    // indexed docs (the sf corpora have no exact text dups, so the
+    // exact branch needs planting to be non-vacuous)
+    val newRows = IncrementalDedup.newDocs(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val planted = IncrementalDedup.oldDocs(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val plantedDocs = planted.zipWithIndex.map { case ((_, txt), i) =>
+      (900001L + i, txt) }
+    val increment = newRows ++ plantedDocs
+    val incDf = increment.toSeq.toDF("doc_id", "text")
+
+    val batchExact = IncrementalDedup.screenExactDocs(incDf, index)
+      .filter(col("is_dup") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val batchNear = IncrementalDedup.screenNearDocs(incDf, index)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchExact.size >= 2, "planted exact copies must flag")
+    assert(batchNear.nonEmpty, "sf corpus should have straddling near-dups")
+
+    val arrivals = increment.zipWithIndex.map { case ((id, txt), i) =>
+      StreamDoc(id, ts(i), txt) }
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingIncrementalScreen(in.toDS(), index)
+      .writeStream.format("memory").queryName("incscreen_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val out = spark.table("incscreen_out").collect()
+      val gotExact = out.filter(_.getAs[String]("match_kind") == "exact")
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id"))).toSet
+      val gotNear = out.filter(_.getAs[String]("match_kind") == "near")
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id"),
+          r.getAs[Double]("est_jaccard"))).toSet
+      assert(gotExact == batchExact,
+        s"stream-only=${gotExact -- batchExact} batch-only=${batchExact -- gotExact}")
+      assert(gotNear == batchNear,
+        s"stream-only=${gotNear -- batchNear} batch-only=${batchNear -- gotNear}")
+    } finally q.stop()
+  }
 }
