@@ -78,6 +78,16 @@ object IncrementalDedup {
   def saveIndex(docs: DataFrame, path: String, k: Int = 32): Unit =
     buildIndex(docs, k).write.mode("overwrite").parquet(path)
 
+  /** Append an increment's rows to a persisted index — the daily
+    * ingest loop closed: screen today's batch, keep the novel docs,
+    * index them for tomorrow. Parquet append, no rewrite of the
+    * existing index files; IncrementalDedupSpec pins screens against
+    * an appended index bit-equal to screens against a full rebuild
+    * (the index semantics are per-row, so append ≡ union).
+    */
+  def appendIndex(docs: DataFrame, path: String, k: Int = 32): Unit =
+    buildIndex(docs, k).write.mode("append").parquet(path)
+
   /** Load a persisted index, refusing a table that does not carry
     * the index schema (the Bpe.loadModel "fail loudly" convention).
     */

@@ -76,6 +76,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(nearOf(loaded) == nearOf(mem))
   }
 
+  test("appendIndex == full rebuild for every screen (the daily loop)") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, sf)
+    val day0 = all.filter(col("doc_id") % 5 === 1 ||
+      col("doc_id") % 5 === 2)
+    val day1 = all.filter(col("doc_id") % 5 === 4)
+    val probe = all.filter(col("doc_id") % 5 === 0) // tomorrow's batch
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_append_idx").toString
+    IncrementalDedup.saveIndex(day0, dir)
+    IncrementalDedup.appendIndex(day1, dir)
+    val appended = IncrementalDedup.loadIndex(spark, dir)
+    val rebuilt = IncrementalDedup.buildIndex(day0.unionByName(day1))
+
+    def exactOf(ix: org.apache.spark.sql.DataFrame) =
+      IncrementalDedup.screenExactDocs(probe, ix).collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    def nearOf(ix: org.apache.spark.sql.DataFrame) =
+      IncrementalDedup.screenNearDocs(probe, ix).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    assert(exactOf(appended) == exactOf(rebuilt))
+    assert(nearOf(appended) == nearOf(rebuilt))
+    assert(appended.count() == rebuilt.count())
+  }
+
   test("loadIndex refuses a table without the index schema") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_bad_idx").toString
