@@ -134,4 +134,30 @@ class KernelEvalAuditSpec extends AnyFunSuite {
     assert(shingles == 10, s"shingle_keys ran $shingles times for 10 rows")
     assert(minhashes == 10, s"minhash_keys ran $minhashes times for 10 rows")
   }
+
+  test("X16 incremental screen evaluates the sketch kernels once per stream row") {
+    // static side: the persisted index — its sketches are
+    // materialized once, so the stream-static join must contribute
+    // ZERO kernel evals per micro-batch; the stream side computes
+    // each sketch once even though the exact and near branches scan
+    // the batch separately (column pruning drops `sig` from the
+    // exact branch and `fp` from the near branch)
+    val old = Seq((100L, doc(100)), (200L, doc(200))).toDF("doc_id", "text")
+    val index = graft.operators.IncrementalDedup.buildIndex(old).persist()
+    index.count()
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingIncrementalScreen(in.toDS(), index)
+      .writeStream.format("memory").queryName("audit_incscreen")
+      .outputMode("append").start()
+    try {
+      val n = 10
+      val (_, shingles, minhashes) = KernelMetrics.counting {
+        in.addData((1 to n).map(i => StreamDoc(i.toLong, ts(i), doc(i))): _*)
+        q.processAllAvailable()
+      }
+      info(s"X16: $shingles shingle evals, $minhashes minhash evals for $n rows")
+      assert(shingles == n, s"shingle_keys ran $shingles times for $n rows")
+      assert(minhashes == n, s"minhash_keys ran $minhashes times for $n rows")
+    } finally { q.stop(); index.unpersist() }
+  }
 }

@@ -147,6 +147,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles <= 4, s"$shuffles shuffles:\n$plan")
   }
 
+  test("incremental screens shuffle fingerprints and sketches, never text") {
+    import graft.operators.IncrementalDedup
+    // the whole point of the persisted index: a 100 TB corpus's text
+    // stays in place; screens move ~280 B/doc of ids + sketches
+    Seq(IncrementalDedup.incrementalNear(spark, sf),
+        IncrementalDedup.incrementalExact(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      val ex = plan.linesIterator.filter(_.contains("Exchange")).toList
+      assert(ex.nonEmpty)
+      ex.foreach { l =>
+        assert(!l.contains("text#"), s"document text in a shuffle: $l")
+      }
+    }
+    // the exact screen's fp -> min(id) aggregate must combine
+    // map-side so a hot fingerprint never skews the join shuffle
+    val exact = planOf(IncrementalDedup.incrementalExact(spark, sf))
+    assert(exact.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "fp aggregate is not partial")
+  }
+
+  test("media signature and dedup plans never shuffle payload bytes") {
+    import graft.multimodal.Multimodal
+    val sigPlan = planOf(Multimodal.mediaSignatures(spark, sf))
+    sigPlan.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("content#"), s"payload bytes in a shuffle: $l")
+    }
+    // mediaDedup runs on localCheckpointed signatures: the payload
+    // column must not exist anywhere downstream of the checkpoint
+    val dedupPlan = planOf(Multimodal.mediaDedup(spark, sf))
+    assert(!dedupPlan.contains("content#"),
+      s"payload bytes escaped the signature checkpoint:\n$dedupPlan")
+  }
+
   test("shingle counting is a kernel projection, no regex machinery") {
     val plan = planOf(graft.operators.TextOps.textShingles(spark, sf))
     // both counts come from the one-pass byte kernels, directly over
