@@ -33,6 +33,7 @@ object Probe {
       "dedup_exact", "dedup_jaccard_pairs", "dedup_jaccard_lsh",
       "dedup_minhash_pairs", "dedup_simhash", "dedup_winnow",
       "contamination_screen", "dedup_clusters", "dedup_substring",
+      "quality_gopher",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",
       "text_repetition", "pii_scrub", "quality_classify",

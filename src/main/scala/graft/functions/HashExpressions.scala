@@ -139,6 +139,112 @@ object HashKernels {
     c
   }
 
+  // per-spec parsed stop lists for gopherStats (the termTables idiom)
+  private val gopherStopTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Byte]]]()
+
+  /** One-pass Gopher rule statistics (Rae et al. 2021, §A1.1) —
+    * the eight integer counts the document-level quality rules
+    * threshold: [n_words, word_chars, n_alpha_words, n_lines,
+    * n_distinct_lines, n_ellipsis_lines, n_symbols, stop_hits].
+    *
+    * Tokenization mirrors [[wsTokenCount]]'s DuckDB parity EXACTLY
+    * (trim strips 0x20 only; empty input yields the one empty
+    * element; leading/trailing whitespace inside the trimmed region
+    * contributes empty elements) so every count is hash-checkable
+    * against `regexp_split_to_array(trim(text), '\s+')`. word_chars
+    * counts CODE POINTS of non-whitespace runs (DuckDB `length` is
+    * characters); alpha presence is ASCII [A-Za-z]; stop_hits is
+    * DISTINCT presence of the Gopher 8-word stop list over
+    * lowercased tokens. Lines split the RAW text on 0x0a (trailing
+    * empty line included, the string_split contract); an ellipsis
+    * line ends with "..." after stripping trailing 0x20; n_symbols
+    * = '#' occurrences + non-overlapping left-to-right "..."
+    * occurrences (the string_split counting). `stops` is the
+    * space-separated stop list (≤ 64 words), parsed once per spec
+    * (the termCounts memo).
+    */
+  def gopherStats(text: UTF8String, stops: String): ArrayData = {
+    val stopWords = gopherStopTables.computeIfAbsent(stops,
+      sp => sp.split(" ").filter(_.nonEmpty).map(_.getBytes("UTF-8")))
+    val bytes = text.getBytes
+    // ---- token pass (trimmed region) ----
+    var lo = 0; var hi = bytes.length
+    while (lo < hi && bytes(lo) == 0x20) lo += 1
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    @inline def isWs(b: Int): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    var nWords = 0L; var wordChars = 0L; var alphaWords = 0L
+    var stopMask = 0L
+    if (lo == hi) nWords = 1 // [''] — the regexp_split of empty
+    else {
+      if (isWs(bytes(lo) & 0xff)) nWords += 1
+      if (isWs(bytes(hi - 1) & 0xff)) nWords += 1
+      var i = lo
+      while (i < hi) {
+        if (!isWs(bytes(i) & 0xff)) {
+          val s = i
+          var hasAlpha = false
+          while (i < hi && !isWs(bytes(i) & 0xff)) {
+            val b = bytes(i) & 0xff
+            if ((b & 0xc0) != 0x80) wordChars += 1 // code point start
+            if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z'))
+              hasAlpha = true
+            i += 1
+          }
+          nWords += 1
+          if (hasAlpha) alphaWords += 1
+          val len = i - s
+          var w = 0
+          while (w < stopWords.length) {
+            val sw = stopWords(w)
+            if (sw.length == len) {
+              var j = 0; var ok = true
+              while (ok && j < len) {
+                var c = bytes(s + j) & 0xff
+                if (c >= 'A' && c <= 'Z') c += 32
+                if (c != sw(j)) ok = false
+                j += 1
+              }
+              if (ok) stopMask |= 1L << w
+            }
+            w += 1
+          }
+        } else i += 1
+      }
+    }
+    // ---- line pass (raw text, split on 0x0a) ----
+    val seen = new java.util.HashSet[String]()
+    var nLines = 0L; var distinctLines = 0L; var ellipsisLines = 0L
+    var s = 0
+    var p = 0
+    val n = bytes.length
+    while (p <= n) {
+      if (p == n || bytes(p) == 0x0a) {
+        nLines += 1
+        if (seen.add(new String(bytes, s, p - s, "UTF-8")))
+          distinctLines += 1
+        var e = p
+        while (e > s && bytes(e - 1) == 0x20) e -= 1
+        if (e - s >= 3 && bytes(e - 1) == '.' && bytes(e - 2) == '.' &&
+          bytes(e - 3) == '.') ellipsisLines += 1
+        s = p + 1
+      }
+      p += 1
+    }
+    // ---- symbol pass (raw text) ----
+    var symbols = 0L
+    var q = 0
+    while (q < n) {
+      if (bytes(q) == '#') { symbols += 1; q += 1 }
+      else if (q + 2 < n && bytes(q) == '.' && bytes(q + 1) == '.' &&
+        bytes(q + 2) == '.') { symbols += 1; q += 3 }
+      else q += 1
+    }
+    new GenericArrayData(Array(nWords, wordChars, alphaWords, nLines,
+      distinctLines, ellipsisLines, symbols,
+      java.lang.Long.bitCount(stopMask).toLong))
+  }
+
   /** Positional agreement of two equal-length long arrays — the
     * MinHash signature-agreement count (est jaccard = agree / k).
     * Unequal lengths compare the common prefix (callers pin k).
@@ -1060,6 +1166,26 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** One-pass Gopher rule statistics (codegen'd): eight integer counts
+  * per document, each hash-checkable against its DuckDB mirror.
+  */
+case class GopherStats(child: Expression, stops: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.gopherStats(t.asInstanceOf[UTF8String], stops)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference object, never a spliced literal (the TermCounts rule)
+    val stopsRef = ctx.addReferenceObj("gopherStops", stops,
+      "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.gopherStats($c, $stopsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Positional signature agreement (codegen'd): the column-space
   * MinHash estimate kernel for the streaming incremental screen,
   * where a typed flatMap would strip the watermark.
@@ -1096,6 +1222,8 @@ object HashFunctions {
   def positional_agree_count(a: Column, b: Column): Column =
     ColumnBridge.column(PositionalAgreeCount(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+  def gopher_stats(text: Column, stops: String): Column =
+    ColumnBridge.column(GopherStats(ColumnBridge.expression(text), stops))
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
   def simhash64(tokens: Column): Column =

@@ -108,10 +108,19 @@ object IncrementalDedup {
     * index never fan out, and a hot fingerprint (boilerplate page
     * kept once, crawled daily) costs one row.
     */
-  def screenExactDocs(newBatch: DataFrame, index: DataFrame): DataFrame = {
+  def screenExactDocs(newBatch: DataFrame, index: DataFrame): DataFrame =
+    screenExactSigs(
+      newBatch.select(col("doc_id"), canonical_md5(col("text")).as("fp")),
+      index)
+
+  /** [[screenExactDocs]] over PRE-COMPUTED increment fingerprints
+    * (any frame carrying doc_id + fp, e.g. [[buildIndex]] output) —
+    * the shared-derivation entry mirroring [[screenNearSigs]].
+    */
+  def screenExactSigs(newFps: DataFrame, index: DataFrame): DataFrame = {
     val refs = index.groupBy(col("fp")).agg(min(col("doc_id")).as("ref_id"))
-    newBatch
-      .select(col("doc_id"), canonical_md5(col("text")).as("fp"))
+    newFps
+      .select(col("doc_id"), col("fp"))
       .join(refs, Seq("fp"), "left")
       .select(col("doc_id"),
         col("ref_id").isNotNull.cast("int").as("is_dup"), col("ref_id"))
@@ -126,8 +135,25 @@ object IncrementalDedup {
     */
   def screenNearDocs(newBatch: DataFrame, index: DataFrame,
       k: Int = 32, bands: Int = 8, minEst: Double = 0.5,
+      maxBucket: Int = 5000): DataFrame =
+    screenNearSigs(
+      newBatch
+        .select(col("doc_id"),
+          shingle_keys(col("text"), lit(""), 3).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n_sh"),
+          minhash_keys(col("sh"), k).as("sig")),
+      index, k, bands, minEst, maxBucket)
+
+  /** [[screenNearDocs]] over PRE-COMPUTED increment signatures (an
+    * index-shaped frame from [[buildIndex]]) — the shared-derivation
+    * entry: one sketch pass feeds the exact screen, the near screen
+    * and tomorrow's [[appendIndex]] (the dedupApplyFromPairs
+    * convention).
+    */
+  def screenNearSigs(newSigs: DataFrame, index: DataFrame,
+      k: Int = 32, bands: Int = 8, minEst: Double = 0.5,
       maxBucket: Int = 5000): DataFrame = {
-    val spark = newBatch.sparkSession
+    val spark = newSigs.sparkSession
     import spark.implicits._
     val rows = k / bands
     require(rows * bands == k, s"bands ($bands) must divide k ($k)")
@@ -158,13 +184,7 @@ object IncrementalDedup {
           .as("dropped_buckets"))
       .filter(size(col("members")) <= maxBucket)
 
-    val newSig = newBatch
-      .select(col("doc_id"),
-        shingle_keys(col("text"), lit(""), 3).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"),
-        minhash_keys(col("sh"), k).as("sig"))
-
-    banded(newSig)
+    banded(newSigs)
       .join(buckets, Seq("band", "bsig"))
       .select(col("doc_id"), col("sig"), col("members"))
       .as[(Long, Seq[Long], Seq[(Long, Seq[Long])])]

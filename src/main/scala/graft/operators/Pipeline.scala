@@ -137,6 +137,49 @@ object Pipeline {
       packTarget)
   }
 
+  /** P3 — the DAILY-INGEST recipe (r12c): what a crawl job runs every
+    * day against yesterday's corpus — screen the increment against
+    * the PERSISTED index (exact fingerprints D14 + near signatures
+    * D16), gate the survivors with the Gopher rules (T30), and emit
+    * the kept documents. ONE sketch pass over the increment
+    * ([[IncrementalDedup.buildIndex]], localCheckpointed under
+    * `share`) feeds the exact screen, the near screen, and — in a
+    * real deployment — tomorrow's [[IncrementalDedup.appendIndex]]
+    * rows for the kept ids (the shared-derivation convention). Stage
+    * handoffs are id-only anti joins; the old corpus contributes
+    * nothing but its ~280 B/doc index.
+    */
+  def pipelineIngest(inc: DataFrame, index: DataFrame,
+      minEst: Double = 0.5,
+      stopWords: Seq[String] = TextOps.GopherStopList,
+      share: Boolean = true): DataFrame = {
+    val incIx0 = IncrementalDedup.buildIndex(inc)
+    val incIx = if (share) incIx0.localCheckpoint(true) else incIx0
+    val exactDup = IncrementalDedup.screenExactSigs(incIx, index)
+      .filter(col("is_dup") === 1).select(col("doc_id"))
+    val nearDup = IncrementalDedup
+      .screenNearSigs(incIx, index, minEst = minEst)
+      .select(col("doc_id")).distinct()
+    val gopher = TextOps.qualityGopherDocs(inc, stopWords)
+    val lowQuality = gopher.filter(col("keep") === 0).select(col("doc_id"))
+    inc.select(col("doc_id"), col("source"))
+      .join(exactDup, Seq("doc_id"), "left_anti")
+      .join(nearDup, Seq("doc_id"), "left_anti")
+      .join(lowQuality, Seq("doc_id"), "left_anti")
+      .join(gopher.select(col("doc_id"), col("n_words")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered `pipeline_ingest` query: old half (doc_id % 5
+    * ≠ 0) is the indexed corpus, the rest is today's increment; the
+    * corpus-fitting stop list (see `quality_gopher` in TextRegistry).
+    */
+  def pipelineIngestQuery(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineIngest(IncrementalDedup.newDocs(spark, sfDir),
+      IncrementalDedup.buildIndex(IncrementalDedup.oldDocs(spark, sfDir)),
+      stopWords = Seq("the", "a"))
+
   /** The registered `pipeline_scrub` query (the [[pipelineFullQuery]]
     * planting).
     */

@@ -33,6 +33,63 @@ object TextOps {
         qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** T30 — the GOPHER document-level quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) as ONE hash-checked projection: the
+    * published filter suite a production crawl actually runs — word
+    * count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    * ratio ('#' + '…') ≤ 0.1, ellipsis-ended lines ≤ 30%, words with
+    * an alphabetic character ≥ 80%, ≥ 2 of the 8-word stop list,
+    * duplicate-line fraction ≤ 30%.
+    *
+    * Every statistic is an exact integer from the one-pass
+    * `gopher_stats` kernel, and every threshold is applied by INTEGER
+    * CROSS-MULTIPLICATION (`3·n_words ≤ word_chars`, never a float
+    * ratio), so the keep decision is bit-reproducible and the whole
+    * row hash-checks against the DuckDB mirror. The kernel array is
+    * materialized as an attribute before the eight element_at
+    * consumers (the TextFunctions attribute rule). Scale shape: pure
+    * scan-bound projection, no shuffle but the output sort.
+    */
+  /** Gopher's published English stop list (§A1.1). */
+  val GopherStopList: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def qualityGopher(spark: SparkSession, sfDir: String,
+      stopWords: Seq[String] = GopherStopList): DataFrame =
+    qualityGopherDocs(documents(spark, sfDir), stopWords)
+
+  /** [[qualityGopher]] over any (doc_id, text) frame. `stopWords`
+    * defaults to Gopher's English list; a deployment on another
+    * language (or the synthetic sf vocabulary — see TextRegistry)
+    * swaps the list, the thresholds stay.
+    */
+  def qualityGopherDocs(docs: DataFrame,
+      stopWords: Seq[String] = GopherStopList): DataFrame = {
+    import graft.functions.HashFunctions.gopher_stats
+    require(stopWords.nonEmpty && stopWords.size <= 64,
+      s"stop list must have 1..64 words: ${stopWords.size}")
+    val g = (i: Int) => element_at(col("gs"), i)
+    docs
+      .select(col("doc_id"),
+        gopher_stats(col("text"), stopWords.mkString(" ")).as("gs"))
+      .select(col("doc_id"),
+        g(1).as("n_words"), g(2).as("word_chars"),
+        g(3).as("n_alpha_words"), g(4).as("n_lines"),
+        g(5).as("n_distinct_lines"), g(6).as("n_ellipsis_lines"),
+        g(7).as("n_symbols"), g(8).as("stop_hits"))
+      .withColumn("keep",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("n_words") * 3 <= col("word_chars") &&
+          col("word_chars") <= col("n_words") * 10 &&
+          col("n_symbols") * 10 <= col("n_words") &&
+          col("n_ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+          col("n_alpha_words") * 5 >= col("n_words") * 4 &&
+          col("stop_hits") >= 2 &&
+          (col("n_lines") - col("n_distinct_lines")) * 10 <=
+            col("n_lines") * 3).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T3 — heuristic language ID. */
   def textLangId(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)

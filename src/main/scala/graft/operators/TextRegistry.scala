@@ -125,12 +125,23 @@ object TextRegistry {
     // rows-only: bins derive from the mined subword counts; the
     // sequential-packer reference is pinned in BpeSpec
     "pack_sequences_bpe" -> ((s, d) => Bpe.packSequencesBpe(s, d)),
+    // the sf vocabulary contains only 'the' of Gopher's 8 English
+    // stop words, so the registered query swaps in a corpus-fitting
+    // 2-word list to keep the stop rule (and the keep decision)
+    // non-degenerate — the chunk_docs corpus-adaptation precedent;
+    // the API default is the published list
+    "quality_gopher" -> ((s, d) =>
+      TextOps.qualityGopher(s, d, stopWords = Seq("the", "a"))),
     "dedup_index_build" -> (IncrementalDedup.indexBuildQuery _),
     "dedup_incremental_exact" -> (IncrementalDedup.incrementalExact _),
     // rows-only: signature-estimated jaccard (engine-specific hash
     // family, the dedup_minhash_pairs reasoning); spec'd equivalent
     // to minhashPairs restricted to increment×index pairs
-    "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalNear(s, d))
+    "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalNear(s, d)),
+    // rows-only: the near-screen stage has no SQL oracle (see
+    // dedup_incremental); PipelineSpec pins stagewise set-equality
+    // against the standalone screens + gate and share-on/off equality
+    "pipeline_ingest" -> (Pipeline.pipelineIngestQuery _)
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
@@ -301,6 +312,36 @@ object TextRegistry {
         | CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fp)
         |      THEN 1 ELSE 0 END AS is_dup
         |FROM f ORDER BY doc_id""".stripMargin,
+    "quality_gopher" ->
+      s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks,
+         |  string_split(text, chr(10)) AS lines FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks) AS n_words,
+         |  list_sum(list_transform(toks, w -> length(w)))::BIGINT
+         |    AS word_chars,
+         |  len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+         |    AS n_alpha_words,
+         |  len(lines) AS n_lines,
+         |  len(list_distinct(lines)) AS n_distinct_lines,
+         |  len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+         |    AS n_ellipsis_lines,
+         |  (length(text) - length(replace(text, '#', ''))
+         |    + len(string_split(text, '...')) - 1) AS n_symbols,
+         |  (list_contains(list_transform(toks, w -> lower(w)), 'the')::BIGINT
+         |   + list_contains(list_transform(toks, w -> lower(w)), 'a')::BIGINT)
+         |    AS stop_hits
+         | FROM t)
+         |SELECT doc_id, n_words, word_chars, n_alpha_words, n_lines,
+         | n_distinct_lines, n_ellipsis_lines, n_symbols, stop_hits,
+         | CASE WHEN n_words >= 50 AND n_words <= 100000
+         |  AND n_words * 3 <= word_chars AND word_chars <= n_words * 10
+         |  AND n_symbols * 10 <= n_words
+         |  AND n_ellipsis_lines * 10 <= n_lines * 3
+         |  AND n_alpha_words * 5 >= n_words * 4
+         |  AND stop_hits >= 2
+         |  AND (n_lines - n_distinct_lines) * 10 <= n_lines * 3
+         | THEN 1 ELSE 0 END AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     "dedup_index_build" ->
       s"""SELECT doc_id,
          | md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,

@@ -147,4 +147,37 @@ class PipelineSpec extends AnyFunSuite {
       cum += n
     }
   }
+
+  test("pipelineIngest equals the stagewise chain of standalone screens + gate") {
+    import graft.operators.{IncrementalDedup, Pipeline, TextOps}
+    val sf = "/root/testdata/sf0.001"
+    val inc = IncrementalDedup.newDocs(spark, sf)
+    val index = IncrementalDedup.buildIndex(
+      IncrementalDedup.oldDocs(spark, sf))
+    val stops = Seq("the", "a")
+
+    val incIds = inc.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactDup = IncrementalDedup.screenExactDocs(inc, index)
+      .filter(org.apache.spark.sql.functions.col("is_dup") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nearDup = IncrementalDedup.screenNearDocs(inc, index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val qualityFail = TextOps.qualityGopherDocs(inc, stops)
+      .filter(org.apache.spark.sql.functions.col("keep") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = incIds -- exactDup -- nearDup -- qualityFail
+    assert(nearDup.nonEmpty, "near stage vacuous on the sf corpus")
+    assert(qualityFail.nonEmpty, "quality stage vacuous on the sf corpus")
+    assert(expected.nonEmpty, "everything dropped — degenerate recipe")
+
+    val got = Pipeline.pipelineIngestQuery(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"composed-only=${got -- expected} stagewise-only=${expected -- got}")
+    // shared-derivation off must not change the answer
+    val unshared = Pipeline.pipelineIngest(inc, index,
+        stopWords = stops, share = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(unshared == expected)
+  }
 }

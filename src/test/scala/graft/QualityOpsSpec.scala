@@ -13,6 +13,61 @@ class QualityOpsSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("gopherStats kernel: hand-pinned counts on crafted documents") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val gopherList = TextOps.GopherStopList.mkString(" ")
+    def stats(t: String): Seq[Long] =
+      graft.functions.HashKernels.gopherStats(u8(t), gopherList)
+        .toLongArray().toSeq
+    // [n_words, word_chars, n_alpha_words, n_lines, n_distinct_lines,
+    //  n_ellipsis_lines, n_symbols, stop_hits]
+    // tokenizer quirks mirror the DuckDB regexp_split contract
+    assert(stats("  a bb\tccc ") == Seq(3, 6, 3, 1, 1, 0, 0, 0))
+    assert(stats("") == Seq(1, 0, 0, 1, 1, 0, 0, 0))
+    assert(stats("\t") == Seq(2, 0, 0, 1, 1, 0, 0, 0)) // ['',''] split
+    // distinct stop-list presence, case-folded ('and' counts once)
+    assert(stats("The and AND of") == Seq(4, 11, 4, 1, 1, 0, 0, 3))
+    // lines: dup pair, one ellipsis line, trailing empty line
+    assert(stats("dup\ndup\nuniq...  \n") ==
+      Seq(4, 13, 3, 4, 3, 1, 1, 0))
+    // symbols: two '#' plus ONE non-overlapping '....' occurrence
+    assert(stats("#a#b....x") == Seq(1, 9, 1, 1, 1, 0, 3, 0))
+    // word_chars counts code points, not bytes
+    assert(stats("héllo") == Seq(1, 5, 1, 1, 1, 0, 0, 0))
+  }
+
+  test("qualityGopher keep decision on planted pass/fail documents") {
+    import spark.implicits._
+    val pass = "the and " + Array.fill(58)("word").mkString(" ")
+    val tooShort = "the and word"
+    val noStops = Array.fill(60)("word").mkString(" ")
+    val longWords = "the and " +
+      Array.fill(58)("w" * 11).mkString(" ") // mean word len > 10
+    val dupLines = ("the and " + Array.fill(28)("word").mkString(" ") +
+      "\n") * 10 // 10 identical lines: dup fraction 9/10 > 0.3
+    val df = Seq((1L, pass), (2L, tooShort), (3L, noStops),
+      (4L, longWords), (5L, dupLines)).toDF("doc_id", "text")
+    val got = TextOps.qualityGopherDocs(df).collect()  // Gopher default list
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0), s"$got")
+  }
+
+  test("qualityGopher at sf: every count consistent, keeps mixed") {
+    // the registered corpus-fitting stop list (the sf vocabulary has
+    // only 'the' of Gopher's 8 English words — the default list is
+    // exercised by the planted-document tests above)
+    val rows = TextOps
+      .qualityGopher(spark, sf, stopWords = Seq("the", "a")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_lines") <= r.getAs[Long]("n_lines"))
+      assert(r.getAs[Long]("n_alpha_words") <= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("stop_hits") <= 8)
+    }
+    val keeps = rows.map(_.getAs[Int]("keep")).toSet
+    assert(keeps == Set(0, 1), s"keep decision degenerate: $keeps")
+  }
+
   test("textRepetition matches an exact in-driver computation") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")

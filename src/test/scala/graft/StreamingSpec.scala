@@ -343,20 +343,23 @@ class StreamingSpec extends AnyFunSuite {
         graft.operators.TextOps.modelQualityScore(col("text"))
           .as("q_score"),
         top_token_count(col("text")).as("top_c"),
-        pii_scrub_text(col("text")).as("scrubbed"))
+        pii_scrub_text(col("text")).as("scrubbed"),
+        // T30's rule statistics gate arrivals the same way (X9:
+        // stateless kernels compose unchanged into streams)
+        graft.functions.HashFunctions.gopher_stats(col("text"),
+          graft.operators.TextOps.GopherStopList.mkString(" "))
+          .as("gs"))
     val in = MemoryStream[StreamDoc]
     val q = project(in.toDF()).writeStream.format("memory")
       .queryName("kernels_out").outputMode("append").start()
     try {
       in.addData(docs: _*)
       q.processAllAvailable()
-      val streamed = spark.table("kernels_out").collect()
-        .map(r => (r.getLong(0),
-          (r.getDouble(1), r.getLong(2), r.getString(3)))).toMap
-      val batch = project(docs.toDF())
-        .collect()
-        .map(r => (r.getLong(0),
-          (r.getDouble(1), r.getLong(2), r.getString(3)))).toMap
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0),
+        (r.getDouble(1), r.getLong(2), r.getString(3),
+          r.getSeq[Long](4)))
+      val streamed = spark.table("kernels_out").collect().map(key).toMap
+      val batch = project(docs.toDF()).collect().map(key).toMap
       assert(streamed == batch)
       assert(streamed(2)._2 == 6L) // repetition caught on the stream
       assert(streamed(3)._3.contains("<EMAIL>") &&
