@@ -33,7 +33,7 @@ object Probe {
       "dedup_exact", "dedup_jaccard_pairs", "dedup_jaccard_lsh",
       "dedup_minhash_pairs", "dedup_simhash", "dedup_winnow",
       "contamination_screen", "dedup_clusters", "dedup_substring",
-      "quality_gopher",
+      "quality_gopher", "gopher_repetition",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",
       "text_repetition", "pii_scrub", "quality_classify",
@@ -53,6 +53,7 @@ object Probe {
       "dsir_select_sampled",
       "bm25_search", "embed_kmeans", "embed_quantize", "embed_project",
       "pipeline_clean", "pipeline_full", "pipeline_scrub",
+      "pipeline_ingest",
       "wordcount_salted",
       "multimodal_decode",
       "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",

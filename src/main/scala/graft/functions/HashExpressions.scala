@@ -245,6 +245,133 @@ object HashKernels {
       java.lang.Long.bitCount(stopMask).toLong))
   }
 
+  /** One-pass Gopher REPETITION statistics (Rae et al. 2021 §A1.1,
+    * the n-gram half of the rule table): 10 integer values
+    * [word_chars, top2, top3, top4, dup5, dup6, dup7, dup8, dup9,
+    * dup10] where topN = the maximum over word-N-grams of
+    * occurrences × gram characters (the deterministic tie-free form
+    * of "fraction of characters in the most frequent n-gram") and
+    * dupN = characters of tokens covered by ANY N-gram occurring ≥ 2
+    * times, overlapping positions counted ONCE (the paper's
+    * duplicate-n-gram character fraction). All masses are integer
+    * character counts over the same token stream as [[gopherStats]]
+    * (the TOKS artifact contract), so thresholds apply by integer
+    * cross-multiplication against word_chars downstream.
+    */
+  def gopherRepetition(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    var lo = 0; var hi = bytes.length
+    while (lo < hi && bytes(lo) == 0x20) lo += 1
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    @inline def isWs(b: Int): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    // token list with the regexp_split artifacts (leading/trailing
+    // empty elements), as Strings for exact gram equality
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    if (lo == hi) toks += ""
+    else {
+      if (isWs(bytes(lo) & 0xff)) toks += ""
+      var i = lo
+      while (i < hi) {
+        if (!isWs(bytes(i) & 0xff)) {
+          val s = i
+          while (i < hi && !isWs(bytes(i) & 0xff)) i += 1
+          toks += new String(bytes, s, i - s, "UTF-8")
+        } else i += 1
+      }
+      if (isWs(bytes(hi - 1) & 0xff)) toks += ""
+    }
+    val T = toks.length
+    val lens = new Array[Long](T)
+    var wordChars = 0L
+    var ti = 0
+    while (ti < T) {
+      lens(ti) = toks(ti).codePointCount(0, toks(ti).length).toLong
+      wordChars += lens(ti)
+      ti += 1
+    }
+    // intern tokens to dense ids: gram keys become char-packed id
+    // strings (exact equality, no token-text copying per gram). Ids
+    // pack 1 char each below 65536 distinct tokens, 2 chars above
+    // (still exact; chunked corpora never reach the wide path).
+    val ids = new Array[Int](T)
+    locally {
+      val intern = new java.util.HashMap[String, Integer](T * 2)
+      var q = 0
+      while (q < T) {
+        val nid = Integer.valueOf(intern.size())
+        val prev = intern.putIfAbsent(toks(q), nid)
+        ids(q) = if (prev == null) nid.intValue() else prev.intValue()
+        q += 1
+      }
+    }
+    val wide = T >= 65536
+    @inline def putId(buf: Array[Char], pos: Int, id: Int): Int =
+      if (wide) {
+        buf(pos) = (id & 0xffff).toChar
+        buf(pos + 1) = (id >>> 16).toChar
+        pos + 2
+      } else { buf(pos) = id.toChar; pos + 1 }
+    val out = new Array[Long](10)
+    out(0) = wordChars
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    var slot = 1
+    var n = 2
+    while (n <= 10) { // top mass for n=2..4, dup mass for n=5..10
+      if (T >= n) {
+        counts.clear()
+        val buf = new Array[Char](if (wide) 2 * n else n)
+        var gchars = 0L
+        var j = 0
+        while (j < n) { gchars += lens(j); j += 1 }
+        var i2 = 0
+        while (i2 + n <= T) {
+          var pos = 0
+          var j2 = i2
+          while (j2 < i2 + n) { pos = putId(buf, pos, ids(j2)); j2 += 1 }
+          val key = new String(buf, 0, pos)
+          val e = counts.get(key)
+          if (e == null) counts.put(key, Array(1L, gchars))
+          else e(0) += 1 // same key => same tokens => same gchars
+          if (i2 + n < T) gchars += lens(i2 + n) - lens(i2)
+          i2 += 1
+        }
+        if (n <= 4) {
+          var best = 0L
+          val it = counts.values().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val m = e(0) * e(1)
+            if (m > best) best = m
+          }
+          out(slot) = best
+        } else {
+          val covered = new Array[Boolean](T)
+          var i3 = 0
+          while (i3 + n <= T) {
+            var pos = 0
+            var j4 = i3
+            while (j4 < i3 + n) { pos = putId(buf, pos, ids(j4)); j4 += 1 }
+            if (counts.get(new String(buf, 0, pos))(0) >= 2) {
+              var p = i3
+              while (p < i3 + n) { covered(p) = true; p += 1 }
+            }
+            i3 += 1
+          }
+          var mass = 0L
+          var p2 = 0
+          while (p2 < T) {
+            if (covered(p2)) mass += lens(p2)
+            p2 += 1
+          }
+          out(slot) = mass
+        }
+      }
+      slot += 1
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Positional agreement of two equal-length long arrays — the
     * MinHash signature-agreement count (est jaccard = agree / k).
     * Unequal lengths compare the common prefix (callers pin k).
@@ -1186,6 +1313,20 @@ case class GopherStats(child: Expression, stops: String)
     copy(child = c)
 }
 
+/** One-pass Gopher repetition statistics (codegen'd). */
+case class GopherRepetition(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.gopherRepetition(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.gopherRepetition($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Positional signature agreement (codegen'd): the column-space
   * MinHash estimate kernel for the streaming incremental screen,
   * where a typed flatMap would strip the watermark.
@@ -1224,6 +1365,8 @@ object HashFunctions {
       ColumnBridge.expression(b)))
   def gopher_stats(text: Column, stops: String): Column =
     ColumnBridge.column(GopherStats(ColumnBridge.expression(text), stops))
+  def gopher_repetition(text: Column): Column =
+    ColumnBridge.column(GopherRepetition(ColumnBridge.expression(text)))
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
   def simhash64(tokens: Column): Column =

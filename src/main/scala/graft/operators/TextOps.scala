@@ -90,6 +90,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T31 — the GOPHER REPETITION rules (the n-gram half of Rae et
+    * al. 2021 §A1.1, completing T30): per-doc character masses of
+    * repeated word n-grams — `topN` (n = 2, 3, 4) = max over n-grams
+    * of occurrences × gram characters; `dupN` (n = 5..10) =
+    * characters covered by any n-gram occurring ≥ 2 times,
+    * overlapping positions counted once. `keep_rep` applies the
+    * paper's nine thresholds (0.20/0.18/0.16 and 0.15 down to 0.10)
+    * by integer cross-multiplication against word_chars — exact,
+    * hash-checkable end to end. One codegen'd kernel pass per doc;
+    * scan-bound projection like T30.
+    */
+  def gopherRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRepetitionDocs(documents(spark, sfDir))
+
+  def gopherRepetitionDocs(docs: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.gopher_repetition
+    val g = (i: Int) => element_at(col("gr"), i)
+    val names = Seq("word_chars", "top2", "top3", "top4", "dup5",
+      "dup6", "dup7", "dup8", "dup9", "dup10")
+    // thresholds as exact rationals: mass/word_chars <= num/den
+    //   <=> mass * den <= word_chars * num
+    val thresholds = Seq( // (column index in `names`, num, den)
+      (1, 1L, 5L), (2, 9L, 50L), (3, 4L, 25L), // top2/3/4
+      (4, 3L, 20L), (5, 7L, 50L), (6, 13L, 100L), // dup5/6/7
+      (7, 3L, 25L), (8, 11L, 100L), (9, 1L, 10L)) // dup8/9/10
+    val keep = thresholds
+      .map { case (idx, num, den) =>
+        col(names(idx)) * den <= col("word_chars") * num
+      }
+      .reduce(_ && _)
+    docs
+      .select(col("doc_id"), gopher_repetition(col("text")).as("gr"))
+      .select(col("doc_id") +:
+        names.zipWithIndex.map { case (nm, i) => g(i + 1).as(nm) }: _*)
+      .withColumn("keep_rep", keep.cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T3 — heuristic language ID. */
   def textLangId(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)

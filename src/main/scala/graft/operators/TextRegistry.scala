@@ -141,11 +141,69 @@ object TextRegistry {
     // rows-only: the near-screen stage has no SQL oracle (see
     // dedup_incremental); PipelineSpec pins stagewise set-equality
     // against the standalone screens + gate and share-on/off equality
-    "pipeline_ingest" -> (Pipeline.pipelineIngestQuery _)
+    "pipeline_ingest" -> (Pipeline.pipelineIngestQuery _),
+    "gopher_repetition" -> (TextOps.gopherRepetition _)
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
   private val TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+  // Generated per-n CTE blocks for the gopher_repetition oracle:
+  // grams via zipped unnests over the position range, counts, then
+  // top mass (n ≤ 4) or covered-position dup mass (n ≥ 5).
+  private def grBlock(n: Int): String = {
+    val base = s"""g$n AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, greatest(len(toks)-$n+2, 1))) AS i,
+      |    unnest(list_transform(range(1, greatest(len(toks)-$n+2, 1)),
+      |      i -> list_aggregate(list_slice(toks, i, i+$n-1),
+      |             'string_agg', chr(0)))) AS gram,
+      |    unnest(list_transform(range(1, greatest(len(toks)-$n+2, 1)),
+      |      i -> list_sum(list_slice(lens, i, i+$n-1))))::BIGINT AS gchars
+      |  FROM tl),
+      |c$n AS (SELECT doc_id, gram, count(*) AS cnt, max(gchars) AS gch
+      |  FROM g$n GROUP BY doc_id, gram)""".stripMargin
+    if (n <= 4) base + s""",
+      |top$n AS (SELECT doc_id, max(cnt*gch) AS mass FROM c$n
+      |  GROUP BY doc_id)""".stripMargin
+    else base + s""",
+      |cov$n AS (SELECT DISTINCT g.doc_id, g.i + x.p AS p
+      |  FROM g$n g JOIN c$n c ON g.doc_id = c.doc_id AND g.gram = c.gram
+      |  CROSS JOIN (SELECT unnest(range(0, $n)) AS p) x
+      |  WHERE c.cnt >= 2),
+      |dup$n AS (SELECT cov$n.doc_id, SUM(tl.lens[cov$n.p])::BIGINT AS dmass
+      |  FROM cov$n JOIN tl ON cov$n.doc_id = tl.doc_id
+      |  GROUP BY cov$n.doc_id)""".stripMargin
+  }
+
+  private def gopherRepetitionSql: String = {
+    val blocks = (2 to 10).map(grBlock).mkString(",\n")
+    val masses = (2 to 4).map(n =>
+      s"COALESCE(top$n.mass, 0) AS top$n") ++ (5 to 10).map(n =>
+      s"COALESCE(dup$n.dmass, 0) AS dup$n")
+    val joins = (2 to 4).map(n =>
+      s"LEFT JOIN top$n ON tl.doc_id = top$n.doc_id") ++ (5 to 10).map(n =>
+      s"LEFT JOIN dup$n ON tl.doc_id = dup$n.doc_id")
+    // thresholds (num, den) aligned with TextOps.gopherRepetitionDocs
+    val th = Seq("top2" -> ((1, 5)), "top3" -> ((9, 50)),
+      "top4" -> ((4, 25)), "dup5" -> ((3, 20)), "dup6" -> ((7, 50)),
+      "dup7" -> ((13, 100)), "dup8" -> ((3, 25)), "dup9" -> ((11, 100)),
+      "dup10" -> ((1, 10)))
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |tl AS (SELECT doc_id, toks,
+       |  list_transform(toks, w -> length(w)) AS lens FROM t),
+       |$blocks,
+       |m AS (SELECT tl.doc_id,
+       |  COALESCE(list_sum(tl.lens), 0)::BIGINT AS word_chars,
+       |  ${masses.mkString(",\n  ")}
+       | FROM tl ${joins.mkString(" ")})
+       |SELECT doc_id, word_chars, top2, top3, top4,
+       | dup5, dup6, dup7, dup8, dup9, dup10,
+       | CASE WHEN ${th.map { case (c, (num, den)) =>
+      s"$c * $den <= word_chars * $num" }.mkString("\n  AND ")}
+       | THEN 1 ELSE 0 END AS keep_rep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
   private val SH =
     s"""list_distinct(list_transform(range(1, greatest(len($TOKS)-1, 1)),
        | i -> concat_ws(' ', ($TOKS)[i], ($TOKS)[i+1], ($TOKS)[i+2])))""".stripMargin
@@ -312,6 +370,7 @@ object TextRegistry {
         | CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fp)
         |      THEN 1 ELSE 0 END AS is_dup
         |FROM f ORDER BY doc_id""".stripMargin,
+    "gopher_repetition" -> gopherRepetitionSql,
     "quality_gopher" ->
       s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks,
          |  string_split(text, chr(10)) AS lines FROM documents),

@@ -36,6 +36,37 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(stats("héllo") == Seq(1, 5, 1, 1, 1, 0, 0, 0))
   }
 
+  test("gopherRepetition kernel: hand-pinned masses on crafted documents") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    def rep(t: String): Seq[Long] =
+      graft.functions.HashKernels.gopherRepetition(u8(t))
+        .toLongArray().toSeq
+    // [word_chars, top2, top3, top4, dup5..dup10]
+    // 'a b' x3 (2 chars) = 6; 'a b a' x2 (3 chars) = 6;
+    // 'a b a b' x2 (4 chars) = 8; no 5-gram repeats
+    assert(rep("a b a b a b") ==
+      Seq(6, 6, 6, 8, 0, 0, 0, 0, 0, 0))
+    // repeated 5-gram covers its tokens once each; 'q' uncovered
+    assert(rep("x1 x2 x3 x4 x5 q x1 x2 x3 x4 x5").take(5) ==
+      Seq(21, 8, 12, 16, 20))
+    // overlapping occurrences of the same 5-gram count positions ONCE
+    val allR = rep("r r r r r r")
+    assert(allR(0) == 6 && allR(4) == 6,
+      s"overlap must not double-count: $allR")
+    // short doc: no grams of any size
+    assert(rep("solo") == Seq(4, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+  }
+
+  test("gopherRepetition keep_rep on planted clean vs template documents") {
+    import spark.implicits._
+    val clean = (1 to 60).map(i => s"w$i").mkString(" ")
+    val loopy = ("spam ham " * 30).trim // top2 mass >> 20% of chars
+    val df = Seq((1L, clean), (2L, loopy)).toDF("doc_id", "text")
+    val got = TextOps.gopherRepetitionDocs(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep_rep")).toMap
+    assert(got == Map(1L -> 1, 2L -> 0), s"$got")
+  }
+
   test("qualityGopher keep decision on planted pass/fail documents") {
     import spark.implicits._
     val pass = "the and " + Array.fill(58)("word").mkString(" ")
