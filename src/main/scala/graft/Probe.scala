@@ -56,7 +56,7 @@ object Probe {
       "pipeline_ingest",
       "wordcount_salted",
       "multimodal_decode",
-      "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
+      "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_indexed", "ann_pq",
       "q_events_tumbling", "q_events_sliding", "q_sessionize",
       "q_conditional_agg")
 

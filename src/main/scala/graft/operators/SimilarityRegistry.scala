@@ -22,6 +22,10 @@ object SimilarityRegistry {
     "sim_join_lsh" -> ((s, d) => Similarity.simJoinLsh(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    // rows-only like ann_ivf (float cosine ranks); SimilaritySpec
+    // pins the indexed search BIT-equal to the monolithic annIvf
+    // under one deterministic fit
+    "ann_ivf_indexed" -> ((s, d) => Similarity.annIvfIndexedQuery(s, d)),
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     // oracle-checked distributed k-means: decimal-exact centroid

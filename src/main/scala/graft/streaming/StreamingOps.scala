@@ -633,4 +633,56 @@ object StreamingOps {
     exact.unionByName(near)
       .dropDuplicatesWithinWatermark("doc_id", "match_kind", "ref_id")
   }
+
+  case class StreamVec(query_id: Long, ts: Timestamp, emb: Array[Float])
+
+  /** X17 — STREAMING ANN SCREEN against the persisted IVF index
+    * (S12): each arriving vector probes its `nProbe` nearest
+    * centroids (the BOUNDED centroid export rides in the closure —
+    * the nbModel convention; the corpus-sized assignment lists stay
+    * a distributed table, stream-static joined) and emits every
+    * indexed vector in the probed cells with cosine ≥ `minCosine`.
+    * Threshold search, not top-k: per-query ranking would need a
+    * stateful aggregate; the retrieval contract at ingest is "give
+    * me everything similar enough", and a consumer ranks. Stateless
+    * end to end — the probe fan-out is a typed flatMap (no
+    * watermark needed, nothing stateful downstream), candidate
+    * scoring is the codegen'd cosine kernel after the cell join.
+    * Probe selection uses the same (cosine DESC, cell_id ASC) order
+    * as [[graft.operators.Similarity.annIvfIndexed]].
+    */
+  def streamingAnnScreen(queries: Dataset[StreamVec],
+      centroidsExport: Array[(Long, Array[Double])], assigned: DataFrame,
+      nProbe: Int = 2, minCosine: Double = 0.8): DataFrame = {
+    require(centroidsExport.nonEmpty, "empty centroid export")
+    require(nProbe >= 1 && nProbe <= centroidsExport.length,
+      s"nProbe $nProbe out of range for ${centroidsExport.length} cells")
+    import queries.sparkSession.implicits._
+    import graft.functions.VectorFunctions._
+    val banded = queries.flatMap { q =>
+      // cosine vs each exported centroid, fixed accumulation order
+      val scored = centroidsExport.map { case (cellId, c) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val n = math.min(q.emb.length, c.length)
+        while (i < n) {
+          val a = q.emb(i).toDouble; val b = c(i)
+          dot += a * b; na += a * a; nb += b * b
+          i += 1
+        }
+        val cos =
+          if (na == 0.0 || nb == 0.0) 0.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
+        (cellId, cos)
+      }
+      scored.sortBy { case (cellId, cos) => (-cos, cellId) }
+        .take(nProbe)
+        .map { case (cellId, _) => (q.query_id, q.ts, q.emb, cellId) }
+    }.toDF("query_id", "ts", "q_emb", "cell_id")
+    banded.join(assigned, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("query_id"), col("ts"), col("vec_id"), col("cosine"))
+  }
 }

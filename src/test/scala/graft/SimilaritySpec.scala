@@ -187,4 +187,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs.nonEmpty && diffs.sum / diffs.size < 0.25,
       s"mean cosine distortion ${diffs.sum / diffs.size} too high")
   }
+
+  test("persisted IVF index answers bit-equal to the monolithic annIvf") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString
+    graft.operators.Similarity.saveIvfIndex(spark, sf, dir)
+    val (centroids, assigned) =
+      graft.operators.Similarity.loadIvfIndex(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    val indexed = rows(graft.operators.Similarity
+      .annIvfIndexed(centroids, assigned))
+    val direct = rows(graft.operators.Similarity.annIvf(spark, sf))
+    assert(indexed == direct,
+      "indexed search must reproduce the monolithic IVF exactly")
+    assert(indexed.nonEmpty)
+    // budgeted centroid export is loud past the cap
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.ivfCentroidsExport(centroids,
+        maxCells = 2)
+    }
+    assert(e.getMessage.contains("maxCells"))
+  }
+
+  test("loadIvfIndex refuses foreign tables") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bad_ivf").toString
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$dir/centroids")
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$dir/assigned")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.loadIvfIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("not an IVF"))
+  }
 }

@@ -564,4 +564,65 @@ class StreamingSpec extends AnyFunSuite {
         s"stream-only=${gotNear -- batchNear} batch-only=${batchNear -- gotNear}")
     } finally q.stop()
   }
+
+  test("streaming ANN screen matches an in-driver reference over the persisted IVF index") {
+    import graft.streaming.StreamingOps.StreamVec
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_x17_ivf").toString
+    Similarity.saveIvfIndex(spark, sf, dir)
+    val (centroids, assigned) = Similarity.loadIvfIndex(spark, dir)
+    val export = Similarity.ivfCentroidsExport(centroids)
+    val nProbe = 2; val minCosine = 0.5
+
+    // queries = 5 corpus vectors under fresh ids (no self-filter hit)
+    val corpus = assigned.select("vec_id", "emb", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    val queries = corpus.take(5).zipWithIndex.map { case ((_, e, _), i) =>
+      StreamVec(500000L + i, ts(i), e) }
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def cosD(a: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, c.length)) {
+        dot += a(i).toDouble * c(i); na += a(i).toDouble * a(i)
+        nb += c(i) * c(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = queries.flatMap { q =>
+      val cells = export.map { case (id, c) => (id, cosD(q.emb, c)) }
+        .sortBy { case (id, d) => (-d, id) }.take(nProbe).map(_._1).toSet
+      corpus.filter { case (_, _, cell) => cells(cell) }
+        .map { case (vid, e, _) => (q.query_id, vid, cos(q.emb, e)) }
+        .filter(_._3 >= minCosine)
+        .map { case (qid, vid, _) => (qid, vid) }
+    }.toSet
+    assert(expected.nonEmpty, "vacuous: no candidate clears minCosine")
+
+    val in = MemoryStream[StreamVec]
+    val q = StreamingOps.streamingAnnScreen(in.toDS(), export, assigned,
+        nProbe, minCosine)
+      .writeStream.format("memory").queryName("annscreen_out")
+      .outputMode("append").start()
+    try {
+      in.addData(queries.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("annscreen_out").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+        .toSet
+      assert(got == expected,
+        s"stream-only=${got -- expected} ref-only=${expected -- got}")
+    } finally q.stop()
+  }
 }
