@@ -144,9 +144,12 @@ object HashKernels {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Byte]]]()
 
   /** One-pass Gopher rule statistics (Rae et al. 2021, §A1.1) —
-    * the eight integer counts the document-level quality rules
+    * the ten integer counts the document-level quality rules
     * threshold: [n_words, word_chars, n_alpha_words, n_lines,
-    * n_distinct_lines, n_ellipsis_lines, n_symbols, stop_hits].
+    * n_distinct_lines, n_ellipsis_lines, n_symbols, stop_hits,
+    * line_chars, dup_line_chars] — the last two carry the
+    * CHAR-WEIGHTED duplicate-line fraction (every copy of a repeated
+    * line counts, the paper's character form; code points).
     *
     * Tokenization mirrors [[wsTokenCount]]'s DuckDB parity EXACTLY
     * (trim strips 0x20 only; empty input yields the one empty
@@ -213,16 +216,24 @@ object HashKernels {
       }
     }
     // ---- line pass (raw text, split on 0x0a) ----
-    val seen = new java.util.HashSet[String]()
-    var nLines = 0L; var distinctLines = 0L; var ellipsisLines = 0L
+    // two sub-passes so the char-weighted duplicate fraction counts
+    // EVERY copy of a repeated line (the paper's character form):
+    // first count line occurrences, then weigh
+    val lineCounts = new java.util.HashMap[String, Array[Long]]()
+    val lineList = new scala.collection.mutable.ArrayBuffer[String]()
+    var nLines = 0L; var ellipsisLines = 0L
+    var lineChars = 0L; var dupLineChars = 0L
     var s = 0
     var p = 0
     val n = bytes.length
     while (p <= n) {
       if (p == n || bytes(p) == 0x0a) {
         nLines += 1
-        if (seen.add(new String(bytes, s, p - s, "UTF-8")))
-          distinctLines += 1
+        val line = new String(bytes, s, p - s, "UTF-8")
+        lineList += line
+        val e0 = lineCounts.get(line)
+        if (e0 == null) lineCounts.put(line, Array(1L))
+        else e0(0) += 1
         var e = p
         while (e > s && bytes(e - 1) == 0x20) e -= 1
         if (e - s >= 3 && bytes(e - 1) == '.' && bytes(e - 2) == '.' &&
@@ -230,6 +241,12 @@ object HashKernels {
         s = p + 1
       }
       p += 1
+    }
+    val distinctLines = lineCounts.size().toLong
+    lineList.foreach { line =>
+      val chars = line.codePointCount(0, line.length).toLong
+      lineChars += chars
+      if (lineCounts.get(line)(0) >= 2) dupLineChars += chars
     }
     // ---- symbol pass (raw text) ----
     var symbols = 0L
@@ -242,7 +259,8 @@ object HashKernels {
     }
     new GenericArrayData(Array(nWords, wordChars, alphaWords, nLines,
       distinctLines, ellipsisLines, symbols,
-      java.lang.Long.bitCount(stopMask).toLong))
+      java.lang.Long.bitCount(stopMask).toLong, lineChars,
+      dupLineChars))
   }
 
   /** One-pass Gopher REPETITION statistics (Rae et al. 2021 §A1.1,

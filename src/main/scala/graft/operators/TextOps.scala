@@ -76,7 +76,8 @@ object TextOps {
         g(1).as("n_words"), g(2).as("word_chars"),
         g(3).as("n_alpha_words"), g(4).as("n_lines"),
         g(5).as("n_distinct_lines"), g(6).as("n_ellipsis_lines"),
-        g(7).as("n_symbols"), g(8).as("stop_hits"))
+        g(7).as("n_symbols"), g(8).as("stop_hits"),
+        g(9).as("line_chars"), g(10).as("dup_line_chars"))
       .withColumn("keep",
         (col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("n_words") * 3 <= col("word_chars") &&
@@ -86,7 +87,9 @@ object TextOps {
           col("n_alpha_words") * 5 >= col("n_words") * 4 &&
           col("stop_hits") >= 2 &&
           (col("n_lines") - col("n_distinct_lines")) * 10 <=
-            col("n_lines") * 3).cast("int"))
+            col("n_lines") * 3 &&
+          // the paper's char-weighted form: dup-line chars <= 20%
+          col("dup_line_chars") * 5 <= col("line_chars")).cast("int"))
       .orderBy(col("doc_id"))
   }
 

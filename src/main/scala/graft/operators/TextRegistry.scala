@@ -388,10 +388,17 @@ object TextRegistry {
          |    + len(string_split(text, '...')) - 1) AS n_symbols,
          |  (list_contains(list_transform(toks, w -> lower(w)), 'the')::BIGINT
          |   + list_contains(list_transform(toks, w -> lower(w)), 'a')::BIGINT)
-         |    AS stop_hits
+         |    AS stop_hits,
+         |  COALESCE(list_sum(list_transform(lines, l -> length(l))), 0)::BIGINT
+         |    AS line_chars,
+         |  COALESCE(list_sum(list_transform(
+         |    list_filter(lines, l ->
+         |      len(list_filter(lines, x -> x = l)) >= 2),
+         |    l -> length(l))), 0)::BIGINT AS dup_line_chars
          | FROM t)
          |SELECT doc_id, n_words, word_chars, n_alpha_words, n_lines,
          | n_distinct_lines, n_ellipsis_lines, n_symbols, stop_hits,
+         | line_chars, dup_line_chars,
          | CASE WHEN n_words >= 50 AND n_words <= 100000
          |  AND n_words * 3 <= word_chars AND word_chars <= n_words * 10
          |  AND n_symbols * 10 <= n_words
@@ -399,6 +406,7 @@ object TextRegistry {
          |  AND n_alpha_words * 5 >= n_words * 4
          |  AND stop_hits >= 2
          |  AND (n_lines - n_distinct_lines) * 10 <= n_lines * 3
+         |  AND dup_line_chars * 5 <= line_chars
          | THEN 1 ELSE 0 END AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
     "dedup_index_build" ->

@@ -20,20 +20,22 @@ class QualityOpsSpec extends AnyFunSuite {
       graft.functions.HashKernels.gopherStats(u8(t), gopherList)
         .toLongArray().toSeq
     // [n_words, word_chars, n_alpha_words, n_lines, n_distinct_lines,
-    //  n_ellipsis_lines, n_symbols, stop_hits]
+    //  n_ellipsis_lines, n_symbols, stop_hits, line_chars,
+    //  dup_line_chars]
     // tokenizer quirks mirror the DuckDB regexp_split contract
-    assert(stats("  a bb\tccc ") == Seq(3, 6, 3, 1, 1, 0, 0, 0))
-    assert(stats("") == Seq(1, 0, 0, 1, 1, 0, 0, 0))
-    assert(stats("\t") == Seq(2, 0, 0, 1, 1, 0, 0, 0)) // ['',''] split
+    assert(stats("  a bb\tccc ") == Seq(3, 6, 3, 1, 1, 0, 0, 0, 11, 0))
+    assert(stats("") == Seq(1, 0, 0, 1, 1, 0, 0, 0, 0, 0))
+    assert(stats("\t") == Seq(2, 0, 0, 1, 1, 0, 0, 0, 1, 0)) // ['','']
     // distinct stop-list presence, case-folded ('and' counts once)
-    assert(stats("The and AND of") == Seq(4, 11, 4, 1, 1, 0, 0, 3))
-    // lines: dup pair, one ellipsis line, trailing empty line
+    assert(stats("The and AND of") == Seq(4, 11, 4, 1, 1, 0, 0, 3, 14, 0))
+    // lines: dup pair (BOTH copies weigh into dup_line_chars — the
+    // paper's char form), one ellipsis line, trailing empty line
     assert(stats("dup\ndup\nuniq...  \n") ==
-      Seq(4, 13, 3, 4, 3, 1, 1, 0))
+      Seq(4, 13, 3, 4, 3, 1, 1, 0, 15, 6))
     // symbols: two '#' plus ONE non-overlapping '....' occurrence
-    assert(stats("#a#b....x") == Seq(1, 9, 1, 1, 1, 0, 3, 0))
+    assert(stats("#a#b....x") == Seq(1, 9, 1, 1, 1, 0, 3, 0, 9, 0))
     // word_chars counts code points, not bytes
-    assert(stats("héllo") == Seq(1, 5, 1, 1, 1, 0, 0, 0))
+    assert(stats("héllo") == Seq(1, 5, 1, 1, 1, 0, 0, 0, 5, 0))
   }
 
   test("gopherRepetition kernel: hand-pinned masses on crafted documents") {
