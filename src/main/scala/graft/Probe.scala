@@ -45,6 +45,7 @@ object Probe {
       "bpe_train", "pack_sequences_bpe",
       "line_dedup", "substring_scrub", "dedup_apply_best",
       "dedup_index_build", "dedup_incremental_exact", "dedup_incremental",
+      "dedup_incremental_verified",
       "media_phash", "media_dedup",
       "lm_doc_stats", "lm_perplexity",
       "lm2_doc_stats", "lm2_perplexity", "ppl_select",

@@ -168,8 +168,17 @@ object HashKernels {
     * (the termCounts memo).
     */
   def gopherStats(text: UTF8String, stops: String): ArrayData = {
-    val stopWords = gopherStopTables.computeIfAbsent(stops,
-      sp => sp.split(" ").filter(_.nonEmpty).map(_.getBytes("UTF-8")))
+    val stopWords = gopherStopTables.computeIfAbsent(stops, { sp =>
+      val arr = sp.split(" ").filter(_.nonEmpty).map(_.getBytes("UTF-8"))
+      // the stop-hit accumulator is a 64-bit presence mask (1L << w):
+      // a longer list would silently alias words at w mod 64. Checked
+      // HERE so direct kernel/expression users fail as loudly as the
+      // TextOps.qualityGopherDocs entry point.
+      require(arr.length <= 64,
+        s"gopher stop list has ${arr.length} words; the presence " +
+          "bitmask supports at most 64")
+      arr
+    })
     val bytes = text.getBytes
     // ---- token pass (trimmed region) ----
     var lo = 0; var hi = bytes.length
@@ -261,6 +270,188 @@ object HashKernels {
       distinctLines, ellipsisLines, symbols,
       java.lang.Long.bitCount(stopMask).toLong, lineChars,
       dupLineChars))
+  }
+
+  // per-spec parsed badword lists for c4Stats (the termTables idiom)
+  private val c4BadwordTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Byte]]]()
+
+  /** The C4 policy-line substrings (Raffel et al. 2020 §2.2 as
+    * released in the TFDS c4 cleaning code): a line carrying any of
+    * these is dropped.
+    */
+  private val c4PolicyBytes: Array[Array[Byte]] = Array(
+    "terms of use", "privacy policy", "cookie policy", "uses cookies",
+    "use of cookies", "use cookies").map(_.getBytes("UTF-8"))
+
+  /** ASCII-lowered containment scan: does `hay[from, to)` contain
+    * `needle` (already lowercase ASCII)? Lowering maps only A–Z; the
+    * oracle's `contains(lower(..))` agrees on any input where matches
+    * are formed from ASCII letters (all published C4 patterns are).
+    */
+  private def containsLowered(hay: Array[Byte], from: Int, to: Int,
+      needle: Array[Byte]): Boolean = {
+    val m = needle.length
+    if (m == 0) return true
+    var i = from
+    val last = to - m
+    while (i <= last) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        var c = hay(i + j) & 0xff
+        if (c >= 'A' && c <= 'Z') c += 32
+        if (c != needle(j)) ok = false
+        j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
+  /** One-pass C4 cleaning statistics (Raffel et al. 2020 §2.2, with
+    * the TFDS-released constants: ≥ 5 words per line, ≥ 3 sentences
+    * per page) — eleven integer counts per document, each
+    * hash-checkable against its DuckDB mirror:
+    * [n_lines, n_kept_lines, n_sentences, kept_chars, n_noterm_lines,
+    * n_short_lines, n_js_lines, n_policy_lines, has_lorem, has_brace,
+    * has_badword].
+    *
+    * Line rules, applied in attribution order to each 0x0a-split RAW
+    * line (trailing empty line included, the string_split contract):
+    *   1. after right-trimming 0x20, must end in a terminal mark
+    *      ('.', '?', '!', '"') and must NOT end in "..." → else
+    *      n_noterm_lines;
+    *   2. whitespace word count (the [[gopherStats]] trim/split
+    *      convention — trim strips 0x20 only, interior runs split on
+    *      [0x09–0x0d, 0x20]) must be ≥ `minWords` → else
+    *      n_short_lines;
+    *   3. lowered line must not contain "javascript" → else
+    *      n_js_lines;
+    *   4. lowered line must not contain any [[c4PolicyBytes]] policy
+    *      substring → else n_policy_lines.
+    * Kept lines contribute kept_chars (code points of the raw line)
+    * and n_sentences (count of '.', '!', '?' bytes — the
+    * SQL-stateable stand-in for a sentence tokenizer; multibyte
+    * continuation bytes can never alias the ASCII marks).
+    *
+    * Page flags, over the RAW full text: has_lorem = lowered text
+    * contains "lorem ipsum"; has_brace = any 0x7b byte; has_badword =
+    * any whitespace token equals (ASCII-lowered) a word of the
+    * space-separated `badwords` list (empty list → never). The keep
+    * decision itself is taken in TextOps.qualityC4Docs by integer
+    * comparison so every threshold is hash-exact.
+    */
+  def c4Stats(text: UTF8String, badwords: String, minWords: Int): ArrayData = {
+    val bad = c4BadwordTables.computeIfAbsent(badwords,
+      sp => sp.split(" ").filter(_.nonEmpty).map(_.getBytes("UTF-8")))
+    val js = "javascript".getBytes("UTF-8")
+    val lorem = "lorem ipsum".getBytes("UTF-8")
+    val bytes = text.getBytes
+    val n = bytes.length
+    @inline def isWs(b: Int): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+    var nLines = 0L; var kept = 0L; var sentences = 0L; var keptChars = 0L
+    var noTerm = 0L; var short = 0L; var jsLines = 0L; var policyLines = 0L
+
+    var s = 0
+    var p = 0
+    while (p <= n) {
+      if (p == n || bytes(p) == 0x0a) {
+        nLines += 1
+        // right-trim 0x20 for the end-mark test
+        var e = p
+        while (e > s && bytes(e - 1) == 0x20) e -= 1
+        val lastB = if (e > s) bytes(e - 1) & 0xff else 0
+        val isTerm = lastB == '.' || lastB == '?' || lastB == '!' ||
+          lastB == '"'
+        val isEllipsis = e - s >= 3 && bytes(e - 1) == '.' &&
+          bytes(e - 2) == '.' && bytes(e - 3) == '.'
+        if (!isTerm || isEllipsis) noTerm += 1
+        else {
+          // word count with the gopherStats trim/split convention
+          var lo = s; var hi = p
+          while (lo < hi && bytes(lo) == 0x20) lo += 1
+          while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+          var words = 0L
+          if (lo == hi) words = 1
+          else {
+            if (isWs(bytes(lo) & 0xff)) words += 1
+            if (isWs(bytes(hi - 1) & 0xff)) words += 1
+            var i = lo
+            while (i < hi) {
+              if (!isWs(bytes(i) & 0xff)) {
+                while (i < hi && !isWs(bytes(i) & 0xff)) i += 1
+                words += 1
+              } else i += 1
+            }
+          }
+          if (words < minWords) short += 1
+          else if (containsLowered(bytes, s, p, js)) jsLines += 1
+          else {
+            var hitPolicy = false
+            var pi = 0
+            while (!hitPolicy && pi < c4PolicyBytes.length) {
+              if (containsLowered(bytes, s, p, c4PolicyBytes(pi)))
+                hitPolicy = true
+              pi += 1
+            }
+            if (hitPolicy) policyLines += 1
+            else {
+              kept += 1
+              var i = s
+              while (i < p) {
+                val b = bytes(i) & 0xff
+                if (b == '.' || b == '!' || b == '?') sentences += 1
+                if ((b & 0xc0) != 0x80) keptChars += 1 // code points
+                i += 1
+              }
+            }
+          }
+        }
+        s = p + 1
+      }
+      p += 1
+    }
+
+    // ---- page flags over the raw text ----
+    val hasLorem = if (containsLowered(bytes, 0, n, lorem)) 1L else 0L
+    var hasBrace = 0L
+    var q = 0
+    while (hasBrace == 0L && q < n) {
+      if (bytes(q) == '{') hasBrace = 1L
+      q += 1
+    }
+    var hasBad = 0L
+    if (bad.nonEmpty) {
+      var i = 0
+      while (hasBad == 0L && i < n) {
+        if (!isWs(bytes(i) & 0xff)) {
+          val ts = i
+          while (i < n && !isWs(bytes(i) & 0xff)) i += 1
+          val len = i - ts
+          var w = 0
+          while (hasBad == 0L && w < bad.length) {
+            val bw = bad(w)
+            if (bw.length == len) {
+              var j = 0; var ok = true
+              while (ok && j < len) {
+                var c = bytes(ts + j) & 0xff
+                if (c >= 'A' && c <= 'Z') c += 32
+                if (c != bw(j)) ok = false
+                j += 1
+              }
+              if (ok) hasBad = 1L
+            }
+            w += 1
+          }
+        } else i += 1
+      }
+    }
+
+    new GenericArrayData(Array(nLines, kept, sentences, keptChars,
+      noTerm, short, jsLines, policyLines, hasLorem, hasBrace, hasBad))
   }
 
   /** One-pass Gopher REPETITION statistics (Rae et al. 2021 §A1.1,
@@ -1331,6 +1522,27 @@ case class GopherStats(child: Expression, stops: String)
     copy(child = c)
 }
 
+/** One-pass C4 cleaning statistics (codegen'd): eleven integer counts
+  * per document, each hash-checkable against its DuckDB mirror (see
+  * HashKernels.c4Stats).
+  */
+case class C4Stats(child: Expression, badwords: String, minWords: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.c4Stats(t.asInstanceOf[UTF8String], badwords, minWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference object, never a spliced literal (the TermCounts rule)
+    val badRef = ctx.addReferenceObj("c4Badwords", badwords,
+      "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.c4Stats($c, $badRef, $minWords)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** One-pass Gopher repetition statistics (codegen'd). */
 case class GopherRepetition(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -1385,6 +1597,9 @@ object HashFunctions {
     ColumnBridge.column(GopherStats(ColumnBridge.expression(text), stops))
   def gopher_repetition(text: Column): Column =
     ColumnBridge.column(GopherRepetition(ColumnBridge.expression(text)))
+  def c4_stats(text: Column, badwords: String, minWords: Int): Column =
+    ColumnBridge.column(
+      C4Stats(ColumnBridge.expression(text), badwords, minWords))
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
   def simhash64(tokens: Column): Column =

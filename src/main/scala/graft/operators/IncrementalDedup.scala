@@ -209,6 +209,68 @@ object IncrementalDedup {
       .orderBy(col("doc_id"), col("ref_id"))
   }
 
+  /** D17 — EXACT-VERIFIED near screen: the [[screenNearSigs]] flags
+    * re-verified through the D4 exact sorted-key jaccard, so a
+    * keep/drop decision at the threshold boundary rides the true
+    * jaccard instead of a k-minhash estimate (whose ±2σ at k=32 is
+    * ≈ ±0.18 near j = 0.5 — wide enough to flip verdicts). Mirrors
+    * how [[Dedup.jaccardPairsLsh]] verifies D2's candidates: take
+    * candidates from a LOWER estimate band (threshold − 0.2, ≈ 2.3σ),
+    * fetch the TEXT of flagged docs by id, and keep pairs whose exact
+    * jaccard clears the threshold.
+    *
+    * Scale shape: both text fetches are LEFT SEMI joins against the
+    * distinct flagged ids, so the shingle kernel and the verify join
+    * are bounded by the FLAG volume, not the corpus — the corpus is
+    * scanned (ids only survive pruning) but never re-sketched.
+    * `cand` is consumed three times (two semi-joins + the verify
+    * join): pass a persisted/checkpointed frame when its derivation
+    * is expensive, as [[incrementalNearVerified]] does.
+    *
+    * Equivalence contract (IncrementalDedupSpec): on an old/new
+    * corpus split this equals `minhashPairs(full, minEst =
+    * threshold − 0.2).filter(jaccard ≥ threshold)` restricted to
+    * straddling pairs — same pairs, same estimates, bit-identical
+    * exact jaccard — whenever no bucket cap is breached.
+    */
+  def verifyNearPairs(cand: DataFrame, newBatch: DataFrame,
+      corpus: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val newSets = newBatch
+      .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        shingle_keys(col("text"), lit(""), 3).as("sh_a"))
+    val oldSets = corpus
+      .join(cand.select(col("ref_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("ref_id"),
+        shingle_keys(col("text"), lit(""), 3).as("sh_b"))
+    val inter = sorted_intersect_count(col("sh_a"), col("sh_b"))
+    cand.select(col("doc_id"), col("ref_id"), col("est_jaccard"))
+      .join(newSets, Seq("doc_id"))
+      .join(oldSets, Seq("ref_id"))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ref_id"), col("est_jaccard"),
+        col("jaccard"))
+      .orderBy(col("doc_id"), col("ref_id"))
+  }
+
+  /** Registered `dedup_incremental_verified` (rows-only; spec'd equal
+    * to the monolithic exact-verified pair list restricted to
+    * straddling pairs). The candidate frame is localCheckpointed so
+    * the screen runs ONCE for its three consumers in
+    * [[verifyNearPairs]] (the Pipeline shared-derivation convention).
+    */
+  def incrementalNearVerified(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val nd = newDocs(spark, sfDir)
+    val od = oldDocs(spark, sfDir)
+    val cand = screenNearDocs(nd, buildIndex(od),
+      minEst = math.max(0.0, threshold - 0.2)).localCheckpoint()
+    verifyNearPairs(cand, nd, od, threshold)
+  }
+
   /** Registered `dedup_index_build`: the oracle-checkable face of
     * [[buildIndex]] — fingerprint + shingle-identity count per
     * indexed doc (the signature itself is engine-specific; its

@@ -93,6 +93,93 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T33 — the C4 cleaning rule suite (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2, with the constants of the released TFDS
+    * implementation: ≥ 5 words per retained line, ≥ 3 sentences per
+    * retained page): line-level — keep only lines ending in a
+    * terminal punctuation mark ('.', '?', '!', '"') and not in
+    * "...", with ≥ 5 words, without "javascript", without a policy
+    * substring ("terms of use", "privacy policy", "cookie policy",
+    * "uses cookies", "use of cookies", "use cookies"); page-level —
+    * drop pages containing "lorem ipsum", a curly brace, or any
+    * badword token, and pages whose kept lines carry < 3 sentence
+    * marks. Sentences are counted as '.', '!', '?' occurrences in
+    * kept lines (the SQL-stateable stand-in for the reference's
+    * sentence tokenizer — documented deviation).
+    *
+    * Every statistic is an exact integer from the one-pass `c4_stats`
+    * kernel and every decision an integer comparison, so the whole
+    * row INCLUDING the keep bit hash-checks against the DuckDB
+    * mirror. Scale shape: pure scan-bound projection, no shuffle but
+    * the output sort (the T30 recipe).
+    *
+    * `badWords` parameterizes the paper's blocklist page rule (the
+    * published list is a 1,600-entry external artifact — deployments
+    * supply their own; empty disables the rule). `minLineWords` /
+    * `minSentences` default to the TFDS constants.
+    */
+  def qualityC4(spark: SparkSession, sfDir: String,
+      badWords: Seq[String] = Nil): DataFrame =
+    qualityC4Docs(documents(spark, sfDir), badWords)
+
+  def qualityC4Docs(docs: DataFrame, badWords: Seq[String] = Nil,
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    import graft.functions.HashFunctions.c4_stats
+    require(badWords.forall(w => w.nonEmpty && !w.exists(_.isWhitespace)),
+      "badwords must be non-empty, whitespace-free tokens")
+    val g = (i: Int) => element_at(col("cs"), i)
+    docs
+      .select(col("doc_id"),
+        c4_stats(col("text"), badWords.mkString(" "), minLineWords)
+          .as("cs"))
+      .select(col("doc_id"),
+        g(1).as("n_lines"), g(2).as("n_kept_lines"),
+        g(3).as("n_sentences"), g(4).as("kept_chars"),
+        g(5).as("n_noterm_lines"), g(6).as("n_short_lines"),
+        g(7).as("n_js_lines"), g(8).as("n_policy_lines"),
+        g(9).as("has_lorem"), g(10).as("has_brace"),
+        g(11).as("has_badword"))
+      .withColumn("keep",
+        (col("has_lorem") === 0 && col("has_brace") === 0 &&
+          col("has_badword") === 0 &&
+          col("n_sentences") >= minSentences).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registered `quality_c4`: the sf corpus is single-line word soup
+    * with no punctuation, braces or newlines, so every C4 rule would
+    * be vacuous on the raw table — the query PLANTS a deterministic
+    * doc_id-derived multi-line tail (stated identically in the oracle
+    * SQL; the pii_scrub non-vacuity convention): a terminal-punct
+    * first line (the original text + '.'), an always-dropped short
+    * line, a no-terminal-mark line, an ellipsis-ended line, and
+    * conditional javascript / policy / lorem-ipsum / curly-brace /
+    * badword / quoted lines on coprime doc_id moduli, closing with a
+    * kept '!'-line. Even doc_ids gain a third sentence (the quoted
+    * line), so the ≥ 3-sentence page rule decides both ways.
+    */
+  def qualityC4Query(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = documents(spark, sfDir).select(col("doc_id"), concat(
+      col("text"), lit("."),
+      lit("\nshort line."),
+      lit("\nthis line lacks terminal punctuation"),
+      lit("\nthis one trails off into an ellipsis..."),
+      when(col("doc_id") % 3 === 0,
+        lit("\nthis javascript line has six words.")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 1,
+        lit("\nwe accept the privacy policy today.")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 2,
+        lit("\nlorem ipsum dolor sit amet now.")).otherwise(lit("")),
+      when(col("doc_id") % 6 === 3,
+        lit("\ncurly { brace appears on this page.")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 4,
+        lit("\nbadword one appears right here now.")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        lit("\nhe said \"a quoted line ends well.\"")).otherwise(lit("")),
+      lit("\nanother good line with five words!")).as("text"))
+    qualityC4Docs(planted, badWords = Seq("badword"))
+  }
+
   /** T31 — the GOPHER REPETITION rules (the n-gram half of Rae et
     * al. 2021 §A1.1, completing T30): per-doc character masses of
     * repeated word n-grams — `topN` (n = 2, 3, 4) = max over n-grams

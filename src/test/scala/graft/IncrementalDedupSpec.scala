@@ -55,6 +55,55 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(inc.nonEmpty, "sf corpus should produce straddling near-dups")
   }
 
+  test("verified near screen == monolithic exact jaccard on straddling pairs") {
+    // The D17 contract: candidates from the wider est band
+    // (threshold - 0.2), each verified by the exact sorted-key
+    // jaccard — output must equal minhashPairs' exact-verified pair
+    // list (same band) filtered at the threshold and restricted to
+    // straddling pairs, est AND exact jaccard bit-identical.
+    val mono = MinHashDedup.minhashPairs(spark, sf, minEst = 0.3)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .filter { case (a, b, _, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, e, j) =>
+        if (a % 5 == 0) (a, b, e, j) else (b, a, e, j) } // (new, old, ...)
+      .toSet
+    val inc = IncrementalDedup.incrementalNearVerified(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(inc == mono, s"inc-only=${inc -- mono} mono-only=${mono -- inc}")
+    assert(inc.nonEmpty, "sf corpus should produce verified straddling pairs")
+  }
+
+  test("verify tail rejects an estimate-flagged pair below the exact threshold") {
+    // Planted: new doc 10 is a true near-dup of old doc 1 (exact
+    // jaccard > 0.5); new doc 11 shares a prefix with old doc 2 —
+    // enough shingles for the estimate band to flag it, but its exact
+    // jaccard sits below the threshold, so the verify tail must
+    // reject it. Candidates are given directly so the test pins the
+    // TAIL, independent of LSH banding luck.
+    val old = docsDf(Seq(
+      1L -> "a b c d e f g h i j k l m n o p",
+      2L -> "q r s t u v w x y z aa bb cc dd ee ff"))
+    val fresh = docsDf(Seq(
+      10L -> "a b c d e f g h i j k l m n o ZZ",
+      11L -> "q r s t u v w YY XX WW VV UU TT SS RR QQ"))
+    import spark.implicits._
+    val cand = Seq((10L, 1L, 0.9), (11L, 2L, 0.4))
+      .toDF("doc_id", "ref_id", "est_jaccard")
+    val got = IncrementalDedup.verifyNearPairs(cand, fresh, old, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((10L, 1L)),
+      s"tail should keep only the true near-dup: $got")
+    // sanity: the rejected pair DID share shingles (jaccard > 0, just
+    // below threshold), so the rejection is the exact verify working
+    val loose = IncrementalDedup.verifyNearPairs(cand, fresh, old, 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((10L, 1L), (11L, 2L)))
+  }
+
   test("persisted index round-trips bit-exactly through parquet") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_inc_idx").toString

@@ -38,6 +38,83 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(stats("héllo") == Seq(1, 5, 1, 1, 1, 0, 0, 0, 5, 0))
   }
 
+  test("c4Stats kernel: hand-pinned counts on crafted documents") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    def stats(t: String, bad: String = ""): Seq[Long] =
+      graft.functions.HashKernels.c4Stats(u8(t), bad, 5)
+        .toLongArray().toSeq
+    // [n_lines, n_kept_lines, n_sentences, kept_chars, n_noterm,
+    //  n_short, n_js, n_policy, has_lorem, has_brace, has_badword]
+    // one kept line: 5 words, terminal '.', 1 sentence mark
+    assert(stats("one two three four five.") ==
+      Seq(1, 1, 1, 24, 0, 0, 0, 0, 0, 0, 0))
+    // attribution order: noterm beats short ('hi' has no end mark)
+    assert(stats("hi") == Seq(1, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0))
+    // short: terminal mark but < 5 words
+    assert(stats("too short line.") == Seq(1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0))
+    // ellipsis-ended lines are noterm even though they end in '.'
+    assert(stats("one two three four five...") ==
+      Seq(1, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0))
+    // trailing spaces are stripped before the end-mark test
+    assert(stats("one two three four five.   ") ==
+      Seq(1, 1, 1, 27, 0, 0, 0, 0, 0, 0, 0))
+    // quote-terminated line is kept; the interior '.' is its sentence
+    assert(stats("he said \"five words end here.\"") ==
+      Seq(1, 1, 1, 30, 0, 0, 0, 0, 0, 0, 0))
+    // javascript (case-insensitive substring) beats policy
+    assert(stats("this JavaScript privacy policy line ends.") ==
+      Seq(1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0))
+    // policy substring drops the line
+    assert(stats("we accept the privacy policy today.") ==
+      Seq(1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0))
+    // page flags fire on raw text even inside dropped lines
+    assert(stats("Lorem Ipsum { x") == Seq(1, 0, 0, 0, 1, 0, 0, 0, 1, 1, 0))
+    // badword matching is whole-token, ASCII-lowered
+    assert(stats("BadWord one two three four.", "badword") ==
+      Seq(1, 1, 1, 27, 0, 0, 0, 0, 0, 0, 1))
+    assert(stats("badwords one two three four.", "badword") ==
+      Seq(1, 1, 1, 28, 0, 0, 0, 0, 0, 0, 0)) // 'badwords' != 'badword'
+    // multi-line with the string_split trailing-empty convention:
+    // kept + short + trailing '' (noterm); two sentences in kept line
+    assert(stats("a! b? c d e f.\nshort one.\n") ==
+      Seq(3, 1, 3, 14, 1, 1, 0, 0, 0, 0, 0))
+    // kept_chars counts code points, not bytes
+    assert(stats("héllo wörld one two three.") ==
+      Seq(1, 1, 1, 26, 0, 0, 0, 0, 0, 0, 0))
+  }
+
+  test("qualityC4Docs: keep decision over planted page-rule fixtures") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 sentences, no flags -> keep
+      (1L, "one two three four five.\nsix seven eight nine ten!\na b c d e?"),
+      // only 2 sentences -> drop
+      (2L, "one two three four five.\nsix seven eight nine ten!"),
+      // lorem ipsum anywhere -> drop
+      (3L, "one two three four five.\nsix seven eight nine ten!\na b c d e?\nlorem ipsum x"),
+      // curly brace -> drop
+      (4L, "one { two three four five.\nsix seven eight nine ten!\na b c d e?"),
+      // badword token -> drop
+      (5L, "evil one two three four.\nsix seven eight nine ten!\na b c d e?")
+    ).toDF("doc_id", "text")
+    val got = TextOps.qualityC4Docs(docs, badWords = Seq("evil"))
+      .select("doc_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 1), (2L, 0), (3L, 0), (4L, 0), (5L, 0)))
+  }
+
+  test("quality_c4 registered query is non-degenerate at sf") {
+    val df = graft.operators.TextOps.qualityC4Query(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val keeps = rows.map(_.getAs[Int]("keep")).toSet
+    assert(keeps == Set(0, 1), "both keep outcomes must occur")
+    // every drop-attribution column fires somewhere in the fixture
+    for (c <- Seq("n_noterm_lines", "n_short_lines", "n_js_lines",
+        "n_policy_lines", "has_lorem", "has_brace", "has_badword"))
+      assert(rows.map(_.getAs[Long](c)).sum > 0, s"$c is vacuous")
+  }
+
   test("gopherRepetition kernel: hand-pinned masses on crafted documents") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
     def rep(t: String): Seq[Long] =
