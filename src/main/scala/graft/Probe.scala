@@ -43,7 +43,8 @@ object Probe {
       "screen_ngram_overlap",
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
       "bpe_train", "pack_sequences_bpe",
-      "line_dedup", "substring_scrub", "dedup_apply_best",
+      "line_dedup", "paragraph_dedup", "substring_scrub",
+      "dedup_apply_best",
       "dedup_index_build", "dedup_incremental_exact", "dedup_incremental",
       "dedup_incremental_verified",
       "media_phash", "media_dedup",
@@ -57,7 +58,8 @@ object Probe {
       "pipeline_ingest",
       "wordcount_salted",
       "multimodal_decode",
-      "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_indexed", "ann_pq",
+      "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_indexed",
+      "ann_ivf_append", "ann_pq",
       "q_events_tumbling", "q_events_sliding", "q_sessionize",
       "q_conditional_agg")
 

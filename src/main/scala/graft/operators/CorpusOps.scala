@@ -592,6 +592,14 @@ object CorpusOps {
     */
   private def splitLines(t: String): Array[String] = t.split("\n", -1)
 
+  /** Exactly DuckDB's `string_split(t, chr(10) || chr(10))`: literal
+    * blank-line split, left-to-right non-overlapping (so "\n\n\n"
+    * separates after the FIRST pair, leaving the third 0x0a on the
+    * next paragraph — both engines agree), empties kept.
+    */
+  private def splitParagraphs(t: String): Array[String] =
+    t.split(java.util.regex.Pattern.quote("\n\n"), -1)
+
   /** T19 — LINE-LEVEL corpus dedup (the C4 / RefinedWeb boilerplate
     * pass): a line that occurs in `minDf`-or-more DISTINCT documents
     * corpus-wide is boilerplate (navigation chrome, cookie banners,
@@ -626,15 +634,25 @@ object CorpusOps {
     * ([[graft.streaming.StreamingOps.streamingLineDedup]]).
     */
   def bannedLineFrontier(docs: DataFrame, minDf: Int = 3,
-      maxBanned: Int = 4000000): Array[Long] = {
-    require(minDf >= 2, s"minDf must be >= 2 (1 would drop every line): $minDf")
+      maxBanned: Int = 4000000): Array[Long] =
+    bannedSegmentFrontier(docs, splitLines, minDf, maxBanned)
+
+  /** The df-mine shared by [[lineDedup]] and [[paragraphDedup]]:
+    * hashes of segments present in ≥ `minDf` distinct docs, as a
+    * sorted primitive array (bounded loud driver collect).
+    */
+  private def bannedSegmentFrontier(docs: DataFrame,
+      split: String => Array[String], minDf: Int,
+      maxBanned: Int): Array[Long] = {
+    require(minDf >= 2,
+      s"minDf must be >= 2 (1 would drop every segment): $minDf")
     require(maxBanned > 0, s"maxBanned must be > 0: $maxBanned")
     val spark = docs.sparkSession
     import spark.implicits._
     val bannedRows = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (_, t) =>
-        val hs = splitLines(t).map(lineHash)
+        val hs = split(t).map(lineHash)
         java.util.Arrays.sort(hs)
         // per-doc dedupe: a line repeated WITHIN one doc counts once
         // toward df (count of distinct docs), like the SQL
@@ -662,14 +680,41 @@ object CorpusOps {
   }
 
   def lineDedup(docs: DataFrame, minDf: Int = 3,
-      maxBanned: Int = 4000000): DataFrame = {
+      maxBanned: Int = 4000000): DataFrame =
+    segmentDedup(docs, splitLines, "\n", minDf, maxBanned)
+
+  /** D18 / T34 — PARAGRAPH-LEVEL corpus dedup: [[lineDedup]] at
+    * blank-line granularity (the RefinedWeb/MassiveText variant —
+    * whole boilerplate BLOCKS like license headers or nav sections
+    * recur verbatim across documents even when their individual lines
+    * vary around them). A paragraph (maximal "\n\n"-separated
+    * segment, embedded single newlines included in its identity)
+    * occurring in ≥ `minDf` distinct docs is removed everywhere;
+    * survivors rejoin with "\n\n" in original order. Composes with
+    * [[lineDedup]] for the nested case — paragraph kept, a
+    * boilerplate line inside it still dropped (spec'd in
+    * TextDedupSpec). Same two-scan shape and bounds as line dedup:
+    * df-mine of 8-byte hashes, bounded loud frontier collect,
+    * broadcast binary-search rebuild — zero data shuffles, text
+    * never crosses the wire.
+    */
+  def paragraphDedup(docs: DataFrame, minDf: Int = 3,
+      maxBanned: Int = 4000000): DataFrame =
+    segmentDedup(docs, splitParagraphs, "\n\n", minDf, maxBanned)
+
+  /** The rebuild scan shared by line- and paragraph-granularity
+    * dedup: drop frontier segments, rejoin survivors with `sep`.
+    */
+  private def segmentDedup(docs: DataFrame,
+      split: String => Array[String], sep: String, minDf: Int,
+      maxBanned: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ds = docs.select(col("doc_id"), col("text")).as[(Long, String)]
     val bc = spark.sparkContext.broadcast(
-      bannedLineFrontier(docs, minDf, maxBanned))
+      bannedSegmentFrontier(docs, split, minDf, maxBanned))
     ds.map { case (id, t) =>
-        val ls = splitLines(t)
+        val ls = split(t)
         val sb = new java.lang.StringBuilder
         var kept = 0L
         var dropped = 0L
@@ -678,7 +723,7 @@ object CorpusOps {
           if (java.util.Arrays.binarySearch(bc.value, lineHash(ls(i))) >= 0)
             dropped += 1
           else {
-            if (kept > 0) sb.append('\n')
+            if (kept > 0) sb.append(sep)
             sb.append(ls(i))
             kept += 1
           }
@@ -688,6 +733,25 @@ object CorpusOps {
       }
       .toDF("doc_id", "clean_text", "n_kept", "n_dropped")
       .orderBy(col("doc_id"))
+  }
+
+  /** The registered `paragraph_dedup` query: the sf docs are
+    * single-line (and so single-paragraph), so the query PLANTS
+    * multi-paragraph structure (the line_dedup fixture at blank-line
+    * separators): a per-source header block (df ≈ corpus/#sources —
+    * dropped), the unique content paragraph carrying an EMBEDDED
+    * single newline (paragraph identity spans it), a `ref` block
+    * shared by exactly two docs (df = 2 < minDf — kept), and a
+    * per-lang footer block (dropped). The oracle builds the
+    * identical text in SQL.
+    */
+  def paragraphDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = documents(spark, sfDir).select(col("doc_id"),
+      concat(lit("hdr "), col("source"), lit("\n\n"),
+        col("text"), lit("\ninner "), col("lang"), lit("\n\n"),
+        lit("ref "), expr("doc_id div 2").cast("string"), lit("\n\n"),
+        lit("ftr "), col("lang")).as("text"))
+    paragraphDedup(planted)
   }
 
   /** The registered `line_dedup` query: the synthetic docs are

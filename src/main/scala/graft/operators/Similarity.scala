@@ -344,13 +344,75 @@ object Similarity {
     * the monolithic [[annIvf]] at the same parameters.
     */
   def saveIvfIndex(spark: SparkSession, sfDir: String, path: String,
+      nCells: Int = 8, lloydIters: Int = 2): Unit =
+    saveIvfIndexOf(spark, embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("emb")),
+      path, nCells, lloydIters)
+
+  /** [[saveIvfIndex]] over an arbitrary `(vec_id, emb)` frame — the
+    * composable core (the screenDocs convention).
+    */
+  def saveIvfIndexOf(spark: SparkSession, emb: DataFrame, path: String,
       nCells: Int = 8, lloydIters: Int = 2): Unit = {
-    val emb = embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding").as("emb"))
     val centroids = fitCentroids(spark, emb, nCells, lloydIters)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     assignCells(emb, centroids)
       .write.mode("overwrite").parquet(s"$path/assigned")
+  }
+
+  /** S13 — IVF INDEX MAINTENANCE: assign an increment's vectors to
+    * the EXISTING centroids (one broadcast projection — no re-fit,
+    * no touch of the resident corpus) and append the rows to the
+    * persisted cell lists; the D14 `appendIndex` daily loop for ANN.
+    * Assignment semantics are per-row, so append ≡ rebuilding the
+    * assignment of the unioned corpus under the SAME centroids
+    * (spec'd in SimilaritySpec) — searches over the appended index
+    * are bit-equal to that rebuild. What append does NOT do is move
+    * centroids: a drifting distribution degrades cell balance and
+    * quantization quality silently, which is what [[ivfDrift]]
+    * exists to make loud — re-fit when it says so.
+    */
+  def appendIvfIndex(spark: SparkSession, newVecs: DataFrame,
+      path: String): Unit = {
+    val (centroids, _) = loadIvfIndex(spark, path)
+    assignCells(newVecs.select(col("vec_id"), col("emb")), centroids)
+      .write.mode("append").parquet(s"$path/assigned")
+  }
+
+  /** The re-fit signal for [[appendIvfIndex]]: per-cell occupancy and
+    * mean cosine-to-own-centroid of a persisted index. Track the
+    * corpus-weighted mean over time — appends from the fitted
+    * distribution hold it steady; a drop (vectors landing far from
+    * every centroid) means the centroids no longer describe the data
+    * and the pipeline should schedule a re-fit. One broadcast join +
+    * one aggregation over ids/cosines — the payload vectors never
+    * shuffle.
+    */
+  def ivfDrift(spark: SparkSession, path: String): DataFrame = {
+    val (centroids, assigned) = loadIvfIndex(spark, path)
+    assigned.join(broadcast(centroids), Seq("cell_id"))
+      .withColumn("cos", cosineAny(col("emb"), col("c_emb")))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vecs"), avg(col("cos")).as("mean_cos"))
+      .orderBy(col("cell_id"))
+  }
+
+  /** Registered `ann_ivf_append`: the S13 daily loop end to end on a
+    * fresh artifact — fit+assign the resident 4/5 of the corpus,
+    * append the vec_id % 5 == 0 increment against the frozen
+    * centroids, search the appended index. Rows-only (float cosine
+    * ranks, the ann_ivf reasoning); SimilaritySpec pins append ≡
+    * rebuild-under-fixed-centroids bit-exactly.
+    */
+  def annIvfAppendQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append").toString
+    val emb = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    saveIvfIndexOf(spark, emb.filter(col("vec_id") % 5 =!= 0), dir)
+    appendIvfIndex(spark, emb.filter(col("vec_id") % 5 === 0), dir)
+    val (centroids, assigned) = loadIvfIndex(spark, dir)
+    annIvfIndexed(centroids, assigned)
   }
 
   /** Load a persisted IVF index → (centroids, assigned); refuses
@@ -372,7 +434,7 @@ object Similarity {
   /** The nearest-cell pass shared by [[annIvf]] and [[saveIvfIndex]]:
     * broadcast centroids, one corpus scan.
     */
-  private def assignCells(emb: DataFrame,
+  private[graft] def assignCells(emb: DataFrame,
       centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdist").desc, col("cell_id"))
@@ -410,19 +472,58 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Content fingerprint of the embeddings source: md5 over every
+    * file's (relative path, length, mtime) under the parquet
+    * path, in sorted order. Keys the /tmp index cache so a
+    * REGENERATED corpus at the same path gets a fresh index instead
+    * of silently serving the stale one (data files rewritten ⇒ new
+    * mtimes/sizes ⇒ new key).
+    */
+  private def sourceFingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val root = new java.io.File(path)
+    walk(root).foreach { f =>
+      md.update((s"${f.getPath.stripPrefix(root.getPath)}|${f.length}|" +
+        s"${f.lastModified}").getBytes("UTF-8"))
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   /** Registered `ann_ivf_indexed`: index persisted once per input
     * dir (the realMediaTable cache convention — production reads an
     * index that already exists), searched from the loaded artifact.
+    * The cache key includes a CONTENT fingerprint of the embeddings
+    * parquet (sizes + mtimes), so regenerating the corpus under the
+    * same path invalidates the cached index; the build lands in a
+    * temp dir and is renamed into place atomically, so a concurrent
+    * process either sees the complete index or builds its own.
     */
   def annIvfIndexedQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_))
-      .mkString
-    val cache = new java.io.File(
-      s"/tmp/graft_ivf_cache/${new java.io.File(sfDir).getName}-$digest")
+    val srcFp = sourceFingerprint(s"$sfDir/embeddings.parquet")
+    val root = new java.io.File("/tmp/graft_ivf_cache")
+    val cache = new java.io.File(root,
+      s"${new java.io.File(sfDir).getName}-$srcFp")
     this.synchronized {
-      if (!new java.io.File(cache, "assigned/_SUCCESS").exists())
-        saveIvfIndex(spark, sfDir, cache.toString)
+      if (!new java.io.File(cache, "assigned/_SUCCESS").exists()) {
+        val tmp = new java.io.File(root,
+          s".build-$srcFp-${java.util.UUID.randomUUID}")
+        saveIvfIndex(spark, sfDir, tmp.toString)
+        if (!tmp.renameTo(cache)) {
+          // lost a cross-process race: the winner's index is complete
+          // (rename is atomic) — use it and drop our build
+          require(new java.io.File(cache, "assigned/_SUCCESS").exists(),
+            s"IVF cache $cache unusable and rename failed")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(tmp)
+        }
+      }
     }
     val (centroids, assigned) = loadIvfIndex(spark, cache.toString)
     annIvfIndexed(centroids, assigned)

@@ -26,6 +26,10 @@ object SimilarityRegistry {
     // pins the indexed search BIT-equal to the monolithic annIvf
     // under one deterministic fit
     "ann_ivf_indexed" -> ((s, d) => Similarity.annIvfIndexedQuery(s, d)),
+    // rows-only: the S13 maintenance loop (fit 4/5, append 1/5 under
+    // frozen centroids, search); SimilaritySpec pins append ≡
+    // rebuild-under-fixed-centroids bit-exactly
+    "ann_ivf_append" -> ((s, d) => Similarity.annIvfAppendQuery(s, d)),
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     // oracle-checked distributed k-means: decimal-exact centroid

@@ -63,6 +63,7 @@ object TextRegistry {
     "top_ngrams" -> ((s, d) => CorpusOps.topNgrams(s, d)),
     "boilerplate_share" -> ((s, d) => CorpusOps.boilerplateShare(s, d)),
     "line_dedup" -> (CorpusOps.lineDedupQuery _),
+    "paragraph_dedup" -> (CorpusOps.paragraphDedupQuery _),
     "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d)),
     // rows-only: exact counts on an MG-mined candidate set — the
     // frontier under summary-dependent ties has no SQL oracle; the
@@ -1151,6 +1152,33 @@ object TextRegistry {
     // keeps empties exactly like the engine's limit=-1 split; docs
     // with zero survivors keep an empty clean_text (LEFT JOIN +
     // coalesce), matching the engine's corpus-membership contract.
+    "paragraph_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  'hdr ' || source || chr(10) || chr(10) ||
+         |  text || chr(10) || 'inner ' || lang || chr(10) || chr(10) ||
+         |  'ref ' || (doc_id // 2)::VARCHAR || chr(10) || chr(10) ||
+         |  'ftr ' || lang AS t FROM documents),
+         |l AS (SELECT doc_id,
+         |  unnest(string_split(t, chr(10) || chr(10))) AS par,
+         |  generate_subscripts(string_split(t, chr(10) || chr(10)), 1)
+         |    AS ord
+         |  FROM d),
+         |df AS (SELECT par, count(DISTINCT doc_id) AS df
+         |  FROM l GROUP BY par),
+         |kept AS (SELECT l.doc_id,
+         |  string_agg(l.par, chr(10) || chr(10) ORDER BY l.ord)
+         |    AS clean_text,
+         |  count(*)::BIGINT AS n_kept
+         |  FROM l JOIN df ON l.par = df.par
+         |  WHERE df.df < 3 GROUP BY l.doc_id),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_paras
+         |  FROM l GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+         |  (tot.n_paras - coalesce(k.n_kept, 0))::BIGINT AS n_dropped
+         |FROM d JOIN tot USING (doc_id)
+         |LEFT JOIN kept k ON d.doc_id = k.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "line_dedup" ->
       s"""WITH d AS (SELECT doc_id,
          |  'hdr ' || source || chr(10) || text || chr(10) ||

@@ -250,6 +250,59 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("paragraphDedup: blank-line granularity, embedded newlines, nesting") {
+    import graft.operators.CorpusOps.{lineDedup, paragraphDedup}
+    // "nav\nhome" is a two-LINE paragraph recurring in 3 docs —
+    // dropped whole at paragraph granularity even though the pair of
+    // lines never repeats as individual df≥3 lines elsewhere; each
+    // doc's unique paragraph is kept, INCLUDING its embedded single
+    // newlines; "pair" sits in 2 docs (kept at minDf=3).
+    val docs = Seq(
+      (0L, "nav\nhome\n\nzero body\nzero more\n\npair"),
+      (1L, "nav\nhome\n\none body\n\npair"),
+      (2L, "nav\nhome\n\ntwo body"),
+      (3L, "solo three")).toDF("doc_id", "text")
+    val got = paragraphDedup(docs, minDf = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("zero body\nzero more\n\npair", 2L, 1L)))
+    assert(got(1L) == (("one body\n\npair", 2L, 1L)))
+    assert(got(2L) == (("two body", 1L, 1L)))
+    assert(got(3L) == (("solo three", 1L, 0L)))
+    // the NESTED case: a kept paragraph can still carry a banned
+    // LINE — composing paragraph → line dedup drops the line but
+    // keeps the rest of the paragraph
+    val nested = Seq(
+      (0L, "keep zero\ncookie banner\n\nbody zero"),
+      (1L, "keep one\ncookie banner\n\nbody one"),
+      (2L, "keep two\ncookie banner"),
+      (3L, "keep three")).toDF("doc_id", "text")
+    // no paragraph recurs 3x -> paragraph pass is the identity here
+    val afterPar = paragraphDedup(nested, minDf = 3)
+    assert(afterPar.collect().map(_.getLong(3)).sum == 0)
+    val composed = lineDedup(afterPar
+      .select(col("doc_id"), col("clean_text").as("text")), minDf = 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(composed(0L) == "keep zero\n\nbody zero",
+      "banned line inside a kept paragraph must still drop")
+    assert(composed(2L) == "keep two")
+  }
+
+  test("paragraphDedupQuery is non-degenerate at sf") {
+    val got = graft.operators.CorpusOps.paragraphDedupQuery(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    // every doc keeps its unique content + ref paragraphs and drops
+    // the hdr/ftr boilerplate blocks
+    assert(got.forall(_.getLong(2) == 2L),
+      "each planted doc keeps exactly 2 paragraphs")
+    assert(got.forall(_.getLong(3) == 2L),
+      "each planted doc drops exactly 2 boilerplate blocks")
+    // the kept content paragraph preserves its embedded newline
+    assert(got.forall(_.getString(1).contains("\ninner ")))
+  }
+
   test("substringScrub cuts exactly the windows owned by earlier docs") {
     import graft.operators.CorpusOps.substringScrub
     // doc 1 embeds doc 0's full 8-token window (positions 3..10) —

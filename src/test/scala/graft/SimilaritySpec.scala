@@ -211,6 +211,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxCells"))
   }
 
+  test("appendIvfIndex == rebuilt assignment under the frozen centroids") {
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app").toString
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    S.saveIvfIndexOf(spark, emb.filter(col("vec_id") % 5 =!= 0), dir)
+    S.appendIvfIndex(spark, emb.filter(col("vec_id") % 5 === 0), dir)
+    val (centroids, appended) = S.loadIvfIndex(spark, dir)
+    // the appended assignment table == assigning the whole corpus
+    // under the same frozen centroids (append is per-row)
+    def asg(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asg(appended) == asg(S.assignCells(emb, centroids)))
+    // and the search over the appended index is bit-equal to the
+    // search over that rebuilt assignment
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    val viaAppend = rows(S.annIvfIndexed(centroids, appended))
+    val viaRebuild = rows(S.annIvfIndexed(centroids,
+      S.assignCells(emb, centroids)))
+    assert(viaAppend == viaRebuild && viaAppend.nonEmpty)
+    // registered query face runs end to end
+    assert(S.annIvfAppendQuery(spark, sf).count() > 0)
+  }
+
+  test("ivfDrift flags an out-of-distribution increment") {
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_drift").toString
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    S.saveIvfIndexOf(spark, emb.filter(col("vec_id") % 5 =!= 0), dir)
+    def overall(df: org.apache.spark.sql.DataFrame): Double = {
+      val rs = df.collect()
+        .map(r => (r.getLong(1), r.getDouble(2)))
+      rs.map { case (n, m) => n * m }.sum / rs.map(_._1).sum
+    }
+    val before = overall(S.ivfDrift(spark, dir))
+    // an increment pointing AWAY from every centroid (negated
+    // vectors: cosine flips sign) must drag the mean down
+    S.appendIvfIndex(spark,
+      emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"),
+          transform(col("emb"), x => -x).as("emb")), dir)
+    val after = overall(S.ivfDrift(spark, dir))
+    assert(after < before,
+      s"drift must drop on OOD append: before=$before after=$after")
+  }
+
   test("loadIvfIndex refuses foreign tables") {
     import spark.implicits._
     val dir = java.nio.file.Files
