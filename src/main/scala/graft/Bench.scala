@@ -44,7 +44,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Self-contained round artifact: the full line above outgrew the
+    // harness's 2000-char tail capture once the registry passed ~90
+    // queries (BENCH_rNN.json "parsed" was null from r8 on, leaving
+    // the per-query map only in the separately-maintained min-merge
+    // files). Persist the complete JSON to a file AND print a compact
+    // summary as the LAST line, which a bounded tail capture can
+    // always parse.
+    val outPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"n_queries":${results.size},"sf":"$sfDir","queries_file":"$outPath"}""")
     spark.stop()
   }
 }

@@ -683,7 +683,7 @@ object CorpusOps {
       maxBanned: Int = 4000000): DataFrame =
     segmentDedup(docs, splitLines, "\n", minDf, maxBanned)
 
-  /** D18 / T34 — PARAGRAPH-LEVEL corpus dedup: [[lineDedup]] at
+  /** T34 — PARAGRAPH-LEVEL corpus dedup: [[lineDedup]] at
     * blank-line granularity (the RefinedWeb/MassiveText variant —
     * whole boilerplate BLOCKS like license headers or nav sections
     * recur verbatim across documents even when their individual lines

@@ -610,7 +610,7 @@ object Search {
       .toDF("doc_id", "bg", "p", "w2")
   }
 
-  /** T26a — bigram-LM EVIDENCE per document, integer-exact (the
+  /** T32a — bigram-LM EVIDENCE per document, integer-exact (the
     * [[lmDocStats]] convention, one model order up): for each doc
     * with ≥ 2 tokens, its bigram count, the sum of corpus-wide counts
     * of its bigrams, the sum of corpus-wide counts of their CONTEXT
@@ -644,7 +644,7 @@ object Search {
       .orderBy(col("doc_id"))
   }
 
-  /** T26 — per-document PERPLEXITY under a Jelinek–Mercer
+  /** T32 — per-document PERPLEXITY under a Jelinek–Mercer
     * INTERPOLATED BIGRAM LM trained on the corpus itself — the
     * order-2 upgrade of [[lmPerplexity]] (real perplexity filters —
     * CCNet's KenLM stage — score with higher-order models because
@@ -769,7 +769,7 @@ object Search {
     } finally { ucnt.unpersist(); () }
   }
 
-  /** T26b — PERPLEXITY-BAND SELECTION: the CCNet gate — rank every
+  /** T32b — PERPLEXITY-BAND SELECTION: the CCNet gate — rank every
     * document by LM perplexity and keep one equal-population band
     * (CCNet trains on the head/middle split and discards the tail;
     * the default keeps the MIDDLE tertile: not boilerplate-degenerate

@@ -165,7 +165,8 @@ object TextRegistry {
       |  SELECT doc_id,
       |    unnest(range(1, greatest(len(toks)-$n+2, 1))) AS i,
       |    unnest(list_transform(range(1, greatest(len(toks)-$n+2, 1)),
-      |      i -> list_aggregate(list_slice(toks, i, i+$n-1),
+      |      i -> list_aggregate(list_transform(list_slice(toks, i, i+$n-1),
+      |             w -> length(w)::VARCHAR || ':' || w),
       |             'string_agg', chr(0)))) AS gram,
       |    unnest(list_transform(range(1, greatest(len(toks)-$n+2, 1)),
       |      i -> list_sum(list_slice(lens, i, i+$n-1))))::BIGINT AS gchars

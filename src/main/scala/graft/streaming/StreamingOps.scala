@@ -651,6 +651,74 @@ object StreamingOps {
     * Probe selection uses the same (cosine DESC, cell_id ASC) order
     * as [[graft.operators.Similarity.annIvfIndexed]].
     */
+  case class AnnTopKState(tsMs: Long, items: List[(Long, Double)])
+  case class AnnTopKOut(query_id: Long, ts: Timestamp,
+      neighbor_id: Long, cosine: Double, rnk: Int)
+
+  /** X18 — STREAMING PER-QUERY TOP-K ANN: the serving shape X17
+    * leaves to its consumer, completed — each arriving query vector
+    * gets its `k` nearest indexed vectors, ranked, once its event
+    * time is final. Built ON the X17 candidate stream (same probe
+    * selection, same cosine kernel, threshold disabled so ranking
+    * sees every candidate in the probed cells) with a
+    * `flatMapGroupsWithState` bounded heap per query: state is AT
+    * MOST k (neighbor, cosine) pairs + one timestamp per in-flight
+    * query — candidates stream through, only survivors of the
+    * running top-k cut are retained — and an EVENT-TIME timeout
+    * (watermark passes the query's ts) both emits the final ranking
+    * and evicts the state, so memory is bounded by in-flight queries
+    * × k, never by corpus or stream length. The watermark is
+    * re-stated on the candidate stream because X17's probe fan-out
+    * is a typed flatMap (the X8 lesson: typed ops strip the
+    * event-time tag; the ts VALUES pass through untouched).
+    *
+    * Ranking order is (cosine DESC, vec_id ASC) — identical to
+    * [[graft.operators.Similarity.annIvfIndexed]]; StreamingSpec
+    * pins the streamed top-k bit-equal to the batch search under one
+    * persisted index.
+    */
+  def streamingAnnTopK(queries: Dataset[StreamVec],
+      centroidsExport: Array[(Long, Array[Double])], assigned: DataFrame,
+      nProbe: Int = 2, k: Int = 5,
+      watermark: String = "10 minutes"): Dataset[AnnTopKOut] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import queries.sparkSession.implicits._
+    val cand = streamingAnnScreen(queries, centroidsExport, assigned,
+        nProbe, minCosine = -2.0)
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Long, Double)]
+
+    def update(qid: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
+        state: GroupState[AnnTopKState]): Iterator[AnnTopKOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        st.items.sortBy { case (vid, cos) => (-cos, vid) }
+          .iterator.zipWithIndex
+          .map { case ((vid, cos), i) =>
+            AnnTopKOut(qid, new Timestamp(st.tsMs), vid, cos, i + 1) }
+      } else {
+        val st = state.getOption.getOrElse(AnnTopKState(Long.MinValue, Nil))
+        var tsMs = st.tsMs
+        var items = st.items
+        rows.foreach { case (_, t, vid, cos) =>
+          if (t.getTime > tsMs) tsMs = t.getTime
+          items = (vid, cos) :: items
+        }
+        val bounded =
+          items.sortBy { case (vid, cos) => (-cos, vid) }.take(k)
+        state.update(AnnTopKState(tsMs, bounded))
+        state.setTimeoutTimestamp(
+          math.max(tsMs + 1, state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      }
+    }
+
+    cand.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   def streamingAnnScreen(queries: Dataset[StreamVec],
       centroidsExport: Array[(Long, Array[Double])], assigned: DataFrame,
       nProbe: Int = 2, minCosine: Double = 0.8): DataFrame = {

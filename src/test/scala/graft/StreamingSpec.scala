@@ -625,4 +625,50 @@ class StreamingSpec extends AnyFunSuite {
         s"stream-only=${got -- expected} ref-only=${expected -- got}")
     } finally q.stop()
   }
+
+  test("X18 streaming per-query top-k equals batch annIvfIndexed under one index") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingOps.StreamVec
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_x18_ivf").toString
+    Similarity.saveIvfIndex(spark, sf, dir)
+    val (centroids, assigned) = Similarity.loadIvfIndex(spark, dir)
+    val export = Similarity.ivfCentroidsExport(centroids)
+    // the batch reference: same persisted index, default
+    // (nProbe=2, k=5, nQueries=10)
+    val expected = Similarity.annIvfIndexed(centroids, assigned).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(expected.nonEmpty)
+    // stream the SAME query vectors under their corpus ids, so the
+    // self-filter behaves exactly like the batch search
+    val qvecs = assigned.filter(col("vec_id") < 10)
+      .select("vec_id", "emb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val in = MemoryStream[StreamVec]
+    val q = StreamingOps.streamingAnnTopK(in.toDS(), export, assigned)
+      .writeStream.format("memory").queryName("anntopk_out")
+      .outputMode("append").start()
+    try {
+      in.addData(qvecs.zipWithIndex.map { case ((id, e), i) =>
+        StreamVec(id, ts(i), e) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // nothing emits while the queries are in-flight (append mode,
+      // event-time timeout not yet reached)
+      assert(spark.table("anntopk_out").isEmpty)
+      // a late arrival advances the watermark past every query's ts;
+      // the next batch fires the timeouts and emits the rankings
+      in.addData(StreamVec(999999L, ts(120), qvecs.head._2))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("anntopk_out").collect()
+        .map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"),
+          r.getAs[Int]("rnk")))
+        .filter(_._1 < 10).toSet
+      assert(got == expected,
+        s"stream-only=${got -- expected} batch-only=${expected -- got}")
+    } finally q.stop()
+  }
 }
