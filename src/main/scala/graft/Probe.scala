@@ -33,7 +33,7 @@ object Probe {
       "dedup_exact", "dedup_jaccard_pairs", "dedup_jaccard_lsh",
       "dedup_minhash_pairs", "dedup_simhash", "dedup_winnow",
       "contamination_screen", "dedup_clusters", "dedup_substring",
-      "quality_gopher", "gopher_repetition",
+      "quality_gopher", "gopher_repetition", "quality_c4", "c4_apply",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",
       "text_repetition", "pii_scrub", "quality_classify",

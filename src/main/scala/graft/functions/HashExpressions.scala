@@ -343,96 +343,78 @@ object HashKernels {
     * decision itself is taken in TextOps.qualityC4Docs by integer
     * comparison so every threshold is hash-exact.
     */
-  def c4Stats(text: UTF8String, badwords: String, minWords: Int): ArrayData = {
-    val bad = c4BadwordTables.computeIfAbsent(badwords,
-      sp => sp.split(" ").filter(_.nonEmpty).map(_.getBytes("UTF-8")))
-    val js = "javascript".getBytes("UTF-8")
-    val lorem = "lorem ipsum".getBytes("UTF-8")
-    val bytes = text.getBytes
-    val n = bytes.length
-    @inline def isWs(b: Int): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+  @inline private def c4IsWs(b: Int): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
 
-    var nLines = 0L; var kept = 0L; var sentences = 0L; var keptChars = 0L
-    var noTerm = 0L; var short = 0L; var jsLines = 0L; var policyLines = 0L
-
-    var s = 0
-    var p = 0
-    while (p <= n) {
-      if (p == n || bytes(p) == 0x0a) {
-        nLines += 1
-        // right-trim 0x20 for the end-mark test
-        var e = p
-        while (e > s && bytes(e - 1) == 0x20) e -= 1
-        val lastB = if (e > s) bytes(e - 1) & 0xff else 0
-        val isTerm = lastB == '.' || lastB == '?' || lastB == '!' ||
-          lastB == '"'
-        val isEllipsis = e - s >= 3 && bytes(e - 1) == '.' &&
-          bytes(e - 2) == '.' && bytes(e - 3) == '.'
-        if (!isTerm || isEllipsis) noTerm += 1
-        else {
-          // word count with the gopherStats trim/split convention
-          var lo = s; var hi = p
-          while (lo < hi && bytes(lo) == 0x20) lo += 1
-          while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
-          var words = 0L
-          if (lo == hi) words = 1
-          else {
-            if (isWs(bytes(lo) & 0xff)) words += 1
-            if (isWs(bytes(hi - 1) & 0xff)) words += 1
-            var i = lo
-            while (i < hi) {
-              if (!isWs(bytes(i) & 0xff)) {
-                while (i < hi && !isWs(bytes(i) & 0xff)) i += 1
-                words += 1
-              } else i += 1
-            }
-          }
-          if (words < minWords) short += 1
-          else if (containsLowered(bytes, s, p, js)) jsLines += 1
-          else {
-            var hitPolicy = false
-            var pi = 0
-            while (!hitPolicy && pi < c4PolicyBytes.length) {
-              if (containsLowered(bytes, s, p, c4PolicyBytes(pi)))
-                hitPolicy = true
-              pi += 1
-            }
-            if (hitPolicy) policyLines += 1
-            else {
-              kept += 1
-              var i = s
-              while (i < p) {
-                val b = bytes(i) & 0xff
-                if (b == '.' || b == '!' || b == '?') sentences += 1
-                if ((b & 0xc0) != 0x80) keptChars += 1 // code points
-                i += 1
-              }
-            }
-          }
-        }
-        s = p + 1
+  /** Per-line C4 classification over raw bytes [s, p): 0 = kept,
+    * 1 = noterm (no terminal mark, or "..."-ended), 2 = short,
+    * 3 = javascript, 4 = policy — THE shared rule order of
+    * [[c4Stats]] and [[c4CleanPage]] (one definition, both faces).
+    */
+  private def c4ClassifyLine(bytes: Array[Byte], s: Int, p: Int,
+      minWords: Int): Int = {
+    // right-trim 0x20 for the end-mark test
+    var e = p
+    while (e > s && bytes(e - 1) == 0x20) e -= 1
+    val lastB = if (e > s) bytes(e - 1) & 0xff else 0
+    val isTerm = lastB == '.' || lastB == '?' || lastB == '!' ||
+      lastB == '"'
+    val isEllipsis = e - s >= 3 && bytes(e - 1) == '.' &&
+      bytes(e - 2) == '.' && bytes(e - 3) == '.'
+    if (!isTerm || isEllipsis) return 1
+    // word count with the gopherStats trim/split convention
+    var lo = s; var hi = p
+    while (lo < hi && bytes(lo) == 0x20) lo += 1
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    var words = 0
+    if (lo == hi) words = 1
+    else {
+      if (c4IsWs(bytes(lo) & 0xff)) words += 1
+      if (c4IsWs(bytes(hi - 1) & 0xff)) words += 1
+      var i = lo
+      while (i < hi) {
+        if (!c4IsWs(bytes(i) & 0xff)) {
+          while (i < hi && !c4IsWs(bytes(i) & 0xff)) i += 1
+          words += 1
+        } else i += 1
       }
-      p += 1
     }
+    if (words < minWords) return 2
+    if (containsLowered(bytes, s, p, c4JsBytes)) return 3
+    var pi = 0
+    while (pi < c4PolicyBytes.length) {
+      if (containsLowered(bytes, s, p, c4PolicyBytes(pi))) return 4
+      pi += 1
+    }
+    0
+  }
 
-    // ---- page flags over the raw text ----
-    val hasLorem = if (containsLowered(bytes, 0, n, lorem)) 1L else 0L
-    var hasBrace = 0L
+  private val c4JsBytes = "javascript".getBytes("UTF-8")
+  private val c4LoremBytes = "lorem ipsum".getBytes("UTF-8")
+
+  /** The page-level C4 stop flags over the raw text: bit 1 =
+    * "lorem ipsum" (ASCII-lowered containment), bit 2 = curly brace,
+    * bit 4 = badword token hit (whole-token, ASCII-lowered).
+    */
+  private def c4PageFlags(bytes: Array[Byte],
+      bad: Array[Array[Byte]]): Int = {
+    val n = bytes.length
+    var flags = 0
+    if (containsLowered(bytes, 0, n, c4LoremBytes)) flags |= 1
     var q = 0
-    while (hasBrace == 0L && q < n) {
-      if (bytes(q) == '{') hasBrace = 1L
+    while ((flags & 2) == 0 && q < n) {
+      if (bytes(q) == '{') flags |= 2
       q += 1
     }
-    var hasBad = 0L
     if (bad.nonEmpty) {
       var i = 0
-      while (hasBad == 0L && i < n) {
-        if (!isWs(bytes(i) & 0xff)) {
+      while ((flags & 4) == 0 && i < n) {
+        if (!c4IsWs(bytes(i) & 0xff)) {
           val ts = i
-          while (i < n && !isWs(bytes(i) & 0xff)) i += 1
+          while (i < n && !c4IsWs(bytes(i) & 0xff)) i += 1
           val len = i - ts
           var w = 0
-          while (hasBad == 0L && w < bad.length) {
+          while ((flags & 4) == 0 && w < bad.length) {
             val bw = bad(w)
             if (bw.length == len) {
               var j = 0; var ok = true
@@ -442,16 +424,96 @@ object HashKernels {
                 if (c != bw(j)) ok = false
                 j += 1
               }
-              if (ok) hasBad = 1L
+              if (ok) flags |= 4
             }
             w += 1
           }
         } else i += 1
       }
     }
+    flags
+  }
 
+  def c4Stats(text: UTF8String, badwords: String, minWords: Int): ArrayData = {
+    val bad = c4BadwordTables.computeIfAbsent(badwords,
+      sp => sp.split(" ").filter(_.nonEmpty).map(_.getBytes("UTF-8")))
+    val bytes = text.getBytes
+    val n = bytes.length
+
+    var nLines = 0L; var kept = 0L; var sentences = 0L; var keptChars = 0L
+    var noTerm = 0L; var short = 0L; var jsLines = 0L; var policyLines = 0L
+
+    var s = 0
+    var p = 0
+    while (p <= n) {
+      if (p == n || bytes(p) == 0x0a) {
+        nLines += 1
+        c4ClassifyLine(bytes, s, p, minWords) match {
+          case 1 => noTerm += 1
+          case 2 => short += 1
+          case 3 => jsLines += 1
+          case 4 => policyLines += 1
+          case _ =>
+            kept += 1
+            var i = s
+            while (i < p) {
+              val b = bytes(i) & 0xff
+              if (b == '.' || b == '!' || b == '?') sentences += 1
+              if ((b & 0xc0) != 0x80) keptChars += 1 // code points
+              i += 1
+            }
+        }
+        s = p + 1
+      }
+      p += 1
+    }
+
+    val flags = c4PageFlags(bytes, bad)
     new GenericArrayData(Array(nLines, kept, sentences, keptChars,
-      noTerm, short, jsLines, policyLines, hasLorem, hasBrace, hasBad))
+      noTerm, short, jsLines, policyLines,
+      (flags & 1).toLong, ((flags >> 1) & 1).toLong,
+      ((flags >> 2) & 1).toLong))
+  }
+
+  /** The C4 APPLY form: the CLEANED page — kept lines rejoined with
+    * '\n' — or null when a page rule (lorem / brace / badword / under
+    * `minSentences` sentence marks in kept lines) drops the page.
+    * One pass, rule-for-rule identical to [[c4Stats]] (shared
+    * [[c4ClassifyLine]] / [[c4PageFlags]]); String-based because its
+    * caller is the typed flatMap of TextOps.c4Apply (the lineDedup
+    * rebuild convention — dropped pages must drop ROWS, which a
+    * projection kernel cannot).
+    */
+  def c4CleanPage(text: String, badwords: String, minWords: Int,
+      minSentences: Int): String = {
+    val bad = c4BadwordTables.computeIfAbsent(badwords,
+      sp => sp.split(" ").filter(_.nonEmpty).map(_.getBytes("UTF-8")))
+    val bytes = text.getBytes("UTF-8")
+    val n = bytes.length
+    if (c4PageFlags(bytes, bad) != 0) return null
+    val sb = new java.lang.StringBuilder
+    var kept = 0
+    var sentences = 0L
+    var s = 0
+    var p = 0
+    while (p <= n) {
+      if (p == n || bytes(p) == 0x0a) {
+        if (c4ClassifyLine(bytes, s, p, minWords) == 0) {
+          if (kept > 0) sb.append('\n')
+          sb.append(new String(bytes, s, p - s, "UTF-8"))
+          kept += 1
+          var i = s
+          while (i < p) {
+            val b = bytes(i) & 0xff
+            if (b == '.' || b == '!' || b == '?') sentences += 1
+            i += 1
+          }
+        }
+        s = p + 1
+      }
+      p += 1
+    }
+    if (sentences < minSentences) null else sb.toString
   }
 
   /** One-pass Gopher REPETITION statistics (Rae et al. 2021 §A1.1,

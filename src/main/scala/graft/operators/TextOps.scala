@@ -146,20 +146,22 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Registered `quality_c4`: the sf corpus is single-line word soup
-    * with no punctuation, braces or newlines, so every C4 rule would
-    * be vacuous on the raw table — the query PLANTS a deterministic
-    * doc_id-derived multi-line tail (stated identically in the oracle
-    * SQL; the pii_scrub non-vacuity convention): a terminal-punct
-    * first line (the original text + '.'), an always-dropped short
-    * line, a no-terminal-mark line, an ellipsis-ended line, and
-    * conditional javascript / policy / lorem-ipsum / curly-brace /
-    * badword / quoted lines on coprime doc_id moduli, closing with a
-    * kept '!'-line. Even doc_ids gain a third sentence (the quoted
-    * line), so the ≥ 3-sentence page rule decides both ways.
+  /** The planted C4 fixture shared by `quality_c4` and `c4_apply`:
+    * the sf corpus is single-line word soup with no punctuation,
+    * braces or newlines, so every C4 rule would be vacuous on the raw
+    * table — the fixture appends a deterministic doc_id-derived
+    * multi-line tail (stated identically in the oracle SQL; the
+    * pii_scrub non-vacuity convention): a terminal-punct first line
+    * (the original text + '.'), an always-dropped short line, a
+    * no-terminal-mark line, an ellipsis-ended line, and conditional
+    * javascript / policy / lorem-ipsum / curly-brace / badword /
+    * quoted lines on coprime doc_id moduli, closing with a kept
+    * '!'-line. Even doc_ids gain a third sentence (the quoted line),
+    * so the ≥ 3-sentence page rule decides both ways.
     */
-  def qualityC4Query(spark: SparkSession, sfDir: String): DataFrame = {
-    val planted = documents(spark, sfDir).select(col("doc_id"), concat(
+  private[graft] def c4PlantedDocs(spark: SparkSession,
+      sfDir: String): DataFrame =
+    documents(spark, sfDir).select(col("doc_id"), concat(
       col("text"), lit("."),
       lit("\nshort line."),
       lit("\nthis line lacks terminal punctuation"),
@@ -177,8 +179,45 @@ object TextOps {
       when(col("doc_id") % 2 === 0,
         lit("\nhe said \"a quoted line ends well.\"")).otherwise(lit("")),
       lit("\nanother good line with five words!")).as("text"))
-    qualityC4Docs(planted, badWords = Seq("badword"))
+
+  /** Registered `quality_c4` (see [[c4PlantedDocs]]). */
+  def qualityC4Query(spark: SparkSession, sfDir: String): DataFrame =
+    qualityC4Docs(c4PlantedDocs(spark, sfDir), badWords = Seq("badword"))
+
+  /** T33b — the C4 APPLY form: the CLEANED corpus itself — what the
+    * released pipeline actually emits: kept lines rejoined with
+    * '\n', pages failing any page rule (lorem / brace / badword /
+    * < minSentences sentence marks) DROPPED from the output, not
+    * flagged. One typed flatMap through the shared
+    * `HashKernels.c4CleanPage` (rule-for-rule identical to the T33
+    * stats kernel — one classifier definition, both faces; the
+    * lineDedup rebuild convention, since dropping PAGES needs row
+    * elimination a projection kernel cannot do). Pure scan → flatMap,
+    * zero shuffles but the output sort; fully hash-checkable
+    * (strings + ints).
+    */
+  def c4Apply(docs: DataFrame, badWords: Seq[String] = Nil,
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    require(badWords.forall(w => w.nonEmpty && !w.exists(_.isWhitespace)),
+      "badwords must be non-empty, whitespace-free tokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bw = badWords.mkString(" ")
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val cleaned = graft.functions.HashKernels
+          .c4CleanPage(t, bw, minLineWords, minSentences)
+        if (cleaned == null) None
+        else Some((id, cleaned,
+          (cleaned.count(_ == '\n') + 1).toLong))
+      }
+      .toDF("doc_id", "clean_text", "n_kept_lines")
+      .orderBy(col("doc_id"))
   }
+
+  /** Registered `c4_apply` (the [[c4PlantedDocs]] fixture). */
+  def c4ApplyQuery(spark: SparkSession, sfDir: String): DataFrame =
+    c4Apply(c4PlantedDocs(spark, sfDir), badWords = Seq("badword"))
 
   /** T31 — the GOPHER REPETITION rules (the n-gram half of Rae et
     * al. 2021 §A1.1, completing T30): per-doc character masses of

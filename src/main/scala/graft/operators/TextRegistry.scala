@@ -136,6 +136,9 @@ object TextRegistry {
     // hash-checked incl. the keep bit over a planted multi-line
     // fixture (the sf corpus has no newlines/punctuation/braces)
     "quality_c4" -> (TextOps.qualityC4Query _),
+    // the APPLY form: cleaned kept-line text, failing pages dropped —
+    // hash-checked end to end (strings + ints)
+    "c4_apply" -> (TextOps.c4ApplyQuery _),
     "dedup_index_build" -> (IncrementalDedup.indexBuildQuery _),
     "dedup_incremental_exact" -> (IncrementalDedup.incrementalExact _),
     // rows-only: signature-estimated jaccard (engine-specific hash
@@ -156,6 +159,83 @@ object TextRegistry {
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
   private val TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** The shared CTE prefix of the `quality_c4` / `c4_apply` oracles:
+    * the planted multi-line fixture, per-line classification in the
+    * kernel's attribution order, per-doc aggregates (`a`) and page
+    * flags (`p`). Tails select the stats row (quality_c4) or the
+    * cleaned kept-line rebuild (c4_apply).
+    */
+  private val c4OracleCte: String =
+    """WITH t AS (SELECT doc_id,
+      |  text || '.' ||
+      |  chr(10) || 'short line.' ||
+      |  chr(10) || 'this line lacks terminal punctuation' ||
+      |  chr(10) || 'this one trails off into an ellipsis...' ||
+      |  CASE WHEN doc_id % 3 = 0
+      |    THEN chr(10) || 'this javascript line has six words.'
+      |    ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 1
+      |    THEN chr(10) || 'we accept the privacy policy today.'
+      |    ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 2
+      |    THEN chr(10) || 'lorem ipsum dolor sit amet now.'
+      |    ELSE '' END ||
+      |  CASE WHEN doc_id % 6 = 3
+      |    THEN chr(10) || 'curly { brace appears on this page.'
+      |    ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 4
+      |    THEN chr(10) || 'badword one appears right here now.'
+      |    ELSE '' END ||
+      |  CASE WHEN doc_id % 2 = 0
+      |    THEN chr(10) || 'he said "a quoted line ends well."'
+      |    ELSE '' END ||
+      |  chr(10) || 'another good line with five words!' AS text
+      | FROM documents),
+      |l AS (SELECT doc_id,
+      |  unnest(string_split(text, chr(10))) AS line,
+      |  generate_subscripts(string_split(text, chr(10)), 1) AS ord
+      | FROM t),
+      |c AS (SELECT doc_id, line, ord, rtrim(line, ' ') AS rl,
+      |  lower(line) AS ll,
+      |  len(regexp_split_to_array(trim(line), '\s+')) AS words
+      | FROM l),
+      |d AS (SELECT doc_id, line, ord,
+      |  CASE WHEN NOT (right(rl, 1) IN ('.', '?', '!', '"'))
+      |         OR right(rl, 3) = '...' THEN 'noterm'
+      |       WHEN words < 5 THEN 'short'
+      |       WHEN contains(ll, 'javascript') THEN 'js'
+      |       WHEN contains(ll, 'terms of use')
+      |         OR contains(ll, 'privacy policy')
+      |         OR contains(ll, 'cookie policy')
+      |         OR contains(ll, 'uses cookies')
+      |         OR contains(ll, 'use of cookies')
+      |         OR contains(ll, 'use cookies') THEN 'policy'
+      |       ELSE 'kept' END AS cls
+      | FROM c),
+      |a AS (SELECT doc_id,
+      |  count(*)::BIGINT AS n_lines,
+      |  (count(*) FILTER (WHERE cls = 'kept'))::BIGINT AS n_kept_lines,
+      |  COALESCE(SUM(CASE WHEN cls = 'kept' THEN
+      |    length(line) - length(replace(replace(replace(
+      |      line, '.', ''), '!', ''), '?', '')) END), 0)::BIGINT
+      |    AS n_sentences,
+      |  COALESCE(SUM(CASE WHEN cls = 'kept' THEN length(line) END),
+      |    0)::BIGINT AS kept_chars,
+      |  (count(*) FILTER (WHERE cls = 'noterm'))::BIGINT
+      |    AS n_noterm_lines,
+      |  (count(*) FILTER (WHERE cls = 'short'))::BIGINT
+      |    AS n_short_lines,
+      |  (count(*) FILTER (WHERE cls = 'js'))::BIGINT AS n_js_lines,
+      |  (count(*) FILTER (WHERE cls = 'policy'))::BIGINT
+      |    AS n_policy_lines
+      | FROM d GROUP BY doc_id),
+      |p AS (SELECT doc_id,
+      |  contains(lower(text), 'lorem ipsum')::BIGINT AS has_lorem,
+      |  contains(text, '{')::BIGINT AS has_brace,
+      |  (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |     w -> lower(w) = 'badword')) > 0)::BIGINT AS has_badword
+      | FROM t)""".stripMargin
 
   // Generated per-n CTE blocks for the gopher_repetition oracle:
   // grams via zipped unnests over the position range, counts, then
@@ -420,79 +500,26 @@ object TextRegistry {
          | THEN 1 ELSE 0 END AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
     "quality_c4" ->
-      """WITH t AS (SELECT doc_id,
-        |  text || '.' ||
-        |  chr(10) || 'short line.' ||
-        |  chr(10) || 'this line lacks terminal punctuation' ||
-        |  chr(10) || 'this one trails off into an ellipsis...' ||
-        |  CASE WHEN doc_id % 3 = 0
-        |    THEN chr(10) || 'this javascript line has six words.'
-        |    ELSE '' END ||
-        |  CASE WHEN doc_id % 4 = 1
-        |    THEN chr(10) || 'we accept the privacy policy today.'
-        |    ELSE '' END ||
-        |  CASE WHEN doc_id % 5 = 2
-        |    THEN chr(10) || 'lorem ipsum dolor sit amet now.'
-        |    ELSE '' END ||
-        |  CASE WHEN doc_id % 6 = 3
-        |    THEN chr(10) || 'curly { brace appears on this page.'
-        |    ELSE '' END ||
-        |  CASE WHEN doc_id % 7 = 4
-        |    THEN chr(10) || 'badword one appears right here now.'
-        |    ELSE '' END ||
-        |  CASE WHEN doc_id % 2 = 0
-        |    THEN chr(10) || 'he said "a quoted line ends well."'
-        |    ELSE '' END ||
-        |  chr(10) || 'another good line with five words!' AS text
-        | FROM documents),
-        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
-        | FROM t),
-        |c AS (SELECT doc_id, line, rtrim(line, ' ') AS rl,
-        |  lower(line) AS ll,
-        |  len(regexp_split_to_array(trim(line), '\s+')) AS words
-        | FROM l),
-        |d AS (SELECT doc_id, line,
-        |  CASE WHEN NOT (right(rl, 1) IN ('.', '?', '!', '"'))
-        |         OR right(rl, 3) = '...' THEN 'noterm'
-        |       WHEN words < 5 THEN 'short'
-        |       WHEN contains(ll, 'javascript') THEN 'js'
-        |       WHEN contains(ll, 'terms of use')
-        |         OR contains(ll, 'privacy policy')
-        |         OR contains(ll, 'cookie policy')
-        |         OR contains(ll, 'uses cookies')
-        |         OR contains(ll, 'use of cookies')
-        |         OR contains(ll, 'use cookies') THEN 'policy'
-        |       ELSE 'kept' END AS cls
-        | FROM c),
-        |a AS (SELECT doc_id,
-        |  count(*)::BIGINT AS n_lines,
-        |  (count(*) FILTER (WHERE cls = 'kept'))::BIGINT AS n_kept_lines,
-        |  COALESCE(SUM(CASE WHEN cls = 'kept' THEN
-        |    length(line) - length(replace(replace(replace(
-        |      line, '.', ''), '!', ''), '?', '')) END), 0)::BIGINT
-        |    AS n_sentences,
-        |  COALESCE(SUM(CASE WHEN cls = 'kept' THEN length(line) END),
-        |    0)::BIGINT AS kept_chars,
-        |  (count(*) FILTER (WHERE cls = 'noterm'))::BIGINT
-        |    AS n_noterm_lines,
-        |  (count(*) FILTER (WHERE cls = 'short'))::BIGINT
-        |    AS n_short_lines,
-        |  (count(*) FILTER (WHERE cls = 'js'))::BIGINT AS n_js_lines,
-        |  (count(*) FILTER (WHERE cls = 'policy'))::BIGINT
-        |    AS n_policy_lines
-        | FROM d GROUP BY doc_id),
-        |p AS (SELECT doc_id,
-        |  contains(lower(text), 'lorem ipsum')::BIGINT AS has_lorem,
-        |  contains(text, '{')::BIGINT AS has_brace,
-        |  (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |     w -> lower(w) = 'badword')) > 0)::BIGINT AS has_badword
-        | FROM t)
+      (c4OracleCte +
+        """
         |SELECT a.doc_id, n_lines, n_kept_lines, n_sentences, kept_chars,
         | n_noterm_lines, n_short_lines, n_js_lines, n_policy_lines,
         | has_lorem, has_brace, has_badword,
         | CASE WHEN has_lorem = 0 AND has_brace = 0 AND has_badword = 0
         |   AND n_sentences >= 3 THEN 1 ELSE 0 END AS keep
-        |FROM a JOIN p USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+        |FROM a JOIN p USING (doc_id) ORDER BY a.doc_id""".stripMargin),
+    "c4_apply" ->
+      (c4OracleCte +
+        """,
+        |k AS (SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY ord) AS clean_text,
+        |  count(*)::BIGINT AS n_kept_lines
+        | FROM d WHERE cls = 'kept' GROUP BY doc_id)
+        |SELECT a.doc_id, k.clean_text, k.n_kept_lines
+        |FROM a JOIN p USING (doc_id) JOIN k USING (doc_id)
+        |WHERE has_lorem = 0 AND has_brace = 0 AND has_badword = 0
+        |  AND n_sentences >= 3
+        |ORDER BY a.doc_id""".stripMargin),
     "dedup_index_build" ->
       s"""SELECT doc_id,
          | md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,

@@ -547,6 +547,31 @@ object StreamingOps {
     }.toDF("doc_id", "ts", "n_bigrams", "ppl2")
   }
 
+  /** X19 — STREAMING C4 GATE: arriving documents pushed through the
+    * published C4 cleaning suite (T33/T33b) the moment they arrive —
+    * kept lines rebuilt, pages failing a page rule (lorem / brace /
+    * badword / sentence minimum) emit NOTHING. The per-doc kernel IS
+    * the batch `HashKernels.c4CleanPage` (one classifier definition,
+    * batch and stream faces — the X12/X13 convention), so stream
+    * output is asserted identical to [[graft.operators.TextOps.c4Apply]]
+    * on the same documents. Stateless pure flatMap: no watermark, no
+    * state, scan-bound at any ingest rate.
+    */
+  def streamingC4(docs: Dataset[StreamDoc], badWords: Seq[String] = Nil,
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    require(badWords.forall(w => w.nonEmpty && !w.exists(_.isWhitespace)),
+      "badwords must be non-empty, whitespace-free tokens")
+    import docs.sparkSession.implicits._
+    val bw = badWords.mkString(" ")
+    docs.flatMap { d =>
+      val cleaned = graft.functions.HashKernels
+        .c4CleanPage(d.text, bw, minLineWords, minSentences)
+      if (cleaned == null) None
+      else Some((d.doc_id, d.ts, cleaned,
+        (cleaned.count(_ == '\n') + 1).toLong))
+    }.toDF("doc_id", "ts", "clean_text", "n_kept_lines")
+  }
+
   /** X15 — STREAMING CHUNKING: split each arriving document into
     * token windows with overlap the moment it arrives (the pre-embed
     * / pre-train chunking of T28, applied online — an ingestion

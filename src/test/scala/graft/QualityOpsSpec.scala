@@ -103,6 +103,28 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1), (2L, 0), (3L, 0), (4L, 0), (5L, 0)))
   }
 
+  test("c4Apply rebuilds kept lines and drops failing pages") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five.\nshort x.\nsix seven eight nine ten!\na b c d e?"),
+      (2L, "one two three four five.\nsix seven eight nine ten!"), // 2 sentences
+      (3L, "one { two three four five.\nsix seven eight nine ten!\na b c d e?")
+    ).toDF("doc_id", "text")
+    val got = TextOps.c4Apply(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L,
+      "one two three four five.\nsix seven eight nine ten!\na b c d e?",
+      3L)), s"got $got")
+    // the apply face and the stats face must agree on the keep set
+    val fixture = TextOps.c4PlantedDocs(spark, sf)
+    val applyIds = TextOps.c4Apply(fixture, badWords = Seq("badword"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepIds = TextOps.qualityC4Docs(fixture, badWords = Seq("badword"))
+      .filter(col("keep") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(applyIds == keepIds && applyIds.nonEmpty)
+  }
+
   test("quality_c4 registered query is non-degenerate at sf") {
     val df = graft.operators.TextOps.qualityC4Query(spark, sf)
     val rows = df.collect()

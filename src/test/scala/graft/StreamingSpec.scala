@@ -626,6 +626,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("X19 streaming C4 gate matches the batch apply on the same docs") {
+    import graft.streaming.StreamingOps.StreamDoc
+    import graft.operators.TextOps
+    val fixture = TextOps.c4PlantedDocs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = {
+      import spark.implicits._
+      TextOps.c4Apply(fixture.toSeq.toDF("doc_id", "text"),
+          badWords = Seq("badword"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    }
+    assert(batch.nonEmpty)
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingC4(in.toDS(), badWords = Seq("badword"))
+      .writeStream.format("memory").queryName("c4_out")
+      .outputMode("append").start()
+    try {
+      in.addData(fixture.zipWithIndex.map { case ((id, t), i) =>
+        StreamDoc(id, ts(i % 50), t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("c4_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+          r.getAs[Long]("n_kept_lines"))).toSet
+      assert(got == batch,
+        s"stream-only=${(got -- batch).take(2)} batch-only=${(batch -- got).take(2)}")
+    } finally q.stop()
+  }
+
   test("X18 streaming per-query top-k equals batch annIvfIndexed under one index") {
     import graft.operators.Similarity
     import graft.streaming.StreamingOps.StreamVec
