@@ -1014,6 +1014,179 @@ object CorpusOps {
     substringScrub(planted)
   }
 
+  /** Sentence units of a document: maximal segments each ending
+    * after a RUN of terminal marks ('.', '!', '?'); a trailing
+    * unterminated segment is its own unit. Units KEEP their original
+    * bytes (leading whitespace, the terminal run), so concatenating
+    * all units reproduces the text exactly and a scrub's rebuild is
+    * plain concatenation of survivors. Identical to the oracle's
+    * `regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+')` (RE2
+    * leftmost-first: the terminal-run alternative wins wherever a
+    * terminal follows; no empty matches).
+    */
+  private[graft] def splitSentenceUnits(t: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    @inline def isTerm(c: Char) = c == '.' || c == '!' || c == '?'
+    var s = 0
+    var i = 0
+    while (i < t.length) {
+      if (isTerm(t.charAt(i))) {
+        var j = i + 1
+        while (j < t.length && isTerm(t.charAt(j))) j += 1
+        out += t.substring(s, j)
+        s = j
+        i = j
+      } else i += 1
+    }
+    if (s < t.length) out += t.substring(s)
+    out.toArray
+  }
+
+  /** FNV-64 hash per START position of an `n`-unit sentence window,
+    * units joined by a 0x00 separator (injective up to 64-bit
+    * collisions — the hash-key family contract; NULs cannot appear
+    * as unit boundaries because units carry their own bytes).
+    */
+  private def sentenceWindowHashes(units: Array[String],
+      n: Int): Array[Long] = {
+    if (units.length < n) Array.emptyLongArray
+    else {
+      val out = new Array[Long](units.length - n + 1)
+      var i = 0
+      while (i <= units.length - n) {
+        var h = 0xcbf29ce484222325L
+        var w = 0
+        while (w < n) {
+          if (w > 0) { h ^= 0L; h *= 0x100000001b3L }
+          val bs = units(i + w).getBytes("UTF-8")
+          var b = 0
+          while (b < bs.length) {
+            h ^= bs(b) & 0xffL; h *= 0x100000001b3L; b += 1
+          }
+          w += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** The shared-window frontier of [[sentenceSpanScrub]]'s df pass —
+    * the [[sharedWindowFrontier]] recipe at sentence-window
+    * granularity: `(sorted window hashes, aligned min-owner ids)` of
+    * windows present in ≥ 2 docs, bounded loud driver collect.
+    */
+  def sharedSentenceFrontier(docs: DataFrame, n: Int = 3,
+      maxShared: Int = 4000000): (Array[Long], Array[Long]) = {
+    require(n >= 2 && n <= 64, s"n out of range: $n")
+    require(maxShared > 0, s"maxShared must be > 0: $maxShared")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shared = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val hs = sentenceWindowHashes(splitSentenceUnits(t), n).clone()
+        java.util.Arrays.sort(hs)
+        var i = 0
+        var m = 0
+        while (i < hs.length) {
+          if (m == 0 || hs(m - 1) != hs(i)) { hs(m) = hs(i); m += 1 }
+          i += 1
+        }
+        java.util.Arrays.copyOf(hs, m).map(h => (h, id))
+      }
+      .toDF("h", "doc_id")
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("owner"), count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"), col("owner")).as[(Long, Long)]
+      .limit(maxShared + 1)
+      .collect()
+    require(shared.length <= maxShared,
+      s"shared-sentence frontier exceeds maxShared=$maxShared (~16 " +
+        "bytes per window on the driver and in the broadcast) — raise " +
+        "the budget knowingly or raise n; refusing an unbounded " +
+        "driver collect")
+    val sorted = shared.sortBy(_._1)
+    (sorted.map(_._1), sorted.map(_._2))
+  }
+
+  /** T35 — THREE-SENTENCE-SPAN DEDUP (the LITERAL C4 dedup unit,
+    * Raffel et al. 2020 §2.2: "we discarded all but one of any
+    * three-sentence span occurring more than once"): every sentence
+    * covered by an `n`-sentence window that also occurs in an
+    * EARLIER (lower doc_id) document is cut; survivors CONCATENATE
+    * back (units carry their own bytes — rebuild is byte-exact, no
+    * separator guessing). [[substringScrub]]'s recipe at sentence
+    * granularity, completing the released C4 pipeline together with
+    * [[TextOps.c4Apply]] (compose: clean pages, then span-dedup the
+    * survivors — the registered `pipeline_c4`).
+    *
+    * Scale shape (the substringScrub two-scan recipe): only df ≥ 2
+    * windows can scrub, so the frontier is (hash, min-owner) of
+    * SHARED windows only — per-doc-distinct 8-byte emits, partial-
+    * agged min/count, bounded loud driver collect, broadcast sorted
+    * primitive arrays; the rebuild is ONE zero-shuffle typed map.
+    * Exact up to 64-bit window-hash collisions.
+    */
+  def sentenceSpanScrub(docs: DataFrame, n: Int = 3,
+      maxShared: Int = 4000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (keys, owners) = sharedSentenceFrontier(docs, n, maxShared)
+    val bc = spark.sparkContext.broadcast((keys, owners))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val units = splitSentenceUnits(t)
+        val (ks, os) = bc.value
+        val hs = sentenceWindowHashes(units, n)
+        val covered = new Array[Boolean](units.length)
+        var i = 0
+        while (i < hs.length) {
+          val slot = java.util.Arrays.binarySearch(ks, hs(i))
+          if (slot >= 0 && os(slot) < id) {
+            var j = i
+            while (j < i + n) { covered(j) = true; j += 1 }
+          }
+          i += 1
+        }
+        val sb = new java.lang.StringBuilder
+        var kept = 0L
+        var dropped = 0L
+        var u = 0
+        while (u < units.length) {
+          if (covered(u)) dropped += 1
+          else { sb.append(units(u)); kept += 1 }
+          u += 1
+        }
+        (id, sb.toString, kept, dropped)
+      }
+      .toDF("doc_id", "clean_text", "n_kept", "n_dropped")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered `sentence_span_scrub` query: word soup carries
+    * no terminal marks, so every raw doc is ONE unterminated unit
+    * and no 3-sentence window exists — the query PLANTS a shared
+    * three-sentence passage onto doc_id ≡ 2 (mod 9) after
+    * terminating the original text with '.' (stated identically in
+    * the oracle SQL): planted docs gain units [text., shr0., shr1!,
+    * shr2?]; the window over the three shared units has df = the
+    * planted count, so the LOWEST planted id keeps the passage and
+    * every later one scrubs back to its own "text." unit, while each
+    * doc's leading window (containing its unique text) never fires.
+    */
+  def sentenceSpanScrubQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val planted = documents(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 9 === 2,
+        concat(col("text"),
+          lit(". shr zero. shr one! shr two?")))
+        .otherwise(col("text")).as("text"))
+    sentenceSpanScrub(planted)
+  }
+
   /** T16 — corpus DATA CARD: the per-source report a pipeline records
     * alongside every training-data release — document/token/char
     * volumes, exact-duplicate uniqueness, decimal-exact mean quality,

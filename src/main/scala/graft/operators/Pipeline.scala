@@ -180,6 +180,40 @@ object Pipeline {
       IncrementalDedup.buildIndex(IncrementalDedup.oldDocs(spark, sfDir)),
       stopWords = Seq("the", "a"))
 
+  /** P4 — the LITERAL RELEASED C4 PIPELINE (r13, Raffel et al. 2020
+    * §2.2 end to end): clean every page with the published line and
+    * page rules ([[TextOps.c4Apply]] — kept lines rebuilt, failing
+    * pages dropped), then discard all but the first occurrence of
+    * any three-sentence span across the surviving corpus
+    * ([[CorpusOps.sentenceSpanScrub]] — the paper's actual dedup
+    * unit). Two scans + one bounded frontier; the page gate shrinks
+    * the corpus BEFORE the span pass mines its frontier (the
+    * pipeline_full ordering rationale), and the handoff carries only
+    * (doc_id, clean_text) — no re-derivation, no extra shuffle.
+    */
+  def pipelineC4(docs: DataFrame, badWords: Seq[String] = Nil,
+      minLineWords: Int = 5, minSentences: Int = 3, spanUnits: Int = 3,
+      maxShared: Int = 4000000): DataFrame =
+    CorpusOps.sentenceSpanScrub(
+      TextOps.c4Apply(docs, badWords, minLineWords, minSentences)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      spanUnits, maxShared)
+
+  /** The registered `pipeline_c4` query: the `quality_c4` fixture
+    * plus a shared three-sentence passage on doc_id ≡ 2 (mod 4)
+    * (appended AFTER the closing good line, each line clearing the
+    * ≥ 5-word rule so the C4 gate keeps it) — the span pass then has
+    * real df ≥ 2 windows to scrub, and the lowest kept planted id
+    * owns the passage. Stated identically in the oracle SQL.
+    */
+  def pipelineC4Query(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineC4(TextOps.c4PlantedDocsWith(spark, sfDir,
+      when(col("doc_id") % 4 === 2, lit(
+        "\nshared span alpha beta gamma one." +
+          "\nshared span delta epsilon zeta two!" +
+          "\nshared span eta theta iota three?")).otherwise(lit(""))),
+      badWords = Seq("badword"))
+
   /** The registered `pipeline_scrub` query (the [[pipelineFullQuery]]
     * planting).
     */

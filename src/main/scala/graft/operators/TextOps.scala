@@ -161,6 +161,15 @@ object TextOps {
     */
   private[graft] def c4PlantedDocs(spark: SparkSession,
       sfDir: String): DataFrame =
+    c4PlantedDocsWith(spark, sfDir, lit(""))
+
+  /** [[c4PlantedDocs]] with an extra per-doc tail appended AFTER the
+    * closing good line — `pipeline_c4` plants its shared
+    * three-sentence passage through this hook, stated identically in
+    * its oracle SQL.
+    */
+  private[graft] def c4PlantedDocsWith(spark: SparkSession,
+      sfDir: String, extra: Column): DataFrame =
     documents(spark, sfDir).select(col("doc_id"), concat(
       col("text"), lit("."),
       lit("\nshort line."),
@@ -178,7 +187,7 @@ object TextOps {
         lit("\nbadword one appears right here now.")).otherwise(lit("")),
       when(col("doc_id") % 2 === 0,
         lit("\nhe said \"a quoted line ends well.\"")).otherwise(lit("")),
-      lit("\nanother good line with five words!")).as("text"))
+      lit("\nanother good line with five words!"), extra).as("text"))
 
   /** Registered `quality_c4` (see [[c4PlantedDocs]]). */
   def qualityC4Query(spark: SparkSession, sfDir: String): DataFrame =

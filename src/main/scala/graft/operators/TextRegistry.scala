@@ -139,6 +139,12 @@ object TextRegistry {
     // the APPLY form: cleaned kept-line text, failing pages dropped —
     // hash-checked end to end (strings + ints)
     "c4_apply" -> (TextOps.c4ApplyQuery _),
+    // the paper's literal dedup unit: three-sentence spans, first
+    // occurrence kept — hash-checked (byte-exact unit rebuild)
+    "sentence_span_scrub" -> (CorpusOps.sentenceSpanScrubQuery _),
+    // the released C4 pipeline composed end to end: page clean +
+    // span dedup — hash-checked through both stages' CTEs
+    "pipeline_c4" -> (Pipeline.pipelineC4Query _),
     "dedup_index_build" -> (IncrementalDedup.indexBuildQuery _),
     "dedup_incremental_exact" -> (IncrementalDedup.incrementalExact _),
     // rows-only: signature-estimated jaccard (engine-specific hash
@@ -166,8 +172,55 @@ object TextRegistry {
     * flags (`p`). Tails select the stats row (quality_c4) or the
     * cleaned kept-line rebuild (c4_apply).
     */
-  private val c4OracleCte: String =
-    """WITH t AS (SELECT doc_id,
+  private val c4OracleCte: String = c4OracleCteWith("")
+
+  /** The sentence-span scrub CTE chain (T35), reading `(doc_id,
+    * text)` from CTE `src`: sentence units via
+    * `regexp_extract_all('[^.!?]*[.!?]+|[^.!?]+')` (units keep their
+    * bytes — concatenation reproduces the text), 3-unit windows
+    * keyed injectively (length-prefixed join — the gopher_repetition
+    * convention), min-owner over distinct (doc, window), coverage
+    * NOT-EXISTS, byte-exact rebuild via `string_agg(s, '')`.
+    * Starts with "," — appended to an open WITH chain.
+    */
+  private def sentenceScrubSql(src: String): String =
+    s""",
+       |t2 AS (SELECT doc_id,
+       |  regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+') AS su
+       | FROM $src),
+       |wi2 AS (SELECT doc_id, su,
+       |  unnest(range(1, greatest(len(su) - 1, 1))) AS i FROM t2),
+       |w2 AS (SELECT doc_id, i,
+       |  list_aggregate(list_transform(su[i:i+2],
+       |    s -> length(s)::VARCHAR || ':' || s),
+       |    'string_agg', chr(0)) AS win FROM wi2),
+       |own2 AS (SELECT win, min(doc_id) AS owner FROM (
+       |  SELECT DISTINCT doc_id, win FROM w2) GROUP BY win),
+       |bad2 AS (SELECT w2.doc_id, w2.i FROM w2 JOIN own2 USING (win)
+       |  WHERE own2.owner < w2.doc_id),
+       |sen AS (SELECT doc_id, unnest(su) AS s,
+       |  generate_subscripts(su, 1) AS j FROM t2),
+       |kepts AS (SELECT sen.doc_id, sen.j, sen.s FROM sen
+       |  WHERE NOT EXISTS (SELECT 1 FROM bad2
+       |    WHERE bad2.doc_id = sen.doc_id
+       |      AND bad2.i <= sen.j AND sen.j <= bad2.i + 2)),
+       |res AS (SELECT doc_id,
+       |  string_agg(s, '' ORDER BY j) AS clean_text,
+       |  count(*)::BIGINT AS n_kept FROM kepts GROUP BY doc_id),
+       |tot AS (SELECT doc_id, len(su)::BIGINT AS n_units FROM t2)
+       |SELECT tot.doc_id, coalesce(res.clean_text, '') AS clean_text,
+       |  coalesce(res.n_kept, 0)::BIGINT AS n_kept,
+       |  (tot.n_units - coalesce(res.n_kept, 0))::BIGINT AS n_dropped
+       |FROM tot LEFT JOIN res ON tot.doc_id = res.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
+  /** [[c4OracleCte]] with an extra SQL fragment appended to the
+    * planted text (after the closing good line) — the
+    * `pipeline_c4` planting hook, mirroring
+    * TextOps.c4PlantedDocsWith.
+    */
+  private def c4OracleCteWith(extra: String): String =
+    s"""WITH t AS (SELECT doc_id,
       |  text || '.' ||
       |  chr(10) || 'short line.' ||
       |  chr(10) || 'this line lacks terminal punctuation' ||
@@ -190,7 +243,7 @@ object TextRegistry {
       |  CASE WHEN doc_id % 2 = 0
       |    THEN chr(10) || 'he said "a quoted line ends well."'
       |    ELSE '' END ||
-      |  chr(10) || 'another good line with five words!' AS text
+      |  chr(10) || 'another good line with five words!'$extra AS text
       | FROM documents),
       |l AS (SELECT doc_id,
       |  unnest(string_split(text, chr(10))) AS line,
@@ -198,7 +251,7 @@ object TextRegistry {
       | FROM t),
       |c AS (SELECT doc_id, line, ord, rtrim(line, ' ') AS rl,
       |  lower(line) AS ll,
-      |  len(regexp_split_to_array(trim(line), '\s+')) AS words
+      |  len(regexp_split_to_array(trim(line), '\\s+')) AS words
       | FROM l),
       |d AS (SELECT doc_id, line, ord,
       |  CASE WHEN NOT (right(rl, 1) IN ('.', '?', '!', '"'))
@@ -233,7 +286,7 @@ object TextRegistry {
       |p AS (SELECT doc_id,
       |  contains(lower(text), 'lorem ipsum')::BIGINT AS has_lorem,
       |  contains(text, '{')::BIGINT AS has_brace,
-      |  (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |  (len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
       |     w -> lower(w) = 'badword')) > 0)::BIGINT AS has_badword
       | FROM t)""".stripMargin
 
@@ -520,6 +573,31 @@ object TextRegistry {
         |WHERE has_lorem = 0 AND has_brace = 0 AND has_badword = 0
         |  AND n_sentences >= 3
         |ORDER BY a.doc_id""".stripMargin),
+    "sentence_span_scrub" ->
+      (s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 9 = 2
+         |  THEN text || '. shr zero. shr one! shr two?'
+         |  ELSE text END AS text FROM documents)""".stripMargin +
+        sentenceScrubSql("d")),
+    "pipeline_c4" ->
+      // NB: no inner stripMargin — the extra is spliced into the
+      // c4OracleCteWith template BEFORE its own stripMargin runs, so
+      // these margins are stripped by the outer template exactly once
+      (c4OracleCteWith(
+        """
+          |  || CASE WHEN doc_id % 4 = 2 THEN
+          |    chr(10) || 'shared span alpha beta gamma one.' ||
+          |    chr(10) || 'shared span delta epsilon zeta two!' ||
+          |    chr(10) || 'shared span eta theta iota three?'
+          |  ELSE '' END""") +
+        """,
+        |k AS (SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY ord) AS clean_text
+        | FROM d WHERE cls = 'kept' GROUP BY doc_id),
+        |pg AS (SELECT a.doc_id, k.clean_text AS text
+        | FROM a JOIN p USING (doc_id) JOIN k USING (doc_id)
+        | WHERE has_lorem = 0 AND has_brace = 0 AND has_badword = 0
+        |   AND n_sentences >= 3)""".stripMargin +
+        sentenceScrubSql("pg")),
     "dedup_index_build" ->
       s"""SELECT doc_id,
          | md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,

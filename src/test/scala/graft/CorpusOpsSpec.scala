@@ -303,6 +303,62 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.forall(_.getString(1).contains("\ninner ")))
   }
 
+  test("splitSentenceUnits: byte-preserving units at terminal-mark runs") {
+    import graft.operators.CorpusOps.splitSentenceUnits
+    def u(t: String) = splitSentenceUnits(t).toSeq
+    assert(u("a. b! c?") == Seq("a.", " b!", " c?"))
+    assert(u("no terminal here") == Seq("no terminal here"))
+    assert(u("ellipsis... mid. tail") ==
+      Seq("ellipsis...", " mid.", " tail")) // runs collapse into one unit
+    assert(u("x.y.z") == Seq("x.", "y.", "z"))
+    assert(u("") == Seq())
+    assert(u("...") == Seq("..."))
+    // reconstruction is byte-exact concatenation
+    val t = "He said. \"Quote!\" And then... done? tail"
+    assert(u(t).mkString == t)
+  }
+
+  test("sentenceSpanScrub cuts spans owned by earlier docs, keeps the first") {
+    import graft.operators.CorpusOps.sentenceSpanScrub
+    // docs 0 and 1 share the 3-sentence run [B. C! D?]; doc 0 owns
+    // it. doc 2 has < 3 units - untouchable. doc 3 repeats doc 0's
+    // full text - every window owned by 0, but only units inside
+    // shared windows drop (all of doc 3's units sit in one).
+    val docs = Seq(
+      (0L, "A zero. B. C! D? E tail."),
+      (1L, "A one. B. C! D? E other."),
+      (2L, "short. stub."),
+      (3L, "A zero. B. C! D? E tail.")).toDF("doc_id", "text")
+    val got = sentenceSpanScrub(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("A zero. B. C! D? E tail.", 5L, 0L)))
+    // doc 1: units [A one., B., C!, D?, E other.]; shared windows
+    // with doc 0 = (B.,C!,D?) only -> units 2..4 cut
+    assert(got(1L) == (("A one. E other.", 2L, 3L)))
+    assert(got(2L) == (("short. stub.", 2L, 0L)))
+    // doc 3 = exact dup of doc 0: every window fires, all units cut
+    assert(got(3L) == (("", 0L, 5L)))
+  }
+
+  test("sentenceSpanScrubQuery plants a real shared span at sf") {
+    val got = graft.operators.CorpusOps
+      .sentenceSpanScrubQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.nonEmpty)
+    val planted = got.filter(_._1 % 9 == 2)
+    assert(planted.length > 1)
+    val owner = planted.minBy(_._1)
+    assert(owner._3 == 4L && owner._4 == 0L,
+      s"lowest planted id must keep the passage: $owner")
+    assert(planted.filter(_._1 != owner._1)
+      .forall(p => p._3 == 1L && p._4 == 3L),
+      "every later planted doc scrubs back to its own text. unit")
+    assert(got.filter(_._1 % 9 != 2).forall(_._4 == 0L),
+      "unplanted docs are untouched")
+  }
+
   test("substringScrub cuts exactly the windows owned by earlier docs") {
     import graft.operators.CorpusOps.substringScrub
     // doc 1 embeds doc 0's full 8-token window (positions 3..10) —

@@ -19,6 +19,29 @@ class PipelineSpec extends AnyFunSuite {
     df.collect().map(r =>
       (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
 
+  test("pipelineC4 equals the stagewise C4 clean + span scrub chain") {
+    val fixture = TextOps.c4PlantedDocsWith(spark, sf,
+      when(col("doc_id") % 4 === 2, lit(
+        "\nshared span alpha beta gamma one." +
+          "\nshared span delta epsilon zeta two!" +
+          "\nshared span eta theta iota three?")).otherwise(lit("")))
+    val composed = collectOut(Pipeline.pipelineC4(fixture,
+      badWords = Seq("badword")))
+    val stagewise = collectOut(CorpusOps.sentenceSpanScrub(
+      TextOps.c4Apply(fixture, badWords = Seq("badword"))
+        .select(col("doc_id"), col("clean_text").as("text"))))
+    assert(composed == stagewise && composed.nonEmpty)
+    // the span stage must have real work: some page lost sentences
+    assert(composed.exists(_._4 > 0),
+      "no page was span-scrubbed - the fixture is vacuous")
+    // every emitted doc passed the page gate
+    val keptPages = TextOps.qualityC4Docs(fixture,
+        badWords = Seq("badword"))
+      .filter(col("keep") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(composed.map(_._1).subsetOf(keptPages))
+  }
+
   test("pipelineFull equals the stagewise chain of standalone operators") {
     val planted = Pipeline.plantedDocs(spark, sf)
     val full = collectOut(Pipeline.pipelineFull(planted))
