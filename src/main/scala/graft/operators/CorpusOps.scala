@@ -1138,32 +1138,45 @@ object CorpusOps {
     val bc = spark.sparkContext.broadcast((keys, owners))
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) =>
-        val units = splitSentenceUnits(t)
-        val (ks, os) = bc.value
-        val hs = sentenceWindowHashes(units, n)
-        val covered = new Array[Boolean](units.length)
-        var i = 0
-        while (i < hs.length) {
-          val slot = java.util.Arrays.binarySearch(ks, hs(i))
-          if (slot >= 0 && os(slot) < id) {
-            var j = i
-            while (j < i + n) { covered(j) = true; j += 1 }
-          }
-          i += 1
-        }
-        val sb = new java.lang.StringBuilder
-        var kept = 0L
-        var dropped = 0L
-        var u = 0
-        while (u < units.length) {
-          if (covered(u)) dropped += 1
-          else { sb.append(units(u)); kept += 1 }
-          u += 1
-        }
-        (id, sb.toString, kept, dropped)
+        val (txt, kept, dropped) =
+          scrubSentences(t, id, bc.value._1, bc.value._2, n)
+        (id, txt, kept, dropped)
       }
       .toDF("doc_id", "clean_text", "n_kept", "n_dropped")
       .orderBy(col("doc_id"))
+  }
+
+  /** The per-doc scrub kernel shared by the batch rebuild scan and
+    * the streaming twin (X20): cut every sentence unit covered by a
+    * frontier window whose owner is a LOWER id, concatenate
+    * survivors (units carry their own bytes). Returns
+    * (clean_text, n_kept, n_dropped).
+    */
+  private[graft] def scrubSentences(t: String, id: Long,
+      keys: Array[Long], owners: Array[Long],
+      n: Int): (String, Long, Long) = {
+    val units = splitSentenceUnits(t)
+    val hs = sentenceWindowHashes(units, n)
+    val covered = new Array[Boolean](units.length)
+    var i = 0
+    while (i < hs.length) {
+      val slot = java.util.Arrays.binarySearch(keys, hs(i))
+      if (slot >= 0 && owners(slot) < id) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var dropped = 0L
+    var u = 0
+    while (u < units.length) {
+      if (covered(u)) dropped += 1
+      else { sb.append(units(u)); kept += 1 }
+      u += 1
+    }
+    (sb.toString, kept, dropped)
   }
 
   /** The registered `sentence_span_scrub` query: word soup carries

@@ -437,6 +437,27 @@ object StreamingOps {
     }.toDF("doc_id", "ts", "clean_text", "n_kept", "n_dropped")
   }
 
+  /** X20 — STREAMING SENTENCE-SPAN SCRUB: arrivals scrubbed at the
+    * LITERAL C4 dedup unit (T35) against the shared-window frontier
+    * mined ONCE from the historical corpus
+    * ([[graft.operators.CorpusOps.sharedSentenceFrontier]]) — the
+    * X12 substring-scrub recipe at sentence granularity, completing
+    * the streamed C4 pair (X19 gates pages, X20 cuts spans already
+    * owned by the resident corpus). Kernel shared with batch
+    * (`scrubSentences`); stateless pure map, output asserted
+    * identical to the batch operator under one frontier.
+    */
+  def streamingSentenceScrub(docs: Dataset[StreamDoc],
+      frontier: (Array[Long], Array[Long]), n: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(frontier)
+    docs.map { d =>
+      val (txt, kept, dropped) = graft.operators.CorpusOps
+        .scrubSentences(d.text, d.doc_id, bc.value._1, bc.value._2, n)
+      (d.doc_id, d.ts, txt, kept, dropped)
+    }.toDF("doc_id", "ts", "clean_text", "n_kept", "n_dropped")
+  }
+
   /** X13 — STREAM-SIDE NB CLASSIFICATION: route each arriving
     * document to its argmax class under a PRECOMPUTED Naive Bayes
     * model (the batch [[graft.operators.Classify.nbModel]] export —

@@ -132,6 +132,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("X20 streaming sentence scrub equals the batch kernel under one frontier") {
+    import graft.streaming.StreamingOps.StreamDoc
+    import spark.implicits._
+    // historical corpus: docs 0 and 1 share the 3-sentence run
+    // [B. C! D?] (owner 0); the frontier holds exactly its window
+    val hist = Seq(
+      (0L, "H zero. B. C! D? tail zero."),
+      (1L, "H one. B. C! D? tail one.")).toDF("doc_id", "text")
+    val frontier = graft.operators.CorpusOps.sharedSentenceFrontier(hist)
+    assert(frontier._1.nonEmpty)
+    val arrivals = Seq(
+      StreamDoc(10L, ts(0), "K ten. B. C! D? E ten."), // span scrubbed
+      StreamDoc(11L, ts(1), "no terminal marks at all"),
+      StreamDoc(12L, ts(2), "B. C! D?")) // exactly the owned span
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingSentenceScrub(in.toDS(), frontier)
+      .writeStream.format("memory").queryName("sen_scrub_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("sen_scrub_out").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+      // the batch kernel over the same rows with the SAME frontier
+      arrivals.foreach { d =>
+        val expect = graft.operators.CorpusOps.scrubSentences(
+          d.text, d.doc_id, frontier._1, frontier._2, 3)
+        assert(got(d.doc_id) == expect, s"doc ${d.doc_id}")
+      }
+      // hand-expected: units of doc 10 = [K ten., " B.", " C!",
+      // " D?", " E ten."]; only the EXACT frontier window
+      // (" B."," C!"," D?") fires -> units 2..4 cut
+      assert(got(10L) == (("K ten. E ten.", 2L, 3L)))
+      assert(got(11L) == (("no terminal marks at all", 1L, 0L)))
+      // doc 12's units ["B.", " C!", " D?"] differ from the
+      // frontier's (" B."," C!"," D?") in the FIRST unit's leading
+      // space -> byte-exact identity means no hit, doc kept
+      assert(got(12L) == (("B. C! D?", 3L, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming DSIR scores equal the batch weights bit-exactly") {
     import graft.streaming.StreamingOps.StreamDoc
     val sf = "/root/testdata/sf0.001"
