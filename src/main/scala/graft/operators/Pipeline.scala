@@ -193,11 +193,20 @@ object Pipeline {
     */
   def pipelineC4(docs: DataFrame, badWords: Seq[String] = Nil,
       minLineWords: Int = 5, minSentences: Int = 3, spanUnits: Int = 3,
-      maxShared: Int = 4000000): DataFrame =
-    CorpusOps.sentenceSpanScrub(
-      TextOps.c4Apply(docs, badWords, minLineWords, minSentences)
-        .select(col("doc_id"), col("clean_text").as("text")),
-      spanUnits, maxShared)
+      maxShared: Int = 4000000, share: Boolean = true): DataFrame = {
+    // the span stage consumes its input TWICE (frontier mine +
+    // rebuild scan): under `share` the cleaned corpus materializes
+    // ONCE (the P1 localCheckpoint convention) instead of re-running
+    // the page gate per consumer (the unshared shape probed 7.35 s at
+    // 100× vs 3.3 s + 1.5 s for the standalone stages — the second
+    // gate pass is the gap); share=false keeps the pure-recompute
+    // plan for the equivalence spec
+    val cleaned0 = TextOps
+      .c4Apply(docs, badWords, minLineWords, minSentences)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val cleaned = if (share) cleaned0.localCheckpoint(true) else cleaned0
+    CorpusOps.sentenceSpanScrub(cleaned, spanUnits, maxShared)
+  }
 
   /** The registered `pipeline_c4` query: the `quality_c4` fixture
     * plus a shared three-sentence passage on doc_id ≡ 2 (mod 4)

@@ -31,6 +31,11 @@ class PipelineSpec extends AnyFunSuite {
       TextOps.c4Apply(fixture, badWords = Seq("badword"))
         .select(col("doc_id"), col("clean_text").as("text"))))
     assert(composed == stagewise && composed.nonEmpty)
+    // sharing the cleaned corpus is a plan optimization, never a
+    // semantics change (the P1 share-on/off contract)
+    val unshared = collectOut(Pipeline.pipelineC4(fixture,
+      badWords = Seq("badword"), share = false))
+    assert(unshared == composed)
     // the span stage must have real work: some page lost sentences
     assert(composed.exists(_._4 > 0),
       "no page was span-scrubbed - the fixture is vacuous")
