@@ -597,8 +597,17 @@ object CorpusOps {
     * separates after the FIRST pair, leaving the third 0x0a on the
     * next paragraph — both engines agree), empties kept.
     */
-  private def splitParagraphs(t: String): Array[String] =
+  private[graft] def splitParagraphs(t: String): Array[String] =
     t.split(java.util.regex.Pattern.quote("\n\n"), -1)
+
+  /** The banned-paragraph frontier of [[paragraphDedup]]'s df pass —
+    * exposed (the [[bannedLineFrontier]] convention) so a STREAMING
+    * pipeline can mine it from the historical corpus once and scrub
+    * arrivals statelessly.
+    */
+  def bannedParagraphFrontier(docs: DataFrame, minDf: Int = 3,
+      maxBanned: Int = 4000000): Array[Long] =
+    bannedSegmentFrontier(docs, splitParagraphs, minDf, maxBanned)
 
   /** T19 — LINE-LEVEL corpus dedup (the C4 / RefinedWeb boilerplate
     * pass): a line that occurs in `minDf`-or-more DISTINCT documents

@@ -197,10 +197,10 @@ object Pipeline {
     // the span stage consumes its input TWICE (frontier mine +
     // rebuild scan): under `share` the cleaned corpus materializes
     // ONCE (the P1 localCheckpoint convention) instead of re-running
-    // the page gate per consumer (the unshared shape probed 7.35 s at
-    // 100× vs 3.3 s + 1.5 s for the standalone stages — the second
-    // gate pass is the gap); share=false keeps the pure-recompute
-    // plan for the equivalence spec
+    // the page gate per consumer — 100× probe 7.35 s unshared →
+    // 6.16 s shared (the second gate pass saved, minus the
+    // checkpoint write); share=false keeps the pure-recompute plan
+    // for the equivalence spec
     val cleaned0 = TextOps
       .c4Apply(docs, badWords, minLineWords, minSentences)
       .select(col("doc_id"), col("clean_text").as("text"))

@@ -365,6 +365,37 @@ object StreamingOps {
     }.toDF("doc_id", "ts", "clean_text", "n_kept", "n_dropped")
   }
 
+  /** X21 — STREAMING PARAGRAPH DEDUP: X10 at blank-line granularity
+    * (T34 streamed) — arrivals lose any paragraph on the
+    * historically-mined banned frontier
+    * ([[graft.operators.CorpusOps.bannedParagraphFrontier]]),
+    * survivors rejoin with "\n\n"; segment split + hash shared with
+    * the batch operator. Stateless pure map.
+    */
+  def streamingParagraphDedup(docs: Dataset[StreamDoc],
+      bannedSorted: Array[Long]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(bannedSorted)
+    docs.map { d =>
+      val ps = graft.operators.CorpusOps.splitParagraphs(d.text)
+      val sb = new java.lang.StringBuilder
+      var kept = 0L
+      var dropped = 0L
+      var i = 0
+      while (i < ps.length) {
+        if (java.util.Arrays.binarySearch(bc.value,
+            graft.operators.CorpusOps.lineHash(ps(i))) >= 0) dropped += 1
+        else {
+          if (kept > 0) sb.append("\n\n")
+          sb.append(ps(i))
+          kept += 1
+        }
+        i += 1
+      }
+      (d.doc_id, d.ts, sb.toString, kept, dropped)
+    }.toDF("doc_id", "ts", "clean_text", "n_kept", "n_dropped")
+  }
+
   /** X11 — STREAM-SIDE DSIR SCORING: score each arriving document's
     * target-domain importance log-weight against PRECOMPUTED count
     * models (the batch [[graft.operators.Search.dsirModel]] export

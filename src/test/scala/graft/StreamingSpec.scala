@@ -54,6 +54,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("X21 streaming paragraph dedup scrubs arrivals like the batch operator") {
+    import graft.streaming.StreamingOps.StreamDoc
+    import spark.implicits._
+    // historical corpus: the two-line block "nav\nhome" recurs in 3
+    // docs (banned at minDf=3); "pair" block in 2 (kept)
+    val hist = Seq(
+      (0L, "nav\nhome\n\nhist zero\n\npair"),
+      (1L, "nav\nhome\n\nhist one\n\npair"),
+      (2L, "nav\nhome\n\nhist two")).toDF("doc_id", "text")
+    val banned = graft.operators.CorpusOps.bannedParagraphFrontier(hist)
+    val arrivals = Seq(
+      StreamDoc(10L, ts(0), "nav\nhome\n\nfresh ten"),
+      StreamDoc(11L, ts(1), "pair\n\nfresh\neleven\n\nnav\nhome"),
+      StreamDoc(12L, ts(2), "nav\nhome")) // fully scrubbed, stays
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingParagraphDedup(in.toDS(), banned)
+      .writeStream.format("memory").queryName("par_dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("par_dedup_out").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got(10L) == (("fresh ten", 1L, 1L)))
+      // the kept paragraph retains its EMBEDDED single newline
+      assert(got(11L) == (("pair\n\nfresh\neleven", 2L, 1L)))
+      assert(got(12L) == (("", 0L, 1L)))
+      // contract: identical to the batch operator under one frontier
+      arrivals.foreach { d =>
+        val ps = graft.operators.CorpusOps.splitParagraphs(d.text)
+        val expKept = ps.filterNot(p => banned.contains(
+          graft.operators.CorpusOps.lineHash(p)))
+        assert(got(d.doc_id)._1 == expKept.mkString("\n\n"))
+      }
+    } finally q.stop()
+  }
+
   test("streaming line dedup scrubs arrivals identically to the batch operator") {
     import graft.streaming.StreamingOps.StreamDoc
     import spark.implicits._
