@@ -38,7 +38,7 @@ object Probe {
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",
       "text_repetition", "pii_scrub", "quality_classify",
-      "dedup_apply", "mix_sources", "mix_sources_sampled",
+      "dedup_apply", "mix_sources", "mix_sources_sampled", "corpus_diff",
       "screen_apply", "corpus_stats",
       "source_overlap", "source_overlap_sketch",
       "screen_ngram_overlap",

@@ -1209,6 +1209,50 @@ object CorpusOps {
     sentenceSpanScrub(planted)
   }
 
+  /** T36 — CORPUS VERSION DIFF: the audit a daily ingest runs after
+    * every rebuild — given two corpus versions keyed by doc_id,
+    * classify every id as `added` (v2 only), `removed` (v1 only),
+    * `modified` (present in both, canonical fingerprint differs) or
+    * `unchanged`. The canonical-md5 identity (whitespace-collapse,
+    * the dedup_exact form) means a reflow is NOT a modification —
+    * the verdict tracks content, not bytes.
+    *
+    * Scale shape: two scan-bound fingerprint projections + ONE
+    * full-outer join on the 8-byte id — the TEXT never joins; at
+    * 100 TB this is a co-partitionable id join (bucket both versions
+    * by doc_id and the shuffle disappears entirely).
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.fingerprintMd5
+    val a = v1.select(col("doc_id"), fingerprintMd5(col("text")).as("fp_old"))
+    val b = v2.select(col("doc_id"), fingerprintMd5(col("text")).as("fp_new"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("modified"))
+          .otherwise(lit("unchanged")).as("verdict"),
+        col("fp_old"), col("fp_new"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered `corpus_diff` query: two versions carved from
+    * the sf table on coprime moduli — v1 drops doc_id ≡ 3 (mod 17)
+    * (those become `added`), v2 drops ≡ 5 (mod 13) (`removed`) and
+    * rewrites the text of ≡ 1 (mod 7) (`modified`); everything else
+    * is `unchanged`. All four verdicts occur; the oracle states the
+    * identical carving in SQL.
+    */
+  def corpusDiffQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val v1 = docs.filter(col("doc_id") % 17 =!= 3)
+    val v2 = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 1, concat(col("text"), lit(" v2edit")))
+          .otherwise(col("text")).as("text"))
+    corpusDiff(v1, v2)
+  }
+
   /** T16 — corpus DATA CARD: the per-source report a pipeline records
     * alongside every training-data release — document/token/char
     * volumes, exact-duplicate uniqueness, decimal-exact mean quality,

@@ -64,6 +64,7 @@ object TextRegistry {
     "boilerplate_share" -> ((s, d) => CorpusOps.boilerplateShare(s, d)),
     "line_dedup" -> (CorpusOps.lineDedupQuery _),
     "paragraph_dedup" -> (CorpusOps.paragraphDedupQuery _),
+    "corpus_diff" -> (CorpusOps.corpusDiffQuery _),
     "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d)),
     // rows-only: exact counts on an MG-mined candidate set — the
     // frontier under summary-dependent ties has no SQL oracle; the
@@ -1258,6 +1259,26 @@ object TextRegistry {
     // keeps empties exactly like the engine's limit=-1 split; docs
     // with zero survivors keep an empty clean_text (LEFT JOIN +
     // coalesce), matching the engine's corpus-membership contract.
+    "corpus_diff" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
+        |  text FROM documents),
+        |v1 AS (SELECT doc_id, fp AS fp_old FROM f
+        |  WHERE doc_id % 17 <> 3),
+        |v2 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 1
+        |    THEN md5(regexp_replace(trim(text || ' v2edit'),
+        |      '\s+', ' ', 'g'))
+        |    ELSE fp END AS fp_new
+        |  FROM f WHERE doc_id % 13 <> 5)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN fp_old <> fp_new THEN 'modified'
+        |       ELSE 'unchanged' END AS verdict,
+        |  fp_old, fp_new
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "paragraph_dedup" ->
       s"""WITH d AS (SELECT doc_id,
          |  'hdr ' || source || chr(10) || chr(10) ||

@@ -303,6 +303,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.forall(_.getString(1).contains("\ninner ")))
   }
 
+  test("corpusDiff classifies added/removed/modified/unchanged by content") {
+    import graft.operators.CorpusOps.corpusDiff
+    val v1 = Seq(
+      (1L, "stays the same"),
+      (2L, "will be edited"),
+      (3L, "will be removed"),
+      (5L, "reflows   only")).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "stays the same"),
+      (2L, "will be edited differently"),
+      (4L, "brand new doc"),
+      (5L, "reflows only")).toDF("doc_id", "text") // whitespace only
+    val got = corpusDiff(v1, v2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "removed", 4L -> "added",
+      5L -> "unchanged")) // canonical identity ignores reflow
+    // registered query exercises all four verdicts at sf
+    val verdicts = graft.operators.CorpusOps.corpusDiffQuery(spark, sf)
+      .select("verdict").collect().map(_.getString(0)).toSet
+    assert(verdicts == Set("added", "removed", "modified", "unchanged"))
+  }
+
   test("splitSentenceUnits: byte-preserving units at terminal-mark runs") {
     import graft.operators.CorpusOps.splitSentenceUnits
     def u(t: String) = splitSentenceUnits(t).toSeq
