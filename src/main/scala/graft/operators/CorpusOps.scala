@@ -1188,6 +1188,61 @@ object CorpusOps {
     (sb.toString, kept, dropped)
   }
 
+  /** The NEVER-COLLECTS shape of [[sentenceSpanScrub]] (the
+    * [[substringScrubJoin]] port): per-occurrence (hash, doc, pos)
+    * postings ⋈ partial-agged min-owners on the 8-byte hash →
+    * per-doc sorted bad-position arrays → ONE id-keyed join back to
+    * the text → rebuild. No driver frontier, no broadcast — survives
+    * a shared-window volume past any driver budget; the frontier
+    * grows with DUPLICATION, which is exactly when the broadcast
+    * shape's collect blows up. Spec'd set-equal to the broadcast
+    * shape (df-1 windows are self-owned, so the `owner < doc_id`
+    * filter reproduces the df ≥ 2 frontier semantics exactly).
+    */
+  def sentenceSpanScrubJoin(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 2 && n <= 64, s"n out of range: $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val occ = ds
+      .flatMap { case (id, t) =>
+        sentenceWindowHashes(splitSentenceUnits(t), n)
+          .iterator.zipWithIndex.map { case (h, i) => (h, id, i) }
+      }
+      .toDF("h", "doc_id", "pos")
+    val owners = occ.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("owner"))
+    val bad = occ.join(owners, Seq("h"))
+      .filter(col("owner") < col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("bad"))
+    ds.toDF("doc_id", "text")
+      .join(bad, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("bad"), array()).as("bad"))
+      .as[(Long, String, Seq[Int])]
+      .map { case (id, t, badPos) =>
+        val units = splitSentenceUnits(t)
+        val covered = new Array[Boolean](units.length)
+        badPos.foreach { p =>
+          var j = p
+          while (j < p + n && j < units.length) { covered(j) = true; j += 1 }
+        }
+        val sb = new java.lang.StringBuilder
+        var kept = 0L
+        var dropped = 0L
+        var u = 0
+        while (u < units.length) {
+          if (covered(u)) dropped += 1
+          else { sb.append(units(u)); kept += 1 }
+          u += 1
+        }
+        (id, sb.toString, kept, dropped)
+      }
+      .toDF("doc_id", "clean_text", "n_kept", "n_dropped")
+      .orderBy(col("doc_id"))
+  }
+
   /** The registered `sentence_span_scrub` query: word soup carries
     * no terminal marks, so every raw doc is ONE unterminated unit
     * and no 3-sentence window exists — the query PLANTS a shared

@@ -364,6 +364,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(3L) == (("", 0L, 5L)))
   }
 
+  test("sentenceSpanScrubJoin == broadcast shape on hand-built and sf corpora") {
+    import graft.operators.CorpusOps.{sentenceSpanScrub, sentenceSpanScrubJoin}
+    def outOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val docs = Seq(
+      (0L, "A zero. B. C! D? E tail."),
+      (1L, "A one. B. C! D? E other."),
+      (2L, "short. stub."),
+      (3L, "A zero. B. C! D? E tail.")).toDF("doc_id", "text")
+    assert(outOf(sentenceSpanScrubJoin(docs)) ==
+      outOf(sentenceSpanScrub(docs)))
+    // and on the planted sf fixture the registered query uses
+    val planted = graft.Tables.documents(spark, sf).select(col("doc_id"),
+      when(col("doc_id") % 9 === 2,
+        concat(col("text"), lit(". shr zero. shr one! shr two?")))
+        .otherwise(col("text")).as("text"))
+    val broadcastOut = outOf(sentenceSpanScrub(planted))
+    assert(outOf(sentenceSpanScrubJoin(planted)) == broadcastOut)
+    assert(broadcastOut.exists(_._4 > 0))
+  }
+
   test("sentenceSpanScrubQuery plants a real shared span at sf") {
     val got = graft.operators.CorpusOps
       .sentenceSpanScrubQuery(spark, sf).collect()
