@@ -34,7 +34,7 @@ object Probe {
       "dedup_minhash_pairs", "dedup_simhash", "dedup_winnow",
       "contamination_screen", "dedup_clusters", "dedup_substring",
       "quality_gopher", "gopher_repetition", "quality_c4", "c4_apply",
-      "sentence_span_scrub", "pipeline_c4",
+      "sentence_span_scrub", "sentence_span_scrub_join", "pipeline_c4",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",
       "text_repetition", "pii_scrub", "quality_classify",

@@ -1255,14 +1255,24 @@ object CorpusOps {
     * doc's leading window (containing its unique text) never fires.
     */
   def sentenceSpanScrubQuery(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val planted = documents(spark, sfDir).select(col("doc_id"),
+      sfDir: String): DataFrame =
+    sentenceSpanScrub(sentenceScrubPlanted(spark, sfDir))
+
+  /** Registered `sentence_span_scrub_join` — the never-collects
+    * shape over the SAME planted fixture; its output contract is
+    * identical, so it hash-checks against the same oracle.
+    */
+  def sentenceSpanScrubJoinQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    sentenceSpanScrubJoin(sentenceScrubPlanted(spark, sfDir))
+
+  private def sentenceScrubPlanted(spark: SparkSession,
+      sfDir: String): DataFrame =
+    documents(spark, sfDir).select(col("doc_id"),
       when(col("doc_id") % 9 === 2,
         concat(col("text"),
           lit(". shr zero. shr one! shr two?")))
         .otherwise(col("text")).as("text"))
-    sentenceSpanScrub(planted)
-  }
 
   /** T36 — CORPUS VERSION DIFF: the audit a daily ingest runs after
     * every rebuild — given two corpus versions keyed by doc_id,

@@ -143,6 +143,10 @@ object TextRegistry {
     // the paper's literal dedup unit: three-sentence spans, first
     // occurrence kept — hash-checked (byte-exact unit rebuild)
     "sentence_span_scrub" -> (CorpusOps.sentenceSpanScrubQuery _),
+    // same output contract, the never-collects shuffle shape — its
+    // own hash row under the same oracle statement
+    "sentence_span_scrub_join" ->
+      (CorpusOps.sentenceSpanScrubJoinQuery _),
     // the released C4 pipeline composed end to end: page clean +
     // span dedup — hash-checked through both stages' CTEs
     "pipeline_c4" -> (Pipeline.pipelineC4Query _),
@@ -174,6 +178,15 @@ object TextRegistry {
     * cleaned kept-line rebuild (c4_apply).
     */
   private val c4OracleCte: String = c4OracleCteWith("")
+
+  /** The one oracle behind BOTH T35 shapes (`sentence_span_scrub`
+    * and `sentence_span_scrub_join`) — identical output contract.
+    */
+  private def sentenceScrubOracle: String =
+    s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 9 = 2
+       |  THEN text || '. shr zero. shr one! shr two?'
+       |  ELSE text END AS text FROM documents)""".stripMargin +
+      sentenceScrubSql("d")
 
   /** The sentence-span scrub CTE chain (T35), reading `(doc_id,
     * text)` from CTE `src`: sentence units via
@@ -574,11 +587,8 @@ object TextRegistry {
         |WHERE has_lorem = 0 AND has_brace = 0 AND has_badword = 0
         |  AND n_sentences >= 3
         |ORDER BY a.doc_id""".stripMargin),
-    "sentence_span_scrub" ->
-      (s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 9 = 2
-         |  THEN text || '. shr zero. shr one! shr two?'
-         |  ELSE text END AS text FROM documents)""".stripMargin +
-        sentenceScrubSql("d")),
+    "sentence_span_scrub" -> sentenceScrubOracle,
+    "sentence_span_scrub_join" -> sentenceScrubOracle,
     "pipeline_c4" ->
       // NB: no inner stripMargin — the extra is spliced into the
       // c4OracleCteWith template BEFORE its own stripMargin runs, so
