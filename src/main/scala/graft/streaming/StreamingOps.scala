@@ -711,6 +711,74 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("doc_id", "match_kind", "ref_id")
   }
 
+  /** X22 — STREAMING VERIFIED INCREMENTAL SCREEN: X16's est-only
+    * near verdicts completed with the D17 exact tail, online —
+    * candidates flagged in the WIDER estimate band (threshold − 0.2,
+    * the verifyNearPairs convention) fetch the kept corpus's TEXT
+    * stream-statically by ref_id, and the exact sorted-key jaccard
+    * decides the keep/drop at the threshold. Per micro-batch the
+    * text join is bounded by FLAG volume (candidates deduplicate
+    * under the watermark BEFORE the corpus join, so a multi-band
+    * collision costs one verify); the corpus side contributes a
+    * shingle-key projection only — its text never shuffles past the
+    * kernel. Column space end to end (the X8/X16 watermark lesson);
+    * agreement and intersection run through the codegen'd
+    * `positional_agree_count` / `sorted_intersect_count` kernels.
+    *
+    * StreamingSpec pins the streamed verdicts equal to the batch
+    * [[graft.operators.IncrementalDedup.verifyNearPairs]] under one
+    * index + corpus snapshot (band keys differ syntactically from
+    * the batch fold-hash but collide exactly when the same signature
+    * slices are equal, so the candidate sets agree).
+    */
+  def streamingIncrementalScreenVerified(docs: Dataset[StreamDoc],
+      index: DataFrame, corpus: DataFrame, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.HashFunctions._
+    val rows = k / bands
+    require(rows * bands == k, s"bands ($bands) must divide k ($k)")
+    require(threshold > 0.2,
+      s"threshold must exceed the 0.2 candidate-band margin: $threshold")
+
+    val indexBands = index.filter(col("n_sh") > 0)
+      .select(col("doc_id").as("ref_id"), col("sig").as("ref_sig"),
+        posexplode(bandSigs(col("sig"), bands, rows)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bsig"))
+
+    val scored = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        shingle_keys(col("text"), lit(""), 3).as("sh_a"))
+      .select(col("doc_id"), col("ts"), col("sh_a"),
+        minhash_keys(col("sh_a"), k).as("sig"))
+
+    val cand = scored
+      .select(col("doc_id"), col("ts"), col("sh_a"), col("sig"),
+        posexplode(bandSigs(col("sig"), bands, rows)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bsig"))
+      .join(indexBands, Seq("band", "bsig"))
+      .withColumn("est_jaccard",
+        positional_agree_count(col("sig"), col("ref_sig"))
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= threshold - 0.2)
+      // one verify per (arrival, ref) pair regardless of how many
+      // bands collided — dedupe BEFORE the text join
+      .dropDuplicatesWithinWatermark("doc_id", "ref_id")
+      .select(col("doc_id"), col("ts"), col("sh_a"), col("ref_id"),
+        col("est_jaccard"))
+
+    val refSets = corpus.select(col("doc_id").as("ref_id"),
+      shingle_keys(col("text"), lit(""), 3).as("sh_b"))
+    val inter = sorted_intersect_count(col("sh_a"), col("sh_b"))
+    cand.join(refSets, Seq("ref_id"))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ts"), col("ref_id"),
+        col("est_jaccard"), col("jaccard"))
+  }
+
   case class StreamVec(query_id: Long, ts: Timestamp, emb: Array[Float])
 
   /** X17 — STREAMING ANN SCREEN against the persisted IVF index

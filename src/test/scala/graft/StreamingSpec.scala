@@ -645,6 +645,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("X22 streaming verified screen equals batch verifyNearPairs under one index") {
+    import graft.streaming.StreamingOps.StreamDoc
+    import graft.operators.IncrementalDedup
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_x22_idx").toString
+    val old = IncrementalDedup.oldDocs(spark, sf)
+    IncrementalDedup.saveIndex(old, dir)
+    val index = IncrementalDedup.loadIndex(spark, dir)
+    val fresh = IncrementalDedup.newDocs(spark, sf)
+
+    // batch reference: the D17 tail over the same split
+    val cand = IncrementalDedup.screenNearDocs(fresh, index,
+      minEst = 0.3).localCheckpoint()
+    val batch = IncrementalDedup.verifyNearPairs(cand, fresh, old, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty, "sf split must produce verified pairs")
+
+    val arrivals = fresh.select("doc_id", "text").collect()
+      .zipWithIndex.map { case (r, i) =>
+        StreamDoc(r.getLong(0), ts(i % 50), r.getString(1)) }
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingIncrementalScreenVerified(
+        in.toDS(), index, old)
+      .writeStream.format("memory").queryName("vscreen_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("vscreen_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id"),
+          r.getAs[Double]("est_jaccard"), r.getAs[Double]("jaccard")))
+        .toSet
+      assert(got == batch,
+        s"stream-only=${(got -- batch).take(3)} batch-only=${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming ANN screen matches an in-driver reference over the persisted IVF index") {
     import graft.streaming.StreamingOps.StreamVec
     import graft.operators.Similarity
