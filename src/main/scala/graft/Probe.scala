@@ -56,7 +56,7 @@ object Probe {
       "dsir_select_sampled",
       "bm25_search", "embed_kmeans", "embed_quantize", "embed_project",
       "pipeline_clean", "pipeline_full", "pipeline_scrub",
-      "pipeline_ingest",
+      "pipeline_ingest", "pipeline_ingest_verified",
       "wordcount_salted",
       "multimodal_decode",
       "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_indexed",

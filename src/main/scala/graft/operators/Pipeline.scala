@@ -180,6 +180,53 @@ object Pipeline {
       IncrementalDedup.buildIndex(IncrementalDedup.oldDocs(spark, sfDir)),
       stopWords = Seq("the", "a"))
 
+  /** P3b — the VERIFIED daily-ingest recipe: [[pipelineIngest]] with
+    * the near-dup drop decided by the EXACT jaccard (the D17 tail)
+    * instead of the k=32 estimate — a doc is dropped only when a
+    * flagged candidate VERIFIES at the threshold, so a boundary
+    * estimate (±2σ ≈ ±0.18) can no longer discard novel text. Costs
+    * one extra id-bounded text-fetch join over P3 (the corpus text
+    * joins by ref_id, bounded by flag volume — this variant needs
+    * the kept CORPUS frame, which P3's index-only contract
+    * deliberately avoids; use P3 when yesterday's text is not
+    * reachable, P3b when a false near-dup drop is the dearer error).
+    */
+  def pipelineIngestVerified(inc: DataFrame, index: DataFrame,
+      corpus: DataFrame, threshold: Double = 0.5,
+      stopWords: Seq[String] = TextOps.GopherStopList,
+      share: Boolean = true): DataFrame = {
+    val incIx0 = IncrementalDedup.buildIndex(inc)
+    val incIx = if (share) incIx0.localCheckpoint(true) else incIx0
+    val exactDup = IncrementalDedup.screenExactSigs(incIx, index)
+      .filter(col("is_dup") === 1).select(col("doc_id"))
+    val cand0 = IncrementalDedup.screenNearSigs(incIx, index,
+      minEst = math.max(0.0, threshold - 0.2))
+    val cand = if (share) cand0.localCheckpoint(true) else cand0
+    val nearDup = IncrementalDedup
+      .verifyNearPairs(cand, inc, corpus, threshold)
+      .select(col("doc_id")).distinct()
+    val gopher = TextOps.qualityGopherDocs(inc, stopWords)
+    val lowQuality = gopher.filter(col("keep") === 0).select(col("doc_id"))
+    inc.select(col("doc_id"), col("source"))
+      .join(exactDup, Seq("doc_id"), "left_anti")
+      .join(nearDup, Seq("doc_id"), "left_anti")
+      .join(lowQuality, Seq("doc_id"), "left_anti")
+      .join(gopher.select(col("doc_id"), col("n_words")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered `pipeline_ingest_verified` query (the
+    * pipelineIngestQuery split + the old half's text for the verify
+    * tail).
+    */
+  def pipelineIngestVerifiedQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    pipelineIngestVerified(IncrementalDedup.newDocs(spark, sfDir),
+      IncrementalDedup.buildIndex(IncrementalDedup.oldDocs(spark, sfDir)),
+      IncrementalDedup.oldDocs(spark, sfDir),
+      stopWords = Seq("the", "a"))
+
   /** P4 — the LITERAL RELEASED C4 PIPELINE (r13, Raffel et al. 2020
     * §2.2 end to end): clean every page with the published line and
     * page rules ([[TextOps.c4Apply]] — kept lines rebuilt, failing

@@ -165,6 +165,11 @@ object TextRegistry {
     // dedup_incremental); PipelineSpec pins stagewise set-equality
     // against the standalone screens + gate and share-on/off equality
     "pipeline_ingest" -> (Pipeline.pipelineIngestQuery _),
+    // rows-only like pipeline_ingest; the near stage drops on the
+    // EXACT verified jaccard (the D17 tail) — PipelineSpec pins the
+    // stagewise decomposition and the est-vs-verified divergence
+    "pipeline_ingest_verified" ->
+      (Pipeline.pipelineIngestVerifiedQuery _),
     "gopher_repetition" -> (TextOps.gopherRepetition _)
   )
 

@@ -47,6 +47,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(composed.map(_._1).subsetOf(keptPages))
   }
 
+  test("pipelineIngestVerified equals its stagewise decomposition") {
+    import graft.operators.IncrementalDedup
+    val inc = IncrementalDedup.newDocs(spark, sf)
+    val old = IncrementalDedup.oldDocs(spark, sf)
+    val index = IncrementalDedup.buildIndex(old)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val got = ids(Pipeline.pipelineIngestVerified(inc, index, old,
+      stopWords = Seq("the", "a")))
+    // stagewise: standalone screens + gate, no shared checkpoints
+    val exactDup = ids(IncrementalDedup
+      .screenExactDocs(inc, index).filter(col("is_dup") === 1))
+    val cand = IncrementalDedup.screenNearDocs(inc, index, minEst = 0.3)
+    val nearDup = ids(IncrementalDedup
+      .verifyNearPairs(cand.localCheckpoint(), inc, old, 0.5))
+    val lowQ = ids(graft.operators.TextOps
+      .qualityGopherDocs(inc, Seq("the", "a"))
+      .filter(col("keep") === 0))
+    val expected = ids(inc) -- exactDup -- nearDup -- lowQ
+    assert(got == expected && got.nonEmpty)
+    // share=false is the same pipeline, recomputed
+    assert(ids(Pipeline.pipelineIngestVerified(inc, index, old,
+      stopWords = Seq("the", "a"), share = false)) == got)
+    // the verified near stage is doing real work at sf
+    assert(nearDup.nonEmpty)
+  }
+
   test("pipelineFull equals the stagewise chain of standalone operators") {
     val planted = Pipeline.plantedDocs(spark, sf)
     val full = collectOut(Pipeline.pipelineFull(planted))
