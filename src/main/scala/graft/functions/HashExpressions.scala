@@ -272,9 +272,50 @@ object HashKernels {
       dupLineChars))
   }
 
-  // per-spec parsed badword lists for c4Stats (the termTables idiom)
-  private val c4BadwordTables =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Byte]]]()
+  // per-spec parsed badword lists for c4Stats (the termTables idiom):
+  // ASCII-lowered words bucketed by byte length, each bucket sorted
+  // unsigned — membership is one binary search per token instead of a
+  // scan over every same-length list word, so the published
+  // ~1,600-entry blocklist costs O(log n) compares per token. Lowering
+  // the STORED side too makes the match case-insensitive on both
+  // sides (a list entry with capitals previously could never match).
+  private val c4BadwordTables = new java.util.concurrent
+    .ConcurrentHashMap[String, Map[Int, Array[Array[Byte]]]]()
+
+  private def c4ParseBadwords(sp: String): Map[Int, Array[Array[Byte]]] =
+    sp.split(" ").filter(_.nonEmpty)
+      .map(_.getBytes("UTF-8").map(b =>
+        if (b >= 'A' && b <= 'Z') (b + 32).toByte else b))
+      .groupBy(_.length)
+      .map { case (len, ws) =>
+        len -> ws.distinct.sortWith(
+          (a, b) => java.util.Arrays.compareUnsigned(a, b) < 0)
+      }
+
+  /** Is the ASCII-lowered form of `bytes[s, s+len)` present in the
+    * length-`len` bucket? Binary search, unsigned byte order.
+    */
+  private def c4BadwordHit(bytes: Array[Byte], s: Int, len: Int,
+      bucket: Array[Array[Byte]]): Boolean = {
+    var lo = 0
+    var hi = bucket.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val bw = bucket(mid)
+      var j = 0
+      var cmp = 0
+      while (cmp == 0 && j < len) {
+        var c = bytes(s + j) & 0xff
+        if (c >= 'A' && c <= 'Z') c += 32
+        cmp = Integer.compare(c, bw(j) & 0xff)
+        j += 1
+      }
+      if (cmp == 0) return true
+      else if (cmp < 0) hi = mid - 1
+      else lo = mid + 1
+    }
+    false
+  }
 
   /** The C4 policy-line substrings (Raffel et al. 2020 §2.2 as
     * released in the TFDS c4 cleaning code): a line carrying any of
@@ -397,7 +438,7 @@ object HashKernels {
     * bit 4 = badword token hit (whole-token, ASCII-lowered).
     */
   private def c4PageFlags(bytes: Array[Byte],
-      bad: Array[Array[Byte]]): Int = {
+      bad: Map[Int, Array[Array[Byte]]]): Int = {
     val n = bytes.length
     var flags = 0
     if (containsLowered(bytes, 0, n, c4LoremBytes)) flags |= 1
@@ -413,20 +454,10 @@ object HashKernels {
           val ts = i
           while (i < n && !c4IsWs(bytes(i) & 0xff)) i += 1
           val len = i - ts
-          var w = 0
-          while ((flags & 4) == 0 && w < bad.length) {
-            val bw = bad(w)
-            if (bw.length == len) {
-              var j = 0; var ok = true
-              while (ok && j < len) {
-                var c = bytes(ts + j) & 0xff
-                if (c >= 'A' && c <= 'Z') c += 32
-                if (c != bw(j)) ok = false
-                j += 1
-              }
-              if (ok) flags |= 4
-            }
-            w += 1
+          bad.get(len) match {
+            case Some(bucket) =>
+              if (c4BadwordHit(bytes, ts, len, bucket)) flags |= 4
+            case None => ()
           }
         } else i += 1
       }
@@ -435,8 +466,7 @@ object HashKernels {
   }
 
   def c4Stats(text: UTF8String, badwords: String, minWords: Int): ArrayData = {
-    val bad = c4BadwordTables.computeIfAbsent(badwords,
-      sp => sp.split(" ").filter(_.nonEmpty).map(_.getBytes("UTF-8")))
+    val bad = c4BadwordTables.computeIfAbsent(badwords, c4ParseBadwords)
     val bytes = text.getBytes
     val n = bytes.length
 
@@ -486,8 +516,7 @@ object HashKernels {
     */
   def c4CleanPage(text: String, badwords: String, minWords: Int,
       minSentences: Int): String = {
-    val bad = c4BadwordTables.computeIfAbsent(badwords,
-      sp => sp.split(" ").filter(_.nonEmpty).map(_.getBytes("UTF-8")))
+    val bad = c4BadwordTables.computeIfAbsent(badwords, c4ParseBadwords)
     val bytes = text.getBytes("UTF-8")
     val n = bytes.length
     if (c4PageFlags(bytes, bad) != 0) return null

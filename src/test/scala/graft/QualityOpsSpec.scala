@@ -83,6 +83,25 @@ class QualityOpsSpec extends AnyFunSuite {
       Seq(1, 1, 1, 26, 0, 0, 0, 0, 0, 0, 0))
   }
 
+  test("c4 badword lookup: case-insensitive both sides, crowded buckets exact") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    def hasBad(t: String, list: String): Long =
+      graft.functions.HashKernels.c4Stats(u8(t), list, 5)
+        .toLongArray()(10)
+    // the LIST side lowers too: a capitalized entry still matches
+    assert(hasBad("some badword here", "BadWord") == 1L)
+    assert(hasBad("some BADWORD here", "badword") == 1L)
+    // crowded same-length bucket: binary search stays exact around
+    // lexicographic neighbors
+    val bucket = (0 until 50).map(i => f"bad$i%02dxx").mkString(" ")
+    assert(hasBad("x bad27xx y", bucket) == 1L)
+    assert(hasBad("x bad99xx y", bucket) == 0L) // absent neighbor
+    assert(hasBad("x bad27x y", bucket) == 0L)  // shorter token
+    assert(hasBad("x bad27xxz y", bucket) == 0L) // longer token
+    // whole-token only: substring containment must not fire
+    assert(hasBad("xbad27xxy", bucket) == 0L)
+  }
+
   test("qualityC4Docs: keep decision over planted page-rule fixtures") {
     import spark.implicits._
     val docs = Seq(
