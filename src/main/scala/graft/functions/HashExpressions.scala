@@ -465,6 +465,34 @@ object HashKernels {
     flags
   }
 
+  // per-thread Deflater for deflateSize: construction is the
+  // expensive part; reset() reuses the native zlib stream
+  private val deflaters =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+
+  /** DEFLATE (zlib default level, raw stream) compressed byte length
+    * of the UTF-8 text — the compressibility quality signal
+    * (MADLAD-400-style): templated/repetitive text compresses far
+    * below natural prose, near-random or binary-ish text refuses to
+    * compress. Only the LENGTH is returned, computed through a fixed
+    * 8 KiB scratch buffer — the compressed bytes are never
+    * materialized. Deterministic within a JVM/zlib build (rows-only
+    * downstream: compressed length is not an SQL-stateable quantity).
+    */
+  def deflateSize(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
   def c4Stats(text: UTF8String, badwords: String, minWords: Int): ArrayData = {
     val bad = c4BadwordTables.computeIfAbsent(badwords, c4ParseBadwords)
     val bytes = text.getBytes
@@ -1634,6 +1662,23 @@ case class C4Stats(child: Expression, badwords: String, minWords: Int)
     copy(child = c)
 }
 
+/** deflate_size(text) → long — the DEFLATE (zlib level 6, raw)
+  * compressed byte length of the UTF-8 text (see
+  * HashKernels.deflateSize).
+  */
+case class DeflateSize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.deflateSize(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.deflateSize($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** One-pass Gopher repetition statistics (codegen'd). */
 case class GopherRepetition(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -1691,6 +1736,8 @@ object HashFunctions {
   def c4_stats(text: Column, badwords: String, minWords: Int): Column =
     ColumnBridge.column(
       C4Stats(ColumnBridge.expression(text), badwords, minWords))
+  def deflate_size(text: Column): Column =
+    ColumnBridge.column(DeflateSize(ColumnBridge.expression(text)))
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
   def simhash64(tokens: Column): Column =

@@ -266,6 +266,51 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T37 — COMPRESSIBILITY quality gate (the MADLAD-400-style
+    * compressibility filter; RedPajama-v2 ships the same family of
+    * signals): per-doc DEFLATE length vs raw UTF-8 length.
+    * Templated/repeated text compresses far below natural prose
+    * (spam, boilerplate, token-loops); bytes that refuse to compress
+    * at all are binary-ish or near-random. `keep_compress` applies
+    * both bounds by INTEGER CROSS-MULTIPLICATION
+    * (`z·loDen ≥ n·loNum` and `z ≤ n`): defaults keep ratios in
+    * [0.25, 1.0]. Pure scan-bound projection (the deflate kernel
+    * returns only the LENGTH through a fixed scratch buffer);
+    * rows-only downstream — a zlib length is not SQL-stateable —
+    * with determinism + ordering specs in QualityOpsSpec.
+    */
+  def compressionStats(spark: SparkSession, sfDir: String): DataFrame =
+    compressionStatsDocs(documents(spark, sfDir))
+
+  def compressionStatsDocs(docs: DataFrame,
+      loNum: Int = 1, loDen: Int = 4): DataFrame = {
+    import graft.functions.HashFunctions.deflate_size
+    require(loNum > 0 && loDen > 0 && loNum <= loDen,
+      s"lower ratio bound must be in (0, 1]: $loNum/$loDen")
+    docs
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        deflate_size(col("text")).as("z_bytes"))
+      .withColumn("keep_compress",
+        (col("z_bytes") * loDen >= col("n_bytes") * loNum &&
+          col("z_bytes") <= col("n_bytes")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registered `compression_ratio`: the sf word soup sits safely
+    * inside the keep band, so the query PLANTS a 200× repeated token
+    * onto doc_id ≡ 7 (mod 13) — those docs compress under the lower
+    * bound and are dropped, making the gate non-vacuous (rows-only,
+    * so the planting needs no oracle mirror).
+    */
+  def compressionRatioQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    compressionStatsDocs(documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 7,
+          concat(col("text"), repeat(lit(" boiler"), 200)))
+          .otherwise(col("text")).as("text")))
+
   /** T3 — heuristic language ID. */
   def textLangId(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)

@@ -65,6 +65,9 @@ object TextRegistry {
     "line_dedup" -> (CorpusOps.lineDedupQuery _),
     "paragraph_dedup" -> (CorpusOps.paragraphDedupQuery _),
     "corpus_diff" -> (CorpusOps.corpusDiffQuery _),
+    // rows-only: a zlib length is engine-specific; determinism,
+    // ordering and keep-band behavior are spec'd in QualityOpsSpec
+    "compression_ratio" -> (TextOps.compressionRatioQuery _),
     "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d)),
     // rows-only: exact counts on an MG-mined candidate set — the
     // frontier under summary-dependent ties has no SQL oracle; the

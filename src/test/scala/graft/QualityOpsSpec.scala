@@ -83,6 +83,31 @@ class QualityOpsSpec extends AnyFunSuite {
       Seq(1, 1, 1, 26, 0, 0, 0, 0, 0, 0, 0))
   }
 
+  test("compressibility: deterministic, orders repetition below prose, gates") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    def z(t: String): Long = graft.functions.HashKernels.deflateSize(u8(t))
+    val rep = "boiler " * 300
+    val soup = (0 until 300).map(i => s"w${i * 2654435761L % 9973}")
+      .mkString(" ")
+    // deterministic within the JVM
+    assert(z(rep) == z(rep) && z(soup) == z(soup))
+    // repeated text compresses far below the varied soup
+    assert(z(rep) * 5 < z(soup),
+      s"rep=${z(rep)} soup=${z(soup)}")
+    // the gate: repeated text drops at the lower bound, soup keeps
+    import spark.implicits._
+    val docs = Seq((1L, soup), (2L, rep)).toDF("doc_id", "text")
+    val got = TextOps.compressionStatsDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got == Map(1L -> 1, 2L -> 0))
+    // registered query: the planted docs (and only substantial ones)
+    // trip the gate at sf
+    val q = TextOps.compressionRatioQuery(spark, sf).collect()
+    val dropped = q.filter(_.getInt(3) == 0).map(_.getLong(0))
+    assert(dropped.nonEmpty && dropped.forall(_ % 13 == 7))
+    assert(q.count(_.getInt(3) == 1) > 0)
+  }
+
   test("c4 badword lookup: case-insensitive both sides, crowded buckets exact") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
     def hasBad(t: String, list: String): Long =
