@@ -78,20 +78,26 @@ object TextOps {
         g(5).as("n_distinct_lines"), g(6).as("n_ellipsis_lines"),
         g(7).as("n_symbols"), g(8).as("stop_hits"),
         g(9).as("line_chars"), g(10).as("dup_line_chars"))
-      .withColumn("keep",
-        (col("n_words") >= 50 && col("n_words") <= 100000 &&
-          col("n_words") * 3 <= col("word_chars") &&
-          col("word_chars") <= col("n_words") * 10 &&
-          col("n_symbols") * 10 <= col("n_words") &&
-          col("n_ellipsis_lines") * 10 <= col("n_lines") * 3 &&
-          col("n_alpha_words") * 5 >= col("n_words") * 4 &&
-          col("stop_hits") >= 2 &&
-          (col("n_lines") - col("n_distinct_lines")) * 10 <=
-            col("n_lines") * 3 &&
-          // the paper's char-weighted form: dup-line chars <= 20%
-          col("dup_line_chars") * 5 <= col("line_chars")).cast("int"))
+      .withColumn("keep", gopherKeepOf(col(_)).cast("int"))
       .orderBy(col("doc_id"))
   }
+
+  /** The Gopher document-rule keep decision over named stat columns
+    * — ONE definition shared by [[qualityGopherDocs]] and the
+    * one-scan [[qualitySignals]] table.
+    */
+  private[graft] def gopherKeepOf(c: String => Column): Column =
+    c("n_words") >= 50 && c("n_words") <= 100000 &&
+      c("n_words") * 3 <= c("word_chars") &&
+      c("word_chars") <= c("n_words") * 10 &&
+      c("n_symbols") * 10 <= c("n_words") &&
+      c("n_ellipsis_lines") * 10 <= c("n_lines") * 3 &&
+      c("n_alpha_words") * 5 >= c("n_words") * 4 &&
+      c("stop_hits") >= 2 &&
+      (c("n_lines") - c("n_distinct_lines")) * 10 <=
+        c("n_lines") * 3 &&
+      // the paper's char-weighted form: dup-line chars <= 20%
+      c("dup_line_chars") * 5 <= c("line_chars")
 
   /** T33 — the C4 cleaning rule suite (Raffel et al. 2020,
     * arXiv:1910.10683 §2.2, with the constants of the released TFDS
@@ -139,12 +145,17 @@ object TextOps {
         g(7).as("n_js_lines"), g(8).as("n_policy_lines"),
         g(9).as("has_lorem"), g(10).as("has_brace"),
         g(11).as("has_badword"))
-      .withColumn("keep",
-        (col("has_lorem") === 0 && col("has_brace") === 0 &&
-          col("has_badword") === 0 &&
-          col("n_sentences") >= minSentences).cast("int"))
+      .withColumn("keep", c4KeepOf(col(_), minSentences).cast("int"))
       .orderBy(col("doc_id"))
   }
+
+  /** The C4 page-keep decision over named stat columns — shared by
+    * [[qualityC4Docs]] and [[qualitySignals]].
+    */
+  private[graft] def c4KeepOf(c: String => Column,
+      minSentences: Int): Column =
+    c("has_lorem") === 0 && c("has_brace") === 0 &&
+      c("has_badword") === 0 && c("n_sentences") >= minSentences
 
   /** The planted C4 fixture shared by `quality_c4` and `c4_apply`:
     * the sf corpus is single-line word soup with no punctuation,
@@ -242,27 +253,32 @@ object TextOps {
   def gopherRepetition(spark: SparkSession, sfDir: String): DataFrame =
     gopherRepetitionDocs(documents(spark, sfDir))
 
-  def gopherRepetitionDocs(docs: DataFrame): DataFrame = {
-    import graft.functions.HashFunctions.gopher_repetition
-    val g = (i: Int) => element_at(col("gr"), i)
-    val names = Seq("word_chars", "top2", "top3", "top4", "dup5",
-      "dup6", "dup7", "dup8", "dup9", "dup10")
-    // thresholds as exact rationals: mass/word_chars <= num/den
-    //   <=> mass * den <= word_chars * num
-    val thresholds = Seq( // (column index in `names`, num, den)
+  private[graft] val RepStatNames = Seq("word_chars", "top2", "top3",
+    "top4", "dup5", "dup6", "dup7", "dup8", "dup9", "dup10")
+
+  /** The Gopher repetition-rule keep decision over named mass columns
+    * — shared by [[gopherRepetitionDocs]] and [[qualitySignals]].
+    * Thresholds as exact rationals: mass/word_chars ≤ num/den ⇔
+    * mass·den ≤ word_chars·num.
+    */
+  private[graft] def repKeepOf(c: String => Column): Column =
+    Seq( // (column index in RepStatNames, num, den)
       (1, 1L, 5L), (2, 9L, 50L), (3, 4L, 25L), // top2/3/4
       (4, 3L, 20L), (5, 7L, 50L), (6, 13L, 100L), // dup5/6/7
       (7, 3L, 25L), (8, 11L, 100L), (9, 1L, 10L)) // dup8/9/10
-    val keep = thresholds
       .map { case (idx, num, den) =>
-        col(names(idx)) * den <= col("word_chars") * num
+        c(RepStatNames(idx)) * den <= c("word_chars") * num
       }
       .reduce(_ && _)
+
+  def gopherRepetitionDocs(docs: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.gopher_repetition
+    val g = (i: Int) => element_at(col("gr"), i)
     docs
       .select(col("doc_id"), gopher_repetition(col("text")).as("gr"))
       .select(col("doc_id") +:
-        names.zipWithIndex.map { case (nm, i) => g(i + 1).as(nm) }: _*)
-      .withColumn("keep_rep", keep.cast("int"))
+        RepStatNames.zipWithIndex.map { case (nm, i) => g(i + 1).as(nm) }: _*)
+      .withColumn("keep_rep", repKeepOf(col(_)).cast("int"))
       .orderBy(col("doc_id"))
   }
 
@@ -506,6 +522,79 @@ object TextOps {
       (lit(1.0) - topR) * lit(0.15) +
       (lit(1.0) - dupFrac) * lit(0.10)
   }
+
+  /** T38 — ONE-SCAN QUALITY-SIGNALS TABLE (the RedPajama-v2 release
+    * shape: materialize every gate's statistics and decision ONCE,
+    * then tune thresholds and ablate filter combinations offline
+    * without ever re-scanning the corpus): per document, the Gopher
+    * document-rule keep (T30), the Gopher repetition keep (T31), the
+    * C4 page keep (T33), the model-scored keep (T15) and the
+    * compressibility keep (T37), plus `keep_all` = their AND — five
+    * kernels in ONE projection over ONE corpus scan. Every keep
+    * expression is THE SAME definition the standalone operators
+    * apply (`gopherKeepOf` / `repKeepOf` / `c4KeepOf` / the T15
+    * score / the T37 band — shared functions, not copies), spec'd
+    * column-for-column equal to the standalone queries. Scan-bound,
+    * zero shuffles but the output sort; rows-only downstream (the
+    * z_bytes column — everything else is oracle-checked through its
+    * standalone query).
+    */
+  def qualitySignals(docs: DataFrame,
+      stopWords: Seq[String] = GopherStopList,
+      badWords: Seq[String] = Nil,
+      minLineWords: Int = 5, minSentences: Int = 3,
+      loNum: Int = 1, loDen: Int = 4): DataFrame = {
+    import graft.functions.HashFunctions.{gopher_stats,
+      gopher_repetition, c4_stats, deflate_size}
+    require(stopWords.nonEmpty && stopWords.size <= 64,
+      s"stop list must have 1..64 words: ${stopWords.size}")
+    val gsIdx = Map("n_words" -> 1, "word_chars" -> 2,
+      "n_alpha_words" -> 3, "n_lines" -> 4, "n_distinct_lines" -> 5,
+      "n_ellipsis_lines" -> 6, "n_symbols" -> 7, "stop_hits" -> 8,
+      "line_chars" -> 9, "dup_line_chars" -> 10)
+    val grIdx = RepStatNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val csIdx = Map("n_sentences" -> 3, "has_lorem" -> 9,
+      "has_brace" -> 10, "has_badword" -> 11)
+    val keeps = Seq(
+      gopherKeepOf(n => element_at(col("gs"), gsIdx(n)))
+        .cast("int").as("keep_gopher"),
+      repKeepOf(n => element_at(col("gr"), grIdx(n)))
+        .cast("int").as("keep_rep"),
+      c4KeepOf(n => element_at(col("cs"), csIdx(n)), minSentences)
+        .cast("int").as("keep_c4"),
+      (col("q_score") >= lit(0.5)).cast("int").as("keep_model"),
+      (col("z_bytes") * loDen >= col("n_bytes") * loNum &&
+        col("z_bytes") <= col("n_bytes")).cast("int")
+        .as("keep_compress"))
+    docs
+      .select(col("doc_id"),
+        gopher_stats(col("text"), stopWords.mkString(" ")).as("gs"),
+        gopher_repetition(col("text")).as("gr"),
+        c4_stats(col("text"), badWords.mkString(" "), minLineWords)
+          .as("cs"),
+        modelQualityScore(col("text")).as("q_score"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        deflate_size(col("text")).as("z_bytes"))
+      .select(Seq(col("doc_id"), col("q_score"), col("n_bytes"),
+        col("z_bytes")) ++ keeps: _*)
+      .withColumn("keep_all",
+        (col("keep_gopher") === 1 && col("keep_rep") === 1 &&
+          col("keep_c4") === 1 && col("keep_model") === 1 &&
+          col("keep_compress") === 1).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registered `quality_signals`: the [[c4PlantedDocs]] fixture
+    * (its planted lines give the line/page rules real structure) with
+    * the corpus-fitting stop list and badword — rows-only (z_bytes);
+    * QualityOpsSpec pins every keep column equal to its standalone
+    * operator on the same fixture.
+    */
+  def qualitySignalsQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    qualitySignals(c4PlantedDocs(spark, sfDir),
+      stopWords = Seq("the", "a"), badWords = Seq("badword"))
 
   /** C9 — the reference WordCount (examples/wordcount/WordCount.java:17):
     * flatMap to words → keyBy → count, as explode + hash aggregation

@@ -68,6 +68,9 @@ object TextRegistry {
     // rows-only: a zlib length is engine-specific; determinism,
     // ordering and keep-band behavior are spec'd in QualityOpsSpec
     "compression_ratio" -> (TextOps.compressionRatioQuery _),
+    // rows-only (z_bytes); every keep column is spec'd equal to its
+    // standalone hash-checked query on the same fixture
+    "quality_signals" -> (TextOps.qualitySignalsQuery _),
     "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d)),
     // rows-only: exact counts on an MG-mined candidate set — the
     // frontier under summary-dependent ties has no SQL oracle; the

@@ -169,6 +169,39 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(applyIds == keepIds && applyIds.nonEmpty)
   }
 
+  test("qualitySignals columns equal the standalone gates on one fixture") {
+    val fixture = TextOps.c4PlantedDocs(spark, sf)
+    def m(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col("doc_id"), col(c)).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sig = TextOps.qualitySignals(fixture,
+      stopWords = Seq("the", "a"), badWords = Seq("badword"))
+    assert(m(sig, "keep_gopher") ==
+      m(TextOps.qualityGopherDocs(fixture, Seq("the", "a")), "keep"))
+    assert(m(sig, "keep_rep") ==
+      m(TextOps.gopherRepetitionDocs(fixture), "keep_rep"))
+    assert(m(sig, "keep_c4") ==
+      m(TextOps.qualityC4Docs(fixture, Seq("badword")), "keep"))
+    assert(m(sig, "keep_compress") ==
+      m(TextOps.compressionStatsDocs(fixture), "keep_compress"))
+    // keep_model == the T15 decision; q_score equals bit-for-bit
+    val score = fixture
+      .select(col("doc_id"),
+        TextOps.modelQualityScore(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sig.select("doc_id", "q_score", "keep_model", "keep_all",
+        "keep_gopher", "keep_rep", "keep_c4", "keep_compress")
+      .collect().foreach { r =>
+        assert(r.getDouble(1) == score(r.getLong(0)))
+        assert(r.getInt(2) == (if (r.getDouble(1) >= 0.5) 1 else 0))
+        assert(r.getInt(3) == (if ((4 to 7).forall(r.getInt(_) == 1) &&
+          r.getInt(2) == 1) 1 else 0))
+      }
+    // every gate decides both ways somewhere on the fixture
+    for (c <- Seq("keep_gopher", "keep_c4"))
+      assert(m(sig, c).values.toSet == Set(0, 1), s"$c degenerate")
+  }
+
   test("quality_c4 registered query is non-degenerate at sf") {
     val df = graft.operators.TextOps.qualityC4Query(spark, sf)
     val rows = df.collect()
