@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver tail-captures `sbt runMain` stdout and parses the
+// LAST line as JSON. sbt's default LoggedOutput prefixes every forked
+// line with "[info] " and appends a "[success] Total time..." line,
+// which defeated that parse from r8 through r13. StdoutOutput passes
+// the forked JVM's stdout through undecorated, and showSuccess drops
+// the trailing success banner, so Bench/Verify's final println is the
+// genuine last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -56,11 +56,17 @@ object Bench {
     // always parse.
     val outPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"n_queries":${results.size},"sf":"$sfDir","queries_file":"$outPath"}""")
+    // Catch NonFatal only: a failed write must not advertise a path a
+    // previous run populated (the merge tooling would silently parse
+    // stale numbers), so queries_file goes null on failure.
+    val wrote =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (line + "\n").getBytes("UTF-8"))
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    val qf = if (wrote) s""""$outPath"""" else "null"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"n_queries":${results.size},"sf":"$sfDir","queries_file":$qf}""")
     spark.stop()
   }
 }

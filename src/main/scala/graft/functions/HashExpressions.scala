@@ -570,7 +570,12 @@ object HashKernels {
       }
       p += 1
     }
-    if (sentences < minSentences) null else sb.toString
+    // kept == 0 must DROP the page even at minSentences = 0: an empty
+    // rebuilt string would otherwise count as one kept line downstream
+    // (c4Apply derives n_kept_lines from '\n'+1). Unreachable at the
+    // TFDS defaults (sentences = 0 < 3 already drops), but the public
+    // minSentences parameter exposes the edge.
+    if (kept == 0 || sentences < minSentences) null else sb.toString
   }
 
   /** One-pass Gopher REPETITION statistics (Rae et al. 2021 §A1.1,

@@ -224,8 +224,11 @@ object IncrementalDedup {
     * are bounded by the FLAG volume, not the corpus — the corpus is
     * scanned (ids only survive pruning) but never re-sketched.
     * `cand` is consumed three times (two semi-joins + the verify
-    * join): pass a persisted/checkpointed frame when its derivation
-    * is expensive, as [[incrementalNearVerified]] does.
+    * join), so it is localCheckpointed HERE: a non-materialized
+    * candidate frame from the nondeterministic LSH screen could
+    * otherwise show each consumer a different candidate set and
+    * silently drop or mis-verify pairs. The checkpoint is pair-sized
+    * (ids + one double), never text.
     *
     * Equivalence contract (IncrementalDedupSpec): on an old/new
     * corpus split this equals `minhashPairs(full, minEst =
@@ -233,8 +236,9 @@ object IncrementalDedup {
     * straddling pairs — same pairs, same estimates, bit-identical
     * exact jaccard — whenever no bucket cap is breached.
     */
-  def verifyNearPairs(cand: DataFrame, newBatch: DataFrame,
+  def verifyNearPairs(cand0: DataFrame, newBatch: DataFrame,
       corpus: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val cand = cand0.localCheckpoint()
     val newSets = newBatch
       .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
@@ -258,16 +262,16 @@ object IncrementalDedup {
 
   /** Registered `dedup_incremental_verified` (rows-only; spec'd equal
     * to the monolithic exact-verified pair list restricted to
-    * straddling pairs). The candidate frame is localCheckpointed so
-    * the screen runs ONCE for its three consumers in
-    * [[verifyNearPairs]] (the Pipeline shared-derivation convention).
+    * straddling pairs). [[verifyNearPairs]] localCheckpoints the
+    * candidate frame itself, so the screen runs ONCE for its three
+    * consumers (the Pipeline shared-derivation convention).
     */
   def incrementalNearVerified(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
     val nd = newDocs(spark, sfDir)
     val od = oldDocs(spark, sfDir)
     val cand = screenNearDocs(nd, buildIndex(od),
-      minEst = math.max(0.0, threshold - 0.2)).localCheckpoint()
+      minEst = math.max(0.0, threshold - 0.2))
     verifyNearPairs(cand, nd, od, threshold)
   }
 

@@ -407,6 +407,11 @@ object Similarity {
   def annIvfAppendQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ivf_append").toString
+    // The returned frame reads this dir lazily, so it cannot be
+    // deleted here; a shutdown hook reaps every append scratch dir so
+    // repeated bench/probe loops don't accumulate copies under tmpdir
+    // beyond the JVM's lifetime.
+    reapOnExit(dir)
     val emb = embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").as("emb"))
     saveIvfIndexOf(spark, emb.filter(col("vec_id") % 5 =!= 0), dir)
@@ -479,10 +484,33 @@ object Similarity {
     * of silently serving the stale one (data files rewritten ⇒ new
     * mtimes/sizes ⇒ new key).
     */
+  /** Scratch dirs whose lifetime is the JVM (lazily-read append
+    * indexes): one shutdown hook reaps them all.
+    */
+  private val reapDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val reapHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      reapDirs.forEach(d => rm(new java.io.File(d)))
+    }))
+  }
+  private def reapOnExit(dir: String): Unit = {
+    reapHook
+    reapDirs.add(dir): Unit
+  }
+
   private def sourceFingerprint(path: String): String = {
+    // listFiles() is null on permission errors or a dir removed
+    // mid-walk — treat as empty rather than NPE.
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
     val md = java.security.MessageDigest.getInstance("MD5")
     val root = new java.io.File(path)
