@@ -18,10 +18,9 @@ run / fork := true
 // the forked JVM's stdout through undecorated, and showSuccess drops
 // the trailing success banner, so Bench/Verify's final println is the
 // genuine last stdout line.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

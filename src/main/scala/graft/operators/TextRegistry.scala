@@ -176,7 +176,12 @@ object TextRegistry {
     // stagewise decomposition and the est-vs-verified divergence
     "pipeline_ingest_verified" ->
       (Pipeline.pipelineIngestVerifiedQuery _),
-    "gopher_repetition" -> (TextOps.gopherRepetition _)
+    "gopher_repetition" -> (TextOps.gopherRepetition _),
+    // T39–T41 URL/domain curation over the planted URL fixture —
+    // all three hash-checked (strings, flags, integer ranks)
+    "domain_filter" -> (DomainOps.domainFilterQuery _),
+    "domain_cap" -> ((s, d) => DomainOps.domainCapQuery(s, d)),
+    "domain_cap_apply" -> ((s, d) => DomainOps.domainCapApplyQuery(s, d))
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
@@ -1350,6 +1355,71 @@ object TextRegistry {
          |  (tot.n_lines - coalesce(k.n_kept, 0))::BIGINT AS n_dropped
          |FROM d JOIN tot USING (doc_id)
          |LEFT JOIN kept k ON d.doc_id = k.doc_id
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // T39 URL gate: the planted-URL CTE (mirrors
+    // DomainOps.plantedUrlDocs literally), host/registered-domain
+    // regexes shared with the Scala kernel via the same constants
+    "domain_filter" ->
+      s"""$domainUrlCte
+         |SELECT doc_id, url, host, domain,
+         |  domain IN ($domainBlockSql) AS blocked_domain,
+         |  (${domainBadWordSql("url")}) AS blocked_word,
+         |  NOT (domain IN ($domainBlockSql)
+         |       OR (${domainBadWordSql("url")})) AS keep
+         |FROM d ORDER BY doc_id""".stripMargin,
+    // T40 per-domain cap: rank in (52-bit md5-prefix, doc_id) order
+    // within the registered domain — the T8 md5-order convention with
+    // an integer key both engines hold exactly
+    "domain_cap" ->
+      s"""$domainUrlCte,
+         |k AS (SELECT doc_id, domain,
+         |  ('0x' || substr(md5(text), 1, 13))::BIGINT AS sk FROM d),
+         |r AS (SELECT doc_id, domain, row_number() OVER (
+         |    PARTITION BY domain ORDER BY sk, doc_id) AS rk FROM k)
+         |SELECT doc_id, domain, rk::INT AS domain_rank,
+         |  rk <= 25 AS keep FROM r ORDER BY doc_id""".stripMargin,
+    // T41 the bounded-heap kept set: identical selection, kept rows
+    // only (the scale shape's own oracle row)
+    "domain_cap_apply" ->
+      s"""$domainUrlCte,
+         |k AS (SELECT doc_id, domain,
+         |  ('0x' || substr(md5(text), 1, 13))::BIGINT AS sk FROM d),
+         |r AS (SELECT doc_id, domain, row_number() OVER (
+         |    PARTITION BY domain ORDER BY sk, doc_id) AS rk FROM k)
+         |SELECT doc_id, domain, rk::INT AS domain_rank
+         |FROM r WHERE rk <= 25 ORDER BY doc_id""".stripMargin
   )
+
+  private def domainBlockSql: String =
+    DomainOps.DefaultBlockedDomains.map(d => s"'$d'").mkString(", ")
+
+  private def domainBadWordSql(urlCol: String): String =
+    DomainOps.DefaultBadUrlWords
+      .map(w => s"contains(lower($urlCol), '$w')").mkString(" OR ")
+
+  /** The planted-URL fixture + host/domain extraction shared by the
+    * three domain oracles: CTE `d` ends with (doc_id, text, url,
+    * host, domain). Regex literals ARE the Scala kernel constants.
+    */
+  private def domainUrlCte: String =
+    s"""WITH u AS (SELECT doc_id, text,
+       |  'https://' ||
+       |  CASE WHEN doc_id % 10 IN (0, 1) THEN 'news.example.com'
+       |       WHEN doc_id % 10 = 2 THEN 'cdn.news.example.com'
+       |       WHEN doc_id % 10 = 3 THEN 'blog.example.org'
+       |       WHEN doc_id % 10 = 4 THEN 'static.blog.example.org'
+       |       WHEN doc_id % 10 = 5 THEN 'tracker.adsite.biz'
+       |       WHEN doc_id % 10 = 6 THEN 'mirror.badcontent.co.uk'
+       |       ELSE 'site' || (doc_id % 23)::VARCHAR || '.net' END ||
+       |  '/p/' || doc_id::VARCHAR ||
+       |  CASE WHEN doc_id % 7 = 3 THEN '?ref=casino-bonus'
+       |       ELSE '' END AS url FROM documents),
+       |h AS (SELECT doc_id, text, url,
+       |  regexp_extract(url, '${DomainOps.UrlHostRe}', 1) AS host
+       |  FROM u),
+       |d AS (SELECT doc_id, text, url, host,
+       |  CASE WHEN regexp_extract(host,
+       |      '${DomainOps.RegDomainRe}', 1) = '' THEN host
+       |    ELSE regexp_extract(host, '${DomainOps.RegDomainRe}', 1)
+       |    END AS domain FROM h)""".stripMargin
 }

@@ -898,4 +898,75 @@ object StreamingOps {
       .filter(col("cosine") >= minCosine)
       .select(col("query_id"), col("ts"), col("vec_id"), col("cosine"))
   }
+
+  case class StreamUrlDoc(doc_id: Long, ts: Timestamp, url: String)
+
+  /** X23 — STREAMING URL GATE: arriving documents screened by their
+    * URL the moment they arrive — the T39 first-stage filter at
+    * ingest time, BEFORE any text processing spends a cycle on a
+    * blocklisted page. The gate IS the batch
+    * [[graft.operators.DomainOps.domainGate]] applied to the
+    * streaming frame (one definition, batch and stream faces — the
+    * X12/X19 convention): stateless codegen'd projections plus ONE
+    * stream-static broadcast join against the domain blocklist, so
+    * it stays column-space (no typed map — the watermark, if the
+    * caller set one, survives) and scan-bound at any ingest rate.
+    * StreamingSpec pins stream output equal to the batch gate on the
+    * same rows under the same blocklist.
+    */
+  def streamingDomainGate(docs: Dataset[StreamUrlDoc],
+      blocklist: DataFrame,
+      badUrlWords: Seq[String] =
+        graft.operators.DomainOps.DefaultBadUrlWords): DataFrame =
+    graft.operators.DomainOps.domainGate(docs.toDF(), blocklist,
+        badUrlWords)
+      .select(col("doc_id"), col("ts"), col("url"), col("host"),
+        col("domain"), col("blocked_domain"), col("blocked_word"),
+        col("keep"))
+
+  case class DomainCapOut(doc_id: Long, ts: Timestamp, domain: String,
+      domain_rank: Long, keep: Boolean)
+
+  /** X24 — STREAMING PER-DOMAIN CAP: the online admission policy of
+    * T40 — each arriving document is admitted while its registered
+    * domain has quota and refused after, a first-seen-wins rank (a
+    * stream cannot sort by the batch md5 key without holding the
+    * whole corpus; batch re-ranks retrospectively, ingest admits
+    * greedily — both faces cap every domain at exactly `cap` kept
+    * docs). State per domain is ONE long (the admitted count), so
+    * total state is 8 bytes × |domains| — bounded by the domain
+    * vocabulary like the static blocklist itself, never by stream
+    * length; NoTimeout is deliberate (a domain's quota must not
+    * reset when it goes idle). Verdicts emit immediately
+    * (append-mode flatMapGroupsWithState, no watermark dependency).
+    * Within a micro-batch, arrival order follows encounter order —
+    * the spec drives single-partition batches where that order is
+    * the input order.
+    */
+  def streamingDomainCap(docs: Dataset[StreamUrlDoc],
+      cap: Int = 25): Dataset[DomainCapOut] = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    import docs.sparkSession.implicits._
+    import graft.operators.DomainOps
+
+    def update(domain: String, rows: Iterator[(Long, Timestamp, String)],
+        state: GroupState[Long]): Iterator[DomainCapOut] = {
+      var seen = state.getOption.getOrElse(0L)
+      val out = rows.map { case (id, ts, _) =>
+        seen += 1
+        DomainCapOut(id, ts, domain, seen, seen <= cap)
+      }.toVector // drain BEFORE state.update sees the final count
+      state.update(seen)
+      out.iterator
+    }
+
+    docs.toDF()
+      .withColumn("domain",
+        DomainOps.registeredDomain(DomainOps.urlHost(col("url"))))
+      .select(col("doc_id"), col("ts"), col("domain"))
+      .as[(Long, Timestamp, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -1,0 +1,156 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DomainOps
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.StreamUrlDoc
+
+/** T39–T41 URL/domain curation + X23/X24 streaming faces: kernel
+  * pinning, fixture non-vacuity, the ranked-window ≡ bounded-heap
+  * equivalence, and stream ≡ batch under one blocklist.
+  */
+class DomainOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ts(min: Int) = new Timestamp(3600_000L * 10 + min * 60_000L)
+
+  test("host + registered-domain kernels: hand-pinned cases") {
+    import spark.implicits._
+    val cases = Seq(
+      ("https://cdn.news.example.com/p/1?x=1", "cdn.news.example.com",
+        "example.com"),
+      ("https://mirror.badcontent.co.uk/p/2", "mirror.badcontent.co.uk",
+        "badcontent.co.uk"), // two-label public suffix → three labels
+      ("https://example.org/", "example.org", "example.org"),
+      ("http://localhost/p", "localhost", "localhost"), // dotless: self
+      ("https://a.b.site7.net/deep/path#frag", "a.b.site7.net",
+        "site7.net"),
+      ("not a url", "", "")) // no scheme://host → empty host/domain
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), DomainOps.urlHost(col("url")).as("h"))
+      .select(col("url"), col("h"),
+        DomainOps.registeredDomain(col("h")).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == cases)
+  }
+
+  test("domain_filter: every planted rule fires on real rows") {
+    val rows = DomainOps.domainFilterQuery(spark, sf).collect()
+    assert(rows.length == 500)
+    def count(p: org.apache.spark.sql.Row => Boolean) = rows.count(p)
+    // both blocklisted domains hit (incl. the co.uk suffix case)
+    assert(count(_.getAs[String]("domain") == "adsite.biz") > 0)
+    assert(count(_.getAs[String]("domain") == "badcontent.co.uk") > 0)
+    assert(rows.filter(_.getAs[String]("domain") == "badcontent.co.uk")
+      .forall(_.getAs[Boolean]("blocked_domain")))
+    // keyword rule fires independently of the blocklist
+    assert(count(r => r.getAs[Boolean]("blocked_word") &&
+      !r.getAs[Boolean]("blocked_domain")) > 0)
+    // subdomain variants collapse to one registered domain
+    assert(rows.filter(_.getAs[String]("host").endsWith("example.com"))
+      .forall(_.getAs[String]("domain") == "example.com"))
+    // and the gate keeps the majority
+    assert(count(_.getAs[Boolean]("keep")) > 250)
+    // keep is exactly the conjunction
+    assert(rows.forall(r => r.getAs[Boolean]("keep") ==
+      (!r.getAs[Boolean]("blocked_domain") &&
+        !r.getAs[Boolean]("blocked_word"))))
+  }
+
+  test("domainCap window rank ≡ domainCapApply bounded heap (kept set + ranks)") {
+    val ranked = DomainOps.domainCapQuery(spark, sf).collect()
+      .filter(_.getAs[Boolean]("keep"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("domain"),
+        r.getAs[Int]("domain_rank"))).toSet
+    val heap = DomainOps.domainCapApplyQuery(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("domain"),
+        r.getAs[Int]("domain_rank"))).toSet
+    assert(ranked == heap)
+    assert(heap.nonEmpty)
+  }
+
+  test("domain cap: per-domain kept counts = min(cap, group size); drops exist") {
+    val rows = DomainOps.domainCapQuery(spark, sf).collect()
+    val byDom = rows.groupBy(_.getAs[String]("domain"))
+    byDom.foreach { case (dom, rs) =>
+      val kept = rs.count(_.getAs[Boolean]("keep"))
+      assert(kept == math.min(25, rs.length), s"domain $dom")
+    }
+    // the fixture skew makes the cap bite (example.com ≈ 150 docs)
+    assert(rows.exists(r => !r.getAs[Boolean]("keep")))
+  }
+
+  test("X23 streaming URL gate ≡ batch gate under one blocklist") {
+    import spark.implicits._
+    val urls = DomainOps.domainFilterQuery(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("url")))
+      .take(60)
+    val blocklist = DomainOps.DefaultBlockedDomains.toDF("domain")
+    val in = MemoryStream[StreamUrlDoc]
+    val q = StreamingOps.streamingDomainGate(in.toDS(), blocklist)
+      .writeStream.format("memory").queryName("domain_gate_out")
+      .outputMode("append").start()
+    try {
+      in.addData(urls.map { case (id, u) => StreamUrlDoc(id, ts(0), u) })
+      q.processAllAvailable()
+      val got = spark.table("domain_gate_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("host"),
+          r.getAs[String]("domain"), r.getAs[Boolean]("blocked_domain"),
+          r.getAs[Boolean]("blocked_word"), r.getAs[Boolean]("keep")))
+        .toSet
+      val want = DomainOps
+        .domainGate(urls.toSeq.toDF("doc_id", "url"), blocklist)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("host"),
+          r.getAs[String]("domain"), r.getAs[Boolean]("blocked_domain"),
+          r.getAs[Boolean]("blocked_word"), r.getAs[Boolean]("keep")))
+        .toSet
+      assert(got == want)
+      assert(got.exists(!_._6) && got.exists(_._6))
+    } finally q.stop()
+  }
+
+  test("X24 streaming per-domain cap admits exactly cap per domain, across batches") {
+    import spark.implicits._
+    val in = MemoryStream[StreamUrlDoc]
+    val q = StreamingOps.streamingDomainCap(in.toDS(), cap = 2)
+      .writeStream.format("memory").queryName("domain_cap_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a.com ×2 (fills its quota exactly), b.net ×1.
+      // Within-batch order across the two a.com docs is not pinned,
+      // but both land inside the cap either way.
+      in.addData(
+        StreamUrlDoc(1, ts(0), "https://x.a.com/1"),
+        StreamUrlDoc(2, ts(1), "https://y.a.com/2"),
+        StreamUrlDoc(3, ts(2), "https://b.net/3"))
+      q.processAllAvailable()
+      // batch 2: a.com is over quota; b.net admits one more
+      in.addData(
+        StreamUrlDoc(4, ts(3), "https://a.com/4"),
+        StreamUrlDoc(5, ts(4), "https://b.net/5"))
+      q.processAllAvailable()
+      // batch 3: b.net over quota too — refusals never reset
+      in.addData(StreamUrlDoc(6, ts(5), "https://b.net/6"))
+      q.processAllAvailable()
+      val got = spark.table("domain_cap_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("domain"),
+          r.getAs[Long]("domain_rank"), r.getAs[Boolean]("keep")))
+        .sortBy(_._1)
+      assert(got.map(g => g._1 -> g._4).toSeq ==
+        Seq(1L -> true, 2L -> true, 3L -> true, 4L -> false,
+          5L -> true, 6L -> false))
+      // ranks are the cumulative arrival index per domain
+      assert(got.filter(_._2 == "a.com").map(_._3).toSet == Set(1L, 2L, 3L))
+      assert(got.find(_._1 == 4L).get._3 == 3L)
+      assert(got.filter(_._2 == "b.net").map(_._3).toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
