@@ -596,6 +596,25 @@ object TextOps {
     qualitySignals(c4PlantedDocs(spark, sfDir),
       stopWords = Seq("the", "a"), badWords = Seq("badword"))
 
+  /** Registered `quality_signals_core` (hash-checked): T38 minus the
+    * zlib column — the same one-scan projection with the
+    * compressibility kernel PRUNED by Catalyst (the deflate column is
+    * unused, so the scan's projection drops it), and `keep_core` =
+    * the AND of the four SQL-stateable gates. This gives the signals
+    * table itself a green hash row; the full table keeps its
+    * rows-only registration for z_bytes.
+    */
+  def qualitySignalsCoreQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    qualitySignalsQuery(spark, sfDir)
+      .select(col("doc_id"), col("q_score"), col("n_bytes"),
+        col("keep_gopher"), col("keep_rep"), col("keep_c4"),
+        col("keep_model"))
+      .withColumn("keep_core",
+        (col("keep_gopher") === 1 && col("keep_rep") === 1 &&
+          col("keep_c4") === 1 && col("keep_model") === 1).cast("int"))
+      .orderBy(col("doc_id"))
+
   /** C9 — the reference WordCount (examples/wordcount/WordCount.java:17):
     * flatMap to words → keyBy → count, as explode + hash aggregation
     * (map-side partial agg replaces Flink's keyed state).

@@ -71,6 +71,10 @@ object TextRegistry {
     // rows-only (z_bytes); every keep column is spec'd equal to its
     // standalone hash-checked query on the same fixture
     "quality_signals" -> (TextOps.qualitySignalsQuery _),
+    // T38 minus the zlib column: the one-scan table's own hash row —
+    // four keep gates + score + keep_core oracle-checked in ONE
+    // statement (the composed CTEs of the standalone oracles)
+    "quality_signals_core" -> (TextOps.qualitySignalsCoreQuery _),
     "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d)),
     // rows-only: exact counts on an MG-mined candidate set — the
     // frontier under summary-dependent ties has no SQL oracle; the
@@ -323,7 +327,7 @@ object TextRegistry {
   // Generated per-n CTE blocks for the gopher_repetition oracle:
   // grams via zipped unnests over the position range, counts, then
   // top mass (n ≤ 4) or covered-position dup mass (n ≥ 5).
-  private def grBlock(n: Int): String = {
+  private def grBlock(n: Int, tl: String = "tl"): String = {
     val base = s"""g$n AS (
       |  SELECT doc_id,
       |    unnest(range(1, greatest(len(toks)-$n+2, 1))) AS i,
@@ -333,7 +337,7 @@ object TextRegistry {
       |             'string_agg', chr(0)))) AS gram,
       |    unnest(list_transform(range(1, greatest(len(toks)-$n+2, 1)),
       |      i -> list_sum(list_slice(lens, i, i+$n-1))))::BIGINT AS gchars
-      |  FROM tl),
+      |  FROM $tl),
       |c$n AS (SELECT doc_id, gram, count(*) AS cnt, max(gchars) AS gch
       |  FROM g$n GROUP BY doc_id, gram)""".stripMargin
     if (n <= 4) base + s""",
@@ -344,39 +348,102 @@ object TextRegistry {
       |  FROM g$n g JOIN c$n c ON g.doc_id = c.doc_id AND g.gram = c.gram
       |  CROSS JOIN (SELECT unnest(range(0, $n)) AS p) x
       |  WHERE c.cnt >= 2),
-      |dup$n AS (SELECT cov$n.doc_id, SUM(tl.lens[cov$n.p])::BIGINT AS dmass
-      |  FROM cov$n JOIN tl ON cov$n.doc_id = tl.doc_id
+      |dup$n AS (SELECT cov$n.doc_id, SUM($tl.lens[cov$n.p])::BIGINT AS dmass
+      |  FROM cov$n JOIN $tl ON cov$n.doc_id = $tl.doc_id
       |  GROUP BY cov$n.doc_id)""".stripMargin
   }
 
-  private def gopherRepetitionSql: String = {
-    val blocks = (2 to 10).map(grBlock).mkString(",\n")
+  // thresholds (num, den) aligned with TextOps.gopherRepetitionDocs
+  private val repThresholds = Seq("top2" -> ((1, 5)), "top3" -> ((9, 50)),
+    "top4" -> ((4, 25)), "dup5" -> ((3, 20)), "dup6" -> ((7, 50)),
+    "dup7" -> ((13, 100)), "dup8" -> ((3, 25)), "dup9" -> ((11, 100)),
+    "dup10" -> ((1, 10)))
+
+  /** The T31 keep decision over a mass table `q` — shared by the
+    * standalone statement and the quality_signals_core composition.
+    */
+  private def repKeepSql(q: String): String =
+    s"""CASE WHEN ${repThresholds.map { case (c, (num, den)) =>
+      s"$q.$c * $den <= $q.word_chars * $num" }.mkString("\n  AND ")}
+       | THEN 1 ELSE 0 END""".stripMargin
+
+  /** The T31 CTE chain over an arbitrary `(doc_id, text)` CTE `src`,
+    * ending in `$m(doc_id, word_chars, top2..4, dup5..10)`. Gram CTE
+    * names (g2..c10/top/cov/dup) are fixed — compose at most once per
+    * statement. Starts with the token CTEs; caller supplies WITH/",".
+    */
+  private def repCtes(src: String, tl: String, m: String): String = {
+    val blocks = (2 to 10).map(n => grBlock(n, tl)).mkString(",\n")
     val masses = (2 to 4).map(n =>
       s"COALESCE(top$n.mass, 0) AS top$n") ++ (5 to 10).map(n =>
       s"COALESCE(dup$n.dmass, 0) AS dup$n")
     val joins = (2 to 4).map(n =>
-      s"LEFT JOIN top$n ON tl.doc_id = top$n.doc_id") ++ (5 to 10).map(n =>
-      s"LEFT JOIN dup$n ON tl.doc_id = dup$n.doc_id")
-    // thresholds (num, den) aligned with TextOps.gopherRepetitionDocs
-    val th = Seq("top2" -> ((1, 5)), "top3" -> ((9, 50)),
-      "top4" -> ((4, 25)), "dup5" -> ((3, 20)), "dup6" -> ((7, 50)),
-      "dup7" -> ((13, 100)), "dup8" -> ((3, 25)), "dup9" -> ((11, 100)),
-      "dup10" -> ((1, 10)))
-    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-       |tl AS (SELECT doc_id, toks,
-       |  list_transform(toks, w -> length(w)) AS lens FROM t),
+      s"LEFT JOIN top$n ON $tl.doc_id = top$n.doc_id") ++ (5 to 10).map(n =>
+      s"LEFT JOIN dup$n ON $tl.doc_id = dup$n.doc_id")
+    s"""${tl}0 AS (SELECT doc_id, $TOKS AS toks FROM $src),
+       |$tl AS (SELECT doc_id, toks,
+       |  list_transform(toks, w -> length(w)) AS lens FROM ${tl}0),
        |$blocks,
-       |m AS (SELECT tl.doc_id,
-       |  COALESCE(list_sum(tl.lens), 0)::BIGINT AS word_chars,
+       |$m AS (SELECT $tl.doc_id,
+       |  COALESCE(list_sum($tl.lens), 0)::BIGINT AS word_chars,
        |  ${masses.mkString(",\n  ")}
-       | FROM tl ${joins.mkString(" ")})
+       | FROM $tl ${joins.mkString(" ")})""".stripMargin
+  }
+
+  /** The T30 statistics CTEs over an arbitrary `(doc_id, text)` CTE
+    * `src`, ending in `$m` with the ten gopher_stats columns; `$t` is
+    * the intermediate token/line split. Stop list is the registered
+    * corpus-fitted pair ('the', 'a') — the quality_gopher and
+    * quality_signals queries share it.
+    */
+  private def gopherCtes(src: String, t: String, m: String): String =
+    s"""$t AS (SELECT doc_id, text, $TOKS AS toks,
+       |  string_split(text, chr(10)) AS lines FROM $src),
+       |$m AS (SELECT doc_id,
+       |  len(toks) AS n_words,
+       |  list_sum(list_transform(toks, w -> length(w)))::BIGINT
+       |    AS word_chars,
+       |  len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+       |    AS n_alpha_words,
+       |  len(lines) AS n_lines,
+       |  len(list_distinct(lines)) AS n_distinct_lines,
+       |  len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+       |    AS n_ellipsis_lines,
+       |  (length(text) - length(replace(text, '#', ''))
+       |    + len(string_split(text, '...')) - 1) AS n_symbols,
+       |  (list_contains(list_transform(toks, w -> lower(w)), 'the')::BIGINT
+       |   + list_contains(list_transform(toks, w -> lower(w)), 'a')::BIGINT)
+       |    AS stop_hits,
+       |  COALESCE(list_sum(list_transform(lines, l -> length(l))), 0)::BIGINT
+       |    AS line_chars,
+       |  COALESCE(list_sum(list_transform(
+       |    list_filter(lines, l ->
+       |      len(list_filter(lines, x -> x = l)) >= 2),
+       |    l -> length(l))), 0)::BIGINT AS dup_line_chars
+       | FROM $t)""".stripMargin
+
+  /** The T30 keep decision over a statistics table `q` — qualified so
+    * it composes beside the c4 aggregates (whose `a` also carries an
+    * n_lines column).
+    */
+  private def gopherKeepSql(q: String): String =
+    s"""CASE WHEN $q.n_words >= 50 AND $q.n_words <= 100000
+       |  AND $q.n_words * 3 <= $q.word_chars
+       |  AND $q.word_chars <= $q.n_words * 10
+       |  AND $q.n_symbols * 10 <= $q.n_words
+       |  AND $q.n_ellipsis_lines * 10 <= $q.n_lines * 3
+       |  AND $q.n_alpha_words * 5 >= $q.n_words * 4
+       |  AND $q.stop_hits >= 2
+       |  AND ($q.n_lines - $q.n_distinct_lines) * 10 <= $q.n_lines * 3
+       |  AND $q.dup_line_chars * 5 <= $q.line_chars
+       | THEN 1 ELSE 0 END""".stripMargin
+
+  private def gopherRepetitionSql: String =
+    s"""WITH ${repCtes("documents", "tl", "m")}
        |SELECT doc_id, word_chars, top2, top3, top4,
        | dup5, dup6, dup7, dup8, dup9, dup10,
-       | CASE WHEN ${th.map { case (c, (num, den)) =>
-      s"$c * $den <= word_chars * $num" }.mkString("\n  AND ")}
-       | THEN 1 ELSE 0 END AS keep_rep
+       | ${repKeepSql("m")} AS keep_rep
        |FROM m ORDER BY doc_id""".stripMargin
-  }
   private val SH =
     s"""list_distinct(list_transform(range(1, greatest(len($TOKS)-1, 1)),
        | i -> concat_ws(' ', ($TOKS)[i], ($TOKS)[i+1], ($TOKS)[i+2])))""".stripMargin
@@ -402,8 +469,10 @@ object TextRegistry {
   // T15 model-score CTE chain (qs(doc_id, q_score)) — shared by
   // quality_classify and dedup_apply_best; q-prefixed names so it
   // composes with CLUSTER_CTE (whose `t` is the shingle table)
-  private lazy val QSCORE_CTES =
-    s"""qt AS (SELECT doc_id, text, $TOKS AS tk FROM documents),
+  private lazy val QSCORE_CTES = qscoreCtes("documents")
+
+  private def qscoreCtes(src: String): String =
+    s"""qt AS (SELECT doc_id, text, $TOKS AS tk FROM $src),
        |qm AS (SELECT doc_id, len(tk)::BIGINT AS n,
        |  length(text) AS n_chars,
        |  len(list_filter(tk, x -> x IN $EN))::BIGINT AS sw,
@@ -545,42 +614,11 @@ object TextRegistry {
         |FROM f ORDER BY doc_id""".stripMargin,
     "gopher_repetition" -> gopherRepetitionSql,
     "quality_gopher" ->
-      s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks,
-         |  string_split(text, chr(10)) AS lines FROM documents),
-         |m AS (SELECT doc_id,
-         |  len(toks) AS n_words,
-         |  list_sum(list_transform(toks, w -> length(w)))::BIGINT
-         |    AS word_chars,
-         |  len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
-         |    AS n_alpha_words,
-         |  len(lines) AS n_lines,
-         |  len(list_distinct(lines)) AS n_distinct_lines,
-         |  len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
-         |    AS n_ellipsis_lines,
-         |  (length(text) - length(replace(text, '#', ''))
-         |    + len(string_split(text, '...')) - 1) AS n_symbols,
-         |  (list_contains(list_transform(toks, w -> lower(w)), 'the')::BIGINT
-         |   + list_contains(list_transform(toks, w -> lower(w)), 'a')::BIGINT)
-         |    AS stop_hits,
-         |  COALESCE(list_sum(list_transform(lines, l -> length(l))), 0)::BIGINT
-         |    AS line_chars,
-         |  COALESCE(list_sum(list_transform(
-         |    list_filter(lines, l ->
-         |      len(list_filter(lines, x -> x = l)) >= 2),
-         |    l -> length(l))), 0)::BIGINT AS dup_line_chars
-         | FROM t)
+      s"""WITH ${gopherCtes("documents", "t", "m")}
          |SELECT doc_id, n_words, word_chars, n_alpha_words, n_lines,
          | n_distinct_lines, n_ellipsis_lines, n_symbols, stop_hits,
          | line_chars, dup_line_chars,
-         | CASE WHEN n_words >= 50 AND n_words <= 100000
-         |  AND n_words * 3 <= word_chars AND word_chars <= n_words * 10
-         |  AND n_symbols * 10 <= n_words
-         |  AND n_ellipsis_lines * 10 <= n_lines * 3
-         |  AND n_alpha_words * 5 >= n_words * 4
-         |  AND stop_hits >= 2
-         |  AND (n_lines - n_distinct_lines) * 10 <= n_lines * 3
-         |  AND dup_line_chars * 5 <= line_chars
-         | THEN 1 ELSE 0 END AS keep
+         | ${gopherKeepSql("m")} AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
     "quality_c4" ->
       (c4OracleCte +
@@ -603,6 +641,32 @@ object TextRegistry {
         |WHERE has_lorem = 0 AND has_brace = 0 AND has_badword = 0
         |  AND n_sentences >= 3
         |ORDER BY a.doc_id""".stripMargin),
+    // T38 core: the c4 planted fixture's CTEs (t/a/p) + the T30,
+    // T31 and T15 chains RE-TARGETED at the planted text `t` (the
+    // same fragment generators as the standalone statements), joined
+    // on doc_id; keep_core via lateral alias references
+    "quality_signals_core" ->
+      (c4OracleCte + "," +
+        gopherCtes("t", "gt", "gm") + "," +
+        repCtes("t", "rtl", "rm") + "," +
+        qscoreCtes("t") +
+        s"""
+           |SELECT t.doc_id, qs.q_score,
+           | strlen(t.text)::BIGINT AS n_bytes,
+           | ${gopherKeepSql("gm")} AS keep_gopher,
+           | ${repKeepSql("rm")} AS keep_rep,
+           | CASE WHEN p.has_lorem = 0 AND p.has_brace = 0
+           |   AND p.has_badword = 0 AND a.n_sentences >= 3
+           |   THEN 1 ELSE 0 END AS keep_c4,
+           | CASE WHEN qs.q_score >= 0.5 THEN 1 ELSE 0 END
+           |   AS keep_model,
+           | CASE WHEN keep_gopher = 1 AND keep_rep = 1
+           |   AND keep_c4 = 1 AND keep_model = 1
+           |   THEN 1 ELSE 0 END AS keep_core
+           |FROM t JOIN a USING (doc_id) JOIN p USING (doc_id)
+           | JOIN gm USING (doc_id) JOIN rm USING (doc_id)
+           | JOIN qs USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin),
     "sentence_span_scrub" -> sentenceScrubOracle,
     "sentence_span_scrub_join" -> sentenceScrubOracle,
     "pipeline_c4" ->

@@ -202,6 +202,27 @@ class QualityOpsSpec extends AnyFunSuite {
       assert(m(sig, c).values.toSet == Set(0, 1), s"$c degenerate")
   }
 
+  test("quality_signals_core == the signals projection; keep_core non-degenerate") {
+    val sig = TextOps.qualitySignalsQuery(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("q_score"), r.getAs[Long]("n_bytes"),
+          r.getAs[Int]("keep_gopher"), r.getAs[Int]("keep_rep"),
+          r.getAs[Int]("keep_c4"), r.getAs[Int]("keep_model"))).toMap
+    val core = TextOps.qualitySignalsCoreQuery(spark, sf).collect()
+    assert(core.length == sig.size)
+    core.foreach { r =>
+      val (qs, nb, kg, kr, kc, km) = sig(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Double]("q_score") == qs)
+      assert(r.getAs[Long]("n_bytes") == nb)
+      assert((r.getAs[Int]("keep_gopher"), r.getAs[Int]("keep_rep"),
+        r.getAs[Int]("keep_c4"), r.getAs[Int]("keep_model")) ==
+        ((kg, kr, kc, km)))
+      assert(r.getAs[Int]("keep_core") ==
+        (if (kg == 1 && kr == 1 && kc == 1 && km == 1) 1 else 0))
+    }
+    assert(core.map(_.getAs[Int]("keep_core")).toSet == Set(0, 1))
+  }
+
   test("quality_c4 registered query is non-degenerate at sf") {
     val df = graft.operators.TextOps.qualityC4Query(spark, sf)
     val rows = df.collect()
