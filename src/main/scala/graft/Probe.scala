@@ -34,7 +34,8 @@ object Probe {
       "dedup_minhash_pairs", "dedup_simhash", "dedup_winnow",
       "contamination_screen", "dedup_clusters", "dedup_substring",
       "quality_gopher", "gopher_repetition", "quality_c4", "c4_apply",
-      "compression_ratio", "quality_signals",
+      "compression_ratio", "quality_signals", "quality_signals_core",
+      "domain_filter", "domain_cap", "domain_cap_apply",
       "sentence_span_scrub", "sentence_span_scrub_join", "pipeline_c4",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",

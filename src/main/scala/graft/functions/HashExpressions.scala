@@ -622,10 +622,8 @@ object HashKernels {
       wordChars += lens(ti)
       ti += 1
     }
-    // intern tokens to dense ids: gram keys become char-packed id
-    // strings (exact equality, no token-text copying per gram). Ids
-    // pack 1 char each below 65536 distinct tokens, 2 chars above
-    // (still exact; chunked corpora never reach the wide path).
+    // intern tokens to dense ids — the shared identity stream every
+    // n reuses (exact equality, no token-text copying per gram)
     val ids = new Array[Int](T)
     locally {
       val intern = new java.util.HashMap[String, Integer](T * 2)
@@ -637,72 +635,108 @@ object HashKernels {
         q += 1
       }
     }
-    val wide = T >= 65536
-    @inline def putId(buf: Array[Char], pos: Int, id: Int): Int =
-      if (wide) {
-        buf(pos) = (id & 0xffff).toChar
-        buf(pos + 1) = (id >>> 16).toChar
-        pos + 2
-      } else { buf(pos) = id.toChar; pos + 1 }
+    // prefix char sums: any gram's char mass is one subtraction
+    val prefix = new Array[Long](T + 1)
+    locally {
+      var q = 0
+      while (q < T) { prefix(q + 1) = prefix(q) + lens(q); q += 1 }
+    }
     val out = new Array[Long](10)
     out(0) = wordChars
-    val counts = new java.util.HashMap[String, Array[Long]]()
+    // Incremental pair interning: gram_n(i) ≡ (gram_{n-1}(i),
+    // ids(i+n-1)) — interning the PAIR to a dense id makes each
+    // gram's identity O(1), so every n is ONE pass over the shared
+    // id stream instead of packing an O(n) key per position (the
+    // r13 profile: key packing + string hashing was ~20 s of the
+    // 100× signals-table scan). Exact by induction: two positions
+    // get the same dense id iff their token-id sequences match.
+    var prevG: Array[Int] = ids // length-1 gram ids
     var slot = 1
     var n = 2
     while (n <= 10) { // top mass for n=2..4, dup mass for n=5..10
       if (T >= n) {
-        counts.clear()
-        val buf = new Array[Char](if (wide) 2 * n else n)
-        var gchars = 0L
-        var j = 0
-        while (j < n) { gchars += lens(j); j += 1 }
-        var i2 = 0
-        while (i2 + n <= T) {
-          var pos = 0
-          var j2 = i2
-          while (j2 < i2 + n) { pos = putId(buf, pos, ids(j2)); j2 += 1 }
-          val key = new String(buf, 0, pos)
-          val e = counts.get(key)
-          if (e == null) counts.put(key, Array(1L, gchars))
-          else e(0) += 1 // same key => same tokens => same gchars
-          if (i2 + n < T) gchars += lens(i2 + n) - lens(i2)
-          i2 += 1
+        val m = T - n + 1
+        val cur = new Array[Int](m)
+        val pairs = new LongToIntMap(m)
+        var distinct = 0
+        var i = 0
+        while (i < m) {
+          val key = (prevG(i).toLong << 32) |
+            (ids(i + n - 1).toLong & 0xffffffffL)
+          val id = pairs.getOrInsert(key, distinct)
+          if (id == distinct) distinct += 1
+          cur(i) = id
+          i += 1
         }
+        val counts = new Array[Int](distinct)
+        i = 0
+        while (i < m) { counts(cur(i)) += 1; i += 1 }
         if (n <= 4) {
           var best = 0L
-          val it = counts.values().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            val m = e(0) * e(1)
-            if (m > best) best = m
+          i = 0
+          while (i < m) {
+            // same gram id => same tokens => same char mass
+            val mass = counts(cur(i)).toLong * (prefix(i + n) - prefix(i))
+            if (mass > best) best = mass
+            i += 1
           }
           out(slot) = best
         } else {
-          val covered = new Array[Boolean](T)
-          var i3 = 0
-          while (i3 + n <= T) {
-            var pos = 0
-            var j4 = i3
-            while (j4 < i3 + n) { pos = putId(buf, pos, ids(j4)); j4 += 1 }
-            if (counts.get(new String(buf, 0, pos))(0) >= 2) {
-              var p = i3
-              while (p < i3 + n) { covered(p) = true; p += 1 }
-            }
-            i3 += 1
-          }
+          // union of covered [i, i+n) intervals left to right:
+          // positions below covEnd are already counted (counts
+          // overlapping occurrences once, the paper's form)
           var mass = 0L
-          var p2 = 0
-          while (p2 < T) {
-            if (covered(p2)) mass += lens(p2)
-            p2 += 1
+          var covEnd = 0
+          i = 0
+          while (i < m) {
+            if (counts(cur(i)) >= 2) {
+              val from = if (i > covEnd) i else covEnd
+              if (from < i + n) {
+                mass += prefix(i + n) - prefix(from)
+                covEnd = i + n
+              }
+            }
+            i += 1
           }
           out(slot) = mass
         }
+        prevG = cur
       }
       slot += 1
       n += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Minimal open-addressed long→int map for gram-pair interning:
+    * fixed capacity (no resizing — the caller knows the gram count
+    * bound), linear probing, no deletes.
+    */
+  private final class LongToIntMap(expected: Int) {
+    private val cap = {
+      var c = 4
+      while (c < expected * 2) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val keys = new Array[Long](cap)
+    private val vals = new Array[Int](cap)
+    private val used = new Array[Boolean](cap)
+
+    /** Existing value for `key`, else insert `newVal` and return it. */
+    def getOrInsert(key: Long, newVal: Int): Int = {
+      val x = key * -0x61c8864680b583ebL // fibonacci mix
+      var h = ((x >>> 32) ^ x).toInt & mask
+      while (true) {
+        if (!used(h)) {
+          used(h) = true; keys(h) = key; vals(h) = newVal
+          return newVal
+        }
+        if (keys(h) == key) return vals(h)
+        h = (h + 1) & mask
+      }
+      -1 // unreachable
+    }
   }
 
   /** Positional agreement of two equal-length long arrays — the

@@ -256,6 +256,52 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(rep("solo") == Seq(4, 0, 0, 0, 0, 0, 0, 0, 0, 0))
   }
 
+  test("gopherRepetition pair-interned kernel == brute-force reference on random docs") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    // brute force straight off the token list (gram identity = the
+    // token subsequence; boolean coverage array) — the docs are
+    // single-space joins of nonempty tokens, so tokenization is
+    // trivially the list itself (the split-artifact edges have their
+    // own hand-pinned test above)
+    def ref(toks: IndexedSeq[String]): Seq[Long] = {
+      val lens = toks.map(t => t.codePointCount(0, t.length).toLong)
+      val out = Array.fill(10)(0L)
+      out(0) = lens.sum
+      for (n <- 2 to 10; if toks.length >= n) {
+        val grams = toks.sliding(n).map(_.toList).toVector
+        val counts = grams.groupBy(identity).map {
+          case (g, o) => g -> o.size
+        }
+        if (n <= 4)
+          out(n - 1) = grams.zipWithIndex.map { case (g, i) =>
+            counts(g).toLong * lens.slice(i, i + n).sum
+          }.max
+        else {
+          val covered = Array.fill(toks.length)(false)
+          for (i <- grams.indices; if counts(grams(i)) >= 2;
+              p <- i until i + n) covered(p) = true
+          out(n - 1) = covered.zipWithIndex.collect {
+            case (true, p) => lens(p)
+          }.sum
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(20260814L)
+    val alphabets = Seq(
+      Seq("a", "bb", "ccc"), // tiny alphabet → dense repeats
+      Seq("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8"),
+      (1 to 40).map(i => s"tok$i")) // sparse → mostly unique grams
+    for (it <- 1 to 150) {
+      val ab = alphabets(it % alphabets.length)
+      val len = 1 + rnd.nextInt(40)
+      val toks = IndexedSeq.fill(len)(ab(rnd.nextInt(ab.length)))
+      val got = graft.functions.HashKernels
+        .gopherRepetition(u8(toks.mkString(" "))).toLongArray().toSeq
+      assert(got == ref(toks), s"iter $it toks=$toks")
+    }
+  }
+
   test("gopherRepetition keep_rep on planted clean vs template documents") {
     import spark.implicits._
     val clean = (1 to 60).map(i => s"w$i").mkString(" ")
