@@ -38,7 +38,8 @@ object RecallProbe {
     // optional method subset after the copy count (cheap re-runs when
     // a long session dies partway): jaccard_lsh minhash simhash ann
     val methodNames =
-      Set("jaccard_lsh", "minhash", "simhash", "ann")
+      Set("jaccard_lsh", "minhash", "simhash", "ann",
+        "sentence", "paragraph", "substring")
     val picked = args.drop(1).toSet
     val badNames = picked.diff(methodNames)
     require(badNames.isEmpty,
@@ -196,6 +197,112 @@ object RecallProbe {
       println(f"""{"method":"simhash_h3","band":"ham<=3","truth":$nT,"found":$nF,"recall":${
         if (nT == 0) -1.0 else nF.toDouble / nT}%.4f,"sec":$shSec%.1f}""")
     }
+
+    // ---- span-granularity scrub recall (r14): the sentence /
+    // paragraph / substring dedup operators are EXACT, so their
+    // recall contract is 1.0 — these rows VERIFY the guarantee at
+    // the 500k-doc scale (the simhash-row rationale: frontier
+    // budgets, df caps or join shapes could silently drop spans).
+    // The raw corpus has no sentence/paragraph structure, so spans
+    // are PLANTED (the registered-fixture convention), keyed by BASE
+    // so each shared span has df ≈ copies/3: doc_id % 3 == 0 gets a
+    // base-keyed shared span (must be scrubbed in every non-owner,
+    // kept by the owner where the operator has owner semantics),
+    // % 3 == 1 a doc-keyed unique span (must always survive — the
+    // false-scrub control), % 3 == 2 stays bare. Markers carry an
+    // 'x' suffix sentinel so base 17's marker is not a prefix of
+    // base 170's.
+    def spanRecall(name: String,
+        sharedTail: org.apache.spark.sql.Column,
+        uniqueTail: org.apache.spark.sql.Column,
+        sharedMark: org.apache.spark.sql.Column,
+        uniqueMark: org.apache.spark.sql.Column,
+        ownerKeeps: Boolean,
+        scrub: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame): Unit = {
+      val mode = col("doc_id") % 3
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(mode === 0, sharedTail)
+            .when(mode === 1, uniqueTail)
+            .otherwise(lit(""))).as("text"))
+      val (flags, sec) = timed {
+        scrub(planted)
+          .select(col("doc_id"), col("clean_text"))
+          .withColumn("mode", mode)
+          .filter(col("mode") < 2)
+          .withColumn("base", col("doc_id") % nBase)
+          .withColumn("mark",
+            when(col("mode") === 0, sharedMark).otherwise(uniqueMark))
+          .select(col("doc_id"), col("mode"), col("base"),
+            col("clean_text").contains(col("mark")).as("has"))
+          .localCheckpoint(true)
+      }
+      val owners =
+        if (!ownerKeeps)
+          flags.filter(lit(false)).select(col("doc_id").as("owner"))
+        else flags.filter(col("mode") === 0).groupBy(col("base"))
+          .agg(min(col("doc_id")).as("owner"))
+      val shared = flags.filter(col("mode") === 0)
+        .join(owners.select(col("owner").as("doc_id"),
+          lit(true).as("is_owner")), Seq("doc_id"), "left")
+      val agg = shared.agg(
+        count(when(!coalesce(col("is_owner"), lit(false)), 1))
+          .as("truth"),
+        count(when((!coalesce(col("is_owner"), lit(false))) &&
+          !col("has"), 1)).as("scrubbed"),
+        count(when(coalesce(col("is_owner"), lit(false)) &&
+          col("has"), 1)).as("owners_kept"),
+        count(when(coalesce(col("is_owner"), lit(false)), 1))
+          .as("owners")).first()
+      val uniq = flags.filter(col("mode") === 1).agg(
+        count(lit(1)).as("n"),
+        count(when(col("has"), 1)).as("kept")).first()
+      val truth = agg.getLong(0); val scrubbed = agg.getLong(1)
+      println(f"""{"method":"$name","band":"planted","truth":$truth,"found":$scrubbed,"recall":${
+        if (truth == 0) -1.0 else scrubbed.toDouble / truth
+      }%.4f,"owners_kept":${agg.getLong(2)},"owners":${agg.getLong(3)},"unique":${
+        uniq.getLong(0)},"unique_kept":${uniq.getLong(1)},"sec":$sec%.1f}""")
+    }
+
+    def key(pfx: String, k: org.apache.spark.sql.Column) =
+      concat(lit(pfx), k.cast("string"), lit("x"))
+    val baseK = col("doc_id") % nBase
+
+    if (wanted("sentence"))
+      spanRecall("sentence_span_scrub_join",
+        sharedTail = concat(lit(". "), key("shr", baseK),
+          lit(" zero. "), key("shr", baseK), lit(" one! "),
+          key("shr", baseK), lit(" two?")),
+        uniqueTail = concat(lit(". "), key("unq", col("doc_id")),
+          lit(" zero. "), key("unq", col("doc_id")), lit(" one! "),
+          key("unq", col("doc_id")), lit(" two?")),
+        sharedMark = key("shr", col("base")),
+        uniqueMark = key("unq", col("doc_id")),
+        ownerKeeps = true,
+        operators.CorpusOps.sentenceSpanScrubJoin(_))
+
+    if (wanted("paragraph"))
+      spanRecall("paragraph_dedup",
+        sharedTail = concat(lit("\n\n"), key("par", baseK),
+          lit(" shared boiler block")),
+        uniqueTail = concat(lit("\n\n"), key("upar", col("doc_id")),
+          lit(" own content block")),
+        sharedMark = key("par", col("base")),
+        uniqueMark = key("upar", col("doc_id")),
+        ownerKeeps = false, // df >= minDf drops EVERY occurrence
+        operators.CorpusOps.paragraphDedup(_))
+
+    if (wanted("substring"))
+      spanRecall("substring_scrub_join",
+        sharedTail = concat(lit(" "), key("sb", baseK),
+          lit(" alpha beta gamma delta epsilon zeta eta theta iota")),
+        uniqueTail = concat(lit(" "), key("ub", col("doc_id")),
+          lit(" alpha beta gamma delta epsilon zeta eta theta iota")),
+        sharedMark = key("sb", col("base")),
+        uniqueMark = key("ub", col("doc_id")),
+        ownerKeeps = true,
+        operators.CorpusOps.substringScrubJoin(_))
 
     // ---- ANN recall@k: approximate paths vs the exact brute-force
     // top-k on the same queries (vec_id < nQueries, every path's
