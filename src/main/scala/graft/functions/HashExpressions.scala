@@ -708,6 +708,154 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** One-pass statistics behind the T15 model score: [n_tokens,
+    * stop_hits_en, punct_count, top_token_count, n_distinct_bigrams]
+    * — the five integers [[graft.operators.TextOps.modelQualityScore]]
+    * previously drew from five standalone kernels (five
+    * UTF8String.getBytes copies + five text walks per row; the
+    * shingle path also materialized + sorted the bigram hash array
+    * just to take its size). ONE byte copy, one token-boundary scan
+    * shared by four statistics, one separate punct byte scan.
+    *
+    * Each integer is BIT-IDENTICAL to its standalone kernel (pinned
+    * by a differential spec): tokens are the space-trimmed
+    * wsTokenCount convention INCLUDING the leading/trailing empty
+    * artifacts (which never match a stopword and count toward the
+    * top-token multiplicity exactly as topTokenCount's `empties`);
+    * bigram identity is the shingleKeys FNV with empty source, so
+    * the distinct count equals size(shingle_keys(text, '', 2)).
+    */
+  def modelStats(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    // punct: whole-byte scan (spaces are not punctuation, so the
+    // trim below cannot change it)
+    var punct = 0L
+    locally {
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        if ((b >= '!' && b <= '/') || (b >= ':' && b <= '@') ||
+          (b >= '[' && b <= '`') || (b >= '{' && b <= '~')) punct += 1
+        i += 1
+      }
+    }
+    var lo = 0; var hi = bytes.length
+    while (lo < hi && bytes(lo) == 0x20) lo += 1
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    // token boundaries, shingleKeys-style (artifact empties included)
+    var nTok = 0
+    var starts = new Array[Int](16); var ends = new Array[Int](16)
+    def push(s: Int, e: Int): Unit = {
+      if (nTok == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, nTok * 2)
+        ends = java.util.Arrays.copyOf(ends, nTok * 2)
+      }
+      starts(nTok) = s; ends(nTok) = e; nTok += 1
+    }
+    if (lo == hi) push(lo, hi)
+    else {
+      var i = lo
+      var tokStart = lo
+      while (i < hi) {
+        if (isWsByte(bytes(i) & 0xff)) {
+          push(tokStart, i)
+          while (i < hi && isWsByte(bytes(i) & 0xff)) i += 1
+          tokStart = i
+        } else i += 1
+      }
+      push(tokStart, hi)
+    }
+    // stop hits + per-token FNV (reused for top count and bigrams)
+    val en = stopwordTable("en")
+    val tokHash = new Array[Long](nTok)
+    var stopHits = 0L
+    var empties = 0
+    locally {
+      var t = 0
+      while (t < nTok) {
+        val st = starts(t); val e = ends(t)
+        if (st == e) empties += 1
+        else {
+          var w = 0
+          while (w < en.length) {
+            if (tokenEquals(bytes, st, e, en(w))) {
+              stopHits += 1; w = en.length
+            } else w += 1
+          }
+        }
+        var h = 0xcbf29ce484222325L
+        var j = st
+        while (j < e) { h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+        tokHash(t) = h
+        t += 1
+      }
+    }
+    // top multiplicity over NON-empty tokens — hash AND content
+    // equal, the topTokenCount contract (hash-only identity could
+    // merge FNV-colliding tokens); empties compete as their own token
+    var top = 0L
+    locally {
+      var cap = Integer.highestOneBit(Math.max(16, nTok * 2)) << 1
+      val hashes = new Array[Long](cap)
+      val tokIdx = new Array[Int](cap)
+      val counts = new Array[Int](cap)
+      var t = 0
+      while (t < nTok) {
+        if (starts(t) != ends(t)) {
+          val h = tokHash(t)
+          var slot = (h & (cap - 1)).toInt
+          var done = false
+          while (!done) {
+            if (counts(slot) == 0) {
+              hashes(slot) = h; tokIdx(slot) = t; counts(slot) = 1
+              if (top == 0L) top = 1L
+              done = true
+            } else if (hashes(slot) == h && {
+              val o = tokIdx(slot)
+              ends(o) - starts(o) == ends(t) - starts(t) &&
+                regionEquals(bytes, starts(o), starts(t),
+                  ends(t) - starts(t))
+            }) {
+              counts(slot) += 1
+              if (counts(slot) > top) top = counts(slot)
+              done = true
+            } else slot = (slot + 1) & (cap - 1)
+          }
+        }
+        t += 1
+      }
+      if (nTok == 1 && starts(0) == ends(0)) top = 1L // "" → [""]
+      if (empties > top) top = empties
+    }
+    // distinct bigram FNV keys (shingleKeys source='' formula)
+    var nBigrams = 0L
+    if (nTok >= 2) {
+      var hSrc = 0xcbf29ce484222325L
+      hSrc *= 0x100000001b3L // empty-source separator fold
+      val set = new LongToIntMap(nTok)
+      var distinct = 0
+      var s = 0
+      while (s <= nTok - 2) {
+        var h = hSrc
+        var b = starts(s)
+        while (b < ends(s)) {
+          h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1
+        }
+        h ^= 0x20L; h *= 0x100000001b3L
+        b = starts(s + 1)
+        while (b < ends(s + 1)) {
+          h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1
+        }
+        val id = set.getOrInsert(h, distinct)
+        if (id == distinct) distinct += 1
+        s += 1
+      }
+      nBigrams = distinct
+    }
+    new GenericArrayData(Array(nTok.toLong, stopHits, punct, top,
+      nBigrams))
+  }
+
   /** Minimal open-addressed long→int map for gram-pair interning:
     * fixed capacity (no resizing — the caller knows the gram count
     * bound), linear probing, no deletes.
@@ -1406,6 +1554,25 @@ object HashKernels {
   }
 }
 
+/** model_stats(text) → array<bigint> — the five T15 feature integers
+  * in one pass (see HashKernels.modelStats). One evaluation serves
+  * all five element_at consumers via whole-stage subexpression
+  * elimination (the TermCounts convention, pinned by
+  * KernelEvalAuditSpec).
+  */
+case class ModelStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.modelStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.modelStats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** minhash_signature(shingles, k) → array<bigint> */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -1802,4 +1969,6 @@ object HashFunctions {
     ColumnBridge.column(LangId(ColumnBridge.expression(text)))
   def top_token_count(text: Column): Column =
     ColumnBridge.column(TopTokenCount(ColumnBridge.expression(text)))
+  def model_stats(text: Column): Column =
+    ColumnBridge.column(ModelStats(ColumnBridge.expression(text)))
 }

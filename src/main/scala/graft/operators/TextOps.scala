@@ -503,18 +503,23 @@ object TextOps {
     * Term order is load-bearing: the oracle SQL mirrors it.
     */
   def modelQualityScore(text: Column): Column = {
-    import graft.functions.HashFunctions.{shingle_keys, top_token_count, ws_token_count}
-    val ntI = ws_token_count(text)
+    import graft.functions.HashFunctions.model_stats
+    // ONE fused kernel pass feeds all five features (each integer
+    // bit-identical to its standalone kernel — ModelStatsSpec); the
+    // rational arithmetic below is unchanged, so the score — and
+    // every hash-checked consumer — is bit-identical too
+    val ms = model_stats(text)
+    val ntI = element_at(ms, 1)
     val nt = ntI.cast("double")
     val lenF = least(nt, lit(400.0)) / lit(400.0)
     val swF = least(
-      stopwordHits(text, "en").cast("double") / nt * lit(4.0),
+      element_at(ms, 2).cast("double") / nt * lit(4.0),
       lit(1.0))
-    val punctR = punctCount(text).cast("double") /
+    val punctR = element_at(ms, 3).cast("double") /
       length(text).cast("double")
-    val topR = top_token_count(text).cast("double") / nt
+    val topR = element_at(ms, 4).cast("double") / nt
     val dupFrac = when(ntI <= 1, lit(0.0)).otherwise(
-      (ntI - 1 - size(shingle_keys(text, lit(""), 2)))
+      (ntI - 1 - element_at(ms, 5))
         .cast("double") / (ntI - 1))
     lenF * lit(0.35) +
       swF * lit(0.25) +
