@@ -36,6 +36,7 @@ object Probe {
       "quality_gopher", "gopher_repetition", "quality_c4", "c4_apply",
       "compression_ratio", "quality_signals", "quality_signals_core",
       "domain_filter", "domain_cap", "domain_cap_apply",
+      "domain_cap_rebalance",
       "sentence_span_scrub", "sentence_span_scrub_join", "pipeline_c4",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",

@@ -204,4 +204,56 @@ object DomainOps {
       cap: Int = 25): DataFrame =
     domainCapApply(plantedUrlDocs(spark, sfDir), cap)
       .orderBy(col("doc_id"))
+
+  /** T42 — CAP REBALANCE: the batch reconciliation of the X24 online
+    * admission policy. A stream admits first-seen-wins (it cannot
+    * sort by the batch key without holding the corpus); the periodic
+    * batch pass re-ranks every document under the DETERMINISTIC
+    * [[selectionKey]] order and reconciles: an admitted doc that
+    * ranks past the cap is `evict`, an unadmitted doc that ranks
+    * inside it is `admit`, the rest `keep`/`out`. This mirrors the
+    * incremental-dedup family's ingest/batch split (P3 screens
+    * online, D14's index rebuilds offline).
+    *
+    * `admitted` is an id-only `(doc_id)` frame — the reconcile join
+    * moves 8-byte ids, never text or URLs. One partitioned window
+    * (the T40 audit shape) + one left join; the output is the full
+    * audit table, so the per-domain sort is inherent to the ask.
+    */
+  def domainCapRebalance(docs: DataFrame, admitted: DataFrame,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    domainCap(docs, cap)
+      .join(admitted.select(col("doc_id"), lit(true).as("was_admitted")),
+        Seq("doc_id"), "left")
+      .withColumn("was_admitted",
+        coalesce(col("was_admitted"), lit(false)))
+      .withColumn("verdict",
+        when(col("was_admitted") && col("keep"), lit("keep"))
+          .when(col("was_admitted") && !col("keep"), lit("evict"))
+          .when(!col("was_admitted") && col("keep"), lit("admit"))
+          .otherwise(lit("out")))
+  }
+
+  /** Registered `domain_cap_rebalance` (hash-checked): the recipe
+    * over the planted fixture with the prior admission being the X24
+    * arrival policy under doc_id arrival order (rank by doc_id ≤
+    * cap per domain — the deterministic stand-in for "first seen",
+    * stated identically in the oracle). Arrival order ≠ md5 order,
+    * so both `evict` and `admit` verdicts fire on real rows.
+    */
+  def domainCapRebalanceQuery(spark: SparkSession, sfDir: String,
+      cap: Int = 25): DataFrame = {
+    val docs = plantedUrlDocs(spark, sfDir)
+    val wArr = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+    val admitted = docs
+      .withColumn("domain", registeredDomain(urlHost(col("url"))))
+      .withColumn("arr_rank", row_number().over(wArr))
+      .filter(col("arr_rank") <= cap)
+      .select(col("doc_id"))
+    domainCapRebalance(docs, admitted, cap)
+      .select(col("doc_id"), col("domain"), col("domain_rank"),
+        col("was_admitted"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -185,7 +185,11 @@ object TextRegistry {
     // all three hash-checked (strings, flags, integer ranks)
     "domain_filter" -> (DomainOps.domainFilterQuery _),
     "domain_cap" -> ((s, d) => DomainOps.domainCapQuery(s, d)),
-    "domain_cap_apply" -> ((s, d) => DomainOps.domainCapApplyQuery(s, d))
+    "domain_cap_apply" -> ((s, d) => DomainOps.domainCapApplyQuery(s, d)),
+    // T42: the X24 online admission reconciled against the batch
+    // md5-rank policy — full audit table, hash-checked
+    "domain_cap_rebalance" ->
+      ((s, d) => DomainOps.domainCapRebalanceQuery(s, d))
   )
 
   // Shared SQL fragments (DuckDB): tokens and trigram shingles.
@@ -1451,7 +1455,25 @@ object TextRegistry {
          |r AS (SELECT doc_id, domain, row_number() OVER (
          |    PARTITION BY domain ORDER BY sk, doc_id) AS rk FROM k)
          |SELECT doc_id, domain, rk::INT AS domain_rank
-         |FROM r WHERE rk <= 25 ORDER BY doc_id""".stripMargin
+         |FROM r WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
+    // T42: arrival rank (doc_id order — the X24 first-seen proxy)
+    // vs the md5-rank batch policy, reconciled
+    "domain_cap_rebalance" ->
+      s"""$domainUrlCte,
+         |k AS (SELECT doc_id, domain,
+         |  ('0x' || substr(md5(text), 1, 13))::BIGINT AS sk FROM d),
+         |r AS (SELECT doc_id, domain,
+         |  row_number() OVER (
+         |    PARTITION BY domain ORDER BY sk, doc_id) AS rk,
+         |  row_number() OVER (
+         |    PARTITION BY domain ORDER BY doc_id) AS arr FROM k)
+         |SELECT doc_id, domain, rk::INT AS domain_rank,
+         |  arr <= 25 AS was_admitted,
+         |  CASE WHEN arr <= 25 AND rk <= 25 THEN 'keep'
+         |       WHEN arr <= 25 THEN 'evict'
+         |       WHEN rk <= 25 THEN 'admit'
+         |       ELSE 'out' END AS verdict
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 
   private def domainBlockSql: String =

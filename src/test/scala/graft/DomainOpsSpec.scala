@@ -87,6 +87,68 @@ class DomainOpsSpec extends AnyFunSuite {
     assert(rows.exists(r => !r.getAs[Boolean]("keep")))
   }
 
+  test("domainCapRebalance: verdict table is exactly the two-policy cross") {
+    val rows = DomainOps.domainCapRebalanceQuery(spark, sf).collect()
+    assert(rows.length == 500)
+    val byV = rows.groupBy(_.getAs[String]("verdict")).view
+      .mapValues(_.length).toMap
+    // arrival order ≠ md5 order, so both reconcile verdicts fire
+    assert(byV.getOrElse("evict", 0) > 0 && byV.getOrElse("admit", 0) > 0)
+    assert(byV.getOrElse("evict", 0) == byV.getOrElse("admit", 0),
+      "evict and admit counts must balance (same cap both policies)")
+    rows.foreach { r =>
+      val keep = r.getAs[Int]("domain_rank") <= 25
+      val adm = r.getAs[Boolean]("was_admitted")
+      val want = (adm, keep) match {
+        case (true, true) => "keep"
+        case (true, false) => "evict"
+        case (false, true) => "admit"
+        case _ => "out"
+      }
+      assert(r.getAs[String]("verdict") == want)
+    }
+  }
+
+  test("X24 admission fed to domainCapRebalance reconciles the stream against batch") {
+    import spark.implicits._
+    // two domains, cap 2; arrival (doc_id) order disagrees with the
+    // md5 order on purpose — the rebalance must evict the late-rank
+    // admit and admit the early-rank refusal
+    val docs = Seq(
+      (1L, "https://a.com/1", "t one"), (2L, "https://a.com/2", "t two"),
+      (3L, "https://a.com/3", "t three"), (4L, "https://a.com/4", "t four"),
+      (5L, "https://b.net/5", "t five"), (6L, "https://b.net/6", "t six"))
+      .toDF("doc_id", "url", "text")
+    val in = MemoryStream[StreamUrlDoc]
+    val q = StreamingOps.streamingDomainCap(in.toDS(), cap = 2)
+      .writeStream.format("memory").queryName("rebalance_adm")
+      .outputMode("append").start()
+    val admitted =
+      try {
+        // one batch per doc pins arrival order = doc_id order
+        docs.collect().sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+          in.addData(StreamUrlDoc(r.getAs[Long]("doc_id"), ts(0),
+            r.getAs[String]("url")))
+          q.processAllAvailable()
+        }
+        spark.table("rebalance_adm").collect()
+          .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id"))
+      } finally q.stop()
+    assert(admitted.toSet == Set(1L, 2L, 5L, 6L)) // first 2 per domain
+    val reb = DomainOps.domainCapRebalance(docs,
+        admitted.toSeq.toDF("doc_id"), cap = 2).collect()
+    // the stream's admission is exactly was_admitted
+    assert(reb.filter(_.getAs[Boolean]("was_admitted"))
+      .map(_.getAs[Long]("doc_id")).toSet == admitted.toSet)
+    // per-domain verdict accounting: kept set size == cap, evict ==
+    // admit, and verdicts follow the cross
+    val aCom = reb.filter(_.getAs[String]("domain") == "a.com")
+    assert(aCom.count(r => Set("keep", "admit")
+      .contains(r.getAs[String]("verdict"))) == 2)
+    assert(aCom.count(_.getAs[String]("verdict") == "evict") ==
+      aCom.count(_.getAs[String]("verdict") == "admit"))
+  }
+
   test("X23 streaming URL gate ≡ batch gate under one blocklist") {
     import spark.implicits._
     val urls = DomainOps.domainFilterQuery(spark, sf).collect()
