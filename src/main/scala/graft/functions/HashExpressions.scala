@@ -726,6 +726,7 @@ object HashKernels {
     * the distinct count equals size(shingle_keys(text, '', 2)).
     */
   def modelStats(text: UTF8String): ArrayData = {
+    if (KernelMetrics.enabled) KernelMetrics.modelStatsEvals.increment()
     val bytes = text.getBytes
     // punct: whole-byte scan (spaces are not punctuation, so the
     // trim below cannot change it)

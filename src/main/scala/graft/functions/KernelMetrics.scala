@@ -25,10 +25,12 @@ object KernelMetrics {
   val topTokenEvals = new LongAdder
   val piiCountEvals = new LongAdder
   val piiScrubEvals = new LongAdder
+  val modelStatsEvals = new LongAdder
 
   def reset(): Unit = {
     shingleEvals.reset(); minhashEvals.reset(); termEvals.reset()
     topTokenEvals.reset(); piiCountEvals.reset(); piiScrubEvals.reset()
+    modelStatsEvals.reset()
   }
 
   /** Run `body` with counting on; returns (result, shingles, minhashes). */

@@ -160,4 +160,34 @@ class KernelEvalAuditSpec extends AnyFunSuite {
       assert(minhashes == n, s"minhash_keys ran $minhashes times for $n rows")
     } finally { q.stop(); index.unpersist() }
   }
+
+  test("T15 model_stats kernel runs once per row under all its consumers") {
+    // quality_classify references the score twice (q_score + keep)
+    // and the score fans out to ~10 element_at consumers —
+    // whole-stage subexpression elimination must collapse them to
+    // ONE kernel evaluation per row (the TermCounts contract). The
+    // audit reads the real parquet scan: a LocalRelation input would
+    // route through ConvertToLocalRelation's interpreted per-column
+    // eval, where no CSE exists (measured 10×/row there — which is
+    // why the registered queries all scan parquet).
+    val sfDir = "/root/testdata/sf0.001"
+    val n = graft.Tables.documents(spark, sfDir).count()
+    val (_, evals) = {
+      KernelMetrics.reset()
+      KernelMetrics.enabled = true
+      try {
+        val r = graft.operators.TextOps.qualityClassify(spark, sfDir)
+          .collect()
+        (r, KernelMetrics.modelStatsEvals.sum())
+      } finally { KernelMetrics.enabled = false; KernelMetrics.reset() }
+    }
+    // 2n, not n: the registered query ends in a global orderBy, and
+    // RangePartitioning's sample pass executes the projection once
+    // before the output pass does (the bm25 doc_stats precedent
+    // above). The pin is that the ~10 element_at consumers + the
+    // doubled score reference collapse to ONE eval per row per pass
+    // — without CSE this would read 10n/20n.
+    info(s"T15: $evals model_stats evals for $n rows (sort sample + output)")
+    assert(evals == 2 * n, s"model_stats ran $evals times for $n rows")
+  }
 }

@@ -296,4 +296,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"HOF inside a Filter in ${offenders.size} plan line(s):\n" +
         offenders.mkString("\n"))
   }
+
+  test("domain_filter: blocklist joins by broadcast, zero data shuffles") {
+    val plan = planOf(
+      graft.operators.DomainOps.domainFilterQuery(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"blocklist did not broadcast:\n$plan")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    // only the final orderBy's range exchange — the gate itself is a
+    // pure projection over the scan
+    assert(exchanges <= 1, s"$exchanges non-broadcast exchanges:\n$plan")
+  }
+
+  test("domain_cap window is PARTITIONED by domain, never unpartitioned") {
+    val plan = planOf(graft.operators.DomainOps.domainCapQuery(spark, sf))
+    val windows = plan.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("domain")),
+      s"window not keyed by domain:\n${windows.mkString("\n")}")
+    assert(!plan.contains("SinglePartition"),
+      s"unpartitioned exchange in domain_cap:\n$plan")
+  }
+
+  test("domain_cap_apply: bounded-heap aggregate, no Window operator") {
+    val plan = planOf(
+      graft.operators.DomainOps.domainCapApplyQuery(spark, sf))
+    assert(!plan.contains("Window"),
+      s"heap shape regressed to a window sort:\n$plan")
+    assert(plan.contains("topk_by"), s"TopKBy aggregate missing:\n$plan")
+    // partial (map-side) aggregation must survive: two agg operators
+    assert(plan.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") || l.contains("SortAggregate")) >= 2,
+      s"no partial aggregation for the heap:\n$plan")
+  }
 }
