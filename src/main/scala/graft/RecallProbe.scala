@@ -282,7 +282,10 @@ object RecallProbe {
         ownerKeeps = true,
         operators.CorpusOps.sentenceSpanScrubJoin(_))
 
-    if (wanted("paragraph"))
+    if (wanted("paragraph")) {
+      require(copies >= 6,
+        s"paragraph recall needs copies >= 6 (df = copies/3 must " +
+          s"clear minDf = 2), got $copies")
       spanRecall("paragraph_dedup",
         sharedTail = concat(lit("\n\n"), key("par", baseK),
           lit(" shared boiler block")),
@@ -291,7 +294,14 @@ object RecallProbe {
         sharedMark = key("par", col("base")),
         uniqueMark = key("upar", col("doc_id")),
         ownerKeeps = false, // df >= minDf drops EVERY occurrence
-        operators.CorpusOps.paragraphDedup(_))
+        // minDf = 2, not the operator default 3: a shared paragraph
+        // has df ≈ copies/3, so at the cheap-re-run copy counts
+        // (copies < 9) the default would CORRECTLY keep it and this
+        // row would report a false recall 0.0 against an exact
+        // operator; df = 2 makes the truth planted for every copies
+        // ≥ 6 (unique controls have df = 1 under either setting)
+        operators.CorpusOps.paragraphDedup(_, minDf = 2))
+    }
 
     if (wanted("substring"))
       spanRecall("substring_scrub_join",

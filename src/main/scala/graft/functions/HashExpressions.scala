@@ -740,32 +740,9 @@ object HashKernels {
         i += 1
       }
     }
-    var lo = 0; var hi = bytes.length
-    while (lo < hi && bytes(lo) == 0x20) lo += 1
-    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
-    // token boundaries, shingleKeys-style (artifact empties included)
-    var nTok = 0
-    var starts = new Array[Int](16); var ends = new Array[Int](16)
-    def push(s: Int, e: Int): Unit = {
-      if (nTok == starts.length) {
-        starts = java.util.Arrays.copyOf(starts, nTok * 2)
-        ends = java.util.Arrays.copyOf(ends, nTok * 2)
-      }
-      starts(nTok) = s; ends(nTok) = e; nTok += 1
-    }
-    if (lo == hi) push(lo, hi)
-    else {
-      var i = lo
-      var tokStart = lo
-      while (i < hi) {
-        if (isWsByte(bytes(i) & 0xff)) {
-          push(tokStart, i)
-          while (i < hi && isWsByte(bytes(i) & 0xff)) i += 1
-          tokStart = i
-        } else i += 1
-      }
-      push(tokStart, hi)
-    }
+    // token boundaries: THE shared tokenBounds scan (artifact
+    // empties included) — one definition with shingleKeys
+    val (starts, ends, nTok) = tokenBounds(bytes)
     // stop hits + per-token FNV (reused for top count and bigrams)
     val en = stopwordTable("en")
     val tokHash = new Array[Long](nTok)
@@ -1205,9 +1182,16 @@ object HashKernels {
     *     shuffles
     *   - output sorted + deduplicated (set semantics)
     */
-  def shingleKeys(text: UTF8String, source: UTF8String, n: Int): ArrayData = {
-    if (KernelMetrics.enabled) KernelMetrics.shingleEvals.increment()
-    val bytes = text.getBytes
+  /** Space-trimmed whitespace token boundaries with the regexp_split
+    * artifact convention (leading/trailing EMPTY elements when the
+    * trimmed text starts/ends with non-space whitespace; the single
+    * empty token for all-space text) — THE tokenizer definition
+    * shared by [[shingleKeys]] and [[modelStats]], so the
+    * bit-identical contract between them rests on one scan, not on
+    * keeping copies in sync. Returns (starts, ends, nTok).
+    */
+  private def tokenBounds(
+      bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
     var lo = 0; var hi = bytes.length
     while (lo < hi && bytes(lo) == 0x20) lo += 1
     while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
@@ -1230,6 +1214,13 @@ object HashKernels {
       } else i += 1
     }
     push(tokStart, hi)
+    (starts, ends, nTok)
+  }
+
+  def shingleKeys(text: UTF8String, source: UTF8String, n: Int): ArrayData = {
+    if (KernelMetrics.enabled) KernelMetrics.shingleEvals.increment()
+    val bytes = text.getBytes
+    val (starts, ends, nTok) = tokenBounds(bytes)
     if (nTok < n) return new GenericArrayData(Array.empty[Long])
 
     var hSrc = 0xcbf29ce484222325L

@@ -52,8 +52,15 @@ object DomainOps {
   private[graft] val RegDomainRe =
     "([^.]+\\.(?:co\\.uk|org\\.uk|com\\.au|co\\.jp)|[^.]+\\.[^.]+)$"
 
-  /** Host of a URL ('' when the URL has no scheme://host shape). */
-  def urlHost(url: Column): Column = regexp_extract(url, UrlHostRe, 1)
+  /** Host of a URL ('' when the URL has no scheme://host shape).
+    * Extracted from the LOWERCASED url: schemes and hosts are
+    * case-insensitive (RFC 3986 §6.2.2.1), and a case-sensitive
+    * blocklist would otherwise be bypassable by
+    * 'HTTPS://Tracker.ADSITE.BIZ' — the keyword rule already
+    * lowercases, so the gate is case-insensitive end to end.
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(lower(url), UrlHostRe, 1)
 
   /** Registered domain of a host; a host with no dot (localhost, an
     * IP label) falls back to itself.

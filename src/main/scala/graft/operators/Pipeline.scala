@@ -199,9 +199,12 @@ object Pipeline {
     val incIx = if (share) incIx0.localCheckpoint(true) else incIx0
     val exactDup = IncrementalDedup.screenExactSigs(incIx, index)
       .filter(col("is_dup") === 1).select(col("doc_id"))
-    val cand0 = IncrementalDedup.screenNearSigs(incIx, index,
+    val cand = IncrementalDedup.screenNearSigs(incIx, index,
       minEst = math.max(0.0, threshold - 0.2))
-    val cand = if (share) cand0.localCheckpoint(true) else cand0
+    // no checkpoint here: verifyNearPairs materializes the candidate
+    // frame itself (pair-sized, correctness-bearing — its three
+    // consumers must see ONE candidate set), so a second one would
+    // just double-store it
     val nearDup = IncrementalDedup
       .verifyNearPairs(cand, inc, corpus, threshold)
       .select(col("doc_id")).distinct()

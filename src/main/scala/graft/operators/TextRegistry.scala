@@ -1501,7 +1501,7 @@ object TextRegistry {
        |  CASE WHEN doc_id % 7 = 3 THEN '?ref=casino-bonus'
        |       ELSE '' END AS url FROM documents),
        |h AS (SELECT doc_id, text, url,
-       |  regexp_extract(url, '${DomainOps.UrlHostRe}', 1) AS host
+       |  regexp_extract(lower(url), '${DomainOps.UrlHostRe}', 1) AS host
        |  FROM u),
        |d AS (SELECT doc_id, text, url, host,
        |  CASE WHEN regexp_extract(host,

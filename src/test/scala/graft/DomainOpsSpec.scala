@@ -26,6 +26,10 @@ class DomainOpsSpec extends AnyFunSuite {
     val cases = Seq(
       ("https://cdn.news.example.com/p/1?x=1", "cdn.news.example.com",
         "example.com"),
+      // schemes and hosts are case-insensitive: a blocklisted domain
+      // must not sail through in mixed case
+      ("HTTPS://Tracker.ADSITE.BIZ/x", "tracker.adsite.biz",
+        "adsite.biz"),
       ("https://mirror.badcontent.co.uk/p/2", "mirror.badcontent.co.uk",
         "badcontent.co.uk"), // two-label public suffix → three labels
       ("https://example.org/", "example.org", "example.org"),
@@ -39,6 +43,12 @@ class DomainOpsSpec extends AnyFunSuite {
         DomainOps.registeredDomain(col("h")).as("d"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(got.toSeq == cases)
+    // and the gate itself blocks the mixed-case variant
+    val gated = DomainOps.domainGate(
+      Seq((1L, "HTTPS://Tracker.ADSITE.BIZ/x")).toDF("doc_id", "url"),
+      DomainOps.DefaultBlockedDomains.toDF("domain")).collect()
+    assert(gated.length == 1 && gated(0).getAs[Boolean]("blocked_domain")
+      && !gated(0).getAs[Boolean]("keep"))
   }
 
   test("domain_filter: every planted rule fires on real rows") {

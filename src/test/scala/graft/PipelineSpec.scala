@@ -61,8 +61,9 @@ class PipelineSpec extends AnyFunSuite {
     val exactDup = ids(IncrementalDedup
       .screenExactDocs(inc, index).filter(col("is_dup") === 1))
     val cand = IncrementalDedup.screenNearDocs(inc, index, minEst = 0.3)
+    // verifyNearPairs checkpoints the candidate frame internally
     val nearDup = ids(IncrementalDedup
-      .verifyNearPairs(cand.localCheckpoint(), inc, old, 0.5))
+      .verifyNearPairs(cand, inc, old, 0.5))
     val lowQ = ids(graft.operators.TextOps
       .qualityGopherDocs(inc, Seq("the", "a"))
       .filter(col("keep") === 0))
