@@ -146,6 +146,48 @@ object Clustering {
       .select(col("vec_id"), col("cell_id"), col("cosine"))
       .orderBy(col("vec_id"))
 
+  /** S14 — `embed_prune_proto`: SSL-prototypes data pruning
+    * (Sorscher et al. 2022, arXiv:2206.14486 — the "beyond neural
+    * scaling laws" self-supervised metric, and the DataComp
+    * "SSL prototypes" filtering baseline): k-means the corpus with
+    * S7's decimal-exact fit, rank every vector within its cluster by
+    * cosine to the final centroid DESC (most prototypical first,
+    * vec_id tie-break), and PRUNE each cluster's ⌈frac·n⌉ most
+    * prototypical members — in the abundant-data regime the paper
+    * keeps the HARD examples near cluster boundaries; the easy
+    * prototype cores are what a large corpus can afford to drop.
+    *
+    * `frac = pruneNum/pruneDen` is applied by exact integer
+    * cross-multiplication — keep ⟺ rank > ⌈num·n/den⌉ ⟺
+    * (rank−1)·den ≥ num·n — so the keep bit is hash-exact against
+    * the oracle (no float ceil). The rank window is PARTITIONED by
+    * cell (never unpartitioned): cluster populations track
+    * [[AutoK]]'s `targetCluster`, so the largest cluster bounds one
+    * task's sort regardless of corpus size, and the assignment
+    * itself is S7's one-scan projection. 100 TB shape: fit once,
+    * rank per cell, zero extra corpus scans beyond S7's.
+    */
+  def embedPruneProto(spark: SparkSession, sfDir: String,
+      k: Int = AutoK, iters: Int = 3,
+      pruneNum: Int = 3, pruneDen: Int = 10,
+      targetCluster: Int = 1000): DataFrame = {
+    require(pruneDen > 0 && pruneNum >= 0 && pruneNum <= pruneDen,
+      s"prune fraction must be in [0,1]: $pruneNum/$pruneDen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell_id"))
+    assignments(spark, sfDir,
+        resolveK(spark, sfDir, k, targetCluster), iters)
+      .select(col("vec_id"), col("cell_id"), col("cosine"))
+      .withColumn("proto_rank", row_number().over(
+        w.orderBy(col("cosine").desc, col("vec_id"))))
+      .withColumn("keep",
+        ((col("proto_rank") - 1) * pruneDen >=
+          lit(pruneNum) * count(lit(1)).over(w)).cast("int"))
+      .select(col("vec_id"), col("cell_id"), col("cosine"),
+        col("proto_rank"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** S8 — `dedup_semantic`: exact near-dup pairs WITHIN k-means
     * clusters. The cluster id replaces [[Similarity.dedupEmbedding]]'s
     * oracle-only label blocking with a blocking the pipeline itself

@@ -38,6 +38,11 @@ object SimilarityRegistry {
     // k=8; the library default is Clustering.AutoK (corpus ∝ k)
     "embed_kmeans" -> ((s, d) => Clustering.embedKmeans(s, d, k = 8)),
     "dedup_semantic" -> ((s, d) => Clustering.dedupSemantic(s, d, k = 8)),
+    // S14 SSL-prototypes pruning on the S7 fit (k=8 pinned to the
+    // unrolled CTE chain; keep decided by exact integer
+    // cross-multiplication, so the whole row hash-matches)
+    "embed_prune_proto" -> ((s, d) =>
+      Clustering.embedPruneProto(s, d, k = 8)),
     "semdedup_apply" -> ((s, d) => Clustering.semdedupApply(s, d, k = 8)),
     "embed_quantize" -> ((s, d) => Similarity.embedQuantizeRows(s, d)),
     "embed_project" -> ((s, d) => Similarity.embedProject(s, d))
@@ -113,6 +118,18 @@ $tail"""
          |ORDER BY vec_a, vec_b""".stripMargin,
     "embed_kmeans" -> kmeansSql(8, 3,
       "SELECT vec_id, cell_id, cosine FROM f ORDER BY vec_id"),
+    // per-cell prototypicality rank (cosine DESC, vec_id tie) with
+    // keep ⟺ (rank−1)·den ≥ num·n — the integer form of
+    // "prune the ⌈frac·n⌉ most prototypical"
+    "embed_prune_proto" -> kmeansSql(8, 3,
+      s""",r AS (SELECT vec_id, cell_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY cell_id
+         |    ORDER BY cosine DESC, vec_id) AS proto_rank,
+         |  COUNT(*) OVER (PARTITION BY cell_id) AS n_cell FROM f)
+         |SELECT vec_id, cell_id, cosine, proto_rank,
+         |  CASE WHEN (proto_rank - 1) * 10 >= 3 * n_cell
+         |    THEN 1 ELSE 0 END AS keep
+         |FROM r ORDER BY vec_id""".stripMargin),
     "dedup_semantic" -> kmeansSql(8, 3,
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          | ${cos("a.emb", "b.emb")} AS cosine

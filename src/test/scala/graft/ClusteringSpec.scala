@@ -120,6 +120,55 @@ class ClusteringSpec extends AnyFunSuite {
     assert(losers.nonEmpty && got.size < all.size)
   }
 
+  test("embedPruneProto == exact per-cell prototype ranks and integer keep") {
+    val (num, den) = (3, 10)
+    val expected = reference.toSeq
+      .map { case (id, (cell, c)) => (id, cell, c) }
+      .groupBy(_._2).flatMap { case (_, members) =>
+        val ranked = members.sortBy { case (id, _, c) => (-c, id) }
+        val n = ranked.length
+        ranked.zipWithIndex.map { case ((id, cell, c), i) =>
+          val rank = i + 1
+          (id, (cell, c, rank,
+            if ((rank - 1) * den >= num * n) 1 else 0))
+        }
+      }
+    val got = Clustering.embedPruneProto(spark, sf, K, ITERS,
+        pruneNum = num, pruneDen = den).collect()
+      .map(r => (r.getLong(0),
+        (r.getInt(1), r.getDouble(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got.size == vecs.length)
+    assert(got == expected.toMap)
+    // the paper's contract: each cell prunes exactly ⌈frac·n⌉ of its
+    // members — the most prototypical ones — and keeps the rest
+    got.toSeq.groupBy(_._2._1).foreach { case (cell, members) =>
+      val n = members.length
+      val pruned = members.count(_._2._4 == 0)
+      assert(pruned == (num * n + den - 1) / den,
+        s"cell $cell pruned $pruned of $n at $num/$den")
+      val maxPrunedRank = members.filter(_._2._4 == 0).map(_._2._3).max
+      val minKeptRank = members.filter(_._2._4 == 1)
+        .map(_._2._3).minOption.getOrElse(Int.MaxValue)
+      assert(maxPrunedRank < minKeptRank,
+        s"cell $cell pruned a less prototypical member than it kept")
+    }
+    assert(got.values.map(_._4).toSet == Set(0, 1), "keep degenerate")
+  }
+
+  test("embedPruneProto plan: rank window is partitioned by cell") {
+    val plan = Clustering.embedPruneProto(spark, sf, K, ITERS)
+      .queryExecution.executedPlan.toString
+    // the Window clauses must carry the cell partition key — an
+    // unpartitioned row_number would serialize the corpus through
+    // one task at 100 TB
+    plan.linesIterator.filter(_.contains("Window")).foreach { l =>
+      assert(!l.contains("Window") || plan.contains("cell_id"),
+        s"unpartitioned window:\n$plan")
+    }
+    assert(plan.contains("Window"), s"expected a window plan:\n$plan")
+    assert(!plan.contains("Join"), s"join machinery in prune plan:\n$plan")
+  }
+
   test("zero-norm pairs are dropped, matching the DuckDB oracle's NULL cosine") {
     // a corpus with a zero vector: DuckDB's `/` gives NULL for
     // 0.0/0.0 (verified on the harness's 1.0.0) and `WHERE NULL >= t`
