@@ -578,6 +578,157 @@ object HashKernels {
     if (kept == 0 || sentences < minSentences) null else sb.toString
   }
 
+  /** FUSED page statistics for the T38 one-scan signals table:
+    * [[gopherStats]]' ten integers followed by [[c4Stats]]' eleven —
+    * a 21-long array BIT-IDENTICAL to the two kernels' concatenation
+    * (pinned by a differential spec), from ONE UTF8String byte copy,
+    * ONE line pass and ONE token pass instead of two of each.
+    *
+    * Fusion points (semantics unchanged, only walk sharing):
+    *   - the token pass computes the Gopher word/char/alpha/stop
+    *     counts AND the C4 badword page flag — [[c4PageFlags]] walks
+    *     the raw range while Gopher walks the 0x20-trimmed range, but
+    *     0x20 is whitespace under both conventions, so the non-ws
+    *     token runs are identical;
+    *   - the line pass applies [[c4ClassifyLine]] (the SHARED rule
+    *     chain of c4Stats/c4CleanPage) and accumulates kept-line
+    *     sentence marks / code points alongside the Gopher
+    *     distinct-line map, ellipsis test and char weights;
+    *   - the symbol scan picks up the C4 curly-brace flag (a '{' is
+    *     never inside a consumed "..." triple);
+    *   - "lorem ipsum" containment stays its own substring scan.
+    */
+  def pageStats(text: UTF8String, stops: String, badwords: String,
+      minWords: Int): ArrayData = {
+    if (KernelMetrics.enabled) KernelMetrics.pageStatsEvals.increment()
+    val stopWords = gopherStopTables.computeIfAbsent(stops, { sp =>
+      val arr = sp.split(" ").filter(_.nonEmpty).map(_.getBytes("UTF-8"))
+      require(arr.length <= 64,
+        s"gopher stop list has ${arr.length} words; the presence " +
+          "bitmask supports at most 64")
+      arr
+    })
+    val bad = c4BadwordTables.computeIfAbsent(badwords, c4ParseBadwords)
+    val bytes = text.getBytes
+    val n = bytes.length
+    // ---- fused token pass (trimmed region; same token runs as raw) ----
+    var lo = 0; var hi = n
+    while (lo < hi && bytes(lo) == 0x20) lo += 1
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    @inline def isWs(b: Int): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    var nWords = 0L; var wordChars = 0L; var alphaWords = 0L
+    var stopMask = 0L; var badHit = false
+    if (lo == hi) nWords = 1 // [''] — the regexp_split of empty
+    else {
+      if (isWs(bytes(lo) & 0xff)) nWords += 1
+      if (isWs(bytes(hi - 1) & 0xff)) nWords += 1
+      var i = lo
+      while (i < hi) {
+        if (!isWs(bytes(i) & 0xff)) {
+          val s = i
+          var hasAlpha = false
+          while (i < hi && !isWs(bytes(i) & 0xff)) {
+            val b = bytes(i) & 0xff
+            if ((b & 0xc0) != 0x80) wordChars += 1 // code point start
+            if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z'))
+              hasAlpha = true
+            i += 1
+          }
+          nWords += 1
+          if (hasAlpha) alphaWords += 1
+          val len = i - s
+          var w = 0
+          while (w < stopWords.length) {
+            val sw = stopWords(w)
+            if (sw.length == len) {
+              var j = 0; var ok = true
+              while (ok && j < len) {
+                var c = bytes(s + j) & 0xff
+                if (c >= 'A' && c <= 'Z') c += 32
+                if (c != sw(j)) ok = false
+                j += 1
+              }
+              if (ok) stopMask |= 1L << w
+            }
+            w += 1
+          }
+          if (!badHit && bad.nonEmpty) bad.get(len) match {
+            case Some(bucket) =>
+              if (c4BadwordHit(bytes, s, len, bucket)) badHit = true
+            case None => ()
+          }
+        } else i += 1
+      }
+    }
+    // ---- fused line pass (raw text, split on 0x0a) ----
+    val lineCounts = new java.util.HashMap[String, Array[Long]]()
+    val lineList = new scala.collection.mutable.ArrayBuffer[String]()
+    var nLines = 0L; var ellipsisLines = 0L
+    var lineChars = 0L; var dupLineChars = 0L
+    var kept = 0L; var sentences = 0L; var keptChars = 0L
+    var noTerm = 0L; var short = 0L; var jsLines = 0L; var policyLines = 0L
+    var s = 0
+    var p = 0
+    while (p <= n) {
+      if (p == n || bytes(p) == 0x0a) {
+        nLines += 1
+        val line = new String(bytes, s, p - s, "UTF-8")
+        lineList += line
+        val e0 = lineCounts.get(line)
+        if (e0 == null) lineCounts.put(line, Array(1L))
+        else e0(0) += 1
+        var e = p
+        while (e > s && bytes(e - 1) == 0x20) e -= 1
+        if (e - s >= 3 && bytes(e - 1) == '.' && bytes(e - 2) == '.' &&
+          bytes(e - 3) == '.') ellipsisLines += 1
+        c4ClassifyLine(bytes, s, p, minWords) match {
+          case 1 => noTerm += 1
+          case 2 => short += 1
+          case 3 => jsLines += 1
+          case 4 => policyLines += 1
+          case _ =>
+            kept += 1
+            var i = s
+            while (i < p) {
+              val b = bytes(i) & 0xff
+              if (b == '.' || b == '!' || b == '?') sentences += 1
+              if ((b & 0xc0) != 0x80) keptChars += 1 // code points
+              i += 1
+            }
+        }
+        s = p + 1
+      }
+      p += 1
+    }
+    val distinctLines = lineCounts.size().toLong
+    lineList.foreach { line =>
+      val chars = line.codePointCount(0, line.length).toLong
+      lineChars += chars
+      if (lineCounts.get(line)(0) >= 2) dupLineChars += chars
+    }
+    // ---- fused symbol/brace pass (raw text) ----
+    var symbols = 0L
+    var brace = false
+    var q = 0
+    while (q < n) {
+      if (bytes(q) == '{') brace = true
+      if (bytes(q) == '#') { symbols += 1; q += 1 }
+      else if (q + 2 < n && bytes(q) == '.' && bytes(q + 1) == '.' &&
+        bytes(q + 2) == '.') { symbols += 1; q += 3 }
+      else q += 1
+    }
+    val lorem = containsLowered(bytes, 0, n, c4LoremBytes)
+    new GenericArrayData(Array(
+      // gopherStats' ten
+      nWords, wordChars, alphaWords, nLines, distinctLines,
+      ellipsisLines, symbols,
+      java.lang.Long.bitCount(stopMask).toLong, lineChars, dupLineChars,
+      // c4Stats' eleven
+      nLines, kept, sentences, keptChars, noTerm, short, jsLines,
+      policyLines, if (lorem) 1L else 0L, if (brace) 1L else 0L,
+      if (badHit) 1L else 0L))
+  }
+
   /** One-pass Gopher REPETITION statistics (Rae et al. 2021 §A1.1,
     * the n-gram half of the rule table): 10 integer values
     * [word_chars, top2, top3, top4, dup5, dup6, dup7, dup8, dup9,
@@ -1860,6 +2011,31 @@ case class C4Stats(child: Expression, badwords: String, minWords: Int)
     copy(child = c)
 }
 
+/** Fused page statistics (codegen'd): gopherStats' ten integers ++
+  * c4Stats' eleven from one byte copy / line pass / token pass — the
+  * T38 signals-table kernel (see HashKernels.pageStats).
+  */
+case class PageStats(child: Expression, stops: String,
+    badwords: String, minWords: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.pageStats(t.asInstanceOf[UTF8String], stops, badwords,
+      minWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference objects, never spliced literals (the TermCounts rule)
+    val stopsRef = ctx.addReferenceObj("gopherStops", stops,
+      "java.lang.String")
+    val badRef = ctx.addReferenceObj("c4Badwords", badwords,
+      "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.pageStats($c, $stopsRef, $badRef, $minWords)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** deflate_size(text) → long — the DEFLATE (zlib level 6, raw)
   * compressed byte length of the UTF-8 text (see
   * HashKernels.deflateSize).
@@ -1934,6 +2110,10 @@ object HashFunctions {
   def c4_stats(text: Column, badwords: String, minWords: Int): Column =
     ColumnBridge.column(
       C4Stats(ColumnBridge.expression(text), badwords, minWords))
+  def page_stats(text: Column, stops: String, badwords: String,
+      minWords: Int): Column =
+    ColumnBridge.column(
+      PageStats(ColumnBridge.expression(text), stops, badwords, minWords))
   def deflate_size(text: Column): Column =
     ColumnBridge.column(DeflateSize(ColumnBridge.expression(text)))
   def minhash_signature(shingles: Column, k: Int): Column =

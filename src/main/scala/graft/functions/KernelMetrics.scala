@@ -26,11 +26,12 @@ object KernelMetrics {
   val piiCountEvals = new LongAdder
   val piiScrubEvals = new LongAdder
   val modelStatsEvals = new LongAdder
+  val pageStatsEvals = new LongAdder
 
   def reset(): Unit = {
     shingleEvals.reset(); minhashEvals.reset(); termEvals.reset()
     topTokenEvals.reset(); piiCountEvals.reset(); piiScrubEvals.reset()
-    modelStatsEvals.reset()
+    modelStatsEvals.reset(); pageStatsEvals.reset()
   }
 
   /** Run `body` with counting on; returns (result, shingles, minhashes). */
