@@ -539,7 +539,11 @@ object TextOps {
     * expression is THE SAME definition the standalone operators
     * apply (`gopherKeepOf` / `repKeepOf` / `c4KeepOf` / the T15
     * score / the T37 band — shared functions, not copies), spec'd
-    * column-for-column equal to the standalone queries. Scan-bound,
+    * column-for-column equal to the standalone queries. r15: the
+    * Gopher document stats and the C4 page stats come from ONE fused
+    * `page_stats` kernel (one byte copy / line pass / token pass —
+    * HashKernels.pageStats, bit-identical to the standalone kernels'
+    * concatenation by differential spec). Scan-bound,
     * zero shuffles but the output sort; rows-only downstream (the
     * z_bytes column — everything else is oracle-checked through its
     * standalone query).
@@ -548,46 +552,67 @@ object TextOps {
       stopWords: Seq[String] = GopherStopList,
       badWords: Seq[String] = Nil,
       minLineWords: Int = 5, minSentences: Int = 3,
-      loNum: Int = 1, loDen: Int = 4): DataFrame = {
-    import graft.functions.HashFunctions.{gopher_stats,
-      gopher_repetition, c4_stats, deflate_size}
+      loNum: Int = 1, loDen: Int = 4): DataFrame =
+    qualitySignalsOf(docs, stopWords, badWords, minLineWords,
+      minSentences, loNum, loDen)
+      .orderBy(col("doc_id"))
+
+  /** The T38 signals PROJECTION without the batch face's output sort
+    * — THE shared definition of the batch table and the X25 streaming
+    * face (one definition, both faces — the X19/X23 convention).
+    * Stateless column-space kernels only, so a streaming caller's
+    * watermark survives; `carry` names input columns (e.g. the event
+    * time) to keep alongside the signal columns.
+    */
+  def qualitySignalsOf(docs: DataFrame,
+      stopWords: Seq[String] = GopherStopList,
+      badWords: Seq[String] = Nil,
+      minLineWords: Int = 5, minSentences: Int = 3,
+      loNum: Int = 1, loDen: Int = 4,
+      carry: Seq[String] = Nil): DataFrame = {
+    import graft.functions.HashFunctions.{page_stats,
+      gopher_repetition, deflate_size}
     require(stopWords.nonEmpty && stopWords.size <= 64,
       s"stop list must have 1..64 words: ${stopWords.size}")
+    // page_stats = gopherStats(10) ++ c4Stats(11) fused (r15: one
+    // byte copy + one line pass + one token pass; each integer
+    // bit-identical to the standalone kernels — QualityOpsSpec's
+    // differential test), so the gopher slots keep their 1-based
+    // indices and the c4 slots shift by 10
     val gsIdx = Map("n_words" -> 1, "word_chars" -> 2,
       "n_alpha_words" -> 3, "n_lines" -> 4, "n_distinct_lines" -> 5,
       "n_ellipsis_lines" -> 6, "n_symbols" -> 7, "stop_hits" -> 8,
       "line_chars" -> 9, "dup_line_chars" -> 10)
     val grIdx = RepStatNames.zipWithIndex
       .map { case (n, i) => n -> (i + 1) }.toMap
-    val csIdx = Map("n_sentences" -> 3, "has_lorem" -> 9,
-      "has_brace" -> 10, "has_badword" -> 11)
+    val csIdx = Map("n_sentences" -> 13, "has_lorem" -> 19,
+      "has_brace" -> 20, "has_badword" -> 21)
     val keeps = Seq(
-      gopherKeepOf(n => element_at(col("gs"), gsIdx(n)))
+      gopherKeepOf(n => element_at(col("ps"), gsIdx(n)))
         .cast("int").as("keep_gopher"),
       repKeepOf(n => element_at(col("gr"), grIdx(n)))
         .cast("int").as("keep_rep"),
-      c4KeepOf(n => element_at(col("cs"), csIdx(n)), minSentences)
+      c4KeepOf(n => element_at(col("ps"), csIdx(n)), minSentences)
         .cast("int").as("keep_c4"),
       (col("q_score") >= lit(0.5)).cast("int").as("keep_model"),
       (col("z_bytes") * loDen >= col("n_bytes") * loNum &&
         col("z_bytes") <= col("n_bytes")).cast("int")
         .as("keep_compress"))
+    val carried = carry.map(col)
     docs
-      .select(col("doc_id"),
-        gopher_stats(col("text"), stopWords.mkString(" ")).as("gs"),
+      .select(Seq(col("doc_id")) ++ carried ++ Seq(
+        page_stats(col("text"), stopWords.mkString(" "),
+          badWords.mkString(" "), minLineWords).as("ps"),
         gopher_repetition(col("text")).as("gr"),
-        c4_stats(col("text"), badWords.mkString(" "), minLineWords)
-          .as("cs"),
         modelQualityScore(col("text")).as("q_score"),
         octet_length(col("text")).cast("long").as("n_bytes"),
-        deflate_size(col("text")).as("z_bytes"))
-      .select(Seq(col("doc_id"), col("q_score"), col("n_bytes"),
-        col("z_bytes")) ++ keeps: _*)
+        deflate_size(col("text")).as("z_bytes")): _*)
+      .select(Seq(col("doc_id")) ++ carried ++ Seq(col("q_score"),
+        col("n_bytes"), col("z_bytes")) ++ keeps: _*)
       .withColumn("keep_all",
         (col("keep_gopher") === 1 && col("keep_rep") === 1 &&
           col("keep_c4") === 1 && col("keep_model") === 1 &&
           col("keep_compress") === 1).cast("int"))
-      .orderBy(col("doc_id"))
   }
 
   /** Registered `quality_signals`: the [[c4PlantedDocs]] fixture
@@ -619,6 +644,53 @@ object TextOps {
         (col("keep_gopher") === 1 && col("keep_rep") === 1 &&
           col("keep_c4") === 1 && col("keep_model") === 1).cast("int"))
       .orderBy(col("doc_id"))
+
+  /** T43 — GATE-COMBINATION ABLATION over the T38 signals table: the
+    * filter-ablation query a release pipeline actually runs against
+    * the materialized signals (per 4-bit gate combination, document
+    * count and byte mass), answering "what does each filter uniquely
+    * remove, and how much survives every combination?" without
+    * re-scanning the corpus per experiment. Shares the T38 projection
+    * ([[qualitySignalsOf]] — one definition) restricted to the four
+    * SQL-stateable gates; the aggregation collapses to ≤16 cells via
+    * map-side partial agg, so the shuffle carries 16 rows per
+    * partition regardless of corpus size.
+    */
+  def signalsAblationQuery(spark: SparkSession, sfDir: String): DataFrame =
+    qualitySignalsOf(c4PlantedDocs(spark, sfDir),
+        stopWords = Seq("the", "a"), badWords = Seq("badword"))
+      .groupBy(col("keep_gopher"), col("keep_rep"), col("keep_c4"),
+        col("keep_model"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("sum_bytes"))
+      .orderBy(col("keep_gopher"), col("keep_rep"), col("keep_c4"),
+        col("keep_model"))
+
+  /** T43 — MODEL-THRESHOLD SWEEP: the kept-docs / kept-bytes curve of
+    * the T15 model gate over a 21-point threshold grid (0.00, 0.05,
+    * …, 1.00) — the offline tuning artifact that picks a quality
+    * cutoff by corpus survival rather than by eyeballing scores. ONE
+    * corpus scan computes (q_score, n_bytes); the text column is
+    * pruned before the broadcast grid multiply, so the 21× row
+    * fan-out carries 16-byte scalar rows into a 21-group partial
+    * agg — scan-bound at any corpus size. Thresholds compare as
+    * `q_score >= pct/100.0` (both engines compute the same IEEE
+    * division), never via float bucketing, so the curve is
+    * hash-exact.
+    */
+  def modelThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val scores = documents(spark, sfDir).select(
+      modelQualityScore(col("text")).as("q_score"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+    val grid = spark.range(0, 21)
+      .select((col("id") * 5).cast("int").as("threshold_pct"))
+    val kept = col("q_score") >= col("threshold_pct") / lit(100.0)
+    scores.crossJoin(broadcast(grid))
+      .groupBy(col("threshold_pct"))
+      .agg(sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("n_bytes")).otherwise(0L)).as("kept_bytes"))
+      .orderBy(col("threshold_pct"))
+  }
 
   /** C9 — the reference WordCount (examples/wordcount/WordCount.java:17):
     * flatMap to words → keyBy → count, as explode + hash aggregation

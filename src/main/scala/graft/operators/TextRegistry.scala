@@ -75,6 +75,10 @@ object TextRegistry {
     // four keep gates + score + keep_core oracle-checked in ONE
     // statement (the composed CTEs of the standalone oracles)
     "quality_signals_core" -> (TextOps.qualitySignalsCoreQuery _),
+    // T43: the two ablation faces over the signals core — the gate
+    // combination matrix and the model-threshold survival curve
+    "signals_ablation" -> (TextOps.signalsAblationQuery _),
+    "model_threshold_sweep" -> (TextOps.modelThresholdSweep _),
     "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d)),
     // rows-only: exact counts on an MG-mined candidate set — the
     // frontier under summary-dependent ties has no SQL oracle; the
@@ -497,6 +501,34 @@ object TextRegistry {
        |     ELSE (n - 1 - d2)::DOUBLE / (n - 1) END) * 0.10 AS q_score
        | FROM qm JOIN qtop USING (doc_id))""".stripMargin
 
+  /** The T38 core signals as a composable CTE `core(doc_id, q_score,
+    * n_bytes, keep_gopher, keep_rep, keep_c4, keep_model, keep_core)`
+    * — the c4 planted fixture's CTEs (t/a/p) + the T30/T31/T15 chains
+    * re-targeted at the planted text, ONE definition shared by the
+    * quality_signals_core statement and the T43 ablation.
+    */
+  private lazy val signalsCoreCtes: String =
+    c4OracleCte + "," +
+      gopherCtes("t", "gt", "gm") + "," +
+      repCtes("t", "rtl", "rm") + "," +
+      qscoreCtes("t") +
+      s""",
+         |core AS (SELECT t.doc_id, qs.q_score,
+         | strlen(t.text)::BIGINT AS n_bytes,
+         | ${gopherKeepSql("gm")} AS keep_gopher,
+         | ${repKeepSql("rm")} AS keep_rep,
+         | CASE WHEN p.has_lorem = 0 AND p.has_brace = 0
+         |   AND p.has_badword = 0 AND a.n_sentences >= 3
+         |   THEN 1 ELSE 0 END AS keep_c4,
+         | CASE WHEN qs.q_score >= 0.5 THEN 1 ELSE 0 END
+         |   AS keep_model,
+         | CASE WHEN keep_gopher = 1 AND keep_rep = 1
+         |   AND keep_c4 = 1 AND keep_model = 1
+         |   THEN 1 ELSE 0 END AS keep_core
+         |FROM t JOIN a USING (doc_id) JOIN p USING (doc_id)
+         | JOIN gm USING (doc_id) JOIN rm USING (doc_id)
+         | JOIN qs USING (doc_id))""".stripMargin
+
   private val PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   private val PII_IP =
@@ -650,27 +682,40 @@ object TextRegistry {
     // same fragment generators as the standalone statements), joined
     // on doc_id; keep_core via lateral alias references
     "quality_signals_core" ->
-      (c4OracleCte + "," +
-        gopherCtes("t", "gt", "gm") + "," +
-        repCtes("t", "rtl", "rm") + "," +
-        qscoreCtes("t") +
-        s"""
-           |SELECT t.doc_id, qs.q_score,
-           | strlen(t.text)::BIGINT AS n_bytes,
-           | ${gopherKeepSql("gm")} AS keep_gopher,
-           | ${repKeepSql("rm")} AS keep_rep,
-           | CASE WHEN p.has_lorem = 0 AND p.has_brace = 0
-           |   AND p.has_badword = 0 AND a.n_sentences >= 3
-           |   THEN 1 ELSE 0 END AS keep_c4,
-           | CASE WHEN qs.q_score >= 0.5 THEN 1 ELSE 0 END
-           |   AS keep_model,
-           | CASE WHEN keep_gopher = 1 AND keep_rep = 1
-           |   AND keep_c4 = 1 AND keep_model = 1
-           |   THEN 1 ELSE 0 END AS keep_core
-           |FROM t JOIN a USING (doc_id) JOIN p USING (doc_id)
-           | JOIN gm USING (doc_id) JOIN rm USING (doc_id)
-           | JOIN qs USING (doc_id)
-           |ORDER BY t.doc_id""".stripMargin),
+      (signalsCoreCtes +
+        """
+          |SELECT doc_id, q_score, n_bytes, keep_gopher, keep_rep,
+          | keep_c4, keep_model, keep_core
+          |FROM core ORDER BY doc_id""".stripMargin),
+    // T43: the gate-combination ablation over the SAME core CTE —
+    // per 4-bit combination, document count and byte mass
+    "signals_ablation" ->
+      (signalsCoreCtes +
+        """
+          |SELECT keep_gopher, keep_rep, keep_c4, keep_model,
+          | COUNT(*)::BIGINT AS n_docs,
+          | SUM(n_bytes)::BIGINT AS sum_bytes
+          |FROM core
+          |GROUP BY keep_gopher, keep_rep, keep_c4, keep_model
+          |ORDER BY keep_gopher, keep_rep, keep_c4, keep_model""".stripMargin),
+    // T43: the model-gate threshold sweep — kept docs/bytes at each
+    // 5-point threshold; comparisons via the same IEEE pct/100.0
+    // division the Spark side performs
+    "model_threshold_sweep" ->
+      (s"WITH ${qscoreCtes("documents")}," +
+        """
+          |qb AS (SELECT qs.doc_id, qs.q_score,
+          |  strlen(qt.text)::BIGINT AS n_bytes
+          | FROM qs JOIN qt USING (doc_id)),
+          |grid AS (SELECT (5 * i)::INT AS threshold_pct
+          | FROM range(0, 21) g(i))
+          |SELECT threshold_pct,
+          | SUM(CASE WHEN q_score >= threshold_pct / 100.0
+          |   THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+          | SUM(CASE WHEN q_score >= threshold_pct / 100.0
+          |   THEN n_bytes ELSE 0 END)::BIGINT AS kept_bytes
+          |FROM qb CROSS JOIN grid
+          |GROUP BY threshold_pct ORDER BY threshold_pct""".stripMargin),
     "sentence_span_scrub" -> sentenceScrubOracle,
     "sentence_span_scrub_join" -> sentenceScrubOracle,
     "pipeline_c4" ->

@@ -624,6 +624,27 @@ object StreamingOps {
     }.toDF("doc_id", "ts", "clean_text", "n_kept_lines")
   }
 
+  /** X25 — STREAMING QUALITY SIGNALS: every arriving document gets
+    * its full T38 signals row the moment it lands — all five gate
+    * decisions (Gopher doc rules, Gopher repetition, C4 page rules,
+    * model score, compressibility) plus `keep_all`, so an ingest
+    * pipeline can route or drop on any gate combination online while
+    * the SAME row lands in the offline signals table for threshold
+    * tuning. The projection IS the batch
+    * [[graft.operators.TextOps.qualitySignalsOf]] (one definition,
+    * both faces — the X19/X23 convention): stateless codegen'd
+    * kernels in column space, no state, and the carried event time
+    * means a caller's watermark survives for downstream windowing.
+    */
+  def streamingQualitySignals(docs: Dataset[StreamDoc],
+      stopWords: Seq[String] = graft.operators.TextOps.GopherStopList,
+      badWords: Seq[String] = Nil,
+      minLineWords: Int = 5, minSentences: Int = 3,
+      loNum: Int = 1, loDen: Int = 4): DataFrame =
+    graft.operators.TextOps.qualitySignalsOf(docs.toDF(), stopWords,
+      badWords, minLineWords, minSentences, loNum, loDen,
+      carry = Seq("ts"))
+
   /** X15 — STREAMING CHUNKING: split each arriving document into
     * token windows with overlap the moment it arrives (the pre-embed
     * / pre-train chunking of T28, applied online — an ingestion

@@ -161,6 +161,26 @@ class KernelEvalAuditSpec extends AnyFunSuite {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("T38 page_stats kernel runs once per row under the signals table's consumers") {
+    // qualitySignals fans the fused array into 14 element_at
+    // consumers (10 gopher gate slots + 4 c4 slots) — whole-stage CSE
+    // must collapse them to ONE kernel evaluation per row per pass
+    // (2n total: RangePartitioning's sample pass + the output pass,
+    // the model_stats precedent below)
+    val sfDir = "/root/testdata/sf0.001"
+    val fixture = graft.operators.TextOps.qualitySignalsQuery(spark, sfDir)
+    val (n, evals) = {
+      KernelMetrics.reset()
+      KernelMetrics.enabled = true
+      try {
+        val r = fixture.collect()
+        (r.length.toLong, KernelMetrics.pageStatsEvals.sum())
+      } finally { KernelMetrics.enabled = false; KernelMetrics.reset() }
+    }
+    info(s"T38: $evals page_stats evals for $n rows (sort sample + output)")
+    assert(evals == 2 * n, s"page_stats ran $evals times for $n rows")
+  }
+
   test("T15 model_stats kernel runs once per row under all its consumers") {
     // quality_classify references the score twice (q_score + keep)
     // and the score fans out to ~10 element_at consumers —

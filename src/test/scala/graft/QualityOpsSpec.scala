@@ -127,6 +127,51 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(hasBad("xbad27xxy", bucket) == 0L)
   }
 
+  test("pageStats fused kernel == gopherStats ++ c4Stats, bit-for-bit") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val stops = TextOps.GopherStopList.mkString(" ")
+    val bad = "badword evil"
+    def fused(t: String): Seq[Long] =
+      graft.functions.HashKernels.pageStats(u8(t), stops, bad, 5)
+        .toLongArray().toSeq
+    def ref(t: String): Seq[Long] =
+      graft.functions.HashKernels.gopherStats(u8(t), stops)
+        .toLongArray().toSeq ++
+        graft.functions.HashKernels.c4Stats(u8(t), bad, 5)
+          .toLongArray().toSeq
+    // edges: empty, ws-only, split artifacts, multibyte, page flags,
+    // dup/ellipsis lines, badword casing, trailing newline
+    val edges = Seq("", " ", "\t", "  a bb\tccc ", "héllo wörld.",
+      "dup\ndup\nuniq...  \n", "#a#b....x { y", "Lorem Ipsum here",
+      "one two three four five.\nshort.\nBADWORD x y z w.",
+      "a! b? c d e f.\nshort one.\n", "evil one two three four.",
+      "we accept the privacy policy today.\nJavaScript rules here ok.")
+    edges.foreach(t => assert(fused(t) == ref(t), s"edge: ${t.take(40)}"))
+    // randomized sweep over a mixed alphabet incl. newlines/flags
+    val rnd = new scala.util.Random(20260815L)
+    val pieces = Seq("the", "a", "word", "badword", "W" * 11, "héllo",
+      "...", "#", "{", "five.", "x?", "\n", " ", "  ", "\t",
+      "lorem", "ipsum", "javascript", "privacy", "policy", "\"")
+    for (it <- 1 to 200) {
+      val t = Seq.fill(1 + rnd.nextInt(60))(
+        pieces(rnd.nextInt(pieces.length))).mkString(" ")
+      assert(fused(t) == ref(t), s"iter $it: ${t.take(80)}")
+    }
+    // the real corpus at sf, through the Spark expression path
+    import graft.functions.HashFunctions.{page_stats, gopher_stats, c4_stats}
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        page_stats(col("text"), stops, bad, 5).as("f"),
+        concat(gopher_stats(col("text"), stops),
+          c4_stats(col("text"), bad, 5)).as("r"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)} fused != standalone concat")
+    }
+  }
+
   test("qualityC4Docs: keep decision over planted page-rule fixtures") {
     import spark.implicits._
     val docs = Seq(
@@ -221,6 +266,38 @@ class QualityOpsSpec extends AnyFunSuite {
         (if (kg == 1 && kr == 1 && kc == 1 && km == 1) 1 else 0))
     }
     assert(core.map(_.getAs[Int]("keep_core")).toSet == Set(0, 1))
+  }
+
+  test("signalsAblation cells partition the corpus; sweep curve is monotone") {
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val cells = TextOps.signalsAblationQuery(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)),
+        (r.getLong(4), r.getLong(5))))
+    // every doc lands in exactly one combination cell
+    assert(cells.map(_._2._1).sum == nDocs)
+    assert(cells.map(_._1).distinct.length == cells.length)
+    assert(cells.length > 1, "one-cell ablation — all gates agree?")
+    // the ablation agrees with the core signals row-for-row
+    val core = TextOps.qualitySignalsCoreQuery(spark, sf).collect()
+      .map(r => (r.getAs[Int]("keep_gopher"), r.getAs[Int]("keep_rep"),
+        r.getAs[Int]("keep_c4"), r.getAs[Int]("keep_model")))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(cells.map(c => c._1 -> c._2._1).toMap == core)
+    // threshold sweep: kept counts/bytes never increase with the
+    // threshold; 0% keeps everything with a non-negative score
+    val sweep = TextOps.modelThresholdSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(sweep.map(_._1).toSeq == (0 to 100 by 5).toSeq)
+    sweep.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"non-monotone: $a -> $b")
+    }
+    assert(sweep.head._2 == nDocs, "0% threshold must keep every doc")
+    assert(sweep.last._2 < nDocs, "100% threshold keeps everything?")
+    // the sweep's 50% point == the registered classifier's keep count
+    val kept50 = TextOps.qualityClassify(spark, sf).collect()
+      .count(_.getBoolean(2)).toLong
+    assert(sweep.find(_._1 == 50).get._2 == kept50)
   }
 
   test("quality_c4 registered query is non-degenerate at sf") {

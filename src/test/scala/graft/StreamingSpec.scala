@@ -776,6 +776,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("X25 streaming quality signals match the batch signals table on the same docs") {
+    import graft.streaming.StreamingOps.StreamDoc
+    import graft.operators.TextOps
+    val fixture = TextOps.c4PlantedDocs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = {
+      import spark.implicits._
+      TextOps.qualitySignals(fixture.toSeq.toDF("doc_id", "text"),
+          stopWords = Seq("the", "a"), badWords = Seq("badword"))
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Double]("q_score"), r.getAs[Long]("n_bytes"),
+            r.getAs[Long]("z_bytes"), r.getAs[Int]("keep_gopher"),
+            r.getAs[Int]("keep_rep"), r.getAs[Int]("keep_c4"),
+            r.getAs[Int]("keep_model"), r.getAs[Int]("keep_compress"),
+            r.getAs[Int]("keep_all")))).toMap
+    }
+    assert(batch.nonEmpty)
+    // both verdicts occur — the stream equality below is non-vacuous
+    assert(batch.values.map(_._9).toSet == Set(0, 1))
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingQualitySignals(in.toDS(),
+        stopWords = Seq("the", "a"), badWords = Seq("badword"))
+      .writeStream.format("memory").queryName("signals_out")
+      .outputMode("append").start()
+    try {
+      in.addData(fixture.zipWithIndex.map { case ((id, t), i) =>
+        StreamDoc(id, ts(i % 50), t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("signals_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Double]("q_score"), r.getAs[Long]("n_bytes"),
+            r.getAs[Long]("z_bytes"), r.getAs[Int]("keep_gopher"),
+            r.getAs[Int]("keep_rep"), r.getAs[Int]("keep_c4"),
+            r.getAs[Int]("keep_model"), r.getAs[Int]("keep_compress"),
+            r.getAs[Int]("keep_all")))).toMap
+      assert(got == batch,
+        s"diff=${(got.toSet -- batch.toSet).take(2)}")
+      // the carried event time survives for downstream watermarks
+      assert(spark.table("signals_out").columns.contains("ts"))
+    } finally q.stop()
+  }
+
   test("X18 streaming per-query top-k equals batch annIvfIndexed under one index") {
     import graft.operators.Similarity
     import graft.streaming.StreamingOps.StreamVec
