@@ -104,6 +104,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Sorted DISTINCT FNV keys of a doc's `n`-token windows — the
+    * shared gram identity of D13's exact screen and D18's Bloom
+    * screen (FNV over the space-joined window: identical bytes to the
+    * oracle's concat_ws(' ', ...) gram string; tokenization is
+    * [[CorpusOps.duckTokens]]).
+    */
+  private[graft] def ngramFnvKeys(t: String, n: Int): Array[Long] = {
+    val tk = CorpusOps.duckTokens(t)
+    if (tk.length < n) Array.emptyLongArray
+    else {
+      val out = new Array[Long](tk.length - n + 1)
+      var i = 0
+      while (i <= tk.length - n) {
+        var h = 0xcbf29ce484222325L
+        var w = 0
+        while (w < n) {
+          if (w > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+          val bs = tk(i + w).getBytes("UTF-8")
+          var b = 0
+          while (b < bs.length) {
+            h ^= bs(b) & 0xffL; h *= 0x100000001b3L; b += 1
+          }
+          w += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      var m = 0
+      var j = 0
+      while (j < out.length) {
+        if (m == 0 || out(m - 1) != out(j)) { out(m) = out(j); m += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(out, m)
+    }
+  }
+
   /** D13 — VERBATIM n-GRAM OVERLAP SCREEN (the GPT-3/Llama eval
     * decontamination standard): flag every corpus doc that shares at
     * least one verbatim `n`-token window with ANY reference doc —
@@ -132,39 +170,7 @@ object Dedup {
     import spark.implicits._
     val docs = docsDf
       .select(col("doc_id"), col("text")).as[(Long, String)]
-    def gramKeys(t: String): Array[Long] = {
-      val tk = CorpusOps.duckTokens(t)
-      if (tk.length < n) Array.emptyLongArray
-      else {
-        val out = new Array[Long](tk.length - n + 1)
-        var i = 0
-        while (i <= tk.length - n) {
-          // FNV over the space-joined window — identical bytes to the
-          // oracle's concat_ws(' ', ...) gram string
-          var h = 0xcbf29ce484222325L
-          var w = 0
-          while (w < n) {
-            if (w > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
-            val bs = tk(i + w).getBytes("UTF-8")
-            var b = 0
-            while (b < bs.length) {
-              h ^= bs(b) & 0xffL; h *= 0x100000001b3L; b += 1
-            }
-            w += 1
-          }
-          out(i) = h
-          i += 1
-        }
-        java.util.Arrays.sort(out)
-        var m = 0
-        var j = 0
-        while (j < out.length) {
-          if (m == 0 || out(m - 1) != out(j)) { out(m) = out(j); m += 1 }
-          j += 1
-        }
-        java.util.Arrays.copyOf(out, m)
-      }
-    }
+    def gramKeys(t: String): Array[Long] = Dedup.ngramFnvKeys(t, n)
     val refKeys = docs
       .filter(col("doc_id") % refMod === 0)
       .flatMap { case (_, t) => gramKeys(t) }
@@ -217,6 +223,160 @@ object Dedup {
         concat(col("text"), lit(" " + phrase)))
         .otherwise(col("text")).as("text"))
     screenNgramOverlap(planted)
+  }
+
+  /** Set the `kHashes` double-hashed bit positions of gram key `h` in
+    * `bits` (m = bits.length·64 must be a power of two). Positions
+    * derive from TWO splitmix64 remixes of the one FNV gram key
+    * (g_i = h1 + i·h2 — Kirsch–Mitzenmacher double hashing; h2 forced
+    * odd so every stride is a unit mod the power-of-two m), so D18's
+    * build and probe share D13's exact gram identity.
+    */
+  @inline private def bloomMix(x: Long): Long = {
+    var h = x + 0x9e3779b97f4a7c15L
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  private def bloomSet(bits: Array[Long], h: Long, kHashes: Int): Unit = {
+    val mMask = bits.length.toLong * 64L - 1L
+    val h1 = bloomMix(h)
+    val h2 = bloomMix(h ^ 0x5851f42d4c957f2dL) | 1L
+    var i = 0
+    while (i < kHashes) {
+      val pos = ((h1 + i.toLong * h2) & mMask).toInt
+      bits(pos >>> 6) |= 1L << (pos & 63)
+      i += 1
+    }
+  }
+
+  private def bloomTest(bits: Array[Long], h: Long, kHashes: Int): Boolean = {
+    val mMask = bits.length.toLong * 64L - 1L
+    val h1 = bloomMix(h)
+    val h2 = bloomMix(h ^ 0x5851f42d4c957f2dL) | 1L
+    var i = 0
+    while (i < kHashes) {
+      val pos = ((h1 + i.toLong * h2) & mMask).toInt
+      if ((bits(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** D18 build half — the reference side's `n`-gram Bloom filter as
+    * an `mBits`-bit bitmap: per-partition bitmaps OR-merged by
+    * treeAggregate (the S7 accumulator shape — no shuffle; the driver
+    * receives `numPartitions` bitmaps of mBits/8 bytes and never a
+    * gram list), ready to broadcast to the batch probe, a streaming
+    * probe, or tomorrow's ingest job.
+    */
+  def ngramBloomBuild(refDocs: DataFrame, n: Int = 13,
+      mBits: Int = 1 << 23, kHashes: Int = 4): Array[Long] = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64: $mBits")
+    require(kHashes >= 1 && kHashes <= 16, s"kHashes out of range: $kHashes")
+    val spark = refDocs.sparkSession
+    import spark.implicits._
+    refDocs.select(col("text")).as[String]
+      .rdd.treeAggregate(new Array[Long](mBits / 64))(
+        seqOp = { (bits, t) =>
+          // self-calls qualified: an unqualified call captures the
+          // (non-serializable) module as the closure's `this`
+          val ks = Dedup.ngramFnvKeys(t, n)
+          var i = 0
+          while (i < ks.length) {
+            Dedup.bloomSet(bits, ks(i), kHashes); i += 1
+          }
+          bits
+        },
+        combOp = { (a, b) =>
+          var i = 0
+          while (i < a.length) { a(i) |= b(i); i += 1 }
+          a
+        })
+  }
+
+  /** D18 — BLOOM-FILTERED n-GRAM SCREEN (r15): the memory-bounded
+    * 100 TB shape of D13. D13 broadcasts the reference's distinct
+    * gram keys verbatim — right for eval decontamination (10M grams
+    * ≈ 80 MB) but impossible when the "reference" is itself
+    * corpus-scale (screening a new crawl against every n-gram of a
+    * previously released corpus). The Bloom filter holds the same
+    * membership test in `mBits` bits with ONE-SIDED error: a present
+    * gram ALWAYS hits (no false negative — every doc the exact
+    * screen flags, this screen flags; the decontamination guarantee
+    * survives compression), an absent gram false-positives at
+    * ≈ (set-bit fraction)^kHashes — over-flagging costs corpus
+    * yield, never leaks a reference document. At the registered
+    * parameters (2^23 bits, k=4, ~13k reference grams → ~0.6% bits
+    * set) the FP probability per gram is ~1e-9, so the output is
+    * deterministically identical to D13's on this fixture and the
+    * SAME oracle hash-checks it; the spec additionally pins the
+    * subset guarantee under a deliberately undersized filter where
+    * false positives DO fire.
+    *
+    * Probe: stateless per-doc map against the broadcast bitmap
+    * (`n_overlap` counts the doc's DISTINCT grams that hit — ≥ the
+    * exact count by one-sidedness). Zero shuffles either side.
+    */
+  def screenNgramBloom(docsDf: DataFrame,
+      n: Int = 13, refMod: Int = 7,
+      mBits: Int = 1 << 23, kHashes: Int = 4): DataFrame = {
+    require(n >= 2 && n <= 64, s"n out of range: $n")
+    require(refMod >= 2, s"refMod must be >= 2: $refMod")
+    val spark = docsDf.sparkSession
+    val bits = ngramBloomBuild(
+      docsDf.filter(col("doc_id") % refMod === 0), n, mBits, kHashes)
+    screenNgramBloomWith(
+      docsDf.filter(col("doc_id") % refMod =!= 0), bits, n, kHashes)
+  }
+
+  /** Per-doc DISTINCT-gram Bloom hit count — THE shared probe kernel
+    * of the batch screen and the X26 streaming face (one definition,
+    * both faces).
+    */
+  def bloomHitCount(bits: Array[Long], t: String,
+      n: Int = 13, kHashes: Int = 4): Long = {
+    val ks = ngramFnvKeys(t, n)
+    var hits = 0L
+    var i = 0
+    while (i < ks.length) {
+      if (bloomTest(bits, ks(i), kHashes)) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  /** D18 probe half against a prebuilt bitmap. */
+  def screenNgramBloomWith(docsDf: DataFrame, bits: Array[Long],
+      n: Int = 13, kHashes: Int = 4): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bits)
+    docsDf.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, Dedup.bloomHitCount(bc.value, t, n, kHashes))
+      }
+      .filter(_._2 > 0L)
+      .toDF("doc_id", "n_overlap")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered `screen_ngram_bloom` query: the D13 planted
+    * fixture pushed through the Bloom screen — at the registered
+    * filter size the output is deterministically identical to the
+    * exact screen's (see [[screenNgramBloom]]), so the D13 oracle
+    * hash-checks it.
+    */
+  def screenNgramBloomQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val phrase = (0 until 13).map(i => s"ev$i").mkString(" ")
+    val planted = documents(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 11 === 3,
+        concat(col("text"), lit(" " + phrase)))
+        .otherwise(col("text")).as("text"))
+    screenNgramBloom(planted)
   }
 
   // ---- shared pieces of the two screen shapes ----

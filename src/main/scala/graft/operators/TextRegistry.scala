@@ -85,6 +85,7 @@ object TextRegistry {
     // top-k == exact-top-k guarantee is spec'd vs topNgrams
     "top_ngrams_approx" -> ((s, d) => CorpusOps.topNgramsApprox(s, d)),
     "screen_ngram_overlap" -> (Dedup.screenNgramOverlapQuery _),
+    "screen_ngram_bloom" -> (Dedup.screenNgramBloomQuery _),
     "lm_doc_stats" -> (Search.lmDocStats _),
     // rows-only: JVM ln/exp differ from DuckDB by 1 ulp on a tail of
     // inputs (the bm25_search precedent); SearchSpec pins ppl
@@ -528,6 +529,26 @@ object TextRegistry {
          |FROM t JOIN a USING (doc_id) JOIN p USING (doc_id)
          | JOIN gm USING (doc_id) JOIN rm USING (doc_id)
          | JOIN qs USING (doc_id))""".stripMargin
+
+  /** The D13 planted-fixture overlap statement — shared verbatim by
+    * `screen_ngram_overlap` and the D18 Bloom screen (whose output is
+    * deterministically identical at the registered filter size).
+    */
+  private val SCREEN_NGRAM_SQL: String =
+    s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 11 = 3
+       |  THEN text || ' ev0 ev1 ev2 ev3 ev4 ev5 ev6 ev7 ev8 ev9 ev10 ev11 ev12'
+       |  ELSE text END AS text FROM documents),
+       |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM d),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(tk) - 11, 1)),
+       |    i -> array_to_string(list_slice(tk, i, i + 12), ' ')))) AS gm
+       |  FROM t WHERE len(tk) >= 13),
+       |r AS (SELECT DISTINCT gm FROM g WHERE doc_id % 7 = 0)
+       |SELECT g.doc_id, count(*)::BIGINT AS n_overlap
+       |FROM g JOIN r USING (gm)
+       |WHERE g.doc_id % 7 <> 0
+       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
   private val PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
@@ -1031,21 +1052,13 @@ object TextRegistry {
     // verbatim 13-gram overlap vs the reference subset, over the SAME
     // planted text the Spark query builds; counts are distinct-gram
     // hits per flagged non-ref doc — integer-exact
-    "screen_ngram_overlap" ->
-      s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 11 = 3
-         |  THEN text || ' ev0 ev1 ev2 ev3 ev4 ev5 ev6 ev7 ev8 ev9 ev10 ev11 ev12'
-         |  ELSE text END AS text FROM documents),
-         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
-         |  FROM d),
-         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(1, greatest(len(tk) - 11, 1)),
-         |    i -> array_to_string(list_slice(tk, i, i + 12), ' ')))) AS gm
-         |  FROM t WHERE len(tk) >= 13),
-         |r AS (SELECT DISTINCT gm FROM g WHERE doc_id % 7 = 0)
-         |SELECT g.doc_id, count(*)::BIGINT AS n_overlap
-         |FROM g JOIN r USING (gm)
-         |WHERE g.doc_id % 7 <> 0
-         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    "screen_ngram_overlap" -> SCREEN_NGRAM_SQL,
+    // D18: the Bloom screen at the registered parameters is
+    // deterministically identical to the exact screen on this fixture
+    // (one-sided error + ~1e-9 FP per gram at 2^23 bits / ~13k ref
+    // grams), so the SAME statement hash-checks it; the undersized-
+    // filter superset behavior is spec'd in TextDedupSpec
+    "screen_ngram_bloom" -> SCREEN_NGRAM_SQL,
     // DSIR evidence: integer-exact per-doc sums of corpus and
     // target-subset counts over the unigram+bigram feature stream —
     // the oracle-checked core of dsir_weights. Bigram windows via

@@ -624,6 +624,28 @@ object StreamingOps {
     }.toDF("doc_id", "ts", "clean_text", "n_kept_lines")
   }
 
+  /** X26 — STREAMING BLOOM DECONTAMINATION (D18 at ingest time): each
+    * arriving document is probed against the broadcast reference
+    * Bloom bitmap the moment it lands — the memory-bounded form of
+    * the X8 stream-static contamination screen for reference sets too
+    * large to index (the bitmap is mBits/8 bytes regardless of
+    * reference size; one-sided error means a contaminated page can
+    * NEVER slip through unflagged). The per-doc probe IS the batch
+    * [[graft.operators.Dedup.bloomHitCount]] (one definition, both
+    * faces); stateless typed map, event time carried for downstream
+    * watermarks.
+    */
+  def streamingBloomScreen(docs: Dataset[StreamDoc], bits: Array[Long],
+      n: Int = 13, kHashes: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(bits)
+    docs.map { d =>
+      (d.doc_id, d.ts, graft.operators.Dedup
+        .bloomHitCount(bc.value, d.text, n, kHashes))
+    }.filter(_._3 > 0L)
+      .toDF("doc_id", "ts", "n_overlap")
+  }
+
   /** X25 — STREAMING QUALITY SIGNALS: every arriving document gets
     * its full T38 signals row the moment it lands — all five gate
     * decisions (Gopher doc rules, Gopher repetition, C4 page rules,

@@ -776,6 +776,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("X26 streaming Bloom screen matches the batch probe under one bitmap") {
+    import graft.streaming.StreamingOps.StreamDoc
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val sf = "/root/testdata/sf0.001"
+    val phrase = (0 until 13).map(i => s"ev$i").mkString(" ")
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 3,
+          concat(col("text"), lit(" " + phrase)))
+          .otherwise(col("text")).as("text"))
+    val bits = Dedup.ngramBloomBuild(
+      planted.filter(col("doc_id") % 7 === 0))
+    val nonRef = planted.filter(col("doc_id") % 7 =!= 0)
+    val batch = Dedup.screenNgramBloomWith(nonRef, bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batch.nonEmpty)
+    val docs = nonRef.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingBloomScreen(in.toDS(), bits)
+      .writeStream.format("memory").queryName("bloom_out")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.zipWithIndex.map { case ((id, t), i) =>
+        StreamDoc(id, ts(i % 50), t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("bloom_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_overlap")))
+        .toMap
+      assert(got == batch,
+        s"stream-only=${(got.toSet -- batch.toSet).take(2)} " +
+          s"batch-only=${(batch.toSet -- got.toSet).take(2)}")
+      assert(spark.table("bloom_out").columns.contains("ts"))
+    } finally q.stop()
+  }
+
   test("X25 streaming quality signals match the batch signals table on the same docs") {
     import graft.streaming.StreamingOps.StreamDoc
     import graft.operators.TextOps

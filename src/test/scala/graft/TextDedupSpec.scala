@@ -306,6 +306,42 @@ class TextDedupSpec extends AnyFunSuite {
     assert(plantedIds.subsetOf(flagged.keySet))
   }
 
+  test("screen_ngram_bloom == exact screen at size; one-sided superset undersized") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.operators.Dedup
+      .screenNgramOverlapQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact.nonEmpty)
+    // registered size: zero false positives in practice (deterministic
+    // hashing — if this holds once it holds always), so the Bloom
+    // screen reproduces the exact screen bit-for-bit and shares its
+    // oracle hash row
+    val bloom = graft.operators.Dedup
+      .screenNgramBloomQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bloom == exact)
+    // deliberately undersized filter (1024 bits for ~13k ref grams):
+    // the one-sided guarantee must survive — every exact flag is
+    // still flagged with at-least-equal counts — and false positives
+    // must genuinely fire, or the degraded case is vacuous
+    val phrase = (0 until 13).map(i => s"ev$i").mkString(" ")
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 3,
+          concat(col("text"), lit(" " + phrase)))
+          .otherwise(col("text")).as("text"))
+    val tiny = graft.operators.Dedup
+      .screenNgramBloom(planted, mBits = 1 << 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    exact.foreach { case (id, n) =>
+      assert(tiny.contains(id) && tiny(id) >= n,
+        s"false negative at doc $id: exact=$n tiny=${tiny.get(id)}")
+    }
+    assert(tiny.size > exact.size,
+      "undersized filter produced no false positives — vacuous case")
+  }
+
   test("wordcount total equals token total") {
     val total = TextOps.wordcount(spark, sf)
       .agg(sum("n")).head().getLong(0)
