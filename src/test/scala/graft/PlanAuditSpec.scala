@@ -331,4 +331,45 @@ class PlanAuditSpec extends AnyFunSuite {
       l.contains("ObjectHashAggregate") || l.contains("SortAggregate")) >= 2,
       s"no partial aggregation for the heap:\n$plan")
   }
+
+  test("signals_ablation: partial agg to <=16 cells, no join, one data shuffle") {
+    val plan = planOf(
+      graft.operators.TextOps.signalsAblationQuery(spark, sf))
+    // map-side combine: two HashAggregates around the exchange, so at
+    // most 16 combination rows per partition reach the shuffle
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"no partial aggregation in the ablation:\n$plan")
+    assert(!plan.contains("Join"), s"join machinery in ablation:\n$plan")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    // the 16-cell agg exchange + the output sort's range exchange
+    assert(exchanges <= 2, s"$exchanges data exchanges:\n$plan")
+  }
+
+  test("model_threshold_sweep: grid broadcasts, text pruned before the multiply") {
+    val plan = planOf(
+      graft.operators.TextOps.modelThresholdSweep(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"threshold grid did not broadcast:\n$plan")
+    // the 21x fan-out must multiply (q_score, n_bytes) scalar rows,
+    // never the text column: the projection sits under the join
+    val joinIdx = plan.linesIterator.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    val below = plan.linesIterator.drop(joinIdx + 1).mkString("\n")
+    assert(below.contains("q_score") || plan.contains("q_score"))
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => assert(!l.contains("text"),
+        s"text column rides the grid join: $l"))
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"no partial aggregation in the sweep:\n$plan")
+  }
+
+  test("embed_prune_proto scan prunes to vec_id + embedding") {
+    val plan = planOf(
+      graft.operators.Clustering.embedPruneProto(spark, sf, k = 8))
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("vec_id") && scanLine.contains("embedding"),
+      s"pruned too far: $scanLine")
+    assert(!scanLine.contains("label"), s"unpruned scan: $scanLine")
+  }
 }
