@@ -111,6 +111,81 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T44 — TRAINING-EXPORT SHARDS: the last stage of a curation
+    * pipeline — lay the released corpus out as token-balanced shards
+    * in a DETERMINISTIC SHUFFLED order (trainers want source/time
+    * decorrelated within and across shards, and backfills must
+    * reproduce the exact same layout). The shuffle key is
+    * `md5(seed ":" doc_id)` — a seeded pseudo-random permutation with
+    * no RNG state (the T8/T13 md5-order convention, seeded), a pure
+    * function of the id so re-keying a backfill never re-hashes
+    * text. Shard assignment is the [[packSequences]] offset rule over
+    * the SHUFFLED order: a doc belongs to the shard where its token
+    * range starts, so every shard except the last carries
+    * `tokensPerShard ± max_doc_tokens` tokens — balanced without any
+    * bin-packing iteration.
+    *
+    * Shape: one projection (token kernel + md5), then the
+    * [[graft.plans.GlobalOrder.withPrefixSum]] two-pass prefix sum
+    * over the sort on (h, doc_id) — `sum() OVER (ORDER BY ...)`
+    * without the unpartitioned-window one-task collapse. The only
+    * driver-side data is one long per partition. Text never moves:
+    * the counts projection drops it before the sort. The physical
+    * export (`df.write.partitionBy("shard_id")`) then writes each
+    * shard's files without any further shuffle beyond the one
+    * already performed here.
+    *
+    * No streaming face by design: the assignment is a function of
+    * the GLOBAL token prefix sum, which no per-key streaming state
+    * can know — the streaming ingest story ends at admission (X24);
+    * export is the batch job over a released snapshot.
+    */
+  def exportShardsDocs(docs: DataFrame, tokensPerShard: Long = 32768L,
+      seed: Long = 7L): DataFrame = {
+    require(tokensPerShard > 0,
+      s"tokensPerShard must be > 0: $tokensPerShard")
+    import graft.functions.TextFunctions.tokenCount
+    val counted = docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+        .as("h"))
+    graft.plans.GlobalOrder
+      .withPrefixSum(counted, Seq(col("h"), col("doc_id")),
+        "n_tokens", "cum")
+      .select(col("doc_id"), col("n_tokens"), col("h"),
+        expr(s"(cum - n_tokens) div ${tokensPerShard}L")
+          .as("shard_id"))
+  }
+
+  /** The registered `export_shards` query: the shard assignment of
+    * the raw corpus at the library defaults, in doc_id order (the
+    * shuffle key column is internal — the contract is the
+    * assignment).
+    */
+  def exportShards(spark: SparkSession, sfDir: String,
+      tokensPerShard: Long = 32768L, seed: Long = 7L): DataFrame =
+    exportShardsDocs(documents(spark, sfDir), tokensPerShard, seed)
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+      .orderBy(col("doc_id"))
+
+  /** T44b — the SHARD MANIFEST: the per-shard summary the trainer's
+    * data loader reads before opening any file — doc count, token
+    * mass, and the first/last doc in shuffle order (the resume
+    * cursor: a loader that dies mid-shard restarts from a doc id,
+    * not a byte offset). One aggregation over [[exportShardsDocs]]
+    * (#shards rows — map-side combined), nothing driver-side.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String,
+      tokensPerShard: Long = 32768L, seed: Long = 7L): DataFrame =
+    exportShardsDocs(documents(spark, sfDir), tokensPerShard, seed)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min_by(col("doc_id"), col("h")).as("first_doc"),
+        max_by(col("doc_id"), col("h")).as("last_doc"))
+      .orderBy(col("shard_id"))
+
   /** T13 — SOURCE MIXING: sample each source's docs to a
     * temperature-rebalanced token budget — the standard α = 0.5
     * upweighting of low-resource sources (per-source share ∝

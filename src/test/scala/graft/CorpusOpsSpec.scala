@@ -68,6 +68,73 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("exportShards matches the greedy packer over the seeded md5 shuffle") {
+    val tps = 4096L
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n"))
+      .as[(Long, Long)].collect()
+    // the in-driver reference: shuffle by md5("7:" + id), greedy offset
+    val order = toks.sortBy { case (id, _) => (md5hex(s"7:$id"), id) }
+    var off = 0L
+    val expected = order.map { case (id, n) =>
+      val sh = off / tps; off += n; (id, n, sh) }.sortBy(_._1).toSeq
+
+    val got = CorpusOps.exportShards(spark, sf, tps).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // shards partition the corpus and every closed shard's fill is
+    // within one max-doc of the target (the offset-rule balance bound)
+    assert(got.map(_._1).toSet == toks.map(_._1).toSet)
+    val fills = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxDoc = toks.map(_._2).max
+    fills.keys.toSeq.sorted.dropRight(1).foreach { s =>
+      assert(fills(s) >= tps - maxDoc && fills(s) <= tps + maxDoc,
+        s"shard $s fill ${fills(s)}")
+    }
+    // the shuffle genuinely decorrelates doc_id order: the assignment
+    // differs from the unshuffled packSequences binning
+    val packed = CorpusOps.packSequences(spark, sf, tps).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.exists { case (id, _, sh) => packed(id) != sh })
+  }
+
+  test("exportShards is seed-reproducible and seed-sensitive") {
+    val a1 = CorpusOps.exportShards(spark, sf, 4096L, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val a2 = CorpusOps.exportShards(spark, sf, 4096L, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val b = CorpusOps.exportShards(spark, sf, 4096L, seed = 12L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(a1 == a2)
+    assert(a1 != b)
+    // both seeds pack the same token mass into the same shard count
+    assert(a1.map(_._2).max == b.map(_._2).max)
+  }
+
+  test("shardManifest is the exact rollup of the assignment") {
+    val tps = 4096L
+    val assign = CorpusOps.exportShardsDocs(
+        spark.read.parquet(s"$sf/documents.parquet"), tps)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3)))
+    val expected = assign.groupBy(_._4).map { case (sh, rows) =>
+      val byH = rows.sortBy(r => (r._3, r._1))
+      (sh, rows.length.toLong, rows.map(_._2).sum,
+        byH.head._1, byH.last._1)
+    }.toSet
+    val got = CorpusOps.shardManifest(spark, sf, tps).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
   test("withPrefixSum equals scanLeft on shuffled multi-partition input") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 5000L).map(i => (i, rnd.nextInt(100).toLong))
