@@ -40,11 +40,13 @@ object Probe {
       "sentence_span_scrub", "sentence_span_scrub_join", "pipeline_c4",
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",
+      "export_shards", "shard_manifest",
       "text_repetition", "pii_scrub", "quality_classify",
       "dedup_apply", "mix_sources", "mix_sources_sampled", "corpus_diff",
       "screen_apply", "corpus_stats",
       "source_overlap", "source_overlap_sketch",
-      "screen_ngram_overlap",
+      "screen_ngram_overlap", "screen_ngram_bloom",
+      "embed_prune_proto", "signals_ablation", "model_threshold_sweep",
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
       "bpe_train", "pack_sequences_bpe",
       "line_dedup", "paragraph_dedup", "substring_scrub",
@@ -104,6 +106,11 @@ object Probe {
         operators.Clustering.semdedupApply(spark, sfDir,
           k = operators.Clustering.AutoK, iters = 2,
           threshold = 0.99)),
+      // S14 at the library default AutoK (200 cells at the 100×
+      // probe's 200k vectors — the window sorts ~1k rows per cell)
+      "embed_prune_proto_scaled" -> (() =>
+        operators.Clustering.embedPruneProto(spark, sfDir,
+          k = operators.Clustering.AutoK, iters = 2)),
       // shared-derivation chain: jaccard pairs materialized ONCE,
       // clusters resolved from them, corpus filtered from the
       // clusters — vs dedup_jaccard_pairs + dedup_clusters +

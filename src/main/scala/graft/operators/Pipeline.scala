@@ -273,6 +273,65 @@ object Pipeline {
           "\nshared span eta theta iota three?")).otherwise(lit(""))),
       badWords = Seq("badword"))
 
+  /** The duplicate page `pipeline_signals` plants on doc_id ≡ 7
+    * (mod 50): six distinct ≥5-word terminal-punctuated lines, ≥50
+    * words with both registered stop words, no repetition, no page
+    * flags — it passes every core gate, so the ten planted copies
+    * reach the dedup stage and nine genuinely drop. ONE definition:
+    * the oracle SQL builds its literal from this list.
+    */
+  private[graft] val SignalsDupPage: Seq[String] = Seq(
+    "the quick brown fox jumps over a lazy sleeping dog.",
+    "every morning the children walk to school in bright sunshine.",
+    "a gentle river flows through the quiet valley of stones.",
+    "farmers plant seeds and water them in the warm season.",
+    "the library keeps many books of history and modern science.",
+    "travelers often rest here and enjoy a warm evening meal.")
+
+  /** P5 — SIGNALS-GATED RELEASE RECIPE (r15): the modern release
+    * shape (the RedPajama-v2 / FineWeb lineage): materialize the T38
+    * signals ONCE, keep the conjunction of the four SQL-stateable
+    * gates, exact-dedup the survivors (D1's canonical-fingerprint
+    * rule, min-id keeper). ONE corpus scan feeds gate AND fingerprint
+    * (the signals projection carries the text column to the
+    * fingerprint kernel — no second scan, no join); the only
+    * shuffles are the fingerprint window and the output sort, and
+    * the text never crosses either (fp is computed before the
+    * exchange). Emits the released corpus as (doc_id, fp).
+    */
+  def pipelineSignals(docs: DataFrame,
+      stopWords: Seq[String], badWords: Seq[String]): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+    TextOps.qualitySignalsOf(docs, stopWords, badWords,
+        carry = Seq("text"))
+      .filter(col("keep_gopher") === 1 && col("keep_rep") === 1 &&
+        col("keep_c4") === 1 && col("keep_model") === 1)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.fingerprintMd5(col("text"))
+          .as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(byFp))
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered `pipeline_signals` query: the `quality_signals`
+    * fixture with [[SignalsDupPage]] REPLACING the text of doc_id ≡ 7
+    * (mod 50) — identical pages that pass every gate, so the dedup
+    * stage genuinely drops all but the lowest id. Stated identically
+    * in the oracle SQL (one page definition, both sides).
+    */
+  def pipelineSignalsQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val page = SignalsDupPage.mkString("\n")
+    val docs = TextOps.c4PlantedDocs(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 7, lit(page))
+          .otherwise(col("text")).as("text"))
+    pipelineSignals(docs, Seq("the", "a"), Seq("badword"))
+  }
+
   /** The registered `pipeline_scrub` query (the [[pipelineFullQuery]]
     * planting).
     */

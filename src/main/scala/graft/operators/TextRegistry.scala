@@ -35,6 +35,10 @@ object TextRegistry {
     "dedup_clusters_lsh" -> ((s, d) => Clusters.nearDupClustersLsh(s, d)),
     "text_novelty" -> (CorpusOps.textNovelty _),
     "pack_sequences" -> ((s, d) => CorpusOps.packSequences(s, d)),
+    // T44/T44b: token-balanced export shards over the seeded md5
+    // shuffle + the per-shard manifest (both hash-checked)
+    "export_shards" -> ((s, d) => CorpusOps.exportShards(s, d)),
+    "shard_manifest" -> ((s, d) => CorpusOps.shardManifest(s, d)),
     "text_repetition" -> (TextOps.textRepetition _),
     "mix_sources" -> ((s, d) => CorpusOps.mixSources(s, d)),
     // rows-only: seeded Gumbel-perturbed per-source order — float
@@ -79,6 +83,8 @@ object TextRegistry {
     // combination matrix and the model-threshold survival curve
     "signals_ablation" -> (TextOps.signalsAblationQuery _),
     "model_threshold_sweep" -> (TextOps.modelThresholdSweep _),
+    // P5: signals gate + exact dedup, one scan (hash-checked)
+    "pipeline_signals" -> (Pipeline.pipelineSignalsQuery _),
     "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d)),
     // rows-only: exact counts on an MG-mined candidate set — the
     // frontier under summary-dependent ties has no SQL oracle; the
@@ -262,9 +268,21 @@ object TextRegistry {
     * `pipeline_c4` planting hook, mirroring
     * TextOps.c4PlantedDocsWith.
     */
+  // plain concatenation — NO outer stripMargin: c4PlantExpr has
+  // already stripped its own margins (and the caller's `extra`
+  // margins, spliced pre-strip); a second pass would eat the first
+  // '|' of any '||' continuation line
   private def c4OracleCteWith(extra: String): String =
-    s"""WITH t AS (SELECT doc_id,
-      |  text || '.' ||
+    "WITH t AS (SELECT doc_id,\n  " + c4PlantExpr(extra) +
+      " AS text\n FROM documents)" + c4ChainFromT
+
+  /** The planted-text SQL EXPRESSION alone (mirrors
+    * TextOps.c4PlantedDocsWith) — exposed so a caller can wrap it
+    * (e.g. pipeline_signals' duplicate-page CASE) without forking
+    * the plant.
+    */
+  private def c4PlantExpr(extra: String): String =
+    s"""text || '.' ||
       |  chr(10) || 'short line.' ||
       |  chr(10) || 'this line lacks terminal punctuation' ||
       |  chr(10) || 'this one trails off into an ellipsis...' ||
@@ -286,8 +304,15 @@ object TextRegistry {
       |  CASE WHEN doc_id % 2 = 0
       |    THEN chr(10) || 'he said "a quoted line ends well."'
       |    ELSE '' END ||
-      |  chr(10) || 'another good line with five words!'$extra AS text
-      | FROM documents),
+      |  chr(10) || 'another good line with five words!'$extra""".stripMargin
+
+  /** The C4 line/page statistics chain reading CTE `t(doc_id, text)`
+    * — the l/c/d/a/p tail shared by every c4-family oracle. Starts
+    * with "," (appended to an open WITH chain).
+    */
+  // lazy: c4OracleCte (an earlier val) forces this during object init
+  private lazy val c4ChainFromT: String =
+    s""",
       |l AS (SELECT doc_id,
       |  unnest(string_split(text, chr(10))) AS line,
       |  generate_subscripts(string_split(text, chr(10)), 1) AS ord
@@ -509,7 +534,16 @@ object TextRegistry {
     * quality_signals_core statement and the T43 ablation.
     */
   private lazy val signalsCoreCtes: String =
-    c4OracleCte + "," +
+    signalsCoreChainFrom(c4OracleCte)
+
+  /** The core-signals chain over an arbitrary open WITH prefix that
+    * defines `t(doc_id, text)` and the c4 chain (l/c/d/a/p) — ONE
+    * definition shared by quality_signals_core, the T43 ablation and
+    * the P5 release recipe (whose `t` wraps the plant in a
+    * duplicate-page CASE).
+    */
+  private def signalsCoreChainFrom(c4Prefix: String): String =
+    c4Prefix + "," +
       gopherCtes("t", "gt", "gm") + "," +
       repCtes("t", "rtl", "rm") + "," +
       qscoreCtes("t") +
@@ -719,6 +753,27 @@ object TextRegistry {
           |FROM core
           |GROUP BY keep_gopher, keep_rep, keep_c4, keep_model
           |ORDER BY keep_gopher, keep_rep, keep_c4, keep_model""".stripMargin),
+    // P5: the signals-gated release — keep_core survivors of the
+    // duplicate-page fixture, exact-deduped to min-id keepers; the
+    // page literal builds from Pipeline.SignalsDupPage (one
+    // definition, both sides)
+    "pipeline_signals" ->
+      (signalsCoreChainFrom(
+        "WITH t AS (SELECT doc_id,\n  CASE WHEN doc_id % 50 = 7\n" +
+          "  THEN " + Pipeline.SignalsDupPage.map(l => s"'$l'")
+            .mkString(" || chr(10) || ") + "\n" +
+          "  ELSE " + c4PlantExpr("") + " END AS text\n" +
+          " FROM documents)" + c4ChainFromT) +
+        """,
+          |kept AS (SELECT t.doc_id, t.text FROM t
+          |  JOIN core USING (doc_id) WHERE core.keep_core = 1),
+          |fp8 AS (SELECT doc_id,
+          |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+          | FROM kept),
+          |keepers AS (SELECT doc_id, fp,
+          |  MIN(doc_id) OVER (PARTITION BY fp) AS canonical FROM fp8)
+          |SELECT doc_id, fp FROM keepers
+          |WHERE doc_id = canonical ORDER BY doc_id""".stripMargin),
     // T43: the model-gate threshold sweep — kept docs/bytes at each
     // 5-point threshold; comparisons via the same IEEE pct/100.0
     // division the Spark side performs
@@ -812,6 +867,37 @@ object TextRegistry {
          |FROM (SELECT doc_id, len($TOKS)::BIGINT AS n_tokens
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // T44: the pack_sequences offset rule over the seeded md5
+    // shuffle order (h = md5('7:' || doc_id), the seeded T8
+    // convention); // floor-div equals Spark's `div` on the
+    // non-negative prefix sums
+    "export_shards" ->
+      s"""WITH c AS (SELECT doc_id, len($TOKS)::BIGINT AS n_tokens,
+         |  md5(concat('7:', doc_id)) AS h FROM documents),
+         |s AS (SELECT doc_id, n_tokens,
+         |  sum(n_tokens) OVER (ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM c)
+         |SELECT doc_id, n_tokens,
+         | ((cum - n_tokens) // 32768)::BIGINT AS shard_id
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // T44b: the per-shard rollup; min_by/max_by over h are
+    // deterministic because h is injective on doc_id in practice
+    // (distinct md5 preimages) — same tie surface both engines
+    "shard_manifest" ->
+      s"""WITH c AS (SELECT doc_id, len($TOKS)::BIGINT AS n_tokens,
+         |  md5(concat('7:', doc_id)) AS h FROM documents),
+         |s AS (SELECT doc_id, n_tokens, h,
+         |  sum(n_tokens) OVER (ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM c),
+         |a AS (SELECT doc_id, n_tokens, h,
+         |  ((cum - n_tokens) // 32768)::BIGINT AS shard_id FROM s)
+         |SELECT shard_id, count(*)::BIGINT AS n_docs,
+         | sum(n_tokens)::BIGINT AS shard_tokens,
+         | min_by(doc_id, h) AS first_doc,
+         | max_by(doc_id, h) AS last_doc
+         |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     // transitive closure of the dedup_jaccard_pairs edges via a
     // recursive CTE; cluster_id = min reachable doc_id — must equal
     // the large-star/small-star fixpoint exactly

@@ -19,6 +19,37 @@ class PipelineSpec extends AnyFunSuite {
     df.collect().map(r =>
       (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
 
+  test("pipelineSignals equals the stagewise gate + exact dedup; dup pages drop") {
+    val page = Pipeline.SignalsDupPage.mkString("\n")
+    val docs = TextOps.c4PlantedDocs(spark, sf).select(col("doc_id"),
+      when(col("doc_id") % 50 === 7, lit(page))
+        .otherwise(col("text")).as("text"))
+    // stagewise reference: core signals gate, then min-id-per-text
+    // dedup in the driver
+    val gated = TextOps.qualitySignalsOf(docs,
+        stopWords = Seq("the", "a"), badWords = Seq("badword"),
+        carry = Seq("text")).collect()
+      .filter(r => Seq("keep_gopher", "keep_rep", "keep_c4",
+        "keep_model").forall(c => r.getAs[Int](c) == 1))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    assert(gated.nonEmpty)
+    val canon = gated.map { case (id, t) =>
+      (id, t.trim.replaceAll("\\s+", " "))
+    }
+    val expected = canon.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val got = Pipeline.pipelineSignalsQuery(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+    // the planted duplicate pages all pass every gate, and the dedup
+    // stage keeps exactly the lowest id of the ten copies
+    val dupIds = (0L until 500L).filter(_ % 50 == 7)
+    assert(dupIds.forall(id => canon.exists(_._1 == id)),
+      "a planted duplicate page failed a gate")
+    assert(got.contains(dupIds.min) && dupIds.tail.forall(!got.contains(_)))
+    // the gate itself is non-vacuous: some docs fail it
+    assert(gated.length < docs.count())
+  }
+
   test("pipelineC4 equals the stagewise C4 clean + span scrub chain") {
     val fixture = TextOps.c4PlantedDocsWith(spark, sf,
       when(col("doc_id") % 4 === 2, lit(
