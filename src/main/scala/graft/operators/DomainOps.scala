@@ -161,7 +161,14 @@ object DomainOps {
     * == 3. Mirrored literally in the oracle CTE.
     */
   private[graft] def plantedUrlDocs(spark: SparkSession,
-      sfDir: String): DataFrame = {
+      sfDir: String): DataFrame =
+    plantUrl(documents(spark, sfDir))
+
+  /** Plant the deterministic URL column on ANY (doc_id, text) frame —
+    * shared by the standalone domain fixtures and the P6 release
+    * recipe (whose text carries its own plantings).
+    */
+  private[graft] def plantUrl(docs: DataFrame): DataFrame = {
     val m = col("doc_id") % 10
     val host = when(m.isin(0, 1), lit("news.example.com"))
       .when(m === 2, lit("cdn.news.example.com"))
@@ -171,14 +178,14 @@ object DomainOps {
       .when(m === 6, lit("mirror.badcontent.co.uk"))
       .otherwise(concat(lit("site"),
         (col("doc_id") % 23).cast("string"), lit(".net")))
-    documents(spark, sfDir).select(col("doc_id"), col("text"),
+    docs.select(col("doc_id"), col("text"),
       concat(lit("https://"), host, lit("/p/"),
         col("doc_id").cast("string"),
         when(col("doc_id") % 7 === 3, lit("?ref=casino-bonus"))
           .otherwise(lit(""))).as("url"))
   }
 
-  private def defaultBlocklist(spark: SparkSession): DataFrame = {
+  private[graft] def defaultBlocklist(spark: SparkSession): DataFrame = {
     import spark.implicits._
     DefaultBlockedDomains.toDF("domain")
   }

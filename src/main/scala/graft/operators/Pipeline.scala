@@ -332,6 +332,129 @@ object Pipeline {
     pipelineSignals(docs, Seq("the", "a"), Seq("badword"))
   }
 
+  /** P6 — THE FULL MODERN RELEASE PIPELINE (r15): every published
+    * curation stage family in its canonical order, composed end to
+    * end (the RefinedWeb/FineWeb shape):
+    *
+    *  1. URL/DOMAIN gate (T39) — blocklist + keyword rules kill pages
+    *     before any text statistic is computed;
+    *  2. one-scan QUALITY-SIGNALS gate (T38's keep_core — Gopher doc
+    *     + repetition + C4 page + model score);
+    *  3. EXACT DEDUP (D1's canonical-fingerprint rule, min-id keeper);
+    *  4. PER-DOMAIN CAP (T40's deterministic md5-order selection) so
+    *     no host dominates the release;
+    *  5. TRAINING-EXPORT SHARDS (T44's token-balanced assignment over
+    *     the seeded shuffle).
+    *
+    * ONE corpus scan computes everything per-doc — domain, all four
+    * keep gates, fingerprint, selection key and token count are
+    * projections over the same pass (the gate's broadcast blocklist
+    * join adds no shuffle), so by the first exchange each row is a
+    * few dozen bytes of ids/hashes/counts: the only shuffles are the
+    * fp window, the per-domain cap window, the prefix-sum sort and
+    * the output sort, and TEXT CROSSES NONE OF THEM. Emits the
+    * released corpus as (doc_id, domain, fp, n_tokens, shard_id).
+    */
+  def pipelineRelease(docs: DataFrame, blocklist: DataFrame,
+      stopWords: Seq[String], badWords: Seq[String],
+      badUrlWords: Seq[String] = DomainOps.DefaultBadUrlWords,
+      cap: Int = 25, tokensPerShard: Long = 32768L,
+      seed: Long = 7L): DataFrame = {
+    require(tokensPerShard > 0,
+      s"tokensPerShard must be > 0: $tokensPerShard")
+    graft.plans.GlobalOrder
+      .withPrefixSum(
+        releaseCapped(docs, blocklist, stopWords, badWords,
+          badUrlWords, cap, seed),
+        Seq(col("h"), col("doc_id")), "n_tokens", "cum")
+      .select(col("doc_id"), col("domain"), col("fp"),
+        col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${tokensPerShard}L")
+          .as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stages 1–4 of [[pipelineRelease]] as a LAZY frame (the shard
+    * prefix-sum stage is eager, so the plan-shape audit pins this
+    * frame): URL gate → signals gate → fp dedup → per-domain cap,
+    * emitting (doc_id, domain, fp, n_tokens, h) — h the seeded
+    * shuffle key the shard stage sorts on.
+    */
+  private[graft] def releaseCapped(docs: DataFrame,
+      blocklist: DataFrame, stopWords: Seq[String],
+      badWords: Seq[String], badUrlWords: Seq[String],
+      cap: Int, seed: Long): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    import graft.functions.TextFunctions.{fingerprintMd5, tokenCount}
+    val gated = DomainOps.domainGate(docs, blocklist, badUrlWords)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"), col("domain"))
+    val skinny = TextOps.qualitySignalsOf(gated, stopWords, badWords,
+        carry = Seq("text", "domain"))
+      .filter(col("keep_gopher") === 1 && col("keep_rep") === 1 &&
+        col("keep_c4") === 1 && col("keep_model") === 1)
+      .select(col("doc_id"), col("domain"),
+        fingerprintMd5(col("text")).as("fp"),
+        DomainOps.selectionKey(col("text")).as("sel_key"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+    val byDomain = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(col("sel_key"), col("doc_id"))
+    skinny
+      .withColumn("canonical_id", min(col("doc_id")).over(byFp))
+      .filter(col("doc_id") === col("canonical_id"))
+      .withColumn("domain_rank", row_number().over(byDomain))
+      .filter(col("domain_rank") <= cap)
+      .select(col("doc_id"), col("domain"), col("fp"),
+        col("n_tokens"),
+        md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+          .as("h"))
+  }
+
+  /** The registered `pipeline_release` query: the [[pipelineSignalsQuery]]
+    * text fixture (c4 plant + the [[SignalsDupPage]] duplicate pages)
+    * with the T39 planted URL column on top — every stage fires on
+    * real rows: the URL gate drops blocked/keyword docs (including
+    * one planted duplicate page, doc 157's casino query string), the
+    * signals gate drops most of the corpus, the dedup stage drops the
+    * surviving duplicate pages to the min id, cap=3 bites on the
+    * skewed example.com/org domains, and tokensPerShard=1024 splits
+    * the released set across several shards.
+    */
+  def pipelineReleaseQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (docs, blocklist) = releaseFixture(spark, sfDir)
+    pipelineRelease(docs, blocklist,
+      stopWords = Seq("the", "a"), badWords = Seq("badword"),
+      cap = 3, tokensPerShard = 1024L)
+  }
+
+  /** The registered fixture (planted text + URL, default blocklist)
+    * — shared by the query, the spec and the plan audit.
+    */
+  private[graft] def releaseFixture(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val page = SignalsDupPage.mkString("\n")
+    val docs = DomainOps.plantUrl(
+      TextOps.c4PlantedDocs(spark, sfDir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 50 === 7, lit(page))
+            .otherwise(col("text")).as("text")))
+    (docs, DomainOps.DefaultBlockedDomains.toDF("domain"))
+  }
+
+  /** Stages 1–4 over the registered fixture — the plan-audit frame.
+    */
+  private[graft] def releaseCappedQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (docs, blocklist) = releaseFixture(spark, sfDir)
+    releaseCapped(docs, blocklist, Seq("the", "a"), Seq("badword"),
+      DomainOps.DefaultBadUrlWords, cap = 3, seed = 7L)
+  }
+
   /** The registered `pipeline_scrub` query (the [[pipelineFullQuery]]
     * planting).
     */

@@ -85,6 +85,9 @@ object TextRegistry {
     "model_threshold_sweep" -> (TextOps.modelThresholdSweep _),
     // P5: signals gate + exact dedup, one scan (hash-checked)
     "pipeline_signals" -> (Pipeline.pipelineSignalsQuery _),
+    // P6: the full modern release — URL gate + signals gate + exact
+    // dedup + per-domain cap + export shards (hash-checked)
+    "pipeline_release" -> (Pipeline.pipelineReleaseQuery _),
     "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d)),
     // rows-only: exact counts on an MG-mined candidate set — the
     // frontier under summary-dependent ties has no SQL oracle; the
@@ -774,6 +777,42 @@ object TextRegistry {
           |  MIN(doc_id) OVER (PARTITION BY fp) AS canonical FROM fp8)
           |SELECT doc_id, fp FROM keepers
           |WHERE doc_id = canonical ORDER BY doc_id""".stripMargin),
+    // P6: the full release — the T39 gate chain (renamed uu/uh/ud,
+    // survivors ug) feeds the P5 planted-text t, then the signals
+    // chain, then dedup + the T40 cap ranking + the T44 shard window
+    "pipeline_release" ->
+      (signalsCoreChainFrom(
+        releaseUrlGateCtes +
+          ",\nt AS (SELECT doc_id,\n  CASE WHEN doc_id % 50 = 7\n" +
+          "  THEN " + Pipeline.SignalsDupPage.map(l => s"'$l'")
+            .mkString(" || chr(10) || ") + "\n" +
+          "  ELSE " + c4PlantExpr("") + " END AS text\n" +
+          " FROM documents JOIN ug USING (doc_id))" + c4ChainFromT) +
+        s""",
+          |kept AS (SELECT t.doc_id, t.text, ug.domain FROM t
+          |  JOIN core USING (doc_id) JOIN ug USING (doc_id)
+          |  WHERE core.keep_core = 1),
+          |fp8 AS (SELECT doc_id, domain, text,
+          |  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+          | FROM kept),
+          |sv AS (SELECT doc_id, domain, text, fp FROM (
+          |  SELECT doc_id, domain, text, fp,
+          |    MIN(doc_id) OVER (PARTITION BY fp) AS canonical
+          |  FROM fp8) WHERE doc_id = canonical),
+          |rnk AS (SELECT doc_id, domain, fp, text,
+          |  row_number() OVER (PARTITION BY domain
+          |    ORDER BY ('0x' || substr(md5(text), 1, 13))::BIGINT,
+          |      doc_id) AS rk FROM sv),
+          |ct AS (SELECT doc_id, domain, fp,
+          |  len($TOKS)::BIGINT AS n_tokens,
+          |  md5(concat('7:', doc_id)) AS h FROM rnk WHERE rk <= 3),
+          |ss AS (SELECT doc_id, domain, fp, n_tokens,
+          |  sum(n_tokens) OVER (ORDER BY h, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS cum FROM ct)
+          |SELECT doc_id, domain, fp, n_tokens,
+          | ((cum - n_tokens) // 1024)::BIGINT AS shard_id
+          |FROM ss ORDER BY doc_id""".stripMargin),
     // T43: the model-gate threshold sweep — kept docs/bytes at each
     // 5-point threshold; comparisons via the same IEEE pct/100.0
     // division the Spark side performs
@@ -1631,8 +1670,15 @@ object TextRegistry {
     * three domain oracles: CTE `d` ends with (doc_id, text, url,
     * host, domain). Regex literals ARE the Scala kernel constants.
     */
-  private def domainUrlCte: String =
-    s"""WITH u AS (SELECT doc_id, text,
+  private def domainUrlCte: String = domainUrlCteNamed("u", "h", "d")
+
+  /** The same chain with caller-chosen CTE names — the P6 release
+    * oracle renames to uu/uh/ud because the signals chain it
+    * composes with owns t/l/c/d/a/p.
+    */
+  private def domainUrlCteNamed(u: String, h: String,
+      d: String): String =
+    s"""WITH $u AS (SELECT doc_id, text,
        |  'https://' ||
        |  CASE WHEN doc_id % 10 IN (0, 1) THEN 'news.example.com'
        |       WHEN doc_id % 10 = 2 THEN 'cdn.news.example.com'
@@ -1644,12 +1690,23 @@ object TextRegistry {
        |  '/p/' || doc_id::VARCHAR ||
        |  CASE WHEN doc_id % 7 = 3 THEN '?ref=casino-bonus'
        |       ELSE '' END AS url FROM documents),
-       |h AS (SELECT doc_id, text, url,
+       |$h AS (SELECT doc_id, text, url,
        |  regexp_extract(lower(url), '${DomainOps.UrlHostRe}', 1) AS host
-       |  FROM u),
-       |d AS (SELECT doc_id, text, url, host,
+       |  FROM $u),
+       |$d AS (SELECT doc_id, text, url, host,
        |  CASE WHEN regexp_extract(host,
        |      '${DomainOps.RegDomainRe}', 1) = '' THEN host
        |    ELSE regexp_extract(host, '${DomainOps.RegDomainRe}', 1)
-       |    END AS domain FROM h)""".stripMargin
+       |    END AS domain FROM $h)""".stripMargin
+
+  /** The P6 URL-gate prefix: the renamed T39 chain plus
+    * `ug(doc_id, domain)` — the gate's survivors with their
+    * registered domain. Open WITH prefix for the release oracle.
+    */
+  private def releaseUrlGateCtes: String =
+    domainUrlCteNamed("uu", "uh", "ud") +
+      s""",
+         |ug AS (SELECT doc_id, domain FROM ud
+         |  WHERE NOT (domain IN ($domainBlockSql)
+         |             OR (${domainBadWordSql("url")})))""".stripMargin
 }

@@ -19,6 +19,74 @@ class PipelineSpec extends AnyFunSuite {
     df.collect().map(r =>
       (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("pipelineRelease equals the stagewise chain and every stage bites") {
+    import spark.implicits._
+    import graft.operators.DomainOps
+    val page = Pipeline.SignalsDupPage.mkString("\n")
+    val docs = DomainOps.plantUrl(TextOps.c4PlantedDocs(spark, sf)
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 7, lit(page))
+          .otherwise(col("text")).as("text")))
+    val blocklist = DomainOps.DefaultBlockedDomains.toDF("domain")
+
+    // stage 1 reference: the standalone URL gate
+    val gated = DomainOps.domainGate(docs, blocklist)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"), col("domain"))
+    val gatedRows = gated.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(gatedRows.length < 500, "URL gate must bite")
+    assert(!gatedRows.exists(_._1 == 157L),
+      "doc 157 carries the casino query string")
+
+    // stage 2 reference: the standalone signals gate
+    val sigIds = TextOps.qualitySignalsOf(gated,
+        stopWords = Seq("the", "a"), badWords = Seq("badword"))
+      .filter(col("keep_gopher") === 1 && col("keep_rep") === 1 &&
+        col("keep_c4") === 1 && col("keep_model") === 1)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(sigIds.size < gatedRows.length, "signals gate must bite")
+
+    // stages 3-5 reference in the driver: fp dedup (min id), cap=3
+    // per domain in (selKey, id) order, shard offsets at 1024 over
+    // the seeded md5 shuffle
+    val surv = gatedRows.filter(t => sigIds(t._1))
+    val withFp = surv.map { case (id, t, dom) =>
+      (id, dom, t, md5hex(t.trim.replaceAll("\\s+", " "))) }
+    val keepIds = withFp.groupBy(_._4).values.map(_.map(_._1).min).toSet
+    val sv = withFp.filter(t => keepIds(t._1))
+    assert(sv.length < surv.length, "exact dedup must bite")
+    val dupIds = (0L until 500L).filter(_ % 50 == 7)
+    assert(sv.exists(_._1 == 7L))
+    assert(dupIds.filter(i => i != 7L && i != 157L)
+      .forall(i => !sv.exists(_._1 == i)),
+      "all non-min duplicate pages must dedup away")
+    assert(sv.groupBy(_._2).values.exists(_.size > 3),
+      "some domain must exceed the cap")
+    def selKey(t: String): Long =
+      java.lang.Long.parseLong(md5hex(t).substring(0, 13), 16)
+    val capped = sv.groupBy(_._2).values.flatMap(g =>
+      g.sortBy(t => (selKey(t._3), t._1)).take(3)).toSeq
+    assert(capped.size < sv.length)
+    val order = capped.sortBy(t => (md5hex(s"7:${t._1}"), t._1))
+    var off = 0L
+    val expected = order.map { case (id, dom, text, fp) =>
+      val n = text.trim.split("\\s+").length.toLong
+      val sh = off / 1024L; off += n
+      (id, dom, fp, n, sh)
+    }.sortBy(_._1)
+
+    val got = Pipeline.pipelineReleaseQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.map(_._5).distinct.size >= 2, "at least two shards")
+  }
+
   test("pipelineSignals equals the stagewise gate + exact dedup; dup pages drop") {
     val page = Pipeline.SignalsDupPage.mkString("\n")
     val docs = TextOps.c4PlantedDocs(spark, sf).select(col("doc_id"),

@@ -297,6 +297,26 @@ class PlanAuditSpec extends AnyFunSuite {
         offenders.mkString("\n"))
   }
 
+  test("pipeline_release: keyed windows, broadcast blocklist, no cartesian") {
+    // stages 1-4 (the shard prefix-sum is eager, so the audit pins
+    // the lazy pre-shard frame): the blocklist must broadcast, both
+    // windows must be PARTITIONED (fp dedup / per-domain cap), and
+    // no handoff may degenerate into a cartesian or unpartitioned
+    // exchange — text is projected away before the first window.
+    val plan = planOf(
+      graft.operators.Pipeline.releaseCappedQuery(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocklist did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in pipeline_release:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"unpartitioned exchange in pipeline_release:\n$plan")
+    val windows = plan.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.size >= 2, s"expected both windows:\n$plan")
+    assert(windows.forall(l => l.contains("fp#") || l.contains("domain#")),
+      s"window not keyed by fp/domain:\n${windows.mkString("\n")}")
+  }
+
   test("domain_filter: blocklist joins by broadcast, zero data shuffles") {
     val plan = planOf(
       graft.operators.DomainOps.domainFilterQuery(spark, sf))
