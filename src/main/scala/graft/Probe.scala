@@ -46,6 +46,7 @@ object Probe {
       "screen_apply", "corpus_stats",
       "source_overlap", "source_overlap_sketch",
       "screen_ngram_overlap", "screen_ngram_bloom",
+      "dedup_exact_bloom",
       "embed_prune_proto", "signals_ablation", "model_threshold_sweep",
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
       "bpe_train", "pack_sequences_bpe",

@@ -379,6 +379,107 @@ object Dedup {
     screenNgramBloom(planted)
   }
 
+  /** The D19 64-bit Bloom key of a canonical fingerprint: its first
+    * 16 hex digits as an unsigned long — a pure function of the D1
+    * fingerprint string, ONE definition for the build half, the batch
+    * probe and the X27 ingest probe.
+    */
+  @inline private[graft] def fpBloomKeyOfFp(fpHex: String): Long =
+    java.lang.Long.parseUnsignedLong(fpHex.substring(0, 16), 16)
+
+  /** The D1 canonical fingerprint computed JVM-side — the SAME
+    * kernel the `canonical_md5` Column face runs
+    * ([[graft.functions.HashKernels.canonicalMd5]]), so typed
+    * streaming maps and column-space batch plans share one identity.
+    */
+  @inline private[graft] def canonicalFpOf(t: String): String =
+    graft.functions.HashKernels.canonicalMd5(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)).toString
+
+  /** D19 build half — the RELEASED corpus's canonical-fingerprint
+    * Bloom bitmap: ONE key per document (vs D18's one per n-gram),
+    * per-partition bitmaps OR-merged by treeAggregate (no shuffle,
+    * the driver never holds a fingerprint list). At 100 TB the exact
+    * fingerprint set itself outgrows any broadcast (~16 B × docs);
+    * the bitmap holds the same membership test in mBits bits with
+    * ONE-SIDED error — a released document ALWAYS hits, so a
+    * duplicate of the released corpus can never be admitted;
+    * absences false-positive at ≈ (set-bit fraction)^k, which
+    * over-drops fresh pages but never leaks a duplicate.
+    */
+  def fpBloomBuild(refDocs: DataFrame, mBits: Int = 1 << 23,
+      kHashes: Int = 4): Array[Long] = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64: $mBits")
+    require(kHashes >= 1 && kHashes <= 16, s"kHashes out of range: $kHashes")
+    val spark = refDocs.sparkSession
+    import spark.implicits._
+    refDocs.select(col("text")).as[String]
+      .rdd.treeAggregate(new Array[Long](mBits / 64))(
+        seqOp = { (bits, t) =>
+          Dedup.bloomSet(bits,
+            Dedup.fpBloomKeyOfFp(Dedup.canonicalFpOf(t)), kHashes)
+          bits
+        },
+        combOp = { (a, b) =>
+          var i = 0
+          while (i < a.length) { a(i) |= b(i); i += 1 }
+          a
+        })
+  }
+
+  /** D19 membership probe of one fingerprint — THE shared kernel of
+    * the batch screen and the X27 streaming admission.
+    */
+  def fpBloomHitFp(bits: Array[Long], fpHex: String,
+      kHashes: Int = 4): Boolean =
+    bloomTest(bits, fpBloomKeyOfFp(fpHex), kHashes)
+
+  /** D19 probe half against a prebuilt fingerprint bitmap: emits the
+    * docs whose canonical fingerprint is (possibly) in the released
+    * corpus — the ones an ingest job must NOT admit. At the
+    * registered parameters the false-positive mass is ≈ 0 over the
+    * corpus, so the output is deterministically the exact fp
+    * semi-join and the oracle hash-checks it.
+    */
+  def screenExactBloomWith(docsDf: DataFrame, bits: Array[Long],
+      kHashes: Int = 4): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bits)
+    docsDf.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val fp = Dedup.canonicalFpOf(t)
+        (id, fp, Dedup.fpBloomHitFp(bc.value, fp, kHashes))
+      }
+      .filter(_._3)
+      .toDF("doc_id", "fp", "hit")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered `dedup_exact_bloom` query: ref = every doc_id ≡ 0
+    * (mod 7) (the released corpus); probe = the rest, with doc_id ≡ 4
+    * (mod 11) REPLACED by the text of the previous multiple of 7
+    * (always in ref — the planted exact duplicates). The flagged set
+    * is exactly the planted ids, stated as the fp semi-join in the
+    * oracle.
+    */
+  def dedupExactBloomQuery(spark: SparkSession, sfDir: String,
+      mBits: Int = 1 << 23): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val base = docs.select(col("doc_id").as("bid"),
+      col("text").as("btext"))
+    val probe = docs.filter(col("doc_id") % 7 =!= 0)
+      .join(base, col("bid") === expr("(doc_id div 7) * 7"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 4, col("btext"))
+          .otherwise(col("text")).as("text"))
+    val bits = fpBloomBuild(docs.filter(col("doc_id") % 7 === 0),
+      mBits)
+    screenExactBloomWith(probe, bits)
+  }
+
   // ---- shared pieces of the two screen shapes ----
 
   /** Parallelism floor: a compact parquet input yields few splits

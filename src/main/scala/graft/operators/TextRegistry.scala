@@ -95,6 +95,9 @@ object TextRegistry {
     "top_ngrams_approx" -> ((s, d) => CorpusOps.topNgramsApprox(s, d)),
     "screen_ngram_overlap" -> (Dedup.screenNgramOverlapQuery _),
     "screen_ngram_bloom" -> (Dedup.screenNgramBloomQuery _),
+    // D19: released-corpus fingerprint Bloom screen (hash-checked —
+    // deterministically the exact fp semi-join at registered size)
+    "dedup_exact_bloom" -> ((s, d) => Dedup.dedupExactBloomQuery(s, d)),
     "lm_doc_stats" -> (Search.lmDocStats _),
     // rows-only: JVM ln/exp differ from DuckDB by 1 ulp on a tail of
     // inputs (the bm25_search precedent); SearchSpec pins ppl
@@ -1184,6 +1187,28 @@ object TextRegistry {
     // grams), so the SAME statement hash-checks it; the undersized-
     // filter superset behavior is spec'd in TextDedupSpec
     "screen_ngram_bloom" -> SCREEN_NGRAM_SQL,
+    // D19: the planted exact duplicates (probe doc_id ≡ 4 mod 11
+    // takes the text of its previous multiple of 7 — always in the
+    // ref carve) flagged by canonical-fp membership; the bloom is
+    // deterministically this semi-join at the registered size
+    "dedup_exact_bloom" ->
+      s"""WITH b AS (SELECT doc_id AS bid, text AS btext
+         |  FROM documents),
+         |p AS (SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 11 = 4 THEN b.btext
+         |       ELSE d.text END AS text
+         | FROM documents d LEFT JOIN b
+         |   ON b.bid = (d.doc_id // 7) * 7
+         | WHERE d.doc_id % 7 <> 0),
+         |r AS (SELECT DISTINCT
+         |  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+         | FROM documents WHERE doc_id % 7 = 0)
+         |SELECT p.doc_id,
+         |  md5(regexp_replace(trim(p.text), '\\s+', ' ', 'g')) AS fp
+         |FROM p
+         |WHERE md5(regexp_replace(trim(p.text), '\\s+', ' ', 'g'))
+         |  IN (SELECT fp FROM r)
+         |ORDER BY p.doc_id""".stripMargin,
     // DSIR evidence: integer-exact per-doc sums of corpus and
     // target-subset counts over the unigram+bigram feature stream —
     // the oracle-checked core of dsir_weights. Bigram windows via

@@ -1012,4 +1012,81 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  case class StreamIngestDoc(doc_id: Long, ts: Timestamp, url: String,
+      text: String)
+  case class IngestAdmitOut(doc_id: Long, ts: Timestamp,
+      domain: String, fp: String, domain_rank: Long, keep: Boolean)
+
+  /** X27 — STREAMING INGEST ADMISSION: the composed ingest-time face
+    * of the P6 release pipeline — every published curation family
+    * applied to each arriving page the moment it lands:
+    *
+    *  1. URL gate (X23's stream-static broadcast — the batch
+    *     [[graft.operators.DomainOps.domainGate]], one definition);
+    *  2. quality-signals gate (X25's stateless kernels — the batch
+    *     [[graft.operators.TextOps.qualitySignalsOf]], keep = the
+    *     four-gate conjunction P6 applies);
+    *  3. RELEASED-CORPUS exact-dup screen: the arrival's canonical
+    *     fingerprint probed against the D19 Bloom bitmap (the batch
+    *     [[graft.operators.Dedup.fpBloomHitFp]] — one definition;
+    *     one-sided error means a page already in the released corpus
+    *     is NEVER admitted, and the bitmap is mBits/8 bytes no
+    *     matter how many documents the release holds);
+    *  4. per-domain cap admission (X24's one-long-per-domain
+    *     `flatMapGroupsWithState` — the ONLY stateful operator in
+    *     the composed query, so total state is 8 bytes × |domains|).
+    *
+    * Batch/stream split: the stream admits first-seen-wins and
+    * screens against YESTERDAY'S release; the batch release (P6)
+    * re-ranks retrospectively under the deterministic selection key
+    * and T42's rebalance reconciles the two — the same contract the
+    * dedup family states for D14/P3. Verdicts emit immediately for
+    * every page that survives stages 1–3 (admitted or refused, with
+    * its arrival rank); pages killed by a gate emit nothing — they
+    * are not admission decisions.
+    */
+  def streamingIngestAdmission(docs: Dataset[StreamIngestDoc],
+      blocklist: DataFrame, releasedBits: Array[Long],
+      stopWords: Seq[String], badWords: Seq[String],
+      badUrlWords: Seq[String] =
+        graft.operators.DomainOps.DefaultBadUrlWords,
+      cap: Int = 25, kHashes: Int = 4): Dataset[IngestAdmitOut] = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    import docs.sparkSession.implicits._
+    import graft.operators.{Dedup, DomainOps, TextOps}
+    val gated = DomainOps.domainGate(docs.toDF(), blocklist,
+        badUrlWords)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("ts"), col("text"), col("domain"))
+    val kept = TextOps.qualitySignalsOf(gated, stopWords, badWords,
+        carry = Seq("ts", "text", "domain"))
+      .filter(col("keep_gopher") === 1 && col("keep_rep") === 1 &&
+        col("keep_c4") === 1 && col("keep_model") === 1)
+      .select(col("doc_id"), col("ts"), col("text"), col("domain"))
+    val bc = docs.sparkSession.sparkContext.broadcast(releasedBits)
+    val fresh = kept.as[(Long, Timestamp, String, String)]
+      .map { case (id, ts, text, domain) =>
+        val fp = Dedup.canonicalFpOf(text)
+        (id, ts, domain, fp,
+          Dedup.fpBloomHitFp(bc.value, fp, kHashes))
+      }
+      .filter(!_._5)
+
+    def update(domain: String,
+        rows: Iterator[(Long, Timestamp, String, String, Boolean)],
+        state: GroupState[Long]): Iterator[IngestAdmitOut] = {
+      var seen = state.getOption.getOrElse(0L)
+      val out = rows.map { case (id, ts, _, fp, _) =>
+        seen += 1
+        IngestAdmitOut(id, ts, domain, fp, seen, seen <= cap)
+      }.toVector // drain BEFORE state.update sees the final count
+      state.update(seen)
+      out.iterator
+    }
+
+    fresh.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

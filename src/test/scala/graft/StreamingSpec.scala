@@ -854,6 +854,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("X27 streaming ingest admission composes the gates, the fp screen and the cap") {
+    import graft.streaming.StreamingOps.StreamIngestDoc
+    import graft.operators.{Dedup, DomainOps, Pipeline, TextOps}
+    val sf = "/root/testdata/sf0.001"
+    val (docs, blocklist) = Pipeline.releaseFixture(spark, sf)
+    // "yesterday's release": the planted texts of doc_id ≡ 2 (mod 5)
+    // — some of them pass every gate, so the fp screen genuinely
+    // drops arrivals already released
+    val released = docs.filter(col("doc_id") % 5 === 2)
+    val bits = Dedup.fpBloomBuild(released)
+
+    // batch stagewise reference (order-free contracts)
+    val gated = DomainOps.domainGate(docs, blocklist)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"), col("domain"))
+    val sigIds = TextOps.qualitySignalsOf(gated,
+        stopWords = Seq("the", "a"), badWords = Seq("badword"))
+      .filter(col("keep_gopher") === 1 && col("keep_rep") === 1 &&
+        col("keep_c4") === 1 && col("keep_model") === 1)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val survivors = gated.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(t => sigIds(t._1))
+      .map { case (id, t, dom) => (id, dom, Dedup.canonicalFpOf(t)) }
+    val fresh = survivors.filterNot(s => Dedup.fpBloomHitFp(bits, s._3))
+    assert(fresh.nonEmpty && fresh.length < survivors.length,
+      "the released-corpus screen must genuinely drop arrivals")
+
+    val rows = docs.collect().sortBy(_.getAs[Long]("doc_id"))
+      .zipWithIndex.map { case (r, i) =>
+        StreamIngestDoc(r.getAs[Long]("doc_id"), ts(i % 50),
+          r.getAs[String]("url"), r.getAs[String]("text")) }
+    val in = MemoryStream[StreamIngestDoc]
+    val q = StreamingOps.streamingIngestAdmission(in.toDS(), blocklist,
+        bits, stopWords = Seq("the", "a"), badWords = Seq("badword"),
+        cap = 2)
+      .writeStream.format("memory").queryName("ingest_admit")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("ingest_admit").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("domain"),
+          r.getAs[String]("fp"), r.getAs[Long]("domain_rank"),
+          r.getAs[Boolean]("keep")))
+      // every emitted verdict is a stage-1..3 survivor, and every
+      // survivor gets exactly one verdict with the batch fp
+      assert(got.map(g => (g._1, g._2, g._3)).toSet == fresh.toSet)
+      // admission accounting per domain: exactly min(cap, n) admitted,
+      // ranks are 1..n
+      val byDom = got.groupBy(_._2)
+      byDom.foreach { case (dom, g) =>
+        assert(g.count(_._5) == math.min(2, g.length), dom)
+        assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq, dom)
+      }
+      // refusals fire on some skewed domain
+      assert(got.exists(!_._5), "cap never bit — vacuous admission")
+      // no released page was ever admitted (one-sidedness)
+      val releasedFps = released.collect()
+        .map(r => Dedup.canonicalFpOf(r.getAs[String]("text"))).toSet
+      assert(got.forall(g => !releasedFps.contains(g._3)))
+    } finally q.stop()
+  }
+
   test("X18 streaming per-query top-k equals batch annIvfIndexed under one index") {
     import graft.operators.Similarity
     import graft.streaming.StreamingOps.StreamVec

@@ -342,6 +342,41 @@ class TextDedupSpec extends AnyFunSuite {
       "undersized filter produced no false positives — vacuous case")
   }
 
+  test("dedup_exact_bloom == exact fp semi-join at size; one-sided undersized") {
+    val sf = "/root/testdata/sf0.001"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def canonFp(t: String): String =
+      md5hex(t.trim.replaceAll("\\s+", " "))
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val refFps = texts.filter(_._1 % 7 == 0).values
+      .map(canonFp).toSet
+    val probe = texts.filter(_._1 % 7 != 0).map { case (id, t) =>
+      id -> (if (id % 11 == 4) texts((id / 7) * 7) else t) }
+    val expected = probe
+      .filter { case (_, t) => refFps(canonFp(t)) }
+      .map { case (id, t) => (id, canonFp(t)) }.toSet
+    assert(expected.nonEmpty)
+    // the flags are exactly the planted duplicates — no accidental
+    // fingerprint collisions in the raw corpus
+    assert(expected.map(_._1) == probe.keySet.filter(_ % 11 == 4))
+    val got = graft.operators.Dedup.dedupExactBloomQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected)
+    // deliberately undersized filter (64 bits for ~72 ref keys):
+    // one-sided — every true duplicate still flags — and false
+    // positives genuinely fire
+    val tiny = graft.operators.Dedup
+      .dedupExactBloomQuery(spark, sf, mBits = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.forall { case (id, _) => tiny.contains(id) },
+      "false negative under the undersized filter")
+    assert(tiny.size > expected.size,
+      "undersized filter produced no false positives — vacuous case")
+  }
+
   test("wordcount total equals token total") {
     val total = TextOps.wordcount(spark, sf)
       .agg(sum("n")).head().getLong(0)
