@@ -41,7 +41,8 @@ object Probe {
       "text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "text_shingles", "text_novelty", "pack_sequences",
       "export_shards", "shard_manifest",
-      "text_repetition", "pii_scrub", "quality_classify",
+      "text_repetition", "pii_scrub", "html_extract",
+      "quality_classify",
       "dedup_apply", "mix_sources", "mix_sources_sampled", "corpus_diff",
       "screen_apply", "corpus_stats",
       "source_overlap", "source_overlap_sketch",
@@ -57,6 +58,7 @@ object Probe {
       "media_phash", "media_dedup",
       "lm_doc_stats", "lm_perplexity",
       "lm2_doc_stats", "lm2_perplexity", "ppl_select",
+      "ppl_select_lang", "token_fertility",
       "nb_doc_stats", "nb_classify", "chunk_docs", "vocab_growth",
       "dsir_doc_stats", "dsir_weights", "dsir_select",
       "dsir_select_sampled",
@@ -68,6 +70,9 @@ object Probe {
       "multimodal_decode",
       "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_indexed",
       "ann_ivf_append", "ann_pq",
+      // the exact knn_graph is the sim_join-style quadratic verifier
+      // (maxRows-guarded) — only the IVF build probes at 100×
+      "knn_graph_ivf",
       "q_events_tumbling", "q_events_sliding", "q_sessionize",
       "q_conditional_agg")
 

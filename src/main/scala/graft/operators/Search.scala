@@ -800,6 +800,47 @@ object Search {
     * precedent); Lm2Spec pins the selected SET against the in-driver
     * reference ranking and the ≤1-doc band-population balance.
     */
+  /** T32c — PER-LANGUAGE PERPLEXITY BANDS: the split CCNet actually
+    * ships (Wenzek et al. 2020 §4.3 — each LANGUAGE is ranked and
+    * cut into head/middle/tail independently). A single global cut
+    * ([[pplSelect]]) judges every language on the dominant one's
+    * perplexity scale; LM perplexities are NOT comparable across
+    * languages (different vocabularies, different entropy), so the
+    * multilingual gate must band within language.
+    *
+    * Scale shape: rank comes from
+    * [[graft.plans.GlobalOrder.withPrefixSumKeyed]] — per-partition
+    * per-key partials + one offset pass, never a per-language window
+    * (one language is terabytes on ONE task at 100 TB); per-language
+    * counts are a #langs-row aggregate broadcast back; the band is
+    * pure integer arithmetic. The lang join moves (doc_id, ppl2)
+    * 16-byte rows, never text. Rows-only like T32b (float-ordered
+    * ranking); Lm2Spec pins the per-language selected sets against
+    * the in-driver reference and the ≤1-doc per-language balance.
+    */
+  def pplSelectByLang(spark: SparkSession, sfDir: String,
+      nBands: Int = 3, keepBand: Int = 1): DataFrame = {
+    require(nBands >= 2, s"nBands must be >= 2: $nBands")
+    require(keepBand >= 0 && keepBand < nBands,
+      s"keepBand must be in [0, $nBands): $keepBand")
+    val s = lm2Perplexity(spark, sfDir)
+      .select(col("doc_id"), col("ppl2"))
+    val withLang = s.join(
+        documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .localCheckpoint() // count + ranked pass share one scoring run
+    val counts = withLang.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    graft.plans.GlobalOrder.withPrefixSumKeyed(
+        withLang.withColumn("one", lit(1L)), "lang",
+        Seq(col("ppl2"), col("doc_id")), "one", "rank")
+      .join(broadcast(counts), Seq("lang"))
+      .filter(expr(s"(rank - 1L) * ${nBands}L div n_lang") ===
+        keepBand)
+      .select(col("doc_id"), col("lang"), col("ppl2"))
+      .orderBy(col("doc_id"))
+  }
+
   def pplSelectFromScores(scores: DataFrame, scoreCol: String = "ppl2",
       nBands: Int = 3, keepBand: Int = 1): DataFrame = {
     require(nBands >= 2, s"nBands must be >= 2: $nBands")

@@ -916,4 +916,96 @@ object Similarity {
         col("cosine"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** S15 — CORPUS k-NN GRAPH: every vector's k nearest OTHERS,
+    * ranked — the all-vectors self-retrieval behind SemDeDup-style
+    * graph clustering, dataset cartography and duplicate-cluster
+    * diagnostics (every published embedding-curation pipeline builds
+    * one; the per-query faces S1/S2/S3 answer external queries, this
+    * answers "who neighbors whom inside the corpus").
+    *
+    * EXACT VERIFIER (this method): all-pairs cosine with the
+    * neighbor side broadcast — quadratic pair volume, so `maxRows`
+    * fails fast with the redirect to [[knnGraphIvf]], the production
+    * path. Rank order (cosine DESC, neighbor_id) is the library-wide
+    * ANN tie rule, so the IVF face's hits are spec'd bit-equal on
+    * the cells it probes.
+    */
+  def knnGraph(spark: SparkSession, sfDir: String,
+      k: Int = 5, maxRows: Long = 100000): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val n = emb.count()
+    require(n <= maxRows,
+      s"knnGraph is the quadratic exact VERIFIER ($n rows > " +
+        s"maxRows=$maxRows): use Similarity.knnGraphIvf for corpus-" +
+        "scale k-NN graphs, or raise maxRows deliberately")
+    val right = emb.select(col("vec_id").as("neighbor_id"),
+      col("emb").as("n_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    emb.crossJoin(broadcast(right))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineAny(col("emb"), col("n_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"),
+        col("rnk"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
+  /** S15 production path — the IVF-BUCKETED k-NN graph: fit
+    * centroids once (the S3 bounded-sample fit), assign the corpus,
+    * then every vector probes its `nProbe` nearest cells and ranks
+    * only those cells' members. Candidate volume per vector is
+    * nProbe · E[cell] (bounded by the fit's target populations)
+    * instead of n, and the only corpus-sized shuffle is the
+    * candidates' cell_id equi-join — at 100 TB the graph build is
+    * #vectors · nProbe · E[cell] dot products spread over the
+    * cluster, never n². Rows-only (recall vs [[knnGraph]] spec'd in
+    * SimilaritySpec; probed-cell hits are bit-equal by the shared
+    * tie rule).
+    *
+    * `nCells = 0` (the default) auto-scales like Clustering.AutoK:
+    * `max(8, ceil(n / targetCell))` from a count-only scan — a FIXED
+    * cell count would let E[cell] (and with it every vector's
+    * candidate list) grow linearly with the corpus, turning the
+    * graph build quadratic again at 100×.
+    */
+  def knnGraphIvf(spark: SparkSession, sfDir: String,
+      k: Int = 5, nCells: Int = 0, nProbe: Int = 2,
+      lloydIters: Int = 2, targetCell: Int = 1024): DataFrame = {
+    require(targetCell > 0, s"targetCell must be > 0: $targetCell")
+    val emb = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val cells =
+      if (nCells > 0) nCells
+      else {
+        val n = emb.count()
+        math.min(math.max(8L, (n + targetCell - 1) / targetCell),
+          1 << 20).toInt
+      }
+    val centroids = fitCentroids(spark, emb, cells, lloydIters)
+    val assigned = assignCells(emb, centroids)
+      .localCheckpoint(eager = true) // one assignment pass feeds both sides
+    val probes = assigned
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosineAny(col("q_emb"), col("c_emb")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist").desc, col("cell_id"))))
+      .filter(col("crnk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(probes, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id").as("vec_id"),
+        col("vec_id").as("neighbor_id"), col("cosine"), col("rnk"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
 }

@@ -45,7 +45,13 @@ object SimilarityRegistry {
       Clustering.embedPruneProto(s, d, k = 8)),
     "semdedup_apply" -> ((s, d) => Clustering.semdedupApply(s, d, k = 8)),
     "embed_quantize" -> ((s, d) => Similarity.embedQuantizeRows(s, d)),
-    "embed_project" -> ((s, d) => Similarity.embedProject(s, d))
+    "embed_project" -> ((s, d) => Similarity.embedProject(s, d)),
+    // S15 corpus k-NN graph: exact all-pairs verifier (hash-checked)
+    // + the IVF-bucketed production build (rows-only; recall vs the
+    // exact graph spec'd in SimilaritySpec, probed-cell hits
+    // bit-equal under the shared cosine-DESC/vec_id tie rule)
+    "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "knn_graph_ivf" -> ((s, d) => Similarity.knnGraphIvf(s, d))
   )
 
   private val COS =
@@ -102,6 +108,17 @@ $tail"""
          |   ORDER BY cosine DESC, vec_id) AS rnk FROM s)
          |SELECT query_id, vec_id AS neighbor_id, cosine, rnk
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // S15 exact graph: the ann_bruteforce statement with EVERY
+    // vector as its own query (partition = the source vector)
+    "knn_graph" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |s AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |   ${cos("a.emb", "b.emb")} AS cosine
+         | FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM s)
+         |SELECT vec_id, neighbor_id, cosine, rnk
+         |FROM r WHERE rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
     "sim_join" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -692,6 +692,117 @@ object TextOps {
       .orderBy(col("threshold_pct"))
   }
 
+  /** T45 — HTML→TEXT EXTRACTION: the stage-ZERO of every published
+    * web-curation pipeline (C4 extracts from WET, RefinedWeb/FineWeb
+    * run trafilatura over WARC — arXiv:2306.01116 §3.1 "text
+    * extraction"; everything downstream of it in this library
+    * assumes extracted text). Rule set, applied in order:
+    * script/style elements dropped WITH their content, comments
+    * dropped, block-level tags become newlines (the paragraph
+    * structure C4's line rules need), remaining tags become spaces,
+    * the five ubiquitous character entities + nbsp decode
+    * (&amp; LAST, so double-escaped text stays escaped), whitespace
+    * runs collapse, newline runs collapse to one.
+    *
+    * Spark-first: the whole extraction is a chain of BUILT-IN
+    * `regexp_replace`/`replace` calls — one codegen'd projection, no
+    * UDF, no custom kernel; at 100 TB it is scan-bound and pipelines
+    * into whatever gate follows (X28 applies the IDENTICAL Column to
+    * a streaming frame). Patterns use inline `(?is)` flags and stay
+    * within the regex subset java.util.regex and RE2 agree on
+    * (non-greedy spans, char classes, ASCII `\b`), so the SAME
+    * pattern strings drive the DuckDB oracle and the extraction is
+    * hash-checked end to end.
+    */
+  def htmlTextOf(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(?:p|br|li|ul|ol|div|h[1-6]|tr|table|blockquote)\\b[^>]*>",
+      "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) =>
+        replace(c, lit(e), lit(r)) }
+    val sp = regexp_replace(ent, "[ \\t\\r]+", " ")
+    val nl = regexp_replace(sp, " ?\\n[ \\n]*", "\n")
+    regexp_replace(nl, "^\\s+|\\s+$", "")
+  }
+
+  /** The planted HTML page for the registered T45 face: the corpora
+    * carry extracted text, not markup, so the fixture WRAPS each
+    * doc's text in a deterministic page (the pii_scrub / T39
+    * planted-column precedent) — head with title + style, an h1, the
+    * text in a p, plus per-residue extras so EVERY rule fires on
+    * real rows: a script with `<`/`&&` inside (doc_id%3=0), a list
+    * (doc_id%2=0), the six entities (doc_id%5=0), an UNCLOSED
+    * attribute quote (doc_id%7=3 — the malformed-markup case both
+    * engines must cut identically). The oracle CTE plants the
+    * identical page.
+    */
+  private[graft] def plantHtml(docs: DataFrame): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val script = when(col("doc_id") % 3 === 0,
+      lit("<script type=\"text/javascript\">var x = 1 < 2 && y > 0;</script>"))
+      .otherwise(lit(""))
+    val list = when(col("doc_id") % 2 === 0,
+      lit("<ul><li>alpha</li><li>beta</li></ul>")).otherwise(lit(""))
+    val entities = when(col("doc_id") % 5 === 0,
+      lit(" Fish &amp; Chips &lt;b&gt;bold&#39;s&quot; end&nbsp;here"))
+      .otherwise(lit(""))
+    val malformed = when(col("doc_id") % 7 === 3,
+      lit("<div class=\"unterminated")).otherwise(lit(""))
+    docs.select(col("doc_id"), concat(
+      lit("<html><!-- gen -->\n<head><title>Doc "), idStr,
+      lit("</title><style media=\"all\">body { color: #000; }</style></head><body><h1>Doc "),
+      idStr, lit("</h1>"), script, list, lit("<p>"), col("text"),
+      entities, lit("</p>"), malformed,
+      lit("</body></html>")).as("html"))
+  }
+
+  /** Registered `html_extract` (hash-checked): extraction over the
+    * planted page — doc_id, the extracted text, its line count.
+    */
+  def htmlExtract(spark: SparkSession, sfDir: String): DataFrame =
+    plantHtml(documents(spark, sfDir))
+      .select(col("doc_id"), htmlTextOf(col("html")).as("page_text"))
+      .withColumn("n_lines",
+        (length(col("page_text"))
+          - length(regexp_replace(col("page_text"), "\\n", "")) + 1)
+          .cast("long"))
+      .orderBy(col("doc_id"))
+
+  /** T46 — TOKENIZER FERTILITY BY LANGUAGE: per-language corpus mass
+    * in every unit a budget is stated in (docs, whitespace tokens,
+    * BPE-ish tokens, bytes, chars) plus the two ratios multilingual
+    * curation decides with — bytes per BPE token ("fertility", the
+    * mT5/BLOOM-lineage statistic: how many bytes one token buys per
+    * language, i.e. how a byte budget converts to a token budget)
+    * and chars per whitespace token. One scan, one partial-agged
+    * groupBy to #langs rows; the ratios are each ONE IEEE division
+    * over exact integer sums, stated identically in the oracle, so
+    * the whole row hash-checks.
+    */
+  def tokenFertility(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(bpeTokenCount(col("text")).cast("long"))
+          .as("n_bpe_tokens"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .withColumn("bytes_per_bpe_token",
+        col("n_bytes").cast("double") /
+          col("n_bpe_tokens").cast("double"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("lang"))
+
   /** C9 — the reference WordCount (examples/wordcount/WordCount.java:17):
     * flatMap to words → keyBy → count, as explode + hash aggregation
     * (map-side partial agg replaces Flink's keyed state).

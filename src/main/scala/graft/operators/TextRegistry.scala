@@ -52,6 +52,9 @@ object TextRegistry {
     // and the integer retrieval core is oracle-checked above
     "bm25_search" -> ((s, d) => Search.bm25Search(s, d)),
     "pii_scrub" -> (TextOps.piiScrub _),
+    // T45 stage-zero HTML→text extraction over the planted page
+    // (hash-checked: the same pattern strings drive both engines)
+    "html_extract" -> (TextOps.htmlExtract _),
     "quality_classify" -> (TextOps.qualityClassify _),
     "dedup_apply" -> ((s, d) => Clusters.dedupApply(s, d)),
     "dedup_winnow" -> ((s, d) => MinHashDedup.winnowPairs(s, d)),
@@ -118,6 +121,12 @@ object TextRegistry {
     // dsir_select precedent); Lm2Spec pins the selected set against
     // the in-driver reference ranking and the band balance
     "ppl_select" -> ((s, d) => Search.pplSelect(s, d)),
+    // T32c rows-only for the same reason; Lm2Spec pins the
+    // per-language selected sets and the ≤1-doc per-language balance
+    "ppl_select_lang" -> ((s, d) => Search.pplSelectByLang(s, d)),
+    // T46 tokenizer fertility by language (hash-checked: integer
+    // sums + one stated IEEE division per ratio)
+    "token_fertility" -> (TextOps.tokenFertility _),
     // small windows (32/8) so the sf corpora actually multi-chunk;
     // the API default is 2048/256
     "chunk_docs" -> ((s, d) =>
@@ -607,6 +616,19 @@ object TextRegistry {
          | len($TOKS) AS n_tokens,
          | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // T46 per-language fertility: exact integer sums, each ratio ONE
+    // IEEE division (strlen = DuckDB's byte length, = octet_length)
+    "token_fertility" ->
+      s"""WITH t AS (SELECT lang,
+         | len($TOKS) AS nt,
+         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS nb,
+         | strlen(text) AS by, length(text) AS ch FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | SUM(nt)::BIGINT AS n_tokens, SUM(nb)::BIGINT AS n_bpe_tokens,
+         | SUM(by)::BIGINT AS n_bytes, SUM(ch)::BIGINT AS n_chars,
+         | SUM(by)::DOUBLE / SUM(nb)::DOUBLE AS bytes_per_bpe_token,
+         | SUM(ch)::DOUBLE / SUM(nt)::DOUBLE AS chars_per_token
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
          |m AS (SELECT doc_id,
@@ -1044,6 +1066,47 @@ object TextRegistry {
          |   '$PII_PHONE', '<PHONE>', 'g'),
          |   '$PII_IP', '<IP>', 'g')) AS scrub_fp
          |FROM p ORDER BY doc_id""".stripMargin,
+    // T45 HTML→text extraction over the planted page: the identical
+    // pattern strings (inline (?is) flags, non-greedy spans, ASCII
+    // \b — the java-regex/RE2-shared subset), DuckDB's 'g' flag
+    // standing in for Spark's replace-all default
+    "html_extract" ->
+      """WITH d AS (SELECT doc_id,
+        |  '<html><!-- gen -->' || chr(10) || '<head><title>Doc ' ||
+        |  doc_id::VARCHAR ||
+        |  '</title><style media="all">body { color: #000; }</style></head><body><h1>Doc ' ||
+        |  doc_id::VARCHAR || '</h1>' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '<script type="text/javascript">var x = 1 < 2 && y > 0;</script>' ELSE '' END ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '<ul><li>alpha</li><li>beta</li></ul>' ELSE '' END ||
+        |  '<p>' || text ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' Fish &amp; Chips &lt;b&gt;bold&#39;s&quot; end&nbsp;here' ELSE '' END ||
+        |  '</p>' ||
+        |  CASE WHEN doc_id % 7 = 3 THEN '<div class="unterminated' ELSE '' END ||
+        |  '</body></html>' AS html FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM d),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?i)</?(?:p|br|li|ul|ol|div|h[1-6]|tr|table|blockquote)\b[^>]*>',
+        |  chr(10), 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g')
+        |  AS t FROM s4),
+        |s6 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+        |  replace(t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |  '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g')
+        |  AS t FROM s6),
+        |s8 AS (SELECT doc_id, regexp_replace(t, ' ?\n[ \n]*', chr(10),
+        |  'g') AS t FROM s7),
+        |s9 AS (SELECT doc_id, regexp_replace(t, '^\s+|\s+$', '', 'g')
+        |  AS t FROM s8)
+        |SELECT doc_id, t AS page_text,
+        |  (length(t) - length(replace(t, chr(10), '')) + 1)::BIGINT
+        |    AS n_lines
+        |FROM s9 ORDER BY doc_id""".stripMargin,
     // exact substring pairs: 8-token verbatim windows, distinct per
     // doc, df-capped [2, 100] exactly like the Spark bucket filter
     "dedup_substring" ->

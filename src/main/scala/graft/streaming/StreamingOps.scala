@@ -147,6 +147,9 @@ object StreamingOps {
 
   case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
 
+  /** An arriving RAW page (markup, pre-extraction) — X28's input. */
+  case class StreamHtml(doc_id: Long, ts: Timestamp, html: String)
+
   private[streaming] case class BucketState(sigs: Array[Array[Long]],
       latestMs: Long)
 
@@ -666,6 +669,23 @@ object StreamingOps {
     graft.operators.TextOps.qualitySignalsOf(docs.toDF(), stopWords,
       badWords, minLineWords, minSentences, loNum, loDen,
       carry = Seq("ts"))
+
+  /** X28 — STREAMING HTML→TEXT EXTRACTION: the T45 stage-zero run
+    * the moment a page lands — extraction precedes EVERY other gate
+    * (URL aside), so an ingest pipeline chains this in front of the
+    * X19/X25 gates exactly as P6 assumes extracted text in batch.
+    * The kernel IS the batch
+    * [[graft.operators.TextOps.htmlTextOf]] Column (one definition,
+    * both faces — the X19/X23 convention): a chain of built-in
+    * regexp_replace/replace projections, stateless, column space, no
+    * watermark interaction; the carried event time survives for
+    * downstream windowing. Input frames carry `html` instead of
+    * `text`; the output restores the `text` name the downstream
+    * faces expect.
+    */
+  def streamingHtmlExtract(pages: Dataset[StreamHtml]): DataFrame =
+    pages.toDF().select(col("doc_id"), col("ts"),
+      graft.operators.TextOps.htmlTextOf(col("html")).as("text"))
 
   /** X15 — STREAMING CHUNKING: split each arriving document into
     * token windows with overlap the moment it arrives (the pre-embed

@@ -115,6 +115,51 @@ class Lm2Spec extends AnyFunSuite {
       s"band populations unbalanced: $sizes")
   }
 
+  test("pplSelectByLang bands each language independently against the reference") {
+    val (ds, u, b2) = models
+    val vocab = u.size.toLong
+    val total = u.values.sum
+    val langOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = ds.filter(_._2.length >= 2)
+      .map { case (id, tk) => (id, ppl2Of(tk, u, b2, vocab, total)) }
+    def bandsFor(lang: String, nBands: Int, keep: Int): Set[Long] = {
+      val ranked = scored.filter(s => langOf(s._1) == lang)
+        .map { case (id, p) => (p, id) }.sorted
+      val n = ranked.length
+      ranked.zipWithIndex.collect {
+        case ((_, id), r) if r.toLong * nBands / n == keep => id
+      }.toSet
+    }
+    val got = Search.pplSelectByLang(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+      .map { case (l, rows) => l -> rows.map(_._1).toSet }
+    val langs = scored.map(s => langOf(s._1)).distinct
+    assert(got.keySet == langs.toSet,
+      s"languages missing from the selection: ${got.keySet} vs ${langs.toSet}")
+    langs.foreach { l =>
+      assert(got(l) == bandsFor(l, 3, 1), s"band mismatch for $l")
+    }
+    // per-language populations balance to within one doc; the three
+    // bands partition each language's scored docs
+    langs.foreach { l =>
+      val nScored = scored.count(s => langOf(s._1) == l).toLong
+      val sizes = (0 until 3).map(k =>
+        Search.pplSelectByLang(spark, sf, 3, k).collect()
+          .count(_.getString(1) == l).toLong)
+      assert(sizes.sum == nScored, s"bands do not partition $l")
+      assert(sizes.max - sizes.min <= 1,
+        s"band populations unbalanced for $l: $sizes")
+    }
+    // the per-language cut genuinely differs from the global one —
+    // the reason T32c exists
+    val global = Search.pplSelect(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.values.flatten.toSet != global,
+      "per-language middle band equals the global one — vacuous split")
+  }
+
   test("the bigram model is order-sensitive where the unigram model is blind") {
     // the sf corpora are iid word salad (order carries no signal
     // there by construction), so the property is shown on a PLANTED

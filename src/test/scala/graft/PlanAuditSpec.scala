@@ -384,6 +384,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no partial aggregation in the sweep:\n$plan")
   }
 
+  test("html_extract is one codegen'd projection: no UDF, no agg, no join") {
+    val plan = planOf(graft.operators.TextOps.htmlExtract(spark, sf))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      s"UDF machinery in html_extract:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      s"non-projection machinery in html_extract:\n$plan")
+    // scan-bound: the only exchange is the output sort's range
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 1, s"$exchanges data exchanges:\n$plan")
+    // built-in regexp_replace/replace only — both codegen'd; the
+    // UDF/Python assertions above are the regression guard (the AQE
+    // plan string materializes codegen spans only after execution)
+  }
+
+  test("knn_graph_ivf: broadcast centroids, keyed rank windows, no cartesian") {
+    val plan = planOf(Similarity.knnGraphIvf(spark, sf))
+    assert(plan.contains("BroadcastExchange"),
+      s"centroids did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the IVF graph build:\n$plan")
+    // every rank window is keyed (query_id / vec_id) — an
+    // unpartitioned window would collapse the corpus to one task
+    val windows = plan.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.nonEmpty)
+    assert(!plan.contains("SinglePartition"),
+      s"unpartitioned exchange in knn_graph_ivf:\n$plan")
+  }
+
   test("embed_prune_proto scan prunes to vec_id + embedding") {
     val plan = planOf(
       graft.operators.Clustering.embedPruneProto(spark, sf, k = 8))

@@ -444,6 +444,108 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0.05), "no repetition in corpus?")
   }
 
+  test("htmlTextOf extracts hand-pinned pages byte-identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // script/style/comment content drops; block tags break lines
+      ("<html><head><style>a{x}</style></head><body>" +
+        "<h1>Title</h1><p>one two</p><script>var a = 1 < 2;</script>" +
+        "<p>three</p></body></html>",
+        "Title\none two\nthree"),
+      // entities decode, &amp; last (double-escaped stays escaped)
+      ("<p>a &lt;tag&gt; &quot;q&#39; &amp;amp; b&nbsp;c</p>",
+        "a <tag> \"q' &amp; b c"),
+      // unclosed attribute quote: the tag eats through the next '>'
+      ("<p>keep</p><div class=\"oops</body></html>", "keep"),
+      // whitespace collapse: runs of blanks/newlines fold
+      ("<p>a   b</p>\n\n\n<p>c\t d</p>", "a b\nc d"),
+      // no markup at all passes through trimmed
+      ("  plain text  ", "plain text"))
+    val got = cases.map(_._1).toDF("html")
+      .select(graft.operators.TextOps.htmlTextOf(col("html")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2),
+      got.zip(cases).filter { case (g, (_, e)) => g != e }.toString)
+  }
+
+  test("htmlExtract matches a Java-regex in-driver reference on the " +
+      "planted pages, every fixture rule firing") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def extract(html: String): String = html
+      .replaceAll("(?is)<script[^>]*>.*?</script>", " ")
+      .replaceAll("(?is)<style[^>]*>.*?</style>", " ")
+      .replaceAll("(?s)<!--.*?-->", " ")
+      .replaceAll(
+        "(?i)</?(?:p|br|li|ul|ol|div|h[1-6]|tr|table|blockquote)\\b[^>]*>",
+        "\n")
+      .replaceAll("<[^>]*>", " ")
+      .replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
+      .replaceAll("[ \t\r]+", " ")
+      .replaceAll(" ?\n[ \n]*", "\n")
+      .replaceAll("^\\s+|\\s+$", "")
+    val expected = docs.map { case (id, t) =>
+      val html = s"<html><!-- gen -->\n<head><title>Doc $id" +
+        "</title><style media=\"all\">body { color: #000; }</style>" +
+        s"</head><body><h1>Doc $id</h1>" +
+        (if (id % 3 == 0)
+          "<script type=\"text/javascript\">var x = 1 < 2 && y > 0;</script>"
+        else "") +
+        (if (id % 2 == 0) "<ul><li>alpha</li><li>beta</li></ul>" else "") +
+        s"<p>$t" +
+        (if (id % 5 == 0)
+          " Fish &amp; Chips &lt;b&gt;bold&#39;s&quot; end&nbsp;here"
+        else "") +
+        "</p>" +
+        (if (id % 7 == 3) "<div class=\"unterminated" else "") +
+        "</body></html>"
+      val x = extract(html)
+      (id, (x, x.count(_ == '\n').toLong + 1L))
+    }.toMap
+    val got = graft.operators.TextOps.htmlExtract(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // non-vacuity: the fixture rules all fire on real rows
+    val byId = got.map { case (id, (x, _)) => id -> x }
+    assert(byId.exists { case (id, x) =>
+      id % 5 == 0 && x.contains("Fish & Chips <b>bold's\" end here") },
+      "entity rows missing")
+    assert(byId.forall { case (_, x) => !x.contains("var x = 1") },
+      "script content leaked")
+    assert(byId.forall { case (_, x) => !x.contains("color: #000") },
+      "style content leaked")
+    assert(byId.exists { case (id, x) =>
+      id % 2 == 0 && x.contains("alpha\nbeta") }, "list rows missing")
+    assert(byId.forall { case (_, x) => !x.contains("unterminated") },
+      "malformed tag leaked")
+  }
+
+  test("tokenFertility sums partition the corpus and ratios are the exact divisions") {
+    val rows = graft.operators.TextOps.tokenFertility(spark, sf)
+      .collect()
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang").collect().map(_.getString(0))
+    // one row per language, docs partition the corpus exactly
+    assert(rows.map(_.getString(0)).toSet == langs.toSet)
+    assert(rows.map(_.getLong(1)).sum == langs.length.toLong)
+    rows.foreach { r =>
+      val (nb, nbpe, nch, nt) = (r.getLong(4), r.getLong(3),
+        r.getLong(5), r.getLong(2))
+      // the ratio columns are EXACTLY one IEEE division over the
+      // integer sums (the oracle's statement) — not re-aggregated
+      assert(r.getDouble(6) == nb.toDouble / nbpe.toDouble)
+      assert(r.getDouble(7) == nch.toDouble / nt.toDouble)
+      assert(nt > 0 && nbpe > 0 && nb >= nch,
+        "degenerate language row")
+    }
+    // the per-language masses genuinely differ (skewed lang mix)
+    assert(rows.map(_.getLong(2)).distinct.length > 1)
+  }
+
   test("piiScrub redacts planted PII byte-identically to a Java-regex reference") {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"

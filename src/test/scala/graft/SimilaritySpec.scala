@@ -265,6 +265,75 @@ class SimilaritySpec extends AnyFunSuite {
       s"drift must drop on OOD append: before=$before after=$after")
   }
 
+  test("knnGraph matches an in-driver exact reference") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expected = emb.flatMap { case (id, v) =>
+      emb.filter(_._1 != id)
+        .map { case (nid, nv) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < v.length) {
+            dot += v(i).toDouble * nv(i).toDouble
+            na += v(i).toDouble * v(i).toDouble
+            nb += nv(i).toDouble * nv(i).toDouble
+            i += 1
+          }
+          (nid, dot / (math.sqrt(na) * math.sqrt(nb)))
+        }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, c), i) => (id, nid, c, i + 1) }
+    }.toSet
+    val got = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(got == expected)
+  }
+
+  test("knnGraphIvf recall vs the exact graph, ranks contiguous, " +
+      "cosines bit-equal on shared edges") {
+    val exactG = Similarity.knnGraph(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.knnGraphIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    // recall: nProbe=2 of 8 cells over near-random vectors misses
+    // cross-cell neighbors (the annIvf regime — real corpora
+    // cluster), but a broken assignment/probe drives this to ~0
+    val hits = ivf.count { case (v, n, _, _) =>
+      exactG.contains((v, n)) }
+    val recall = hits.toDouble / exactG.size
+    assert(recall >= 0.4, s"knnGraphIvf recall $recall too low")
+    // shared edges carry the IDENTICAL double (one cosine kernel)
+    ivf.foreach { case (v, n, c, _) =>
+      exactG.get((v, n)).foreach(ec => assert(ec == c,
+        s"cosine mismatch on ($v,$n): exact=$ec ivf=$c")) }
+    // per-vector ranks are 1..m contiguous
+    ivf.groupBy(_._1).foreach { case (v, rows) =>
+      val rnks = rows.map(_._4).sorted
+      assert(rnks.sameElements(1 to rnks.length),
+        s"ranks not contiguous for $v: ${rnks.mkString(",")}") }
+  }
+
+  test("knnGraphIvf probing every cell IS the exact graph") {
+    // nProbe = nCells ⇒ every vector's candidate set is the whole
+    // corpus ⇒ the IVF build must reproduce knnGraph bit-for-bit
+    // (same cosine kernel, same tie rule) — pins assignment
+    // exhaustiveness and the dedup-free candidate join
+    val exactRows = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val full = Similarity.knnGraphIvf(spark, sf,
+        nCells = 8, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(full == exactRows)
+  }
+
   test("loadIvfIndex refuses foreign tables") {
     import spark.implicits._
     val dir = java.nio.file.Files

@@ -854,6 +854,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("X28 streaming HTML extraction equals the batch kernel, ts carried") {
+    import graft.streaming.StreamingOps.StreamHtml
+    import graft.operators.TextOps
+    val sf = "/root/testdata/sf0.001"
+    // the T45 planted pages — markup fixtures whose every rule fires
+    val pages = TextOps.plantHtml(
+        spark.read.parquet(s"$sf/documents.parquet")
+          .select(col("doc_id"), col("text")).limit(60))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(pages.nonEmpty)
+    val batch = pages.toSeq.toDF("doc_id", "html")
+      .select(col("doc_id"), TextOps.htmlTextOf(col("html")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val in = MemoryStream[StreamHtml]
+    val q = runToMemory(
+      StreamingOps.streamingHtmlExtract(in.toDS()), "html_out")
+    try {
+      in.addData(pages.zipWithIndex.map { case ((id, h), i) =>
+        StreamHtml(id, ts(i % 50), h) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val rows = spark.table("html_out").collect()
+      val got = rows.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"))).toMap
+      assert(got == batch)
+      // markup genuinely stripped, event time carried
+      assert(got.values.forall(t => !t.contains("<p>")))
+      assert(spark.table("html_out").columns.toSeq ==
+        Seq("doc_id", "ts", "text"))
+    } finally q.stop()
+  }
+
   test("X27 streaming ingest admission composes the gates, the fp screen and the cap") {
     import graft.streaming.StreamingOps.StreamIngestDoc
     import graft.operators.{Dedup, DomainOps, Pipeline, TextOps}
