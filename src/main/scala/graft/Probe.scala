@@ -65,7 +65,7 @@ object Probe {
       "bm25_search", "embed_kmeans", "embed_quantize", "embed_project",
       "pipeline_clean", "pipeline_full", "pipeline_scrub",
       "pipeline_ingest", "pipeline_ingest_verified",
-      "pipeline_signals", "pipeline_release",
+      "pipeline_signals", "pipeline_release", "pipeline_web",
       "wordcount_salted",
       "multimodal_decode",
       "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_indexed",

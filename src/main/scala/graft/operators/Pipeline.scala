@@ -431,6 +431,33 @@ object Pipeline {
       cap = 3, tokensPerShard = 1024L)
   }
 
+  /** P7 — THE WEB RELEASE: [[pipelineRelease]] starting from RAW
+    * CRAWL PAGES, the full RefinedWeb/FineWeb shape with nothing
+    * assumed: T45 HTML→text extraction → T39 URL gate → T38 signals
+    * gate → D1 exact dedup → T40 per-domain cap → T44 export shards.
+    * The extraction is a pure projection, so the plan is P6's with
+    * one more codegen'd stage in front of the first exchange — raw
+    * markup never crosses a shuffle (the page dies into extracted
+    * text inside the scan's projection).
+    *
+    * The registered fixture wraps the P6 planted text via
+    * [[TextOps.plantWebPage]] — extraction provably recovers it
+    * EXACTLY (line-per-`<p>` structure), so this query is spec'd
+    * EQUAL row-for-row to `pipeline_release`: the hash row then
+    * proves the extraction chain composes losslessly through all
+    * six stages in BOTH engines.
+    */
+  def pipelineWebQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (docs, blocklist) = releaseFixture(spark, sfDir)
+    val extracted = TextOps.plantWebPage(docs)
+      .select(col("doc_id"), col("url"),
+        TextOps.htmlTextOf(col("html")).as("text"))
+    pipelineRelease(extracted, blocklist,
+      stopWords = Seq("the", "a"), badWords = Seq("badword"),
+      cap = 3, tokensPerShard = 1024L)
+  }
+
   /** The registered fixture (planted text + URL, default blocklist)
     * — shared by the query, the spec and the plan audit.
     */
@@ -453,6 +480,22 @@ object Pipeline {
     val (docs, blocklist) = releaseFixture(spark, sfDir)
     releaseCapped(docs, blocklist, Seq("the", "a"), Seq("badword"),
       DomainOps.DefaultBadUrlWords, cap = 3, seed = 7L)
+  }
+
+  /** P7's stages 0–4 (extraction in front) as a lazy frame — the
+    * plan-audit twin of [[releaseCappedQuery]]: raw markup must die
+    * into extracted text inside the scan-side projection, before
+    * the first exchange.
+    */
+  private[graft] def releaseCappedWebQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (docs, blocklist) = releaseFixture(spark, sfDir)
+    val extracted = TextOps.plantWebPage(docs)
+      .select(col("doc_id"), col("url"),
+        TextOps.htmlTextOf(col("html")).as("text"))
+    releaseCapped(extracted, blocklist, Seq("the", "a"),
+      Seq("badword"), DomainOps.DefaultBadUrlWords, cap = 3,
+      seed = 7L)
   }
 
   /** The registered `pipeline_scrub` query (the [[pipelineFullQuery]]

@@ -764,6 +764,25 @@ object TextOps {
       lit("</body></html>")).as("html"))
   }
 
+  /** Wrap a `(doc_id, text, …)` frame as RAW CRAWL PAGES whose T45
+    * extraction recovers `text` EXACTLY: every text line becomes a
+    * `<p>` block (block tags come back as newlines), under a head
+    * with an empty title, a style block, a comment and a script the
+    * extraction must strip. Exactness needs line-structured text
+    * with no blank lines, no blank runs and no `&<>` — which every
+    * planted fixture in this library satisfies. This is the P7
+    * fixture: raw page in, the P6 fixture text back out, so the
+    * web pipeline is spec'd EQUAL to the release pipeline.
+    */
+  private[graft] def plantWebPage(docs: DataFrame): DataFrame =
+    docs.withColumn("html", concat(
+        lit("<html><!-- crawl fixture --><head><title></title>" +
+          "<style media=\"all\">body { margin: 0; }</style></head>" +
+          "<body><script>var t = 1 < 2 && true;</script><p>"),
+        replace(col("text"), lit("\n"), lit("</p><p>")),
+        lit("</p></body></html>")))
+      .drop("text")
+
   /** Registered `html_extract` (hash-checked): extraction over the
     * planted page — doc_id, the extracted text, its line count.
     */

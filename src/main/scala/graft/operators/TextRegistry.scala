@@ -91,6 +91,10 @@ object TextRegistry {
     // P6: the full modern release — URL gate + signals gate + exact
     // dedup + per-domain cap + export shards (hash-checked)
     "pipeline_release" -> (Pipeline.pipelineReleaseQuery _),
+    // P7 the web release: P6 from RAW pages (T45 extraction in
+    // front); spec'd EQUAL to pipeline_release via the exact
+    // line-per-<p> round trip
+    "pipeline_web" -> (Pipeline.pipelineWebQuery _),
     "dedup_apply_best" -> ((s, d) => Clusters.dedupApplyBest(s, d)),
     // rows-only: exact counts on an MG-mined candidate set — the
     // frontier under summary-dependent ties has no SQL oracle; the
@@ -787,11 +791,8 @@ object TextRegistry {
     // definition, both sides)
     "pipeline_signals" ->
       (signalsCoreChainFrom(
-        "WITH t AS (SELECT doc_id,\n  CASE WHEN doc_id % 50 = 7\n" +
-          "  THEN " + Pipeline.SignalsDupPage.map(l => s"'$l'")
-            .mkString(" || chr(10) || ") + "\n" +
-          "  ELSE " + c4PlantExpr("") + " END AS text\n" +
-          " FROM documents)" + c4ChainFromT) +
+        "WITH t AS (SELECT doc_id,\n  " + releasePlantCaseSql +
+          " AS text\n FROM documents)" + c4ChainFromT) +
         """,
           |kept AS (SELECT t.doc_id, t.text FROM t
           |  JOIN core USING (doc_id) WHERE core.keep_core = 1),
@@ -808,36 +809,22 @@ object TextRegistry {
     "pipeline_release" ->
       (signalsCoreChainFrom(
         releaseUrlGateCtes +
-          ",\nt AS (SELECT doc_id,\n  CASE WHEN doc_id % 50 = 7\n" +
-          "  THEN " + Pipeline.SignalsDupPage.map(l => s"'$l'")
-            .mkString(" || chr(10) || ") + "\n" +
-          "  ELSE " + c4PlantExpr("") + " END AS text\n" +
-          " FROM documents JOIN ug USING (doc_id))" + c4ChainFromT) +
-        s""",
-          |kept AS (SELECT t.doc_id, t.text, ug.domain FROM t
-          |  JOIN core USING (doc_id) JOIN ug USING (doc_id)
-          |  WHERE core.keep_core = 1),
-          |fp8 AS (SELECT doc_id, domain, text,
-          |  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
-          | FROM kept),
-          |sv AS (SELECT doc_id, domain, text, fp FROM (
-          |  SELECT doc_id, domain, text, fp,
-          |    MIN(doc_id) OVER (PARTITION BY fp) AS canonical
-          |  FROM fp8) WHERE doc_id = canonical),
-          |rnk AS (SELECT doc_id, domain, fp, text,
-          |  row_number() OVER (PARTITION BY domain
-          |    ORDER BY ('0x' || substr(md5(text), 1, 13))::BIGINT,
-          |      doc_id) AS rk FROM sv),
-          |ct AS (SELECT doc_id, domain, fp,
-          |  len($TOKS)::BIGINT AS n_tokens,
-          |  md5(concat('7:', doc_id)) AS h FROM rnk WHERE rk <= 3),
-          |ss AS (SELECT doc_id, domain, fp, n_tokens,
-          |  sum(n_tokens) OVER (ORDER BY h, doc_id
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |    AS cum FROM ct)
-          |SELECT doc_id, domain, fp, n_tokens,
-          | ((cum - n_tokens) // 1024)::BIGINT AS shard_id
-          |FROM ss ORDER BY doc_id""".stripMargin),
+          ",\nt AS (SELECT doc_id,\n  " + releasePlantCaseSql +
+          " AS text\n FROM documents JOIN ug USING (doc_id))" +
+          c4ChainFromT) + releaseTailSql),
+    // P7: the web release — the IDENTICAL P6 statement with the
+    // planted text wrapped as a raw page and pushed back through the
+    // T45 extraction chain first (one wrap + one chain definition);
+    // hash-matching this proves extraction composes losslessly
+    // through all six stages in both engines
+    "pipeline_web" ->
+      (signalsCoreChainFrom(
+        releaseUrlGateCtes +
+          ",\nraw AS (SELECT doc_id,\n  " + webWrapSql(releasePlantCaseSql) +
+          " AS html\n FROM documents JOIN ug USING (doc_id))" +
+          htmlExtractChain("raw", "xt") +
+          ",\nt AS (SELECT doc_id, t AS text FROM xt)" +
+          c4ChainFromT) + releaseTailSql),
     // T43: the model-gate threshold sweep — kept docs/bytes at each
     // 5-point threshold; comparisons via the same IEEE pct/100.0
     // division the Spark side performs
@@ -1071,7 +1058,7 @@ object TextRegistry {
     // \b — the java-regex/RE2-shared subset), DuckDB's 'g' flag
     // standing in for Spark's replace-all default
     "html_extract" ->
-      """WITH d AS (SELECT doc_id,
+      ("""WITH d AS (SELECT doc_id,
         |  '<html><!-- gen -->' || chr(10) || '<head><title>Doc ' ||
         |  doc_id::VARCHAR ||
         |  '</title><style media="all">body { color: #000; }</style></head><body><h1>Doc ' ||
@@ -1082,31 +1069,13 @@ object TextRegistry {
         |  CASE WHEN doc_id % 5 = 0 THEN ' Fish &amp; Chips &lt;b&gt;bold&#39;s&quot; end&nbsp;here' ELSE '' END ||
         |  '</p>' ||
         |  CASE WHEN doc_id % 7 = 3 THEN '<div class="unterminated' ELSE '' END ||
-        |  '</body></html>' AS html FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(html,
-        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM d),
-        |s2 AS (SELECT doc_id, regexp_replace(t,
-        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(t,
-        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(t,
-        |  '(?i)</?(?:p|br|li|ul|ol|div|h[1-6]|tr|table|blockquote)\b[^>]*>',
-        |  chr(10), 'g') AS t FROM s3),
-        |s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g')
-        |  AS t FROM s4),
-        |s6 AS (SELECT doc_id, replace(replace(replace(replace(replace(
-        |  replace(t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-        |  '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s5),
-        |s7 AS (SELECT doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g')
-        |  AS t FROM s6),
-        |s8 AS (SELECT doc_id, regexp_replace(t, ' ?\n[ \n]*', chr(10),
-        |  'g') AS t FROM s7),
-        |s9 AS (SELECT doc_id, regexp_replace(t, '^\s+|\s+$', '', 'g')
-        |  AS t FROM s8)
+        |  '</body></html>' AS html FROM documents)""".stripMargin +
+      htmlExtractChain("d", "e") +
+      """
         |SELECT doc_id, t AS page_text,
         |  (length(t) - length(replace(t, chr(10), '')) + 1)::BIGINT
         |    AS n_lines
-        |FROM s9 ORDER BY doc_id""".stripMargin,
+        |FROM e ORDER BY doc_id""".stripMargin),
     // exact substring pairs: 8-token verbatim windows, distinct per
     // doc, df-capped [2, 100] exactly like the Spark bucket filter
     "dedup_substring" ->
@@ -1797,4 +1766,87 @@ object TextRegistry {
          |ug AS (SELECT doc_id, domain FROM ud
          |  WHERE NOT (domain IN ($domainBlockSql)
          |             OR (${domainBadWordSql("url")})))""".stripMargin
+
+  /** The P6/P7 release tail over `t`/`core`/`ug`: keep_core
+    * survivors → fp dedup → per-domain cap rank → export-shard
+    * window. ONE definition for both release statements.
+    */
+  private def releaseTailSql: String =
+    s""",
+      |kept AS (SELECT t.doc_id, t.text, ug.domain FROM t
+      |  JOIN core USING (doc_id) JOIN ug USING (doc_id)
+      |  WHERE core.keep_core = 1),
+      |fp8 AS (SELECT doc_id, domain, text,
+      |  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+      | FROM kept),
+      |sv AS (SELECT doc_id, domain, text, fp FROM (
+      |  SELECT doc_id, domain, text, fp,
+      |    MIN(doc_id) OVER (PARTITION BY fp) AS canonical
+      |  FROM fp8) WHERE doc_id = canonical),
+      |rnk AS (SELECT doc_id, domain, fp, text,
+      |  row_number() OVER (PARTITION BY domain
+      |    ORDER BY ('0x' || substr(md5(text), 1, 13))::BIGINT,
+      |      doc_id) AS rk FROM sv),
+      |ct AS (SELECT doc_id, domain, fp,
+      |  len($TOKS)::BIGINT AS n_tokens,
+      |  md5(concat('7:', doc_id)) AS h FROM rnk WHERE rk <= 3),
+      |ss AS (SELECT doc_id, domain, fp, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY h, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cum FROM ct)
+      |SELECT doc_id, domain, fp, n_tokens,
+      | ((cum - n_tokens) // 1024)::BIGINT AS shard_id
+      |FROM ss ORDER BY doc_id""".stripMargin
+
+  /** The P7 raw-page wrap of a text EXPRESSION (mirrors
+    * TextOps.plantWebPage — one structure, both engines): every text
+    * line becomes a `<p>` block under head/style/comment/script
+    * noise, so the T45 extraction recovers the text exactly.
+    */
+  private def webWrapSql(textExpr: String): String =
+    "'<html><!-- crawl fixture --><head><title></title>" +
+      "<style media=\"all\">body { margin: 0; }</style></head>" +
+      "<body><script>var t = 1 < 2 && true;</script><p>' ||\n" +
+      "  replace(" + textExpr + ", chr(10), '</p><p>') ||\n" +
+      "  '</p></body></html>'"
+
+  /** The P5/P6/P7 planted-text CASE (the SignalsDupPage duplicate
+    * pages over the c4 plant) — ONE definition for every
+    * release-family oracle.
+    */
+  private def releasePlantCaseSql: String =
+    "CASE WHEN doc_id % 50 = 7\n" +
+      "  THEN " + Pipeline.SignalsDupPage.map(l => s"'$l'")
+        .mkString(" || chr(10) || ") + "\n" +
+      "  ELSE " + c4PlantExpr("") + " END"
+
+  /** The T45 extraction CTE chain over `$from(doc_id, html)` →
+    * `$out(doc_id, t)` — the SAME pattern strings the Spark
+    * htmlTextOf Column applies, shared by the html_extract oracle
+    * and the P7 web-release oracle. Starts with "," (appended to an
+    * open WITH chain).
+    */
+  private def htmlExtractChain(from: String, out: String): String =
+    (s""",
+       |${out}1 AS (SELECT doc_id, regexp_replace(html,
+       |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM $from),
+       |${out}2 AS (SELECT doc_id, regexp_replace(t,
+       |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM ${out}1),
+       |${out}3 AS (SELECT doc_id, regexp_replace(t,
+       |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM ${out}2),
+       |${out}4 AS (SELECT doc_id, regexp_replace(t,
+       |  '(?i)</?(?:p|br|li|ul|ol|div|h[1-6]|tr|table|blockquote)\\b[^>]*>',
+       |  chr(10), 'g') AS t FROM ${out}3),
+       |${out}5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g')
+       |  AS t FROM ${out}4),
+       |${out}6 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+       |  replace(t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+       |  '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM ${out}5),
+       |${out}7 AS (SELECT doc_id, regexp_replace(t, '[ \\t\\r]+', ' ', 'g')
+       |  AS t FROM ${out}6),
+       |${out}8 AS (SELECT doc_id, regexp_replace(t, ' ?\\n[ \\n]*', chr(10),
+       |  'g') AS t FROM ${out}7),
+       |$out AS (SELECT doc_id, regexp_replace(t, '^\\s+|\\s+""").stripMargin +
+      s"""$$', '', 'g')
+         |  AS t FROM ${out}8)""".stripMargin
 }

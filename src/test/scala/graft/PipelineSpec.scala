@@ -23,6 +23,31 @@ class PipelineSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("pipeline_web equals pipeline_release — the raw-page round trip") {
+    // the key lemma first: extraction EXACTLY recovers the planted
+    // fixture text from its line-per-<p> page, doc for doc
+    val (docs, _) = Pipeline.releaseFixture(spark, sf)
+    val drift = TextOps.plantWebPage(docs)
+      .select(col("doc_id"),
+        TextOps.htmlTextOf(col("html")).as("x"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .filter(col("x") =!= col("text")).count()
+    assert(drift == 0, s"$drift docs drift through the round trip")
+    // the raw pages genuinely carry markup the extraction must strip
+    val h = TextOps.plantWebPage(docs).select("html").head.getString(0)
+    assert(h.contains("<script>") && h.contains("<style") &&
+      h.contains("</p><p>") && h.contains("<!--"))
+    // therefore the six-stage web pipeline must equal the release
+    // pipeline row for row (both are doc_id-ordered)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    val rel = rows(Pipeline.pipelineReleaseQuery(spark, sf))
+    val web = rows(Pipeline.pipelineWebQuery(spark, sf))
+    assert(web.nonEmpty)
+    assert(web == rel)
+  }
+
   test("pipelineRelease equals the stagewise chain and every stage bites") {
     import spark.implicits._
     import graft.operators.DomainOps

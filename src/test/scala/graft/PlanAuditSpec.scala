@@ -317,6 +317,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window not keyed by fp/domain:\n${windows.mkString("\n")}")
   }
 
+  test("pipeline_web: markup dies in the scan projection, never crosses a shuffle") {
+    val plan = planOf(
+      graft.operators.Pipeline.releaseCappedWebQuery(spark, sf))
+    // P6's audit properties hold with extraction in front…
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocklist did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SinglePartition"), s"degenerate exchange:\n$plan")
+    // …and no html/raw-page column rides any exchange: extraction is
+    // a pure projection fused into the scan side
+    plan.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+      assert(!l.contains("html"), s"raw markup crosses a shuffle: $l"))
+  }
+
   test("domain_filter: blocklist joins by broadcast, zero data shuffles") {
     val plan = planOf(
       graft.operators.DomainOps.domainFilterQuery(spark, sf))
