@@ -38,7 +38,7 @@ object RecallProbe {
     // optional method subset after the copy count (cheap re-runs when
     // a long session dies partway): jaccard_lsh minhash simhash ann
     val methodNames =
-      Set("jaccard_lsh", "minhash", "simhash", "ann",
+      Set("jaccard_lsh", "minhash", "simhash", "ann", "knn",
         "sentence", "paragraph", "substring")
     val picked = args.drop(1).toSet
     val badNames = picked.diff(methodNames)
@@ -350,6 +350,36 @@ object RecallProbe {
         sfDir, nCells = 64, nProbe = 8, k = annK, nQueries = annQ))
       annRecall("ann_pq", operators.Similarity.annPq(spark, sfDir,
         k = annK, nQueries = annQ))
+    }
+
+    // ---- S15 graph recall on SAMPLED VERTICES: the IVF graph build
+    // runs at FULL corpus scale (every vector gets its neighbors);
+    // exact truth is affordable only for a vertex sample (100 ·
+    // corpus dot products vs the corpus-quadratic full truth), so
+    // recall is measured on the sampled vertices' rows — the
+    // candidate-generation quality those rows witness is the same
+    // for every vertex (one fit, one assignment, one probe rule).
+    if (wanted("knn")) {
+      val q = 100
+      val k = 5
+      val (bf, bfSec) = timed {
+        operators.Similarity.annBruteForce(spark, sfDir,
+          nQueries = q, k = k)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+      }
+      val nBf = bf.count()
+      println(f"""{"method":"knn_truth_sample","band":"top$k","truth":$nBf,"found":$nBf,"recall":1.0,"sec":$bfSec%.1f}""")
+      val (g, gSec) = timed {
+        operators.Similarity.knnGraphIvf(spark, sfDir, k = k)
+          .filter(col("vec_id") < q)
+          .select(col("vec_id").as("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+      }
+      val hit = bf.join(g, Seq("query_id", "neighbor_id"),
+        "left_semi").count()
+      println(f"""{"method":"knn_graph_ivf","band":"top$k","truth":$nBf,"found":$hit,"recall":${
+        hit.toDouble / nBf}%.4f,"sec":$gSec%.1f}""")
     }
 
     spark.stop()
