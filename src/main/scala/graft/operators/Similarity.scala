@@ -976,6 +976,7 @@ object Similarity {
       k: Int = 5, nCells: Int = 0, nProbe: Int = 2,
       lloydIters: Int = 2, targetCell: Int = 1024): DataFrame = {
     require(targetCell > 0, s"targetCell must be > 0: $targetCell")
+    import graft.functions.AggFunctions.topk_by
     val emb = embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").as("emb"))
     val cells =
@@ -988,24 +989,33 @@ object Similarity {
     val centroids = fitCentroids(spark, emb, cells, lloydIters)
     val assigned = assignCells(emb, centroids)
       .localCheckpoint(eager = true) // one assignment pass feeds both sides
+    // both rank stages are R26 bounded heaps, NOT windows: a window
+    // would shuffle-and-sort every (vector, centroid) and every
+    // (vector, candidate) row — #vectors·nProbe·E[cell] rows at
+    // corpus scale — while the heaps move at most nProbe (resp. k)
+    // entries per vector per partition, map-side combined. The heap's
+    // native order (ord DESC, id ASC) IS the library ANN tie rule.
     val probes = assigned
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
       .crossJoin(broadcast(centroids))
       .withColumn("cdist", cosineAny(col("q_emb"), col("c_emb")))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cdist").desc, col("cell_id"))))
-      .filter(col("crnk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cdist"), col("cell_id"), nProbe).as("pc"),
+        first(col("q_emb")).as("q_emb"))
+      .select(col("query_id"), col("q_emb"),
+        explode(col("pc")).as("p"))
+      .select(col("query_id"), col("q_emb"),
+        col("p.id").as("cell_id"))
     assigned.join(probes, Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cosine"), col("vec_id"), k).as("top"))
       .select(col("query_id").as("vec_id"),
-        col("vec_id").as("neighbor_id"), col("cosine"), col("rnk"))
+        posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(col("vec_id"), col("nb.id").as("neighbor_id"),
+        col("nb.ord").as("cosine"),
+        (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("vec_id"), col("rnk"))
   }
 }

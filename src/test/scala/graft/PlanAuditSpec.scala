@@ -413,16 +413,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // plan string materializes codegen spans only after execution)
   }
 
-  test("knn_graph_ivf: broadcast centroids, keyed rank windows, no cartesian") {
+  test("knn_graph_ivf: broadcast centroids, bounded heaps, no window, no cartesian") {
     val plan = planOf(Similarity.knnGraphIvf(spark, sf))
     assert(plan.contains("BroadcastExchange"),
       s"centroids did not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"cartesian in the IVF graph build:\n$plan")
-    // every rank window is keyed (query_id / vec_id) — an
-    // unpartitioned window would collapse the corpus to one task
-    val windows = plan.linesIterator.filter(_.contains("Window")).toList
-    assert(windows.nonEmpty)
+    // both rank stages are R26 bounded heaps — a Window here would
+    // shuffle-and-sort every candidate row at corpus scale
+    assert(!plan.contains("Window"),
+      s"rank stage regressed to a window sort:\n$plan")
+    assert(plan.contains("topk_by"), s"TopKBy heaps missing:\n$plan")
     assert(!plan.contains("SinglePartition"),
       s"unpartitioned exchange in knn_graph_ivf:\n$plan")
   }
