@@ -856,6 +856,137 @@ object CorpusOps {
     lineDedup(planted)
   }
 
+  /** (site, line) identity for the per-domain frontier: FNV-1a over
+    * `site + "\n" + line` bytes. Injective because a registered
+    * domain can never contain a newline (the host capture stops at
+    * `/ ? #` and hosts are single-line by RFC 3986), so the joined
+    * string parses back uniquely — the length-prefixed-key precedent
+    * without the prefix.
+    */
+  private[graft] def siteLineHash(site: String, line: String): Long =
+    lineHash(site + "\n" + line)
+
+  /** The banned frontier of [[domainLineDedup]]'s df pass — exposed
+    * (the [[bannedLineFrontier]] convention) so a streaming pipeline
+    * can mine it from the historical corpus once and scrub arrivals
+    * statelessly given their domain.
+    */
+  def bannedDomainLineFrontier(docs: DataFrame, minDf: Int = 3,
+      maxBanned: Int = 4000000): Array[Long] = {
+    require(minDf >= 2,
+      s"minDf must be >= 2 (1 would drop every line): $minDf")
+    require(maxBanned > 0, s"maxBanned must be > 0: $maxBanned")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banned = docs.select(col("doc_id"), col("domain"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (_, dom, t) =>
+        val hs = splitLines(t).map(siteLineHash(dom, _))
+        java.util.Arrays.sort(hs)
+        // per-doc dedupe: df counts DISTINCT docs per (domain, line)
+        var i = 0
+        var n = 0
+        val out = new Array[Long](hs.length)
+        while (i < hs.length) {
+          if (n == 0 || out(n - 1) != hs(i)) { out(n) = hs(i); n += 1 }
+          i += 1
+        }
+        out.take(n)
+      }
+      .toDF("h")
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h")).as[Long]
+      .limit(maxBanned + 1)
+      .collect()
+    require(banned.length <= maxBanned,
+      s"banned (domain, line) frontier exceeds maxBanned=$maxBanned — " +
+        "raise the budget or raise minDf; refusing an unbounded driver " +
+        "collect")
+    java.util.Arrays.sort(banned)
+    banned
+  }
+
+  /** T47 — PER-DOMAIN (site-level) boilerplate line removal: a line
+    * occurring in ≥ `minDf` distinct documents OF THE SAME REGISTERED
+    * DOMAIN is site chrome (nav bars, footers, cookie banners shared
+    * only across one site's pages) and is dropped from that domain's
+    * docs; the SAME line on another domain is judged by that domain's
+    * own df. This is the per-site form of the published boilerplate
+    * pass (RefinedWeb §3.3's line-wise rules; Dolma's per-document
+    * dedup notes the within-site repetition case), and it is NOT
+    * [[lineDedup]]: a phrase globally frequent but scattered one-per
+    * -site (ad-injected slogans, syndicated bylines) survives here,
+    * while site chrome too rare globally to reach a corpus-wide df
+    * cutoff is still removed — the two operators err on opposite
+    * sides and compose.
+    *
+    * Scale shape = T19's exactly (two scans, text never shuffles):
+    * df pass emits per-doc-distinct 8-byte (domain, line) hashes,
+    * partial-agged count, bounded LOUD frontier collect, broadcast
+    * sorted long[]; rebuild is a zero-shuffle typed map binary-
+    * searching each line under the doc's own domain. At 100 TB the
+    * frontier stays boilerplate-sized (site chrome is a tiny fraction
+    * of distinct lines); domains never repartition anything — the
+    * domain string rides the existing row.
+    *
+    * `docs` must carry (doc_id, domain, text); emptied docs keep
+    * empty `clean_text` (corpus membership preserved, the T19
+    * contract).
+    */
+  def domainLineDedup(docs: DataFrame, minDf: Int = 3,
+      maxBanned: Int = 4000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs.select(col("doc_id"), col("domain"), col("text"))
+      .as[(Long, String, String)]
+    val bc = spark.sparkContext.broadcast(
+      bannedDomainLineFrontier(docs, minDf, maxBanned))
+    ds.map { case (id, dom, t) =>
+        val ls = splitLines(t)
+        val sb = new java.lang.StringBuilder
+        var kept = 0L
+        var dropped = 0L
+        var i = 0
+        while (i < ls.length) {
+          if (java.util.Arrays.binarySearch(bc.value,
+              siteLineHash(dom, ls(i))) >= 0) dropped += 1
+          else {
+            if (kept > 0) sb.append('\n')
+            sb.append(ls(i))
+            kept += 1
+          }
+          i += 1
+        }
+        (id, dom, sb.toString, kept, dropped)
+      }
+      .toDF("doc_id", "domain", "clean_text", "n_kept", "n_dropped")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered `domain_line_dedup` query: the T39 planted-URL
+    * fixture supplies the registered domain, and the text plants (the
+    * line_dedup convention) a per-domain `nav`/`ftr` pair (df = that
+    * domain's doc count ≥ minDf at every planted domain — dropped),
+    * the unique content line (kept), and a `promo doc_id%97` line
+    * whose GLOBAL df ≈ corpus/97 ≥ minDf but whose per-domain df
+    * stays ≤ 2 (kept — the exact line [[lineDedup]] would drop,
+    * pinning the semantic difference). The oracle builds the
+    * identical URL, domain and text in SQL.
+    */
+  def domainLineDedupQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val withDomain = DomainOps.plantUrl(documents(spark, sfDir))
+      .withColumn("domain",
+        DomainOps.registeredDomain(DomainOps.urlHost(col("url"))))
+    val planted = withDomain.select(col("doc_id"), col("domain"),
+      concat(lit("nav "), col("domain"), lit("\n"),
+        col("text"), lit("\n"),
+        lit("promo "), (col("doc_id") % 97).cast("string"), lit("\n"),
+        lit("ftr "), col("domain")).as("text"))
+    domainLineDedup(planted)
+  }
+
   /** Window-position FNV-64 hashes of a doc's tokens: one hash per
     * START position of a `w`-token window, over the space-joined
     * window bytes (identical to the oracle's

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -378,6 +378,172 @@ object Dedup {
         .otherwise(col("text")).as("text"))
     screenNgramBloom(planted)
   }
+
+  /** 2^52 — the exact-in-a-double md5-prefix key space the T8/T40
+    * selection keys live in; the holdout threshold compares against
+    * it with exact integer cross-multiplication.
+    */
+  private val Md5KeySpace = 1L << 52
+
+  /** The D20 holdout membership flag as a pure Column: first 13 hex
+    * of `md5(seed ":" doc_id)` as a 52-bit long (the T8/T44 seeded
+    * md5-order convention — a function of the id only, so the split
+    * never re-hashes text and a backfill reproduces it bit-for-bit),
+    * eval ⟺ key·den < num·2^52 (exact integer cross-multiplication;
+    * the expected eval fraction is num/den). ONE definition for the
+    * batch carve, the Bloom carve and any streaming face.
+    */
+  private[graft] def holdoutFlag(seed: String, evalNum: Long,
+      evalDen: Long): Column =
+    conv(substring(md5(concat(lit(seed + ":"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long") *
+      lit(evalDen) < lit(evalNum * Md5KeySpace)
+
+  private def requireCarveParams(evalNum: Long, evalDen: Long,
+      n: Int): Unit = {
+    require(evalNum >= 1 && evalDen >= 2 && evalNum < evalDen,
+      s"eval fraction must be a proper fraction: $evalNum/$evalDen")
+    require(evalDen <= 2048,
+      s"evalDen too large for exact 52-bit cross-multiplication: $evalDen")
+    require(n >= 2 && n <= 64, s"n out of range: $n")
+  }
+
+  /** The carve's classification scan: every doc gets exactly one row
+    * — `eval` (held out), `contaminated` (a train doc sharing ≥ 1
+    * verbatim n-gram with the holdout — the GPT-3 §2.2 leak), or
+    * `train`. `hits` is the caller's gram-membership counter (exact
+    * binary search or Bloom probe — ONE classification definition,
+    * both paths).
+    */
+  private def carveClassify(ds: org.apache.spark.sql.Dataset[
+      (Long, String, Boolean)], hits: String => Long): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map { case (id, t, ev) =>
+        if (ev) (id, "eval", 0L)
+        else {
+          val h = hits(t)
+          (id, if (h > 0L) "contaminated" else "train", h)
+        }
+      }
+      .toDF("doc_id", "role", "n_overlap")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The (doc_id, text, is_eval) frame both carve paths scan. The
+    * flag is a DETERMINISTIC function of doc_id (md5 prefix), so the
+    * two consumers (holdout gram mine + classification scan) always
+    * observe the same split — no checkpoint needed, unlike the
+    * nondeterministic-screen triple-consumer case D17 guards.
+    */
+  private def holdoutSplit(docsDf: DataFrame, seed: String,
+      evalNum: Long, evalDen: Long): org.apache.spark.sql.Dataset[
+      (Long, String, Boolean)] = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf.select(col("doc_id"), col("text"),
+        holdoutFlag(seed, evalNum, evalDen).as("is_eval"))
+      .as[(Long, String, Boolean)]
+  }
+
+  /** D20 — DECONTAMINATED EVAL HOLDOUT CARVE (the GPT-3 §2.2 /
+    * published-eval protocol, run as ONE operator so the split and
+    * the decontamination can never drift apart): carve a seeded
+    * ~num/den holdout by md5-prefix of doc_id, then flag every TRAIN
+    * document sharing at least one verbatim `n`-token window with ANY
+    * holdout document — training on those would leak the eval set.
+    * Downstream: `eval` rows become the benchmark, `train` rows the
+    * corpus, `contaminated` rows are dropped (or quarantined for the
+    * data card).
+    *
+    * Scale shape: the holdout is a small fraction by construction, so
+    * its distinct gram keys take D13's budget-guarded bounded collect
+    * (loud `maxEvalGrams`) + sorted-long[] broadcast; classification
+    * is ONE zero-shuffle typed map over the corpus. When the holdout
+    * still outgrows the broadcast (corpus-scale holdouts), use
+    * [[holdoutCarveBloom]] — same split, same one-sided guarantee,
+    * mBits/8 bytes regardless of holdout size.
+    */
+  def holdoutCarve(docsDf: DataFrame, seed: String = "7",
+      evalNum: Long = 1, evalDen: Long = 10, n: Int = 13,
+      maxEvalGrams: Int = 10000000): DataFrame = {
+    requireCarveParams(evalNum, evalDen, n)
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val ds = holdoutSplit(docsDf, seed, evalNum, evalDen)
+    val evalKeys = ds.filter(col("is_eval"))
+      .flatMap { case (_, t, _) => Dedup.ngramFnvKeys(t, n) }
+      .toDF("h").distinct()
+      .select(col("h")).as[Long]
+      .limit(maxEvalGrams + 1)
+      .collect()
+    require(evalKeys.length <= maxEvalGrams,
+      s"holdout n-gram set exceeds maxEvalGrams=$maxEvalGrams (~8 bytes " +
+        "per gram on the driver and in the broadcast) — shrink the eval " +
+        "fraction, raise the budget knowingly, or switch to " +
+        "holdoutCarveBloom (bounded memory at any holdout size)")
+    java.util.Arrays.sort(evalKeys)
+    val bc = spark.sparkContext.broadcast(evalKeys)
+    carveClassify(ds, { t =>
+      val ks = Dedup.ngramFnvKeys(t, n)
+      var hits = 0L
+      var i = 0
+      while (i < ks.length) {
+        if (java.util.Arrays.binarySearch(bc.value, ks(i)) >= 0)
+          hits += 1
+        i += 1
+      }
+      hits
+    })
+  }
+
+  /** D20b — the carve with the holdout gram set held as a D18 Bloom
+    * bitmap (mBits/8 bytes at ANY holdout size; per-partition
+    * treeAggregate build, the driver never sees a gram list). The
+    * error is one-sided in the SAFE direction: a present gram always
+    * hits, so a genuinely contaminated train doc can NEVER be
+    * classified `train` — false positives only over-quarantine. At
+    * the registered parameters the output is deterministically
+    * identical to [[holdoutCarve]]'s, so the SAME oracle statement
+    * hash-checks both (the D18 precedent).
+    */
+  def holdoutCarveBloom(docsDf: DataFrame, seed: String = "7",
+      evalNum: Long = 1, evalDen: Long = 10, n: Int = 13,
+      mBits: Int = 1 << 23, kHashes: Int = 4): DataFrame = {
+    requireCarveParams(evalNum, evalDen, n)
+    val spark = docsDf.sparkSession
+    val ds = holdoutSplit(docsDf, seed, evalNum, evalDen)
+    val bits = ngramBloomBuild(ds.filter(col("is_eval"))
+      .toDF("doc_id", "text", "is_eval"), n, mBits, kHashes)
+    val bc = spark.sparkContext.broadcast(bits)
+    carveClassify(ds,
+      t => Dedup.bloomHitCount(bc.value, t, n, kHashes))
+  }
+
+  /** The registered `holdout_carve` / `holdout_carve_bloom` fixture:
+    * random word-soup shares no natural verbatim 13-grams across the
+    * split, so (the D13 planting precedent) a fixed 13-token phrase
+    * is appended to every doc_id ≡ 3 (mod 5) — dense enough that the
+    * ~10% md5 holdout deterministically catches planted docs at
+    * sf0.01 AND sf0.001, making both the holdout gram set and the
+    * contaminated class non-vacuous (spec-asserted). The oracle
+    * builds the identical text and split in SQL.
+    */
+  private def holdoutPlanted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val phrase = (0 until 13).map(i => s"hv$i").mkString(" ")
+    documents(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 3,
+        concat(col("text"), lit(" " + phrase)))
+        .otherwise(col("text")).as("text"))
+  }
+
+  def holdoutCarveQuery(spark: SparkSession, sfDir: String): DataFrame =
+    holdoutCarve(holdoutPlanted(spark, sfDir))
+
+  def holdoutCarveBloomQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    holdoutCarveBloom(holdoutPlanted(spark, sfDir))
 
   /** The D19 64-bit Bloom key of a canonical fingerprint: its first
     * 16 hex digits as an unsigned long — a pure function of the D1

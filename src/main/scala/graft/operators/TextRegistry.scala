@@ -70,6 +70,7 @@ object TextRegistry {
     "top_ngrams" -> ((s, d) => CorpusOps.topNgrams(s, d)),
     "boilerplate_share" -> ((s, d) => CorpusOps.boilerplateShare(s, d)),
     "line_dedup" -> (CorpusOps.lineDedupQuery _),
+    "domain_line_dedup" -> (CorpusOps.domainLineDedupQuery _),
     "paragraph_dedup" -> (CorpusOps.paragraphDedupQuery _),
     "corpus_diff" -> (CorpusOps.corpusDiffQuery _),
     // rows-only: a zlib length is engine-specific; determinism,
@@ -102,6 +103,8 @@ object TextRegistry {
     "top_ngrams_approx" -> ((s, d) => CorpusOps.topNgramsApprox(s, d)),
     "screen_ngram_overlap" -> (Dedup.screenNgramOverlapQuery _),
     "screen_ngram_bloom" -> (Dedup.screenNgramBloomQuery _),
+    "holdout_carve" -> (Dedup.holdoutCarveQuery _),
+    "holdout_carve_bloom" -> (Dedup.holdoutCarveBloomQuery _),
     // D19: released-corpus fingerprint Bloom screen (hash-checked —
     // deterministically the exact fp semi-join at registered size)
     "dedup_exact_bloom" -> ((s, d) => Dedup.dedupExactBloomQuery(s, d)),
@@ -602,6 +605,36 @@ object TextRegistry {
        |FROM g JOIN r USING (gm)
        |WHERE g.doc_id % 7 <> 0
        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
+  /** The D20 carve statement — shared verbatim by `holdout_carve`
+    * and the D20b Bloom path (identical at the registered size, the
+    * D18 precedent). Split = first 13 hex of md5('7:' || doc_id) as
+    * a 52-bit long, eval ⟺ key·10 < 2^52 (~10%); grams are the D13
+    * distinct 13-token windows; every doc gets exactly one row.
+    */
+  private val HOLDOUT_CARVE_SQL: String =
+    s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 3
+       |  THEN text || ' hv0 hv1 hv2 hv3 hv4 hv5 hv6 hv7 hv8 hv9 hv10 hv11 hv12'
+       |  ELSE text END AS text FROM documents),
+       |e AS (SELECT doc_id, text,
+       |  ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 13))::BIGINT
+       |    * 10 < 4503599627370496 AS is_eval FROM d),
+       |t AS (SELECT doc_id, is_eval,
+       |  regexp_split_to_array(trim(text), '\\s+') AS tk FROM e),
+       |g AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(tk) - 11, 1)),
+       |    i -> array_to_string(list_slice(tk, i, i + 12), ' ')))) AS gm
+       |  FROM t WHERE len(tk) >= 13),
+       |r AS (SELECT DISTINCT gm FROM g WHERE is_eval),
+       |h AS (SELECT g.doc_id, count(*)::BIGINT AS n_overlap
+       |  FROM g JOIN r USING (gm)
+       |  WHERE NOT g.is_eval GROUP BY g.doc_id)
+       |SELECT e.doc_id,
+       |  CASE WHEN e.is_eval THEN 'eval'
+       |       WHEN h.n_overlap IS NOT NULL THEN 'contaminated'
+       |       ELSE 'train' END AS role,
+       |  coalesce(h.n_overlap, 0)::BIGINT AS n_overlap
+       |FROM e LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
 
   private val PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
@@ -1219,6 +1252,12 @@ object TextRegistry {
     // grams), so the SAME statement hash-checks it; the undersized-
     // filter superset behavior is spec'd in TextDedupSpec
     "screen_ngram_bloom" -> SCREEN_NGRAM_SQL,
+    // D20/D20b: seeded md5-prefix holdout + verbatim 13-gram
+    // decontamination of train against it, one row per doc; the
+    // Bloom path is deterministically identical at the registered
+    // size (the D18 precedent), so one statement checks both
+    "holdout_carve" -> HOLDOUT_CARVE_SQL,
+    "holdout_carve_bloom" -> HOLDOUT_CARVE_SQL,
     // D19: the planted exact duplicates (probe doc_id ≡ 4 mod 11
     // takes the text of its previous multiple of 7 — always in the
     // ref carve) flagged by canonical-fp membership; the bloom is
@@ -1663,6 +1702,34 @@ object TextRegistry {
          |  (tot.n_lines - coalesce(k.n_kept, 0))::BIGINT AS n_dropped
          |FROM d JOIN tot USING (doc_id)
          |LEFT JOIN kept k ON d.doc_id = k.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // T47 per-domain boilerplate: the planted-URL chain supplies the
+    // registered domain; df counts distinct docs per (domain, line)
+    "domain_line_dedup" ->
+      s"""$domainUrlCte,
+         |p AS (SELECT doc_id, domain,
+         |  'nav ' || domain || chr(10) || text || chr(10) ||
+         |  'promo ' || (doc_id % 97)::VARCHAR || chr(10) ||
+         |  'ftr ' || domain AS t FROM d),
+         |l AS (SELECT doc_id, domain,
+         |  unnest(string_split(t, chr(10))) AS line,
+         |  generate_subscripts(string_split(t, chr(10)), 1) AS ord
+         |  FROM p),
+         |df AS (SELECT domain, line, count(DISTINCT doc_id) AS df
+         |  FROM l GROUP BY domain, line),
+         |kept AS (SELECT l.doc_id,
+         |  string_agg(l.line, chr(10) ORDER BY l.ord) AS clean_text,
+         |  count(*)::BIGINT AS n_kept
+         |  FROM l JOIN df ON l.domain = df.domain AND l.line = df.line
+         |  WHERE df.df < 3 GROUP BY l.doc_id),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines
+         |  FROM l GROUP BY doc_id)
+         |SELECT p.doc_id, p.domain,
+         |  coalesce(k.clean_text, '') AS clean_text,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+         |  (tot.n_lines - coalesce(k.n_kept, 0))::BIGINT AS n_dropped
+         |FROM p JOIN tot USING (doc_id)
+         |LEFT JOIN kept k ON p.doc_id = k.doc_id
          |ORDER BY doc_id""".stripMargin,
     // T39 URL gate: the planted-URL CTE (mirrors
     // DomainOps.plantedUrlDocs literally), host/registered-domain

@@ -649,6 +649,76 @@ object StreamingOps {
       .toDF("doc_id", "ts", "n_overlap")
   }
 
+  /** X30 — STREAMING HOLDOUT DECONTAMINATION: each arriving page is
+    * screened against the RELEASED EVAL HOLDOUT's verbatim n-gram set
+    * the moment it lands (D20 at ingest time — a page quoting the
+    * benchmark must be quarantined before it enters the training
+    * corpus, not at the next batch carve). Arrivals are all
+    * train-side by construction (the holdout was carved from the
+    * released snapshot), so the verdict is `contaminated`/`train`;
+    * gram identity IS the batch [[graft.operators.Dedup.ngramFnvKeys]]
+    * (one definition, both faces). Stateless typed map against the
+    * broadcast sorted frontier; event time carried.
+    */
+  def streamingHoldoutScreen(docs: Dataset[StreamDoc],
+      evalGramsSorted: Array[Long], n: Int = 13): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(evalGramsSorted)
+    docs.map { d =>
+      val ks = graft.operators.Dedup.ngramFnvKeys(d.text, n)
+      var hits = 0L
+      var i = 0
+      while (i < ks.length) {
+        if (java.util.Arrays.binarySearch(bc.value, ks(i)) >= 0)
+          hits += 1
+        i += 1
+      }
+      (d.doc_id, d.ts,
+        if (hits > 0L) "contaminated" else "train", hits)
+    }.toDF("doc_id", "ts", "role", "n_overlap")
+  }
+
+  /** A streamed page that arrives with its registered domain already
+    * extracted (the X23 gate computes it; an ingest pipeline passes
+    * it along rather than re-parsing the URL).
+    */
+  case class StreamSiteDoc(doc_id: Long, ts: Timestamp,
+      domain: String, text: String)
+
+  /** X29 — STREAMING PER-DOMAIN BOILERPLATE SCRUB: X10 with the
+    * frontier keyed by (domain, line) — arrivals lose any line the
+    * historical corpus marked as THEIR OWN SITE's chrome
+    * ([[graft.operators.CorpusOps.bannedDomainLineFrontier]]); the
+    * same line on a domain with no history survives. Hash identity
+    * IS the batch [[graft.operators.CorpusOps.siteLineHash]] (one
+    * definition, both faces); stateless pure map, event time carried.
+    */
+  def streamingDomainLineDedup(docs: Dataset[StreamSiteDoc],
+      bannedSorted: Array[Long]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(bannedSorted)
+    docs.map { d =>
+      val ls = d.text.split("\n", -1)
+      val sb = new java.lang.StringBuilder
+      var kept = 0L
+      var dropped = 0L
+      var i = 0
+      while (i < ls.length) {
+        if (java.util.Arrays.binarySearch(bc.value,
+            graft.operators.CorpusOps.siteLineHash(d.domain, ls(i)))
+            >= 0) dropped += 1
+        else {
+          if (kept > 0) sb.append('\n')
+          sb.append(ls(i))
+          kept += 1
+        }
+        i += 1
+      }
+      (d.doc_id, d.ts, d.domain, sb.toString, kept, dropped)
+    }.toDF("doc_id", "ts", "domain", "clean_text", "n_kept",
+      "n_dropped")
+  }
+
   /** X25 — STREAMING QUALITY SIGNALS: every arriving document gets
     * its full T38 signals row the moment it lands — all five gate
     * decisions (Gopher doc rules, Gopher repetition, C4 page rules,

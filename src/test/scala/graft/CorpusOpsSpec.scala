@@ -798,4 +798,98 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.last._4 == firstSeen.size.toLong)
     assert(got.map(_._4) == got.map(_._4).sorted)
   }
+
+  test("domainLineDedup: per-domain df decides; the same line survives " +
+      "on a low-df domain and a globally-frequent line survives everywhere") {
+    // a.com has 4 docs sharing "nav" (site chrome — dropped there);
+    // b.com carries the IDENTICAL "nav" line once (kept — its own
+    // domain's df is 1); "promo" sits in 4 docs across 4 DIFFERENT
+    // domains (global df 4 ≥ minDf, per-domain df 1 — kept, the exact
+    // line global lineDedup drops); doc 8 is all-chrome (membership
+    // preserved, empty clean_text).
+    val docs = Seq(
+      (0L, "a.com", "nav\nu zero"),
+      (1L, "a.com", "nav\nu one"),
+      (2L, "a.com", "nav\nu two"),
+      (3L, "b.com", "nav\nu three"),
+      (4L, "c.com", "promo\nu four"),
+      (5L, "d.com", "promo\nu five"),
+      (6L, "e.com", "promo\nu six"),
+      (7L, "f.com", "promo\nu seven"),
+      (8L, "a.com", "nav")).toDF("doc_id", "domain", "text")
+    val got = CorpusOps.domainLineDedup(docs, minDf = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == (("u zero", 1L, 1L)))
+    assert(got(1L) == (("u one", 1L, 1L)))
+    assert(got(2L) == (("u two", 1L, 1L)))
+    assert(got(3L) == (("nav\nu three", 2L, 0L)),
+      "identical line on a low-df domain must survive")
+    assert(got(4L) == (("promo\nu four", 2L, 0L)),
+      "globally-frequent but domain-scattered line must survive")
+    assert(got(8L) == (("", 0L, 1L)), "emptied doc must stay, empty")
+    assert(got.size == 9)
+    // the semantic contrast is real: GLOBAL lineDedup at the same
+    // minDf drops both nav (df 5) and promo (df 4) everywhere
+    val global = CorpusOps.lineDedup(
+        docs.select(col("doc_id"), col("text")), minDf = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(global(3L) == "u three")
+    assert(global(4L) == "u four")
+  }
+
+  test("domain_line_dedup registered fixture equals the in-driver " +
+      "reference and exercises both frontier sides") {
+    val got = CorpusOps.domainLineDedupQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    // rebuild the planted fixture in the driver from the raw table
+    val raw = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hostOf(id: Long): String = (id % 10) match {
+      case 0 | 1 => "news.example.com"
+      case 2     => "cdn.news.example.com"
+      case 3     => "blog.example.org"
+      case 4     => "static.blog.example.org"
+      case 5     => "tracker.adsite.biz"
+      case 6     => "mirror.badcontent.co.uk"
+      case _     => s"site${id % 23}.net"
+    }
+    def domainOf(id: Long): String = {
+      val h = hostOf(id)
+      val two = h.split('.').takeRight(2).mkString(".")
+      if (h.endsWith(".co.uk")) h.split('.').takeRight(3).mkString(".")
+      else two
+    }
+    val planted = raw.map { case (id, t) =>
+      val dom = domainOf(id)
+      (id, dom,
+        s"nav $dom\n$t\npromo ${id % 97}\nftr $dom")
+    }
+    val df = planted.flatMap { case (id, dom, t) =>
+        t.split("\n", -1).distinct.map(l => (dom, l) -> id)
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+    val expected = planted.map { case (id, dom, t) =>
+      val ls = t.split("\n", -1)
+      val kept = ls.filter(l => df((dom, l)) < 3)
+      (id, dom, kept.mkString("\n"), kept.length.toLong,
+        (ls.length - kept.length).toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    // both sides fire: every nav/ftr dropped somewhere, and at least
+    // one promo line with GLOBAL df ≥ 3 survives (the per-domain
+    // semantic, not vacuously equal to global line dedup)
+    assert(expected.exists(_._5 > 0), "no dropped line — vacuous")
+    val promoGlobalDf = planted.flatMap { case (id, _, t) =>
+      t.split("\n", -1).distinct.filter(_.startsWith("promo "))
+        .map(_ -> id)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+    val survivedFrequentPromo = planted.exists { case (id, dom, t) =>
+      t.split("\n", -1).exists(l => l.startsWith("promo ") &&
+        promoGlobalDf(l) >= 3 && df((dom, l)) < 3)
+    }
+    assert(survivedFrequentPromo,
+      "fixture never exercises the per-domain vs global contrast")
+  }
 }

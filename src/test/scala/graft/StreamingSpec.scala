@@ -994,4 +994,79 @@ class StreamingSpec extends AnyFunSuite {
         s"stream-only=${got -- expected} batch-only=${expected -- got}")
     } finally q.stop()
   }
+
+  test("X29 streaming domain line dedup scrubs only the arriving doc's own domain frontier") {
+    import graft.streaming.StreamingOps.StreamSiteDoc
+    // historical corpus: a.com has 3 docs sharing the "nav" line
+    // (frontier member); b.com has one doc with the SAME line (df 1
+    // on its own domain -- not in the frontier)
+    val hist = Seq(
+      (0L, "a.com", "nav\nu zero"),
+      (1L, "a.com", "nav\nu one"),
+      (2L, "a.com", "nav\nu two"),
+      (3L, "b.com", "nav\nu three")).toDF("doc_id", "domain", "text")
+    val banned = graft.operators.CorpusOps
+      .bannedDomainLineFrontier(hist, minDf = 3)
+    assert(banned.nonEmpty)
+    val arrivals = Seq(
+      StreamSiteDoc(10L, ts(0), "a.com", "nav\nfresh ten"),
+      StreamSiteDoc(11L, ts(1), "b.com", "nav\nfresh eleven"),
+      StreamSiteDoc(12L, ts(2), "a.com", "nav"))
+    val in = MemoryStream[StreamSiteDoc]
+    val q = StreamingOps.streamingDomainLineDedup(in.toDS(), banned)
+      .writeStream.format("memory").queryName("dom_line_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("dom_line_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("n_dropped")))).toMap
+      // a.com arrival loses ITS site's chrome; the identical line on
+      // b.com survives (no b.com frontier entry); all-chrome arrival
+      // empties but still emits (membership contract)
+      assert(got(10L) == (("fresh ten", 1L, 1L)))
+      assert(got(11L) == (("nav\nfresh eleven", 2L, 0L)))
+      assert(got(12L) == (("", 0L, 1L)))
+      assert(got.size == 3)
+      assert(spark.table("dom_line_out").columns.contains("ts"))
+    } finally q.stop()
+  }
+
+  test("X30 streaming holdout screen classifies arrivals against the released holdout frontier") {
+    import graft.streaming.StreamingOps.StreamDoc
+    // the released holdout: one doc whose 13-gram set is the frontier
+    val phrase = (0 until 13).map(i => s"hv$i").mkString(" ")
+    val holdout = Seq((0L, s"pre $phrase post")).toDF("doc_id", "text")
+    val evalGrams = {
+      import org.apache.spark.sql.functions.col
+      holdout.select(col("text")).collect().map(_.getString(0))
+        .flatMap(t => graft.operators.Dedup.ngramFnvKeys(t, 13))
+        .distinct.sorted
+    }
+    assert(evalGrams.length == 3, "15-token holdout doc -> 3 windows")
+    val arrivals = Seq(
+      StreamDoc(10L, ts(0), s"quoted $phrase here"), // leaks the plant
+      StreamDoc(11L, ts(1),
+        (0 until 20).map(i => s"fr$i").mkString(" ")), // fresh
+      StreamDoc(12L, ts(2), "short doc"))              // < 13 tokens
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.streamingHoldoutScreen(in.toDS(), evalGrams)
+      .writeStream.format("memory").queryName("holdout_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("holdout_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("role"), r.getAs[Long]("n_overlap")))).toMap
+      assert(got(10L) == (("contaminated", 1L)),
+        "the pure-plant window must hit exactly once")
+      assert(got(11L) == (("train", 0L)))
+      assert(got(12L) == (("train", 0L)))
+      assert(got.size == 3)
+      assert(spark.table("holdout_out").columns.contains("ts"))
+    } finally q.stop()
+  }
 }

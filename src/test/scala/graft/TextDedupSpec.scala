@@ -384,4 +384,122 @@ class TextDedupSpec extends AnyFunSuite {
       .agg(sum("n_tokens")).head().getLong(0)
     assert(total == tokens)
   }
+
+  // ---- D20 holdout carve ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def refIsEval(seed: String, id: Long, num: Long,
+      den: Long): Boolean =
+    java.lang.Long.parseLong(
+      md5hex(s"$seed:$id").substring(0, 13), 16) * den < num * (1L << 52)
+
+  private def grams13(t: String): Set[String] = {
+    val tk = t.trim.split("\\s+")
+    if (tk.length < 13) Set.empty
+    else (0 to tk.length - 13).map(i =>
+      tk.slice(i, i + 13).mkString(" ")).toSet
+  }
+
+  /** 200 synthetic docs, unique 15-token soup, the 13-token hv
+    * phrase planted on doc_id ≡ 3 (mod 5).
+    */
+  private def carveFixture = {
+    import spark.implicits._
+    val phrase = (0 until 13).map(i => s"hv$i").mkString(" ")
+    (0L until 200L).map { i =>
+      val base = (0 until 15).map(j => s"d${i}t$j").mkString(" ")
+      (i, if (i % 5 == 3) s"$base $phrase" else base)
+    }.toDF("doc_id", "text")
+  }
+
+  test("holdout carve equals the in-driver reference classification " +
+      "and every role fires") {
+    val docs = carveFixture
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val evalIds = rows.collect {
+      case (id, _) if refIsEval("7", id, 1, 10) => id
+    }.toSet
+    val evalGrams = rows.filter(r => evalIds(r._1))
+      .flatMap(r => grams13(r._2)).toSet
+    val expected = rows.map { case (id, t) =>
+      if (evalIds(id)) (id, "eval", 0L)
+      else {
+        val hits = grams13(t).count(evalGrams).toLong
+        (id, if (hits > 0) "contaminated" else "train", hits)
+      }
+    }.sortBy(_._1).toSeq
+    val got = graft.operators.Dedup.holdoutCarve(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    val roles = expected.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(roles.getOrElse("eval", 0) > 0, "no eval doc — vacuous")
+    assert(roles.getOrElse("contaminated", 0) > 0,
+      "no contaminated doc — the planted phrase never reached the " +
+        "holdout; adjust the fixture")
+    assert(roles.getOrElse("train", 0) > 0, "no train doc — vacuous")
+    // the leak is real: every contaminated doc carries the plant, and
+    // at least one PLANTED doc sits in the holdout to leak from
+    assert(expected.filter(_._2 == "contaminated")
+      .forall(e => e._1 % 5 == 3))
+    assert(evalIds.exists(_ % 5 == 3))
+  }
+
+  test("bloom carve is identical to the exact carve at the registered " +
+      "size and one-sided under a starved filter") {
+    val docs = carveFixture
+    val exact = graft.operators.Dedup.holdoutCarve(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val bloom = graft.operators.Dedup.holdoutCarveBloom(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(bloom == exact,
+      "bloom path must be bit-identical at the registered filter size")
+    // 64-bit filter: saturated — but the error is ONE-SIDED: every
+    // truly contaminated doc still flags with >= the exact hit count
+    val starved = graft.operators.Dedup
+      .holdoutCarveBloom(docs, mBits = 64).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val exactBy = exact.map(e => e._1 -> ((e._2, e._3))).toMap
+    exactBy.foreach { case (id, (role, hits)) =>
+      if (role == "contaminated") {
+        assert(starved(id)._1 == "contaminated",
+          s"doc $id lost its contamination flag under compression")
+        assert(starved(id)._2 >= hits)
+      }
+      if (role == "eval") assert(starved(id)._1 == "eval")
+    }
+    // and the starvation genuinely fires false positives (otherwise
+    // the one-sidedness assertion was vacuous)
+    assert(starved.values.count(_._1 == "contaminated") >
+      exact.count(_._2 == "contaminated"))
+  }
+
+  test("holdout split is seeded: reproducible under one seed, " +
+      "different under another, fraction near num/den") {
+    val docs = carveFixture
+    def evalSet(seed: String) = graft.operators.Dedup
+      .holdoutCarve(docs, seed = seed).collect()
+      .collect { case r if r.getString(1) == "eval" => r.getLong(0) }
+      .toSet
+    val a = evalSet("7")
+    val b = evalSet("7")
+    val c = evalSet("13")
+    assert(a == b, "same seed must reproduce the split bit-for-bit")
+    assert(a != c, "different seed must draw a different holdout")
+    // md5 is uniform: 200 draws at p=0.1 — double the binomial
+    // 4-sigma band as a deterministic sanity bound
+    assert(a.size > 2 && a.size < 60, s"eval size ${a.size} implausible")
+  }
+
+  test("registered holdout_carve fixture is non-vacuous at sf") {
+    val roles = graft.operators.Dedup.holdoutCarveQuery(spark, sf)
+      .groupBy(col("role")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roles.getOrElse("eval", 0L) > 0L)
+    assert(roles.getOrElse("contaminated", 0L) > 0L,
+      "planted phrase never reached the holdout at this sf")
+    assert(roles.getOrElse("train", 0L) > 0L)
+  }
 }
