@@ -48,7 +48,8 @@ object Probe {
       "source_overlap", "source_overlap_sketch",
       "screen_ngram_overlap", "screen_ngram_bloom",
       "dedup_exact_bloom",
-      "holdout_carve", "holdout_carve_bloom", "domain_line_dedup",
+      "holdout_carve", "holdout_carve_bloom", "contamination_report",
+      "domain_line_dedup",
       "embed_prune_proto", "signals_ablation", "model_threshold_sweep",
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
       "bpe_train", "pack_sequences_bpe",

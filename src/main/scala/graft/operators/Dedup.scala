@@ -541,6 +541,85 @@ object Dedup {
   def holdoutCarveQuery(spark: SparkSession, sfDir: String): DataFrame =
     holdoutCarve(holdoutPlanted(spark, sfDir))
 
+  /** D21 — CONTAMINATION REPORT (the reverse-direction aggregation of
+    * D20, per HOLDOUT doc: "which benchmark items leaked, and how
+    * badly?" — the table an eval maintainer publishes, where D13/D20
+    * answer the train-side question "which docs must I drop"): for
+    * every holdout document that leaks, the number of distinct train
+    * documents sharing ≥ 1 verbatim `n`-gram with it and the total
+    * (train doc, shared gram) hit count. An eval item with
+    * `n_dirty_docs` in the thousands is effectively public and should
+    * be retired — dropping the train docs is not enough.
+    *
+    * Scale shape: the holdout side mines DISTINCT (gram key, eval id)
+    * pairs under the D13 loud budget and broadcasts them as parallel
+    * sorted arrays (a gram with several eval owners repeats, owners
+    * adjacent); ONE typed flatMap over train docs emits each
+    * (eval id, train id, gram) hit — pair volume is bounded by actual
+    * leakage, not corpus size — and one tiny groupBy(eval) aggregates.
+    * Text never shuffles.
+    */
+  def contaminationReport(docsDf: DataFrame, seed: String = "7",
+      evalNum: Long = 1, evalDen: Long = 10, n: Int = 13,
+      maxEvalEntries: Int = 10000000): DataFrame = {
+    requireCarveParams(evalNum, evalDen, n)
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val ds = holdoutSplit(docsDf, seed, evalNum, evalDen)
+    val entries = ds.filter(col("is_eval"))
+      .flatMap { case (id, t, _) =>
+        Dedup.ngramFnvKeys(t, n).map(h => (h, id))
+      }
+      .toDF("h", "eval_id").distinct()
+      .as[(Long, Long)]
+      .limit(maxEvalEntries + 1)
+      .collect()
+    require(entries.length <= maxEvalEntries,
+      s"holdout (gram, owner) set exceeds maxEvalEntries=$maxEvalEntries " +
+        "(~16 bytes per entry on the driver and in the broadcast) — " +
+        "shrink the eval fraction or raise the budget knowingly")
+    val sortedEntries = entries.sorted
+    val keys = sortedEntries.map(_._1)
+    val owners = sortedEntries.map(_._2)
+    val bcK = spark.sparkContext.broadcast(keys)
+    val bcO = spark.sparkContext.broadcast(owners)
+    ds.filter(!col("is_eval"))
+      .flatMap { case (trainId, t, _) =>
+        val ks = Dedup.ngramFnvKeys(t, n)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long)]
+        var i = 0
+        while (i < ks.length) {
+          var j = java.util.Arrays.binarySearch(bcK.value, ks(i))
+          if (j >= 0) {
+            // walk to the first equal key, then emit every owner
+            while (j > 0 && bcK.value(j - 1) == ks(i)) j -= 1
+            while (j < bcK.value.length && bcK.value(j) == ks(i)) {
+              out += ((bcO.value(j), trainId))
+              j += 1
+            }
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("eval_id", "train_id")
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("train_id")).as("n_dirty_docs"),
+        count(lit(1)).as("n_hits"))
+      .orderBy(col("eval_id"))
+  }
+
+  /** The registered `contamination_report` query — the D20 planted
+    * fixture viewed from the holdout side: every planted eval doc
+    * owns the hv phrase's pure window and reports ALL planted train
+    * docs as dirty (spec'd coherent with `holdoutCarve`'s
+    * contaminated set).
+    */
+  def contaminationReportQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    contaminationReport(holdoutPlanted(spark, sfDir))
+
   def holdoutCarveBloomQuery(spark: SparkSession,
       sfDir: String): DataFrame =
     holdoutCarveBloom(holdoutPlanted(spark, sfDir))

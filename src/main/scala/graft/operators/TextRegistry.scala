@@ -105,6 +105,7 @@ object TextRegistry {
     "screen_ngram_bloom" -> (Dedup.screenNgramBloomQuery _),
     "holdout_carve" -> (Dedup.holdoutCarveQuery _),
     "holdout_carve_bloom" -> (Dedup.holdoutCarveBloomQuery _),
+    "contamination_report" -> (Dedup.contaminationReportQuery _),
     // D19: released-corpus fingerprint Bloom screen (hash-checked —
     // deterministically the exact fp semi-join at registered size)
     "dedup_exact_bloom" -> ((s, d) => Dedup.dedupExactBloomQuery(s, d)),
@@ -612,7 +613,11 @@ object TextRegistry {
     * a 52-bit long, eval ⟺ key·10 < 2^52 (~10%); grams are the D13
     * distinct 13-token windows; every doc gets exactly one row.
     */
-  private val HOLDOUT_CARVE_SQL: String =
+  /** The D20/D21 shared prefix: planted phrase, seeded md5 split,
+    * per-doc distinct 13-gram expansion — ONE definition for the
+    * carve statements and the contamination report.
+    */
+  private val HOLDOUT_SPLIT_CTES: String =
     s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 3
        |  THEN text || ' hv0 hv1 hv2 hv3 hv4 hv5 hv6 hv7 hv8 hv9 hv10 hv11 hv12'
        |  ELSE text END AS text FROM documents),
@@ -624,7 +629,10 @@ object TextRegistry {
        |g AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(
        |    range(1, greatest(len(tk) - 11, 1)),
        |    i -> array_to_string(list_slice(tk, i, i + 12), ' ')))) AS gm
-       |  FROM t WHERE len(tk) >= 13),
+       |  FROM t WHERE len(tk) >= 13)""".stripMargin
+
+  private val HOLDOUT_CARVE_SQL: String =
+    s"""$HOLDOUT_SPLIT_CTES,
        |r AS (SELECT DISTINCT gm FROM g WHERE is_eval),
        |h AS (SELECT g.doc_id, count(*)::BIGINT AS n_overlap
        |  FROM g JOIN r USING (gm)
@@ -1258,6 +1266,19 @@ object TextRegistry {
     // size (the D18 precedent), so one statement checks both
     "holdout_carve" -> HOLDOUT_CARVE_SQL,
     "holdout_carve_bloom" -> HOLDOUT_CARVE_SQL,
+    // D21: the holdout-side aggregation over the same split + gram
+    // chain — per leaking eval doc, distinct dirty train docs and
+    // (train, gram) hit volume
+    "contamination_report" ->
+      s"""$HOLDOUT_SPLIT_CTES,
+         |pairs AS (SELECT DISTINCT ge.doc_id AS eval_id,
+         |  gt.doc_id AS train_id, ge.gm
+         |  FROM g ge JOIN g gt ON ge.gm = gt.gm
+         |  WHERE ge.is_eval AND NOT gt.is_eval)
+         |SELECT eval_id,
+         |  count(DISTINCT train_id)::BIGINT AS n_dirty_docs,
+         |  count(*)::BIGINT AS n_hits
+         |FROM pairs GROUP BY eval_id ORDER BY eval_id""".stripMargin,
     // D19: the planted exact duplicates (probe doc_id ≡ 4 mod 11
     // takes the text of its previous multiple of 7 — always in the
     // ref carve) flagged by canonical-fp membership; the bloom is

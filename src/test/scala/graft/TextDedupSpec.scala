@@ -493,6 +493,38 @@ class TextDedupSpec extends AnyFunSuite {
     assert(a.size > 2 && a.size < 60, s"eval size ${a.size} implausible")
   }
 
+  test("contamination report equals the in-driver reference and is " +
+      "coherent with the carve's contaminated set") {
+    val docs = carveFixture
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val evalIds = rows.collect {
+      case (id, _) if refIsEval("7", id, 1, 10) => id
+    }.toSet
+    val evalG = rows.filter(r => evalIds(r._1))
+      .map(r => r._1 -> grams13(r._2)).toMap
+    // reference pairs: (eval, train, gram) distinct
+    val pairs = for {
+      (tid, t) <- rows.toSeq if !evalIds(tid)
+      tg = grams13(t)
+      (eid, eg) <- evalG.toSeq
+      g <- (tg intersect eg).toSeq
+    } yield (eid, tid, g)
+    val expected = pairs.groupBy(_._1).map { case (eid, ps) =>
+      (eid, ps.map(_._2).distinct.size.toLong, ps.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Dedup.contaminationReport(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(expected.nonEmpty, "no leaking eval doc — vacuous")
+    // coherence: the union of dirty train docs IS the carve's
+    // contaminated set (same split, same gram identity)
+    val dirtyTrains = pairs.map(_._2).toSet
+    val contaminated = graft.operators.Dedup.holdoutCarve(docs)
+      .filter(col("role") === "contaminated").collect()
+      .map(_.getLong(0)).toSet
+    assert(dirtyTrains == contaminated)
+  }
+
   test("registered holdout_carve fixture is non-vacuous at sf") {
     val roles = graft.operators.Dedup.holdoutCarveQuery(spark, sf)
       .groupBy(col("role")).count().collect()
