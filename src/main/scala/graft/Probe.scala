@@ -49,7 +49,7 @@ object Probe {
       "screen_ngram_overlap", "screen_ngram_bloom",
       "dedup_exact_bloom",
       "holdout_carve", "holdout_carve_bloom", "contamination_report",
-      "domain_line_dedup",
+      "domain_line_dedup", "corpus_diversity",
       "embed_prune_proto", "signals_ablation", "model_threshold_sweep",
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
       "bpe_train", "pack_sequences_bpe",

@@ -987,6 +987,51 @@ object CorpusOps {
     domainLineDedup(planted)
   }
 
+  /** T48 — CORPUS DIVERSITY REPORT (the distinct-n metric of dataset
+    * cards, Li et al. 2016's distinct-1/2 generalized to the corpus:
+    * the fraction of n-gram OCCURRENCES that are distinct TYPES): per
+    * n, total n-gram occurrences, exact distinct n-gram count, and
+    * their ratio (ONE IEEE division over exact integer counts, so the
+    * whole row hash-checks). A collapsing ratio across releases is
+    * the early template/boilerplate-flood signal a data card reports.
+    *
+    * Scale shape — two scans, both text-local: totals are a pure
+    * projection sum (len − n + 1 per doc, map-side combined to #ns
+    * rows); distincts emit per-doc-distinct 8-byte gram keys
+    * ([[Dedup.ngramFnvKeys]] — D13's gram identity; per-doc dedupe
+    * before the exchange, corpus-wide distinct is a two-level partial
+    * agg over (n, key)). Distinct-type volume crossing the shuffle is
+    * Heaps-law bounded; for a cheaper estimate at extreme scale,
+    * R15's approx-distinct sketch composes on the same key stream.
+    * Exact up to 64-bit collisions (the hash-key family contract).
+    */
+  def corpusDiversity(spark: SparkSession, sfDir: String,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 16),
+      s"ns out of range: $ns")
+    require(ns.distinct == ns, s"duplicate n in $ns")
+    import spark.implicits._
+    val docs = documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val nsL = ns.toList
+    val totals = docs.flatMap { case (_, t) =>
+        val len = duckTokens(t).length
+        nsL.map(n => (n, math.max(len - n + 1, 0).toLong))
+      }
+      .toDF("n", "c").groupBy(col("n"))
+      .agg(sum(col("c")).as("n_grams"))
+    val distincts = docs.flatMap { case (_, t) =>
+        nsL.flatMap(n => Dedup.ngramFnvKeys(t, n).map(h => (n, h)))
+      }
+      .toDF("n", "h").distinct()
+      .groupBy(col("n")).agg(count(lit(1)).as("n_distinct_grams"))
+    totals.join(distincts, Seq("n"))
+      .select(col("n"), col("n_grams"), col("n_distinct_grams"),
+        (col("n_distinct_grams").cast("double") /
+          col("n_grams").cast("double")).as("distinct_ratio"))
+      .orderBy(col("n"))
+  }
+
   /** Window-position FNV-64 hashes of a doc's tokens: one hash per
     * START position of a `w`-token window, over the space-joined
     * window bytes (identical to the oracle's

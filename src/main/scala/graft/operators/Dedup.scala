@@ -586,27 +586,39 @@ object Dedup {
     ds.filter(!col("is_eval"))
       .flatMap { case (trainId, t, _) =>
         val ks = Dedup.ngramFnvKeys(t, n)
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long)]
+        // pre-aggregate per (owner, this train doc) BEFORE the
+        // exchange: a heavily-leaked eval doc shares many grams with
+        // one train doc, and emitting per gram would put
+        // (shared grams × pairs) rows on the wire where
+        // (pairs + local counts) carries the same aggregate
+        val hits = new java.util.HashMap[Long, Long]()
         var i = 0
         while (i < ks.length) {
           var j = java.util.Arrays.binarySearch(bcK.value, ks(i))
           if (j >= 0) {
-            // walk to the first equal key, then emit every owner
+            // walk to the first equal key, then count every owner
             while (j > 0 && bcK.value(j - 1) == ks(i)) j -= 1
             while (j < bcK.value.length && bcK.value(j) == ks(i)) {
-              out += ((bcO.value(j), trainId))
+              hits.merge(bcO.value(j), 1L, (a: Long, b: Long) => a + b)
               j += 1
             }
           }
           i += 1
         }
-        out
+        val out = new Array[(Long, Long, Long)](hits.size)
+        val it = hits.entrySet().iterator()
+        var k = 0
+        while (it.hasNext) {
+          val e = it.next()
+          out(k) = (e.getKey, trainId, e.getValue)
+          k += 1
+        }
+        out.toSeq
       }
-      .toDF("eval_id", "train_id")
+      .toDF("eval_id", "train_id", "hits")
       .groupBy(col("eval_id"))
-      .agg(countDistinct(col("train_id")).as("n_dirty_docs"),
-        count(lit(1)).as("n_hits"))
+      .agg(count(lit(1)).as("n_dirty_docs"),
+        sum(col("hits")).as("n_hits"))
       .orderBy(col("eval_id"))
   }
 

@@ -546,8 +546,11 @@ object Similarity {
           require(new java.io.File(cache, "assigned/_SUCCESS").exists(),
             s"IVF cache $cache unusable and rename failed")
           def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete()
+            // null on permission errors / concurrent removal: treat
+            // as empty rather than NPE mid-cleanup
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
           }
           rm(tmp)
         }

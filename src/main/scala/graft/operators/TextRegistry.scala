@@ -71,6 +71,7 @@ object TextRegistry {
     "boilerplate_share" -> ((s, d) => CorpusOps.boilerplateShare(s, d)),
     "line_dedup" -> (CorpusOps.lineDedupQuery _),
     "domain_line_dedup" -> (CorpusOps.domainLineDedupQuery _),
+    "corpus_diversity" -> ((s, d) => CorpusOps.corpusDiversity(s, d)),
     "paragraph_dedup" -> (CorpusOps.paragraphDedupQuery _),
     "corpus_diff" -> (CorpusOps.corpusDiffQuery _),
     // rows-only: a zlib length is engine-specific; determinism,
@@ -1724,6 +1725,27 @@ object TextRegistry {
          |FROM d JOIN tot USING (doc_id)
          |LEFT JOIN kept k ON d.doc_id = k.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // T48 distinct-n diversity: exact occurrence/type counts per n,
+    // ratio = one IEEE division (gram identity = the D13 chain)
+    "corpus_diversity" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents),
+         |nn AS (SELECT unnest([1, 2, 3]) AS n),
+         |tot AS (SELECT nn.n,
+         |  sum(greatest(len(t.tk) - nn.n + 1, 0))::BIGINT AS n_grams
+         |  FROM t, nn GROUP BY nn.n),
+         |g AS (SELECT nn.n, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(t.tk) - nn.n + 2, 1)),
+         |    i -> array_to_string(list_slice(t.tk, i, i + nn.n - 1),
+         |      ' ')))) AS gm
+         |  FROM t, nn WHERE len(t.tk) >= nn.n),
+         |d AS (SELECT n, count(DISTINCT gm)::BIGINT AS n_distinct_grams
+         |  FROM g GROUP BY n)
+         |SELECT tot.n, tot.n_grams, d.n_distinct_grams,
+         |  d.n_distinct_grams::DOUBLE / tot.n_grams::DOUBLE
+         |    AS distinct_ratio
+         |FROM tot JOIN d USING (n) ORDER BY n""".stripMargin,
     // T47 per-domain boilerplate: the planted-URL chain supplies the
     // registered domain; df counts distinct docs per (domain, line)
     "domain_line_dedup" ->

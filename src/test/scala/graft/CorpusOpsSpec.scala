@@ -799,6 +799,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.map(_._4) == got.map(_._4).sorted)
   }
 
+  test("corpusDiversity equals exact in-driver distinct-n counts, " +
+      "ratio bit-exact") {
+    val raw = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    def toks(t: String) = t.trim.split("\\s+")
+    val expected = Seq(1, 2, 3).map { n =>
+      val total = raw.map(t => math.max(toks(t).length - n + 1, 0).toLong).sum
+      val distinct = raw.flatMap { t =>
+        val tk = toks(t)
+        if (tk.length < n) Seq.empty
+        else (0 to tk.length - n).map(i => tk.slice(i, i + n).mkString(" "))
+      }.toSet.size.toLong
+      (n, total, distinct, distinct.toDouble / total.toDouble)
+    }
+    val got = CorpusOps.corpusDiversity(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // sanity: types ≤ occurrences, ratio rises with n on natural text
+    got.foreach { case (_, tot, dis, ratio) =>
+      assert(dis <= tot && ratio > 0.0 && ratio <= 1.0)
+    }
+  }
+
   test("domainLineDedup: per-domain df decides; the same line survives " +
       "on a low-df domain and a globally-frequent line survives everywhere") {
     // a.com has 4 docs sharing "nav" (site chrome — dropped there);
