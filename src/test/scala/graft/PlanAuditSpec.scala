@@ -436,4 +436,50 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pruned too far: $scanLine")
     assert(!scanLine.contains("label"), s"unpruned scan: $scanLine")
   }
+
+  test("domain_line_dedup rebuild: no join, no window, broadcast " +
+      "frontier only") {
+    val plan = planOf(
+      graft.operators.CorpusOps.domainLineDedupQuery(spark, sf))
+    // the frontier arrives as a closure broadcast, not a plan-side
+    // join; the rebuild is map + the final orderBy's range exchange
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 1, s"$exchanges data exchanges:\n$plan")
+  }
+
+  test("holdout_carve classification: one scan, no join, no agg") {
+    val plan = planOf(
+      graft.operators.Dedup.holdoutCarveQuery(spark, sf))
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("Aggregate"), s"unexpected agg:\n$plan")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 1, s"$exchanges data exchanges:\n$plan")
+  }
+
+  test("contamination_report: hit pairs partial-agg before the " +
+      "eval-keyed shuffle, no countDistinct expansion") {
+    val plan = planOf(
+      graft.operators.Dedup.contaminationReportQuery(spark, sf))
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    // count + sum only — the per-train pre-agg removed countDistinct,
+    // whose expand would re-shuffle the pair stream twice
+    assert(!plan.contains("Expand"), s"countDistinct expand:\n$plan")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("corpus_diversity: distinct keys partial-agg, totals " +
+      "map-side combined") {
+    val plan = planOf(
+      graft.operators.CorpusOps.corpusDiversity(spark, sf))
+    // two-level distinct + two-level sum: >= 4 aggregate operators
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"missing partial agg:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
 }
