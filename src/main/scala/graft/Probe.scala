@@ -33,6 +33,12 @@ object Probe {
       "dedup_exact", "dedup_jaccard_pairs", "dedup_jaccard_lsh",
       "dedup_minhash_pairs", "dedup_simhash", "dedup_winnow",
       "contamination_screen", "dedup_clusters", "dedup_substring",
+      // the registry-parameter clustered-similarity faces (their
+      // _scaled twins below probe the honest-scale parameters; these
+      // pin the registered defaults so every family has a committed
+      // 100× number)
+      "dedup_clusters_lsh", "sim_join_lsh", "dedup_semantic",
+      "semdedup_apply",
       "quality_gopher", "gopher_repetition", "quality_c4", "c4_apply",
       "compression_ratio", "quality_signals", "quality_signals_core",
       "domain_filter", "domain_cap", "domain_cap_apply",
@@ -49,6 +55,7 @@ object Probe {
       "screen_ngram_overlap", "screen_ngram_bloom",
       "dedup_exact_bloom",
       "holdout_carve", "holdout_carve_bloom", "contamination_report",
+      "contamination_report_join",
       "domain_line_dedup", "corpus_diversity",
       "embed_prune_proto", "signals_ablation", "model_threshold_sweep",
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",

@@ -1695,6 +1695,264 @@ object HashKernels {
     }
     Math.max(best, empties).toLong
   }
+
+  // ------------------------------------------------------------------
+  // T45 HTML→text extraction kernel.
+  //
+  // Semantics contract: EXACTLY the historical regexp_replace chain
+  // (TextOps.htmlTextRegex, which also generates the DuckDB oracle):
+  //   1. (?is)<script[^>]*>.*?</script>  → " "
+  //   2. (?is)<style[^>]*>.*?</style>    → " "
+  //   3. (?s)<!--.*?-->                  → " "
+  //   4. (?i)</?(?:p|br|li|ul|ol|div|h[1-6]|tr|table|blockquote)\b[^>]*> → "\n"
+  //   5. <[^>]*>                         → " "
+  //   6. &nbsp; &lt; &gt; &quot; &#39; &amp; → sequential literal decode
+  //   7. [ \t\r]+ → " ";  8. " ?\n[ \n]*" → "\n";  9. trim ^\s+|\s+$
+  //
+  // Each rule stays its own scan (rule-per-scan, not one fused
+  // automaton) because the chain's passes interact through their
+  // REPLACEMENTS: e.g. removing a script span can join `<style` +
+  // `foo>` into a pass-2 start tag, and pass-4's "\n" can join
+  // `<a` + `b>` into a pass-5 tag. A fused single pass would decide
+  // those cases differently; sequential scans reproduce the chain
+  // bit-for-bit (differential-spec'd). Each scan is indexOf-driven
+  // (JIT-intrinsified substring search) and allocates only when it
+  // actually rewrites, which is what buys the severalfold win over
+  // ten java.util.regex passes — not pass fusion.
+  //
+  // Case-insensitivity is ASCII-only, matching java.util.regex
+  // CASE_INSENSITIVE without UNICODE_CASE (String.regionMatches'
+  // Unicode folding would wrongly match e.g. U+017F LONG S against
+  // "script"); \b is the ASCII \w boundary for the same reason.
+  // ------------------------------------------------------------------
+
+  private def asciiRegionIC(s: String, at: Int, lower: String): Boolean = {
+    if (at < 0 || at + lower.length > s.length) return false
+    var i = 0
+    while (i < lower.length) {
+      val a = s.charAt(at + i)
+      val b = lower.charAt(i)
+      if (a != b && !(a >= 'A' && a <= 'Z' && (a + 32) == b)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def isAsciiWord(s: String, i: Int): Boolean =
+    i < s.length && {
+      val c = s.charAt(i)
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
+    }
+
+  /** Rule 1/2: `(?is)<name[^>]*>.*?</name>` → " ". Leftmost start,
+    * start tag ends at the FIRST '>' (the char class cannot cross
+    * one), lazy body ends at the FIRST literal `</name>`; a start
+    * with no closing pair fails and the search resumes at the next
+    * '<' — all exactly the regex engine's moves.
+    */
+  private def stripElement(s: String, name: String): String = {
+    var i = s.indexOf('<')
+    if (i < 0) return s
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    val nlen = name.length
+    while (i >= 0) {
+      var next = -1
+      if (asciiRegionIC(s, i + 1, name)) {
+        val gt = s.indexOf('>', i + 1 + nlen)
+        if (gt >= 0) {
+          // first case-insensitive </name> strictly after the start tag
+          var j = s.indexOf('<', gt + 1)
+          var end = -1
+          while (end < 0 && j >= 0 && j + nlen + 3 <= s.length) {
+            if (s.charAt(j + 1) == '/' && asciiRegionIC(s, j + 2, name) &&
+                s.charAt(j + 2 + nlen) == '>') end = j + nlen + 3
+            else j = s.indexOf('<', j + 1)
+          }
+          if (end >= 0) {
+            if (sb == null) sb = new java.lang.StringBuilder(s.length)
+            sb.append(s, last, i).append(' ')
+            last = end
+            next = s.indexOf('<', end)
+          }
+        }
+      }
+      i = if (next >= 0 || last > i) next else s.indexOf('<', i + 1)
+    }
+    if (sb == null) s
+    else { sb.append(s, last, s.length); sb.toString }
+  }
+
+  /** Rule 3: `(?s)<!--.*?-->` → " ". */
+  private def stripComments(s: String): String = {
+    var i = s.indexOf("<!--")
+    if (i < 0) return s
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    while (i >= 0) {
+      val end = s.indexOf("-->", i + 4)
+      if (end < 0) i = -1 // no terminator left: no later start can match
+      else {
+        if (sb == null) sb = new java.lang.StringBuilder(s.length)
+        sb.append(s, last, i).append(' ')
+        last = end + 3
+        i = s.indexOf("<!--", last)
+      }
+    }
+    if (sb == null) s
+    else { sb.append(s, last, s.length); sb.toString }
+  }
+
+  /** Index just past a block-level tag name matched at `at` with an
+    * ASCII \b after it, or -1. The alternation set is prefix-free so
+    * regex trial order is immaterial.
+    */
+  private def blockNameEnd(s: String, at: Int): Int = {
+    if (at >= s.length) return -1
+    def ok(n: String): Boolean =
+      asciiRegionIC(s, at, n) && !isAsciiWord(s, at + n.length)
+    (s.charAt(at) | 0x20).toChar match {
+      case 'p' => if (ok("p")) at + 1 else -1
+      case 'b' =>
+        if (ok("br")) at + 2 else if (ok("blockquote")) at + 10 else -1
+      case 'l' => if (ok("li")) at + 2 else -1
+      case 'u' => if (ok("ul")) at + 2 else -1
+      case 'o' => if (ok("ol")) at + 2 else -1
+      case 'd' => if (ok("div")) at + 3 else -1
+      case 't' =>
+        if (ok("tr")) at + 2 else if (ok("table")) at + 5 else -1
+      case 'h' =>
+        if (at + 1 < s.length) {
+          val d = s.charAt(at + 1)
+          if (d >= '1' && d <= '6' && !isAsciiWord(s, at + 2)) at + 2
+          else -1
+        } else -1
+      case _ => -1
+    }
+  }
+
+  /** Rule 4: block tags → "\n". `[^>]*` may swallow '<' (the
+    * malformed-attribute case: `<div class="oops</body>` is ONE
+    * match), exactly as the regex.
+    */
+  private def replaceBlockTags(s: String): String = {
+    var i = s.indexOf('<')
+    if (i < 0) return s
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    while (i >= 0) {
+      var next = -1
+      val off = if (i + 1 < s.length && s.charAt(i + 1) == '/') 2 else 1
+      val ne = blockNameEnd(s, i + off)
+      if (ne > 0) {
+        val gt = s.indexOf('>', ne)
+        if (gt >= 0) {
+          if (sb == null) sb = new java.lang.StringBuilder(s.length)
+          sb.append(s, last, i).append('\n')
+          last = gt + 1
+          next = s.indexOf('<', gt + 1)
+        }
+      }
+      i = if (last > i) next else s.indexOf('<', i + 1)
+    }
+    if (sb == null) s
+    else { sb.append(s, last, s.length); sb.toString }
+  }
+
+  /** Rule 5: `<[^>]*>` → " ". A '<' with no '>' anywhere after it
+    * ends the pass (nothing later can match either).
+    */
+  private def stripAllTags(s: String): String = {
+    var i = s.indexOf('<')
+    if (i < 0) return s
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    while (i >= 0) {
+      val gt = s.indexOf('>', i + 1)
+      if (gt < 0) i = -1
+      else {
+        if (sb == null) sb = new java.lang.StringBuilder(s.length)
+        sb.append(s, last, i).append(' ')
+        last = gt + 1
+        i = s.indexOf('<', gt + 1)
+      }
+    }
+    if (sb == null) s
+    else { sb.append(s, last, s.length); sb.toString }
+  }
+
+  /** Rule 6: one sequential literal pass (search resumes after each
+    * replacement, so `&amp;amp;` decodes to `&amp;` — double-escaped
+    * text stays escaped, the chain's contract).
+    */
+  private def entityPass(s: String, target: String, repl: Char): String = {
+    var i = s.indexOf(target)
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    while (i >= 0) {
+      sb.append(s, last, i).append(repl)
+      last = i + target.length
+      i = s.indexOf(target, last)
+    }
+    sb.append(s, last, s.length)
+    sb.toString
+  }
+
+  /** Rules 7–9 fused. After rule 7 no two spaces are adjacent and no
+    * \t/\r remain, so rules 7+8 together map every maximal run of
+    * [ \t\r\n] to "\n" if it contains a newline else " " —
+    * and \f are NOT in rule 7/8's classes and pass through, breaking
+    * runs, but ARE \s and so trim at the ends (rule 9).
+    */
+  private def collapseWs(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\r' || c == '\n') {
+        var hasNl = c == '\n'
+        var j = i + 1
+        var run = true
+        while (j < n && run) {
+          val d = s.charAt(j)
+          if (d == '\n') { hasNl = true; j += 1 }
+          else if (d == ' ' || d == '\t' || d == '\r') j += 1
+          else run = false
+        }
+        sb.append(if (hasNl) '\n' else ' ')
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    var a = 0
+    var b = sb.length
+    def ws(ch: Char): Boolean = ch == ' ' || ch == '\t' || ch == '\n' ||
+      ch == '\u000B' || ch == '\f' || ch == '\r'
+    while (a < b && ws(sb.charAt(a))) a += 1
+    while (b > a && ws(sb.charAt(b - 1))) b -= 1
+    sb.substring(a, b)
+  }
+
+  /** html_text(html) → the extracted page text (see the contract
+    * comment above; differential-spec'd ≡ TextOps.htmlTextRegex).
+    */
+  def htmlText(html: UTF8String): UTF8String = {
+    var s = html.toString
+    s = stripElement(s, "script")
+    s = stripElement(s, "style")
+    s = stripComments(s)
+    s = replaceBlockTags(s)
+    s = stripAllTags(s)
+    s = entityPass(s, "&nbsp;", ' ')
+    s = entityPass(s, "&lt;", '<')
+    s = entityPass(s, "&gt;", '>')
+    s = entityPass(s, "&quot;", '"')
+    s = entityPass(s, "&#39;", '\'')
+    s = entityPass(s, "&amp;", '&')
+    UTF8String.fromString(collapseWs(s))
+  }
 }
 
 /** model_stats(text) → array<bigint> — the five T15 feature integers
@@ -2087,7 +2345,27 @@ case class PositionalAgreeCount(left: Expression, right: Expression)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** html_text(html) → string — the T45 extraction kernel (see
+  * HashKernels.htmlText): the historical regexp_replace chain's
+  * semantics, one indexOf-driven scan per rule instead of ten
+  * java.util.regex passes. Codegen'd; stays a pure projection.
+  */
+case class HtmlText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.htmlText(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.htmlText($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object HashFunctions {
+  def html_text(html: Column): Column =
+    ColumnBridge.column(HtmlText(ColumnBridge.expression(html)))
   def shingle_keys(text: Column, source: Column, n: Int): Column =
     ColumnBridge.column(ShingleKeys(ColumnBridge.expression(text),
       ColumnBridge.expression(source), n))

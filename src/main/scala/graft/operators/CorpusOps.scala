@@ -861,7 +861,15 @@ object CorpusOps {
     * domain can never contain a newline (the host capture stops at
     * `/ ? #` and hosts are single-line by RFC 3986), so the joined
     * string parses back uniquely — the length-prefixed-key precedent
-    * without the prefix.
+    * without the prefix. Callers feeding EXTERNAL domains (the X29
+    * StreamSiteDoc face) must uphold that no-newline precondition —
+    * a domain containing '\n' could alias another (domain, line)
+    * pair. Injectivity of the STRING, not the hash: as with the
+    * global lineDedup contract, two distinct pairs may still collide
+    * on the 64-bit FNV value (and here the collision can span the
+    * domain dimension, merging their df counts) — at the frontier's
+    * 4M-entry budget the birthday odds are ~1e-7, the same accepted
+    * trade.
     */
   private[graft] def siteLineHash(site: String, line: String): Long =
     lineHash(site + "\n" + line)

@@ -541,6 +541,59 @@ object Dedup {
   def holdoutCarveQuery(spark: SparkSession, sfDir: String): DataFrame =
     holdoutCarve(holdoutPlanted(spark, sfDir))
 
+  /** Minimal open-addressed long→long counter for the D21 hot
+    * flatMap (the HashKernels.LongToIntMap precedent): primitive
+    * arrays, linear probing, doubling at 1/2 load. The former
+    * `java.util.HashMap[Long, Long]` boxed key AND value on every
+    * `merge`, and in leak-heavy regimes this per-train-doc loop
+    * dominates the whole report (the 51 s probe row).
+    */
+  private final class LongCounter(expected: Int) {
+    private var cap = { var c = 8; while (c < expected * 2) c <<= 1; c }
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var counts = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    def size: Int = n
+    private def slot(key: Long): Int = {
+      val x = key * -0x61c8864680b583ebL // fibonacci mix
+      var h = ((x >>> 32) ^ x).toInt & mask
+      while (used(h) && keys(h) != key) h = (h + 1) & mask
+      h
+    }
+    def increment(key: Long): Unit = {
+      var h = slot(key)
+      if (!used(h)) {
+        if ((n + 1) * 2 > cap) { grow(); h = slot(key) }
+        used(h) = true; keys(h) = key; counts(h) = 0L; n += 1
+      }
+      counts(h) += 1
+    }
+    private def grow(): Unit = {
+      val ok = keys; val oc = counts; val ou = used; val ocap = cap
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap)
+      counts = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      var i = 0
+      while (i < ocap) {
+        if (ou(i)) {
+          val h = slot(ok(i))
+          used(h) = true; keys(h) = ok(i); counts(h) = oc(i)
+        }
+        i += 1
+      }
+    }
+    def foreach(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) {
+        if (used(i)) f(keys(i), counts(i))
+        i += 1
+      }
+    }
+  }
+
   /** D21 — CONTAMINATION REPORT (the reverse-direction aggregation of
     * D20, per HOLDOUT doc: "which benchmark items leaked, and how
     * badly?" — the table an eval maintainer publishes, where D13/D20
@@ -591,7 +644,7 @@ object Dedup {
         // one train doc, and emitting per gram would put
         // (shared grams × pairs) rows on the wire where
         // (pairs + local counts) carries the same aggregate
-        val hits = new java.util.HashMap[Long, Long]()
+        val hits = new LongCounter(8)
         var i = 0
         while (i < ks.length) {
           var j = java.util.Arrays.binarySearch(bcK.value, ks(i))
@@ -599,18 +652,16 @@ object Dedup {
             // walk to the first equal key, then count every owner
             while (j > 0 && bcK.value(j - 1) == ks(i)) j -= 1
             while (j < bcK.value.length && bcK.value(j) == ks(i)) {
-              hits.merge(bcO.value(j), 1L, (a: Long, b: Long) => a + b)
+              hits.increment(bcO.value(j))
               j += 1
             }
           }
           i += 1
         }
         val out = new Array[(Long, Long, Long)](hits.size)
-        val it = hits.entrySet().iterator()
         var k = 0
-        while (it.hasNext) {
-          val e = it.next()
-          out(k) = (e.getKey, trainId, e.getValue)
+        hits.foreach { (owner, cnt) =>
+          out(k) = (owner, trainId, cnt)
           k += 1
         }
         out.toSeq
@@ -631,6 +682,68 @@ object Dedup {
   def contaminationReportQuery(spark: SparkSession,
       sfDir: String): DataFrame =
     contaminationReport(holdoutPlanted(spark, sfDir))
+
+  /** D21b — the NEVER-COLLECTS shuffle shape of the contamination
+    * report, for holdouts whose (gram, owner) set breaches
+    * [[contaminationReport]]'s driver/broadcast budget (the
+    * substringScrub → substringScrubJoin duality; D20 already has
+    * its unbounded path in the D20b Bloom carve, this closes the
+    * report's):
+    *
+    *  1. holdout postings `(h, eval_id)` — per-doc-DISTINCT 13-gram
+    *     keys (ngramFnvKeys dedupes per doc), kept distinct across
+    *     docs by the same defensive `distinct()` the broadcast path
+    *     applies; holdout-fraction-sized, never collected;
+    *  2. train emissions `(h, train_id)` — the same per-doc-distinct
+    *     keys, one row per (gram, train doc);
+    *  3. equi-join on the 8-byte key — the ONLY corpus-sized
+    *     exchange, and it carries two longs per row, never text;
+    *  4. partial-agged `groupBy(eval_id, train_id).count()` — the
+    *     map-side combine bounds the second exchange by actual
+    *     leakage pairs, the moral twin of the broadcast path's
+    *     per-train LongCounter pre-aggregation;
+    *  5. the same per-eval aggregate as the broadcast path.
+    *
+    * Output identical to [[contaminationReport]] by construction
+    * (the registered face shares its oracle statement; DedupSpec
+    * pins row equality on the planted fixture). Prefer the broadcast
+    * shape whenever the holdout fits its budget — it touches the
+    * corpus with a zero-shuffle map.
+    */
+  def contaminationReportJoin(docsDf: DataFrame, seed: String = "7",
+      evalNum: Long = 1, evalDen: Long = 10,
+      n: Int = 13): DataFrame = {
+    requireCarveParams(evalNum, evalDen, n)
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val ds = holdoutSplit(docsDf, seed, evalNum, evalDen)
+    val evalPost = ds.filter(col("is_eval"))
+      .flatMap { case (id, t, _) =>
+        Dedup.ngramFnvKeys(t, n).map(h => (h, id))
+      }
+      .toDF("h", "eval_id").distinct()
+    val trainPost = ds.filter(!col("is_eval"))
+      .flatMap { case (id, t, _) =>
+        Dedup.ngramFnvKeys(t, n).map(h => (h, id))
+      }
+      .toDF("h", "train_id")
+    trainPost.join(evalPost, Seq("h"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("hits"))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_dirty_docs"),
+        sum(col("hits")).as("n_hits"))
+      .orderBy(col("eval_id"))
+  }
+
+  /** Registered `contamination_report_join` — the never-collects
+    * shape over the same planted fixture, hash-checked by the SAME
+    * oracle statement as `contamination_report` (the
+    * sentence_span_scrub_join precedent).
+    */
+  def contaminationReportJoinQuery(spark: SparkSession,
+      sfDir: String): DataFrame =
+    contaminationReportJoin(holdoutPlanted(spark, sfDir))
 
   def holdoutCarveBloomQuery(spark: SparkSession,
       sfDir: String): DataFrame =

@@ -498,6 +498,73 @@ object Pipeline {
       seed = 7L)
   }
 
+  /** P8 — RELEASE + DECONTAMINATED CARVE: the full "curate, split,
+    * decontaminate" story as ONE composition — [[releaseCapped]]'s
+    * four curation stages pick the released corpus, then the D20
+    * holdout carve splits IT (not the raw crawl) into
+    * eval / contaminated / train, so the published benchmark is
+    * carved from exactly the corpus a model would train on (carving
+    * before curation would let the gates silently eat eval docs and
+    * skew the split).
+    *
+    * Scale shape: the release side is P6's (one corpus scan, text
+    * crosses no exchange); the carve needs the released TEXT back,
+    * so the released ids join the corpus once on the 8-byte id —
+    * the substringScrubJoin convention, text crosses exactly ONE
+    * shuffle — and D20's zero-shuffle classification map does the
+    * rest. For corpus-scale holdouts swap the carve for the D20b
+    * Bloom path (same split, bounded memory).
+    */
+  def pipelineReleaseCarve(docs: DataFrame, blocklist: DataFrame,
+      stopWords: Seq[String], badWords: Seq[String],
+      badUrlWords: Seq[String] = DomainOps.DefaultBadUrlWords,
+      cap: Int = 25, seed: Long = 7L, carveSeed: String = "7",
+      evalNum: Long = 1, evalDen: Long = 10, n: Int = 13,
+      maxEvalGrams: Int = 10000000): DataFrame =
+    Dedup.holdoutCarve(
+      releasedText(docs, blocklist, stopWords, badWords, badUrlWords,
+        cap, seed),
+      carveSeed, evalNum, evalDen, n, maxEvalGrams)
+
+  /** The released corpus WITH its text — stages 1–4's survivors
+    * id-joined back onto the input frame (text crosses that one
+    * exchange and nothing else).
+    */
+  private[graft] def releasedText(docs: DataFrame,
+      blocklist: DataFrame, stopWords: Seq[String],
+      badWords: Seq[String], badUrlWords: Seq[String],
+      cap: Int, seed: Long): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .join(releaseCapped(docs, blocklist, stopWords, badWords,
+          badUrlWords, cap, seed).select(col("doc_id")),
+        Seq("doc_id"))
+
+  /** The registered `pipeline_release_carve` query — [[pipelineReleaseCarve]]
+    * over the P6 fixture, with the D20 hv-phrase FIXTURE PLANT
+    * inserted between the stages (appended to released docs with
+    * even ids, AFTER release selection so the plant cannot flip a
+    * quality gate): random word-soup shares no natural 13-grams, so
+    * the plant is what makes the contaminated class non-vacuous over
+    * the ~dozens of released docs at sf0.01. The carve runs at
+    * num/den = 1/3 (vs the standalone 1/10) so the small released
+    * set still splits into all three roles deterministically
+    * (spec-asserted at sf0.001 and sf0.01). The oracle states the
+    * identical plant + fraction over the identical release chain.
+    */
+  def pipelineReleaseCarveQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (docs, blocklist) = releaseFixture(spark, sfDir)
+    val phrase = (0 until 13).map(i => s"hv$i").mkString(" ")
+    val planted = releasedText(docs, blocklist, Seq("the", "a"),
+        Seq("badword"), DomainOps.DefaultBadUrlWords, cap = 3,
+        seed = 7L)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" " + phrase)))
+          .otherwise(col("text")).as("text"))
+    Dedup.holdoutCarve(planted, seed = "7", evalNum = 1, evalDen = 3)
+  }
+
   /** The registered `pipeline_scrub` query (the [[pipelineFullQuery]]
     * planting).
     */

@@ -93,6 +93,8 @@ object TextRegistry {
     // P6: the full modern release — URL gate + signals gate + exact
     // dedup + per-domain cap + export shards (hash-checked)
     "pipeline_release" -> (Pipeline.pipelineReleaseQuery _),
+    "pipeline_release_carve" ->
+      (Pipeline.pipelineReleaseCarveQuery _),
     // P7 the web release: P6 from RAW pages (T45 extraction in
     // front); spec'd EQUAL to pipeline_release via the exact
     // line-per-<p> round trip
@@ -107,6 +109,8 @@ object TextRegistry {
     "holdout_carve" -> (Dedup.holdoutCarveQuery _),
     "holdout_carve_bloom" -> (Dedup.holdoutCarveBloomQuery _),
     "contamination_report" -> (Dedup.contaminationReportQuery _),
+    "contamination_report_join" ->
+      (Dedup.contaminationReportJoinQuery _),
     // D19: released-corpus fingerprint Bloom screen (hash-checked —
     // deterministically the exact fp semi-join at registered size)
     "dedup_exact_bloom" -> ((s, d) => Dedup.dedupExactBloomQuery(s, d)),
@@ -608,12 +612,6 @@ object TextRegistry {
        |WHERE g.doc_id % 7 <> 0
        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
-  /** The D20 carve statement — shared verbatim by `holdout_carve`
-    * and the D20b Bloom path (identical at the registered size, the
-    * D18 precedent). Split = first 13 hex of md5('7:' || doc_id) as
-    * a 52-bit long, eval ⟺ key·10 < 2^52 (~10%); grams are the D13
-    * distinct 13-token windows; every doc gets exactly one row.
-    */
   /** The D20/D21 shared prefix: planted phrase, seeded md5 split,
     * per-doc distinct 13-gram expansion — ONE definition for the
     * carve statements and the contamination report.
@@ -632,6 +630,58 @@ object TextRegistry {
        |    i -> array_to_string(list_slice(tk, i, i + 12), ' ')))) AS gm
        |  FROM t WHERE len(tk) >= 13)""".stripMargin
 
+  /** The D20 carve chain over an arbitrary `src(doc_id, text)` CTE
+    * at an arbitrary eval fraction (h-prefixed CTE names so it
+    * appends to any open WITH chain) — the P8 release+carve
+    * composition's tail. Same statements as [[HOLDOUT_CARVE_SQL]]
+    * modulo source and fraction: split = first 13 hex of
+    * md5('7:' || doc_id), eval ⟺ key·den < num·2^52.
+    */
+  private def holdoutCarveTail(src: String, num: Long,
+      den: Long): String =
+    s""",
+       |he AS (SELECT doc_id, text,
+       |  ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 13))::BIGINT
+       |    * $den < ${num * 4503599627370496L} AS is_eval FROM $src),
+       |ht AS (SELECT doc_id, is_eval,
+       |  regexp_split_to_array(trim(text), '\\s+') AS tk FROM he),
+       |hg AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(tk) - 11, 1)),
+       |    i -> array_to_string(list_slice(tk, i, i + 12), ' ')))) AS gm
+       |  FROM ht WHERE len(tk) >= 13),
+       |hr AS (SELECT DISTINCT gm FROM hg WHERE is_eval),
+       |hh AS (SELECT hg.doc_id, count(*)::BIGINT AS n_overlap
+       |  FROM hg JOIN hr USING (gm)
+       |  WHERE NOT hg.is_eval GROUP BY hg.doc_id)
+       |SELECT he.doc_id,
+       |  CASE WHEN he.is_eval THEN 'eval'
+       |       WHEN hh.n_overlap IS NOT NULL THEN 'contaminated'
+       |       ELSE 'train' END AS role,
+       |  coalesce(hh.n_overlap, 0)::BIGINT AS n_overlap
+       |FROM he LEFT JOIN hh USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** The D21 report statement — shared verbatim by
+    * `contamination_report` (broadcast shape) and
+    * `contamination_report_join` (the never-collects shuffle shape,
+    * identical output by construction).
+    */
+  private val CONTAMINATION_REPORT_SQL: String =
+    s"""$HOLDOUT_SPLIT_CTES,
+       |pairs AS (SELECT DISTINCT ge.doc_id AS eval_id,
+       |  gt.doc_id AS train_id, ge.gm
+       |  FROM g ge JOIN g gt ON ge.gm = gt.gm
+       |  WHERE ge.is_eval AND NOT gt.is_eval)
+       |SELECT eval_id,
+       |  count(DISTINCT train_id)::BIGINT AS n_dirty_docs,
+       |  count(*)::BIGINT AS n_hits
+       |FROM pairs GROUP BY eval_id ORDER BY eval_id""".stripMargin
+
+  /** The D20 carve statement — shared verbatim by `holdout_carve`
+    * and the D20b Bloom path (identical at the registered size, the
+    * D18 precedent). Split = first 13 hex of md5('7:' || doc_id) as
+    * a 52-bit long, eval ⟺ key·10 < 2^52 (~10%); grams are the D13
+    * distinct 13-token windows; every doc gets exactly one row.
+    */
   private val HOLDOUT_CARVE_SQL: String =
     s"""$HOLDOUT_SPLIT_CTES,
        |r AS (SELECT DISTINCT gm FROM g WHERE is_eval),
@@ -854,6 +904,22 @@ object TextRegistry {
           ",\nt AS (SELECT doc_id,\n  " + releasePlantCaseSql +
           " AS text\n FROM documents JOIN ug USING (doc_id))" +
           c4ChainFromT) + releaseTailSql),
+    // P8: release+carve — the P6 chain through the cap rank (rel =
+    // released ids WITH text), the hv fixture plant appended to
+    // even released ids (AFTER selection, mirroring the Spark
+    // query), then the D20 carve chain at 1/3 over the plant
+    "pipeline_release_carve" ->
+      (signalsCoreChainFrom(
+        releaseUrlGateCtes +
+          ",\nt AS (SELECT doc_id,\n  " + releasePlantCaseSql +
+          " AS text\n FROM documents JOIN ug USING (doc_id))" +
+          c4ChainFromT) + releaseCappedCtes +
+        s""",
+           |rel AS (SELECT doc_id, text FROM rnk WHERE rk <= 3),
+           |pd AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+           |  THEN text || ' hv0 hv1 hv2 hv3 hv4 hv5 hv6 hv7 hv8 hv9 hv10 hv11 hv12'
+           |  ELSE text END AS text FROM rel)""".stripMargin +
+        holdoutCarveTail("pd", 1, 3)),
     // P7: the web release — the IDENTICAL P6 statement with the
     // planted text wrapped as a raw page and pushed back through the
     // T45 extraction chain first (one wrap + one chain definition);
@@ -1269,17 +1335,11 @@ object TextRegistry {
     "holdout_carve_bloom" -> HOLDOUT_CARVE_SQL,
     // D21: the holdout-side aggregation over the same split + gram
     // chain — per leaking eval doc, distinct dirty train docs and
-    // (train, gram) hit volume
-    "contamination_report" ->
-      s"""$HOLDOUT_SPLIT_CTES,
-         |pairs AS (SELECT DISTINCT ge.doc_id AS eval_id,
-         |  gt.doc_id AS train_id, ge.gm
-         |  FROM g ge JOIN g gt ON ge.gm = gt.gm
-         |  WHERE ge.is_eval AND NOT gt.is_eval)
-         |SELECT eval_id,
-         |  count(DISTINCT train_id)::BIGINT AS n_dirty_docs,
-         |  count(*)::BIGINT AS n_hits
-         |FROM pairs GROUP BY eval_id ORDER BY eval_id""".stripMargin,
+    // (train, gram) hit volume; the D21b join shape is
+    // output-identical by construction, so ONE statement checks both
+    // (the sentence_span_scrub_join precedent)
+    "contamination_report" -> CONTAMINATION_REPORT_SQL,
+    "contamination_report_join" -> CONTAMINATION_REPORT_SQL,
     // D19: the planted exact duplicates (probe doc_id ≡ 4 mod 11
     // takes the text of its previous multiple of 7 — always in the
     // ref carve) flagged by canonical-fp membership; the bloom is
@@ -1877,11 +1937,12 @@ object TextRegistry {
          |  WHERE NOT (domain IN ($domainBlockSql)
          |             OR (${domainBadWordSql("url")})))""".stripMargin
 
-  /** The P6/P7 release tail over `t`/`core`/`ug`: keep_core
-    * survivors → fp dedup → per-domain cap rank → export-shard
-    * window. ONE definition for both release statements.
+  /** The P6/P7/P8 release-core CTEs over `t`/`core`/`ug`: keep_core
+    * survivors → fp dedup → per-domain cap rank (`rnk`, text still
+    * attached). ONE definition for the two release statements' tail
+    * AND the release+carve composition.
     */
-  private def releaseTailSql: String =
+  private def releaseCappedCtes: String =
     s""",
       |kept AS (SELECT t.doc_id, t.text, ug.domain FROM t
       |  JOIN core USING (doc_id) JOIN ug USING (doc_id)
@@ -1896,7 +1957,13 @@ object TextRegistry {
       |rnk AS (SELECT doc_id, domain, fp, text,
       |  row_number() OVER (PARTITION BY domain
       |    ORDER BY ('0x' || substr(md5(text), 1, 13))::BIGINT,
-      |      doc_id) AS rk FROM sv),
+      |      doc_id) AS rk FROM sv)""".stripMargin
+
+  /** The P6/P7 release tail: [[releaseCappedCtes]] + the
+    * export-shard window and final projection.
+    */
+  private def releaseTailSql: String =
+    releaseCappedCtes + s""",
       |ct AS (SELECT doc_id, domain, fp,
       |  len($TOKS)::BIGINT AS n_tokens,
       |  md5(concat('7:', doc_id)) AS h FROM rnk WHERE rk <= 3),

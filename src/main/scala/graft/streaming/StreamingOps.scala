@@ -680,7 +680,14 @@ object StreamingOps {
 
   /** A streamed page that arrives with its registered domain already
     * extracted (the X23 gate computes it; an ingest pipeline passes
-    * it along rather than re-parsing the URL).
+    * it along rather than re-parsing the URL). PRECONDITION: the
+    * domain must not contain '\n' — the X29 frontier's
+    * [[graft.operators.CorpusOps.siteLineHash]] identity joins
+    * domain and line on a newline, so a malformed multi-line domain
+    * could alias another (domain, line) pair. A domain produced by
+    * the X23 gate (registeredDomain over an RFC 3986 host capture)
+    * satisfies this by construction; validate ingest-side if the
+    * field arrives from anywhere else.
     */
   case class StreamSiteDoc(doc_id: Long, ts: Timestamp,
       domain: String, text: String)
@@ -1072,9 +1079,13 @@ object StreamingOps {
     * length; NoTimeout is deliberate (a domain's quota must not
     * reset when it goes idle). Verdicts emit immediately
     * (append-mode flatMapGroupsWithState, no watermark dependency).
-    * Within a micro-batch, arrival order follows encounter order —
-    * the spec drives single-partition batches where that order is
-    * the input order.
+    * ACROSS micro-batches admission is first-seen-wins by arrival;
+    * WITHIN one micro-batch each group's rows are pinned to
+    * (ts, doc_id) order before ranking — the group iterator's own
+    * order depends on how the batch was partitioned, so an
+    * unpinned rank could admit a different doc at the quota
+    * boundary on replay (StreamingSpec feeds one batch shuffled two
+    * ways and asserts identical admissions).
     */
   def streamingDomainCap(docs: Dataset[StreamUrlDoc],
       cap: Int = 25): Dataset[DomainCapOut] = {
@@ -1085,10 +1096,14 @@ object StreamingOps {
     def update(domain: String, rows: Iterator[(Long, Timestamp, String)],
         state: GroupState[Long]): Iterator[DomainCapOut] = {
       var seen = state.getOption.getOrElse(0L)
-      val out = rows.map { case (id, ts, _) =>
-        seen += 1
-        DomainCapOut(id, ts, domain, seen, seen <= cap)
-      }.toVector // drain BEFORE state.update sees the final count
+      // toVector + strict map: fully drained BEFORE state.update
+      // sees the final count
+      val out = rows.toVector
+        .sortBy { case (id, ts, _) => (ts.getTime, id) }
+        .map { case (id, ts, _) =>
+          seen += 1
+          DomainCapOut(id, ts, domain, seen, seen <= cap)
+        }
       state.update(seen)
       out.iterator
     }
@@ -1131,7 +1146,8 @@ object StreamingOps {
     * screens against YESTERDAY'S release; the batch release (P6)
     * re-ranks retrospectively under the deterministic selection key
     * and T42's rebalance reconciles the two — the same contract the
-    * dedup family states for D14/P3. Verdicts emit immediately for
+    * dedup family states for D14/P3. Within one micro-batch the
+    * admission order is pinned to (ts, doc_id) — the X24 replay pin. Verdicts emit immediately for
     * every page that survives stages 1–3 (admitted or refused, with
     * its arrival rank); pages killed by a gate emit nothing — they
     * are not admission decisions.
@@ -1167,10 +1183,15 @@ object StreamingOps {
         rows: Iterator[(Long, Timestamp, String, String, Boolean)],
         state: GroupState[Long]): Iterator[IngestAdmitOut] = {
       var seen = state.getOption.getOrElse(0L)
-      val out = rows.map { case (id, ts, _, fp, _) =>
-        seen += 1
-        IngestAdmitOut(id, ts, domain, fp, seen, seen <= cap)
-      }.toVector // drain BEFORE state.update sees the final count
+      // the X24 replay pin: (ts, doc_id) order within the batch, so
+      // a re-partitioned replay admits the same doc at the quota
+      // boundary; toVector + strict map drains BEFORE state.update
+      val out = rows.toVector
+        .sortBy { case (id, ts, _, _, _) => (ts.getTime, id) }
+        .map { case (id, ts, _, fp, _) =>
+          seen += 1
+          IngestAdmitOut(id, ts, domain, fp, seen, seen <= cap)
+        }
       state.update(seen)
       out.iterator
     }

@@ -159,6 +159,38 @@ class DomainOpsSpec extends AnyFunSuite {
       aCom.count(_.getAs[String]("verdict") == "admit"))
   }
 
+  test("X24 within-batch admission is replay-stable: pinned to " +
+      "(ts, doc_id), independent of enqueue order") {
+    import spark.implicits._
+    // ONE micro-batch, one domain, cap 2; ts order deliberately
+    // disagrees with doc_id order. Feeding the batch in two opposite
+    // enqueue orders changes the group iterator's raw order — the
+    // (ts, doc_id) pin must admit the SAME two docs both times.
+    val docs = Seq(
+      StreamUrlDoc(10, ts(4), "https://a.com/10"),
+      StreamUrlDoc(11, ts(0), "https://a.com/11"),
+      StreamUrlDoc(12, ts(3), "https://a.com/12"),
+      StreamUrlDoc(13, ts(1), "https://a.com/13"),
+      StreamUrlDoc(14, ts(2), "https://a.com/14"))
+    def admitted(order: Seq[StreamUrlDoc], name: String): Set[Long] = {
+      val in = MemoryStream[StreamUrlDoc]
+      val q = StreamingOps.streamingDomainCap(in.toDS(), cap = 2)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(order: _*)
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .filter(_.getAs[Boolean]("keep"))
+          .map(_.getAs[Long]("doc_id")).toSet
+      } finally q.stop()
+    }
+    val fwd = admitted(docs, "cap_pin_fwd")
+    val rev = admitted(docs.reverse, "cap_pin_rev")
+    assert(fwd == Set(11L, 13L), s"got $fwd") // smallest (ts, doc_id)
+    assert(rev == fwd, s"replay drift: $rev vs $fwd")
+  }
+
   test("X23 streaming URL gate ≡ batch gate under one blocklist") {
     import spark.implicits._
     val urls = DomainOps.domainFilterQuery(spark, sf).collect()

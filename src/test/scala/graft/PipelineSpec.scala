@@ -112,6 +112,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._5).distinct.size >= 2, "at least two shards")
   }
 
+  test("pipeline_release_carve: verdict per released doc, all three " +
+      "roles non-vacuous, coherent with the standalone carve") {
+    import graft.operators.DomainOps
+    val (docs, blocklist) = Pipeline.releaseFixture(spark, sf)
+    val released = Pipeline.releasedText(docs, blocklist,
+      Seq("the", "a"), Seq("badword"), DomainOps.DefaultBadUrlWords,
+      cap = 3, seed = 7L)
+    val relIds = released.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val got = Pipeline.pipelineReleaseCarveQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exactly one verdict per RELEASED doc — the carve never sees a
+    // doc a curation stage dropped
+    assert(got.map(_._1).toSet == relIds)
+    val roles = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(roles.getOrElse("eval", 0) > 0, "no eval doc — vacuous")
+    assert(roles.getOrElse("contaminated", 0) > 0,
+      "no contaminated doc — the post-release plant never reached " +
+        "the holdout; adjust the fixture")
+    assert(roles.getOrElse("train", 0) > 0, "no train doc — vacuous")
+    // the leak is the PLANT: contaminated docs are exactly the
+    // planted (even) train docs, and a planted doc sits in eval
+    assert(got.filter(_._2 == "contaminated").forall(_._1 % 2 == 0))
+    assert(got.exists(g => g._2 == "eval" && g._1 % 2 == 0))
+    // coherence: the composed face IS releasedText + plant +
+    // standalone D20 at 1/3
+    val phrase = (0 until 13).map(i => s"hv$i").mkString(" ")
+    val planted = released.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" " + phrase)))
+        .otherwise(col("text")).as("text"))
+    val standalone = graft.operators.Dedup
+      .holdoutCarve(planted, seed = "7", evalNum = 1, evalDen = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == standalone.sortBy(_._1).toSeq)
+  }
+
   test("pipelineSignals equals the stagewise gate + exact dedup; dup pages drop") {
     val page = Pipeline.SignalsDupPage.mkString("\n")
     val docs = TextOps.c4PlantedDocs(spark, sf).select(col("doc_id"),

@@ -525,6 +525,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(dirtyTrains == contaminated)
   }
 
+  test("contaminationReportJoin is row-identical to the broadcast " +
+      "shape on the fixture and the registered corpus") {
+    val docs = carveFixture
+    val broadcastShape = graft.operators.Dedup
+      .contaminationReport(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val joinShape = graft.operators.Dedup
+      .contaminationReportJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(joinShape == broadcastShape)
+    assert(broadcastShape.nonEmpty, "vacuous fixture")
+    val regBroadcast = graft.operators.Dedup
+      .contaminationReportQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val regJoin = graft.operators.Dedup
+      .contaminationReportJoinQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(regJoin == regBroadcast)
+  }
+
   test("registered holdout_carve fixture is non-vacuous at sf") {
     val roles = graft.operators.Dedup.holdoutCarveQuery(spark, sf)
       .groupBy(col("role")).count().collect()

@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Min-merge bench runs into a round anchor.
+
+usage: tools/bench_merge.py OUT.json RUN.json [RUN.json ...]
+
+Per query takes the minimum positive timing across runs (negative =
+the run errored on that query; a run missing a query contributes
+nothing for it). Prints a per-run summary (total + canary
+q_range_join) and the merged total.
+"""
+import json
+import sys
+
+
+def main() -> None:
+    out_path, runs = sys.argv[1], sys.argv[2:]
+    merged: dict[str, float] = {}
+    sf = None
+    n_runs = 0
+    for path in runs:
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            print(f"skip {path}: {e}")
+            continue
+        n_runs += 1
+        qs = {k: v for k, v in d["queries"].items() if v > 0}
+        sf = d.get("sf", sf)
+        tot = sum(qs.values())
+        canary = qs.get("q_range_join", float("nan"))
+        print(f"{path}: n={len(qs)} total={tot:.1f}s canary={canary:.3f}s")
+        for k, v in qs.items():
+            if k not in merged or v < merged[k]:
+                merged[k] = v
+    total = sum(merged.values())
+    line = {
+        "metric": "total", "value": total, "unit": "sec",
+        "runs": n_runs, "queries": merged, "sf": sf,
+    }
+    with open(out_path, "w") as f:
+        json.dump(line, f)
+    print(f"merged {n_runs} runs -> {out_path}: n={len(merged)} "
+          f"total={total:.1f}s canary={merged.get('q_range_join')}")
+
+
+if __name__ == "__main__":
+    main()
