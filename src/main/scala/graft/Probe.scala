@@ -75,6 +75,7 @@ object Probe {
       "pipeline_clean", "pipeline_full", "pipeline_scrub",
       "pipeline_ingest", "pipeline_ingest_verified",
       "pipeline_signals", "pipeline_release", "pipeline_web",
+      "pipeline_release_carve",
       "wordcount_salted",
       "multimodal_decode",
       "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_indexed",

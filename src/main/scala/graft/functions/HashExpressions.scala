@@ -1723,7 +1723,13 @@ object HashKernels {
   // Case-insensitivity is ASCII-only, matching java.util.regex
   // CASE_INSENSITIVE without UNICODE_CASE (String.regionMatches'
   // Unicode folding would wrongly match e.g. U+017F LONG S against
-  // "script"); \b is the ASCII \w boundary for the same reason.
+  // "script"). \b however is NOT ASCII in java.util.regex: without
+  // UNICODE_CHARACTER_CLASS, Bound.isWord(ch) is
+  // `ch == '_' || Character.isLetterOrDigit(ch)` — Unicode letters
+  // and digits count (the well-known \b/\w asymmetry), so `<divé>`
+  // is NOT a block tag (é continues the word) while `<div€>` is.
+  // The boundary check below mirrors that codepoint-exactly
+  // (property-tested against the java.util.regex chain).
   // ------------------------------------------------------------------
 
   private def asciiRegionIC(s: String, at: Int, lower: String): Boolean = {
@@ -1738,11 +1744,13 @@ object HashKernels {
     true
   }
 
-  private def isAsciiWord(s: String, i: Int): Boolean =
+  /** java.util.regex Bound.isWord without UNICODE_CHARACTER_CLASS:
+    * '_' or a Unicode letter/digit, codepoint-aware.
+    */
+  private def isJavaWord(s: String, i: Int): Boolean =
     i < s.length && {
-      val c = s.charAt(i)
-      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-        (c >= '0' && c <= '9') || c == '_'
+      val cp = s.codePointAt(i)
+      cp == '_' || Character.isLetterOrDigit(cp)
     }
 
   /** Rule 1/2: `(?is)<name[^>]*>.*?</name>` → " ". Leftmost start,
@@ -1811,7 +1819,7 @@ object HashKernels {
   private def blockNameEnd(s: String, at: Int): Int = {
     if (at >= s.length) return -1
     def ok(n: String): Boolean =
-      asciiRegionIC(s, at, n) && !isAsciiWord(s, at + n.length)
+      asciiRegionIC(s, at, n) && !isJavaWord(s, at + n.length)
     (s.charAt(at) | 0x20).toChar match {
       case 'p' => if (ok("p")) at + 1 else -1
       case 'b' =>
@@ -1825,7 +1833,7 @@ object HashKernels {
       case 'h' =>
         if (at + 1 < s.length) {
           val d = s.charAt(at + 1)
-          if (d >= '1' && d <= '6' && !isAsciiWord(s, at + 2)) at + 2
+          if (d >= '1' && d <= '6' && !isJavaWord(s, at + 2)) at + 2
           else -1
         } else -1
       case _ => -1

@@ -82,6 +82,10 @@ class HtmlKernelSpec extends AnyFunSuite {
       "one\n\n\ntwo \n \n three",
       // unicode: long-s must NOT case-fold into 'script' (ASCII ci)
       "<ſcript>keep</ſcript>",
+      // java \b is UNICODE-word: é continues the tag name (<divé is
+      // NOT a block tag), € does not (<div€> IS one) — the shrunk
+      // ScalaCheck counterexample that caught the ASCII-\b kernel bug
+      "<divé<DIV>", "<divé>x</div>", "<div€>y", "<h1é>z", "<p中>w",
       "café <p>中文</p> 😀<div>emoji</div>",
       // empty / no-markup
       "", "   ", "plain text", "  padded  "))

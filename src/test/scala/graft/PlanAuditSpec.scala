@@ -460,6 +460,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"$exchanges data exchanges:\n$plan")
   }
 
+  test("contamination_report_join: hash equi-join, no cartesian, " +
+      "partial agg before both exchanges, no countDistinct expand") {
+    val plan = planOf(
+      graft.operators.Dedup.contaminationReportJoinQuery(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the postings join:\n$plan")
+    // the never-collects shape's whole point: gram postings meet in
+    // a shuffled hash join on the 8-byte key, never a driver collect
+    assert(plan.contains("Join"), s"postings join missing:\n$plan")
+    assert(!plan.contains("Expand"), s"countDistinct expand:\n$plan")
+    // (eval, train) pair agg and the per-eval agg both map-side
+    // combine: >= 4 HashAggregate lines (partial+final each)
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"missing partial aggregation:\n$plan")
+  }
+
+  test("pipeline_release_carve: broadcast blocklist, one id-keyed " +
+      "text join, no cartesian, keyed windows only") {
+    val plan = planOf(
+      graft.operators.Pipeline.pipelineReleaseCarveQuery(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"blocklist did not broadcast:\n$plan")
+    // the release stages' windows stay keyed (fp / domain) — an
+    // unpartitioned window here would serialize the corpus
+    assert(!plan.contains("SinglePartition"),
+      s"unpartitioned exchange:\n$plan")
+  }
+
   test("contamination_report: hit pairs partial-agg before the " +
       "eval-keyed shuffle, no countDistinct expansion") {
     val plan = planOf(

@@ -209,4 +209,47 @@ object TextKernelPropSpec extends Properties("TextKernels") {
       while (m.find()) ref += 1
       HashKernels.bpeTokenCount(u(s)) == ref
     }
+
+  // ---- T45 html kernel ≡ the nine-pass regex chain, in-JVM ----
+  // the same pattern strings the Spark htmlTextRegex Column and the
+  // DuckDB oracle state; markup-dense generator so tag/entity/ws
+  // rules all fire constantly, plus raw fragments that seed
+  // unterminated structures
+  private val htmlish: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> texty.map(_.take(12)),
+    2 -> Gen.oneOf("<p>", "</p>", "<div class='x'>", "</div>", "<br>",
+      "<li>", "<ul>", "<td>", "<tr>", "<h1>", "<h3>", "</h1>", "<em>",
+      "</em>", "<span a=b>", "<H2>", "<DIV>", "<blockquote>"),
+    2 -> Gen.oneOf("<script>", "</script>", "<style>", "</style>",
+      "<SCRIPT a='b'>", "</STYLE>", "<scripts>", "<!--", "-->",
+      "<!-- c -->", "<script>var a=1<2;</script>"),
+    2 -> Gen.oneOf("&nbsp;", "&lt;", "&gt;", "&quot;", "&#39;",
+      "&amp;", "&amp;lt;", "&", ";", "&nb", "sp;"),
+    1 -> Gen.oneOf("<", ">", "</", "<div", "class=\"un", "\n\n",
+      " \t ", "\r\n", "", "\f"))).map(_.mkString)
+
+  private def chainRef(s: String): String = {
+    def rr(t: String, p: String, r: String): String =
+      java.util.regex.Pattern.compile(p).matcher(t).replaceAll(
+        java.util.regex.Matcher.quoteReplacement(r))
+    var t = s
+    t = rr(t, "(?is)<script[^>]*>.*?</script>", " ")
+    t = rr(t, "(?is)<style[^>]*>.*?</style>", " ")
+    t = rr(t, "(?s)<!--.*?-->", " ")
+    t = rr(t,
+      "(?i)</?(?:p|br|li|ul|ol|div|h[1-6]|tr|table|blockquote)\\b[^>]*>",
+      "\n")
+    t = rr(t, "<[^>]*>", " ")
+    for ((e, r) <- Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"))
+      t = t.replace(e, r)
+    t = rr(t, "[ \\t\\r]+", " ")
+    t = rr(t, " ?\\n[ \\n]*", "\n")
+    rr(t, "^\\s+|\\s+$", "")
+  }
+
+  property("html_text kernel == nine-pass regex chain") =
+    forAll(htmlish) { s =>
+      HashKernels.htmlText(u(s)).toString == chainRef(s)
+    }
 }

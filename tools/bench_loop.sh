@@ -21,7 +21,8 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 while [ "$i" -le "$END" ]; do
-  rsync -a --delete target/scala-2.13/classes/ target/bench_cls/
+  rm -rf target/bench_cls
+  cp -a target/scala-2.13/classes target/bench_cls
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_OUT=target/bench_${TAG}_run${i}.json \
