@@ -695,7 +695,13 @@ object Dedup {
     *     docs by the same defensive `distinct()` the broadcast path
     *     applies; holdout-fraction-sized, never collected;
     *  2. train emissions `(h, train_id)` — the same per-doc-distinct
-    *     keys, one row per (gram, train doc);
+    *     keys, one row per (gram, train doc), PRE-FILTERED through a
+    *     D18 Bloom bitmap of the holdout grams (treeAggregate build,
+    *     mBits/8 bytes, no collect — the never-collects property
+    *     holds): at realistic leak rates the corpus-sized exchange
+    *     shrinks to ~leakage + the false-positive trickle, and a
+    *     false positive merely rides to the join and drops there, so
+    *     the output is EXACT regardless of filter saturation;
     *  3. equi-join on the 8-byte key — the ONLY corpus-sized
     *     exchange, and it carries two longs per row, never text;
     *  4. partial-agged `groupBy(eval_id, train_id).count()` — the
@@ -711,12 +717,15 @@ object Dedup {
     * corpus with a zero-shuffle map.
     */
   def contaminationReportJoin(docsDf: DataFrame, seed: String = "7",
-      evalNum: Long = 1, evalDen: Long = 10,
-      n: Int = 13): DataFrame = {
+      evalNum: Long = 1, evalDen: Long = 10, n: Int = 13,
+      mBits: Int = 1 << 23, kHashes: Int = 4): DataFrame = {
     requireCarveParams(evalNum, evalDen, n)
     val spark = docsDf.sparkSession
     import spark.implicits._
     val ds = holdoutSplit(docsDf, seed, evalNum, evalDen)
+    val bits = ngramBloomBuild(ds.filter(col("is_eval"))
+      .toDF("doc_id", "text", "is_eval"), n, mBits, kHashes)
+    val bcBits = spark.sparkContext.broadcast(bits)
     val evalPost = ds.filter(col("is_eval"))
       .flatMap { case (id, t, _) =>
         Dedup.ngramFnvKeys(t, n).map(h => (h, id))
@@ -724,7 +733,9 @@ object Dedup {
       .toDF("h", "eval_id").distinct()
     val trainPost = ds.filter(!col("is_eval"))
       .flatMap { case (id, t, _) =>
-        Dedup.ngramFnvKeys(t, n).map(h => (h, id))
+        Dedup.ngramFnvKeys(t, n).iterator
+          .filter(h => Dedup.bloomTest(bcBits.value, h, kHashes))
+          .map(h => (h, id))
       }
       .toDF("h", "train_id")
     trainPost.join(evalPost, Seq("h"))
