@@ -37,8 +37,8 @@ object Probe {
       // _scaled twins below probe the honest-scale parameters; these
       // pin the registered defaults so every family has a committed
       // 100× number)
-      "dedup_clusters_lsh", "sim_join_lsh", "dedup_semantic",
-      "semdedup_apply",
+      "dedup_clusters_lsh", "sim_join_lsh", "sim_join_lsh_auto",
+      "dedup_semantic", "semdedup_apply",
       "quality_gopher", "gopher_repetition", "quality_c4", "c4_apply",
       "compression_ratio", "quality_signals", "quality_signals_core",
       "domain_filter", "domain_cap", "domain_cap_apply",

@@ -290,6 +290,48 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The band width [[simJoinLshAuto]] picks for a corpus of `n`
+    * vectors: the smallest power-of-two bit count whose EXPECTED
+    * random-collision bucket `n / 2^bits` stays an order of
+    * magnitude under `maxBucket`, so the cap only ever bites TRUE
+    * near-duplicate groups — never the background occupancy. Returns
+    * the band COUNT (`nPlanes / bits`, floor 1). Reproduces both
+    * hand-tuned choices: 2k vectors → 16 bands of 4 bits (the
+    * registry default), 200k → 4 bands of 16 bits (the 100×-probe
+    * sizing). Exposed for spec pinning.
+    */
+  private[graft] def simJoinLshBandsFor(n: Long, nPlanes: Int = 64,
+      maxBucket: Int = 5000): Int = {
+    require(nPlanes >= 4 && Integer.bitCount(nPlanes) == 1,
+      s"nPlanes must be a power of two >= 4: $nPlanes")
+    var bits = 4
+    while (bits < nPlanes &&
+        n.toDouble / math.pow(2.0, bits) > maxBucket / 10.0)
+      bits *= 2
+    math.max(1, nPlanes / bits)
+  }
+
+  /** S4-auto — [[simJoinLsh]] with the band width sized from the
+    * corpus (the Clustering.AutoK precedent): at a FIXED band count
+    * the per-band signature space is constant, so background bucket
+    * occupancy grows linearly with the corpus and eventually every
+    * bucket breaches `maxBucket` — at 100× the registry default
+    * (4-bit bands) drops ALL buckets and returns zero pairs (loudly,
+    * via the observe metric, but zero). Auto-sizing keeps expected
+    * random occupancy an order of magnitude under the cap at any
+    * scale; the only extra cost is one bounded count. Fewer, wider
+    * bands trade recall for boundedness exactly as the hand-tuned
+    * probe variant does (recall for near-exact duplicates stays ~1.0
+    * at any width — identical vectors share every signature).
+    */
+  def simJoinLshAuto(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.45, nPlanes: Int = 64,
+      maxBucket: Int = 5000): DataFrame = {
+    val n = embeddings(spark, sfDir).count()
+    simJoinLsh(spark, sfDir, threshold, nPlanes,
+      simJoinLshBandsFor(n, nPlanes, maxBucket), maxBucket)
+  }
+
   /** S3 — IVF ANN: k-means centroids fit with `lloydIters` Lloyd
     * iterations (deterministic seed = first `nCells` vectors; each
     * iteration is one distributed assign + one aggregation, and only

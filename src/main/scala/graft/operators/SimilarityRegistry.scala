@@ -20,6 +20,7 @@ object SimilarityRegistry {
     // production path: LSH-banded blocking, rows-only (bucket
     // internals engine-specific); recall vs sim_join spec'd ≥ 0.9
     "sim_join_lsh" -> ((s, d) => Similarity.simJoinLsh(s, d)),
+    "sim_join_lsh_auto" -> ((s, d) => Similarity.simJoinLshAuto(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     // rows-only like ann_ivf (float cosine ranks); SimilaritySpec

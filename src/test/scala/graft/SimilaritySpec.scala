@@ -110,6 +110,26 @@ class SimilaritySpec extends AnyFunSuite {
       s"missing: ${(expected -- pairs).take(5)}")
   }
 
+  test("sim_join_lsh_auto: band chooser reproduces both hand-tuned " +
+      "sizings and the auto face equals the fixed face at small n") {
+    // the sizing rule: smallest power-of-two band width whose
+    // expected random bucket occupancy n/2^bits <= maxBucket/10
+    assert(Similarity.simJoinLshBandsFor(500) == 16) // sf0.001
+    assert(Similarity.simJoinLshBandsFor(2000) == 16) // registry default
+    assert(Similarity.simJoinLshBandsFor(200000) == 4) // the 100× probe sizing
+    assert(Similarity.simJoinLshBandsFor(20000000) == 4) // 16-bit still holds
+    assert(Similarity.simJoinLshBandsFor(1L << 40) == 2) // 32-bit bands
+    assert(Similarity.simJoinLshBandsFor(1L << 45) == 1) // one 64-bit band
+    assert(Similarity.simJoinLshBandsFor(200000, nPlanes = 128) == 8)
+    // small corpus: auto picks the registry default's 16 bands, so
+    // the two faces are the SAME computation
+    val sf01 = "/root/testdata/sf0.01"
+    val auto = pairSet(Similarity.simJoinLshAuto(spark, sf01, 0.45))
+    val fixed = pairSet(Similarity.simJoinLsh(spark, sf01, 0.45))
+    assert(auto == fixed)
+    assert(auto.nonEmpty)
+  }
+
   test("sim_join_lsh bucket cap bounds pair generation") {
     // with a tiny cap every bucket at sf0.01 is dropped or bounded:
     // the join must still run and emit only pairs from small buckets
