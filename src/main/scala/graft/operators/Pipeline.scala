@@ -303,8 +303,15 @@ object Pipeline {
       stopWords: Seq[String], badWords: Seq[String]): DataFrame = {
     val byFp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp"))
-    TextOps.qualitySignalsOf(docs, stopWords, badWords,
-        carry = Seq("text"))
+    // fence between the signals projection and the keep filter — the
+    // releaseCapped rationale (see [[graft.plans.Fence]]): without it
+    // the pushed-down filter re-evaluates the kernels per conjunct
+    // and the fused span falls back to interpreted at 64 KB
+    graft.plans.Fence.stageBarrier(
+      TextOps.qualitySignalsOf(docs, stopWords, badWords,
+          carry = Seq("text"))
+        .select(col("doc_id"), col("text"), col("keep_gopher"),
+          col("keep_rep"), col("keep_c4"), col("keep_model")))
       .filter(col("keep_gopher") === 1 && col("keep_rep") === 1 &&
         col("keep_c4") === 1 && col("keep_model") === 1)
       .select(col("doc_id"),
@@ -386,11 +393,16 @@ object Pipeline {
       cap: Int, seed: Long): DataFrame = {
     require(cap >= 1, s"cap must be >= 1: $cap")
     import graft.functions.TextFunctions.{fingerprintMd5, tokenCount}
-    val gated = DomainOps.domainGate(docs, blocklist, badUrlWords)
-      .filter(col("keep"))
-      .select(col("doc_id"), col("text"), col("domain"))
-    val skinny = TextOps.qualitySignalsOf(gated, stopWords, badWords,
-        carry = Seq("text", "domain"))
+    // the signals half ends at a Fence: without it PushDownPredicates
+    // substitutes the full kernel trees into every keep conjunct —
+    // the filter then re-evaluates pagestats/model_stats per conjunct
+    // AND the fused span's processNext() grows past janino's 64 KB
+    // limit, dropping the whole stage to interpreted execution (the
+    // r16 verdict's #1). The fence is a same-task iterator handoff —
+    // no shuffle, no materialization; see [[graft.plans.Fence]].
+    val fenced = graft.plans.Fence.stageBarrier(
+      releaseSignals(docs, blocklist, stopWords, badWords, badUrlWords))
+    val skinny = fenced
       .filter(col("keep_gopher") === 1 && col("keep_rep") === 1 &&
         col("keep_c4") === 1 && col("keep_model") === 1)
       .select(col("doc_id"), col("domain"),
@@ -411,6 +423,29 @@ object Pipeline {
         col("n_tokens"),
         md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
           .as("h"))
+  }
+
+  /** The BELOW-FENCE half of [[releaseCapped]] — URL gate + the T38
+    * signals projection, emitting exactly the columns the upper half
+    * consumes (pruning cannot cross the fence): (doc_id, domain,
+    * text, the four SQL-stateable keep gates). One corpus scan; the
+    * kernels evaluate once per row inside the projection (subexpr
+    * elimination), and the keep decision stays an int column until
+    * the fence so no predicate substitution can duplicate them.
+    * Exposed lazily for the plan audit (the fence hides this half
+    * from the composed plan string).
+    */
+  private[graft] def releaseSignals(docs: DataFrame,
+      blocklist: DataFrame, stopWords: Seq[String],
+      badWords: Seq[String], badUrlWords: Seq[String]): DataFrame = {
+    val gated = DomainOps.domainGate(docs, blocklist, badUrlWords)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"), col("domain"))
+    TextOps.qualitySignalsOf(gated, stopWords, badWords,
+        carry = Seq("text", "domain"))
+      .select(col("doc_id"), col("domain"), col("text"),
+        col("keep_gopher"), col("keep_rep"), col("keep_c4"),
+        col("keep_model"))
   }
 
   /** The registered `pipeline_release` query: the [[pipelineSignalsQuery]]
@@ -480,6 +515,29 @@ object Pipeline {
     val (docs, blocklist) = releaseFixture(spark, sfDir)
     releaseCapped(docs, blocklist, Seq("the", "a"), Seq("badword"),
       DomainOps.DefaultBadUrlWords, cap = 3, seed = 7L)
+  }
+
+  /** The below-fence half over the registered fixture — the audit
+    * frame for what [[releaseCapped]] hides behind its Fence.
+    */
+  private[graft] def releaseSignalsQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (docs, blocklist) = releaseFixture(spark, sfDir)
+    releaseSignals(docs, blocklist, Seq("the", "a"), Seq("badword"),
+      DomainOps.DefaultBadUrlWords)
+  }
+
+  /** P7's below-fence half (extraction in front) — the audit frame
+    * proving raw markup dies inside the scan-side projection.
+    */
+  private[graft] def releaseSignalsWebQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (docs, blocklist) = releaseFixture(spark, sfDir)
+    val extracted = TextOps.plantWebPage(docs)
+      .select(col("doc_id"), col("url"),
+        TextOps.htmlTextOf(col("html")).as("text"))
+    releaseSignals(extracted, blocklist, Seq("the", "a"),
+      Seq("badword"), DomainOps.DefaultBadUrlWords)
   }
 
   /** P7's stages 0–4 (extraction in front) as a lazy frame — the

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Optimizer/codegen fence: re-roots a DataFrame on its own compiled
+  * RDD (the [[GlobalOrder]] `toRdd` + `internalDataFrame` bridge), so
+  * the plan ABOVE the fence sees a leaf.
+  *
+  * Why this exists — the fused-projection 64 KB failure mode: a
+  * projection that computes N signal columns from one expensive
+  * kernel call (`pagestats`, `model_stats`, …) followed by a filter
+  * on those columns gets rewritten by `PushDownPredicates`, which
+  * substitutes each alias's FULL defining expression into every
+  * predicate conjunct. The filter then carries the kernel tree once
+  * per conjunct; `FilterExec` does no subexpression elimination
+  * (only Project/Aggregate do), so whole-stage codegen inlines each
+  * copy and `processNext()` grows past janino's 64 KB method limit —
+  * the stage falls back to interpreted — and even where it compiles,
+  * the kernels are EVALUATED once per conjunct instead of once per
+  * row. The release pipelines (P6/P7/P8) hit exactly this on their
+  * signals+selection projection.
+  *
+  * The fence stops both: a `LogicalRDD` leaf is opaque to
+  * `PushDownPredicates`/`CollapseProject`/column pruning, and the
+  * physical `RDDScanExec` starts a FRESH whole-stage-codegen span, so
+  * each half compiles comfortably. Cost: none in data movement (the
+  * handoff is a same-task iterator of the child plan's unsafe rows —
+  * no shuffle, no serialization, no materialization; planning of the
+  * child happens at fence-construction time, execution stays lazy).
+  * Because pruning cannot cross it, SELECT exactly the columns the
+  * upper half needs before fencing.
+  *
+  * Batch-only (`LogicalRDD` is a batch leaf) — streaming faces of the
+  * same operators (X25/X27) keep their un-fenced single plan; their
+  * per-micro-batch volumes never approach the regime where the
+  * interpreted fallback hurts.
+  */
+object Fence {
+
+  /** Re-root `df` as a leaf: everything below is planned now and
+    * becomes one (or more) independent codegen span(s); everything
+    * above plans against an opaque scan with `df.schema`.
+    */
+  def stageBarrier(df: DataFrame): DataFrame =
+    ColumnBridge.internalDataFrame(df.sparkSession,
+      df.queryExecution.toRdd, df.schema)
+}

@@ -305,8 +305,6 @@ class PlanAuditSpec extends AnyFunSuite {
     // exchange — text is projected away before the first window.
     val plan = planOf(
       graft.operators.Pipeline.releaseCappedQuery(spark, sf))
-    assert(plan.contains("BroadcastHashJoin"),
-      s"blocklist did not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"cartesian product in pipeline_release:\n$plan")
     assert(!plan.contains("SinglePartition"),
@@ -315,19 +313,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows.size >= 2, s"expected both windows:\n$plan")
     assert(windows.forall(l => l.contains("fp#") || l.contains("domain#")),
       s"window not keyed by fp/domain:\n${windows.mkString("\n")}")
+    // the signals half sits below the Fence (r17): audit it directly
+    val below = planOf(graft.operators.Pipeline.releaseSignalsQuery(
+      spark, sf))
+    assert(below.contains("BroadcastHashJoin"),
+      s"blocklist did not broadcast below the fence:\n$below")
+    assert(!below.contains("CartesianProduct") &&
+      !below.contains("SinglePartition"),
+      s"degenerate exchange below the fence:\n$below")
+    // the whole point of the fence: the keep predicates stay a filter
+    // on fenced int columns, so no kernel tree is substituted into a
+    // Filter conjunct in either half
+    Seq("pagestats" -> plan, "pagestats" -> below,
+        "modelstats" -> plan, "modelstats" -> below).foreach {
+      case (kernel, p) =>
+        p.linesIterator.filter(l =>
+            """(?:\*\(\d+\) )?(?:\+- )?Filter[ (]""".r
+              .findFirstIn(l.trim).isDefined)
+          .foreach(l => assert(!l.contains(kernel),
+            s"$kernel substituted into a Filter: ${l.trim.take(160)}"))
+    }
   }
 
   test("pipeline_web: markup dies in the scan projection, never crosses a shuffle") {
     val plan = planOf(
       graft.operators.Pipeline.releaseCappedWebQuery(spark, sf))
     // P6's audit properties hold with extraction in front…
-    assert(plan.contains("BroadcastHashJoin"),
-      s"blocklist did not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("SinglePartition"), s"degenerate exchange:\n$plan")
     // …and no html/raw-page column rides any exchange: extraction is
     // a pure projection fused into the scan side
     plan.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+      assert(!l.contains("html"), s"raw markup crosses a shuffle: $l"))
+    // the gate + signals half sits below the Fence (r17): the
+    // broadcast, the non-degenerate shape AND the markup-dies-in-scan
+    // property are audited on that half's own plan
+    val below = planOf(graft.operators.Pipeline.releaseSignalsWebQuery(
+      spark, sf))
+    assert(below.contains("BroadcastHashJoin"),
+      s"blocklist did not broadcast below the fence:\n$below")
+    assert(!below.contains("CartesianProduct") &&
+      !below.contains("SinglePartition"),
+      s"degenerate exchange below the fence:\n$below")
+    below.linesIterator.filter(_.contains("Exchange")).foreach(l =>
       assert(!l.contains("html"), s"raw markup crosses a shuffle: $l"))
   }
 
@@ -481,8 +509,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = planOf(
       graft.operators.Pipeline.pipelineReleaseCarveQuery(spark, sf))
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
-    assert(plan.contains("BroadcastExchange"),
-      s"blocklist did not broadcast:\n$plan")
+    // the blocklist broadcast sits below releaseCapped's fence since
+    // r17 — audited in the pipeline_release test on the signals half
     // the release stages' windows stay keyed (fp / domain) — an
     // unpartitioned window here would serialize the corpus
     assert(!plan.contains("SinglePartition"),
