@@ -223,14 +223,27 @@ object Similarity {
     * pairs — never the O(bucket²) candidate set — reach a shuffle.
     * Buckets above `maxBucket` are dropped and counted via
     * observe("simjoinlsh_bucket_cap", dropped_buckets).
+    *
+    * `nBands = 0` (THE DEFAULT since r17) auto-sizes the band width
+    * from one bounded corpus count ([[simJoinLshBandsFor]]): a fixed
+    * band count keeps the per-band signature space constant, so
+    * background bucket occupancy grows linearly with the corpus and
+    * at ~100× the old fixed default (16 bands of 4 bits) EVERY
+    * bucket breached `maxBucket` — the face returned zero pairs,
+    * loudly (the observe metric) but zero, the
+    * empty-but-plausible failure the r16 verdict flagged. Pass an
+    * explicit band count only to pin a measured recall regime.
     */
   def simJoinLsh(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.45, nPlanes: Int = 64, nBands: Int = 16,
+      threshold: Double = 0.45, nPlanes: Int = 64, nBands: Int = 0,
       maxBucket: Int = 5000): DataFrame = {
     import spark.implicits._
     val emb = embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").as("emb"))
-    bandedVectors(spark, emb, nPlanes, nBands)
+    val bands =
+      if (nBands == 0) simJoinLshBandsFor(emb.count(), nPlanes, maxBucket)
+      else nBands
+    bandedVectors(spark, emb, nPlanes, bands)
       .groupBy(col("band"), col("bsig"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("emb"))))
         .as("members"))
@@ -296,19 +309,27 @@ object Similarity {
     * magnitude under `maxBucket`, so the cap only ever bites TRUE
     * near-duplicate groups — never the background occupancy. Returns
     * the band COUNT (`nPlanes / bits`, floor 1). Reproduces both
-    * hand-tuned choices: 2k vectors → 16 bands of 4 bits (the
+    * hand-tuned choices: 2k vectors → 16 bands of 4 bits (the old
     * registry default), 200k → 4 bands of 16 bits (the 100×-probe
-    * sizing). Exposed for spec pinning.
+    * sizing). Width is capped at min(nPlanes/2, 32) — ≥ 2 bands and
+    * never a band wider than 32 bits: the packed band signature is a
+    * long and [[bandedVectors]] requires ≤ 63 bits per band, so an
+    * uncapped chooser would pick one 64-bit band past n ≈ 2⁴¹ and
+    * throw at exactly the scale it exists for (the r16 ADVICE
+    * finding). Past the cap (n/2³² over maxBucket/10 means > ~2⁴¹
+    * vectors, or duplicate-dense data), the bucket cap + observe
+    * metric carry the remaining risk. Exposed for spec pinning.
     */
   private[graft] def simJoinLshBandsFor(n: Long, nPlanes: Int = 64,
       maxBucket: Int = 5000): Int = {
     require(nPlanes >= 4 && Integer.bitCount(nPlanes) == 1,
       s"nPlanes must be a power of two >= 4: $nPlanes")
+    val maxBits = math.min(nPlanes / 2, 32)
     var bits = 4
-    while (bits < nPlanes &&
+    while (bits < maxBits &&
         n.toDouble / math.pow(2.0, bits) > maxBucket / 10.0)
       bits *= 2
-    math.max(1, nPlanes / bits)
+    math.max(2, nPlanes / bits)
   }
 
   /** S4-auto — [[simJoinLsh]] with the band width sized from the
@@ -326,11 +347,10 @@ object Similarity {
     */
   def simJoinLshAuto(spark: SparkSession, sfDir: String,
       threshold: Double = 0.45, nPlanes: Int = 64,
-      maxBucket: Int = 5000): DataFrame = {
-    val n = embeddings(spark, sfDir).count()
-    simJoinLsh(spark, sfDir, threshold, nPlanes,
-      simJoinLshBandsFor(n, nPlanes, maxBucket), maxBucket)
-  }
+      maxBucket: Int = 5000): DataFrame =
+    // auto IS the simJoinLsh default since r17 (nBands = 0 sentinel);
+    // this face stays as the explicit name the registry/probe pin
+    simJoinLsh(spark, sfDir, threshold, nPlanes, nBands = 0, maxBucket)
 
   /** S3 — IVF ANN: k-means centroids fit with `lloydIters` Lloyd
     * iterations (deterministic seed = first `nCells` vectors; each

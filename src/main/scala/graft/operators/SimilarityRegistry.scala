@@ -18,7 +18,11 @@ object SimilarityRegistry {
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "sim_join" -> ((s, d) => Similarity.simJoin(s, d)),
     // production path: LSH-banded blocking, rows-only (bucket
-    // internals engine-specific); recall vs sim_join spec'd ≥ 0.9
+    // internals engine-specific); recall vs sim_join spec'd ≥ 0.9.
+    // Band width auto-sizes from the corpus since r17 (nBands = 0
+    // default) — the fixed 4-bit bands returned ZERO pairs at 100×
+    // (every bucket over the cap); the auto face stays registered as
+    // the explicit S5-auto name, now the same computation
     "sim_join_lsh" -> ((s, d) => Similarity.simJoinLsh(s, d)),
     "sim_join_lsh_auto" -> ((s, d) => Similarity.simJoinLshAuto(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),

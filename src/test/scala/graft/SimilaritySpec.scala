@@ -119,13 +119,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.simJoinLshBandsFor(200000) == 4) // the 100× probe sizing
     assert(Similarity.simJoinLshBandsFor(20000000) == 4) // 16-bit still holds
     assert(Similarity.simJoinLshBandsFor(1L << 40) == 2) // 32-bit bands
-    assert(Similarity.simJoinLshBandsFor(1L << 45) == 1) // one 64-bit band
+    // width capped at nPlanes/2: bandedVectors packs a band into a
+    // long (<= 63 bits), so the chooser must never return one 64-bit
+    // band however large n grows (the r16 ADVICE finding)
+    assert(Similarity.simJoinLshBandsFor(1L << 45) == 2)
+    assert(Similarity.simJoinLshBandsFor(Long.MaxValue) == 2)
     assert(Similarity.simJoinLshBandsFor(200000, nPlanes = 128) == 8)
-    // small corpus: auto picks the registry default's 16 bands, so
-    // the two faces are the SAME computation
+    // small corpus: auto picks the old fixed default's 16 bands, so
+    // the auto face and an EXPLICIT 16-band call are the SAME
+    // computation (simJoinLsh itself defaults to auto since r17)
     val sf01 = "/root/testdata/sf0.01"
     val auto = pairSet(Similarity.simJoinLshAuto(spark, sf01, 0.45))
-    val fixed = pairSet(Similarity.simJoinLsh(spark, sf01, 0.45))
+    val fixed = pairSet(Similarity.simJoinLsh(spark, sf01, 0.45,
+      nBands = 16))
     assert(auto == fixed)
     assert(auto.nonEmpty)
   }
