@@ -718,11 +718,21 @@ object Dedup {
     */
   def contaminationReportJoin(docsDf: DataFrame, seed: String = "7",
       evalNum: Long = 1, evalDen: Long = 10, n: Int = 13,
-      mBits: Int = 1 << 23, kHashes: Int = 4): DataFrame = {
+      mBits: Int = 1 << 23, kHashes: Int = 4,
+      share: Boolean = true): DataFrame = {
     requireCarveParams(evalNum, evalDen, n)
     val spark = docsDf.sparkSession
     import spark.implicits._
-    val ds = holdoutSplit(docsDf, seed, evalNum, evalDen)
+    // the split feeds THREE consumers (Bloom build, eval postings,
+    // train emissions); under `share` it materializes ONCE (the
+    // P1/D17 localCheckpoint convention) instead of re-scanning the
+    // corpus + re-deriving the md5 split per consumer — the shape
+    // exists for corpus-scale holdouts, where two extra full-text
+    // scans are exactly the cost it was built to avoid (the r16
+    // verdict's #3). share = false keeps the pure-recompute plan for
+    // the equivalence spec.
+    val ds0 = holdoutSplit(docsDf, seed, evalNum, evalDen)
+    val ds = if (share) ds0.localCheckpoint(true) else ds0
     val bits = ngramBloomBuild(ds.filter(col("is_eval"))
       .toDF("doc_id", "text", "is_eval"), n, mBits, kHashes)
     val bcBits = spark.sparkContext.broadcast(bits)

@@ -213,7 +213,12 @@ object StreamingOps {
         rows: Iterator[(Long, Long, Timestamp, String, Seq[Long])],
         state: GroupState[BucketState]): Iterator[StreamDoc] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      val batch = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+      // the X24 replay pin, full precision: (getTime, getNanos) is
+      // Timestamp.compareTo's order — getTime alone truncates to ms
+      // and would tie-break same-millisecond docs by id instead of
+      // their true microsecond order
+      val batch = rows.toSeq
+        .sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
       if (bucket == Long.MinValue)
         return batch.map(r => StreamDoc(r._2, r._3, r._4)).iterator
       var st = state.getOption.getOrElse(BucketState(Array.empty, 0L))
@@ -1097,9 +1102,11 @@ object StreamingOps {
         state: GroupState[Long]): Iterator[DomainCapOut] = {
       var seen = state.getOption.getOrElse(0L)
       // toVector + strict map: fully drained BEFORE state.update
-      // sees the final count
+      // sees the final count. (getTime, getNanos) = full-precision
+      // Timestamp order — getTime alone truncates to ms, so two docs
+      // in one millisecond would rank by id, not microsecond order
       val out = rows.toVector
-        .sortBy { case (id, ts, _) => (ts.getTime, id) }
+        .sortBy { case (id, ts, _) => (ts.getTime, ts.getNanos, id) }
         .map { case (id, ts, _) =>
           seen += 1
           DomainCapOut(id, ts, domain, seen, seen <= cap)
@@ -1183,11 +1190,13 @@ object StreamingOps {
         rows: Iterator[(Long, Timestamp, String, String, Boolean)],
         state: GroupState[Long]): Iterator[IngestAdmitOut] = {
       var seen = state.getOption.getOrElse(0L)
-      // the X24 replay pin: (ts, doc_id) order within the batch, so
-      // a re-partitioned replay admits the same doc at the quota
+      // the X24 replay pin: full-precision (ts, doc_id) order within
+      // the batch ((getTime, getNanos) = Timestamp.compareTo), so a
+      // re-partitioned replay admits the same doc at the quota
       // boundary; toVector + strict map drains BEFORE state.update
       val out = rows.toVector
-        .sortBy { case (id, ts, _, _, _) => (ts.getTime, id) }
+        .sortBy { case (id, ts, _, _, _) =>
+          (ts.getTime, ts.getNanos, id) }
         .map { case (id, ts, _, fp, _) =>
           seen += 1
           IngestAdmitOut(id, ts, domain, fp, seen, seen <= cap)

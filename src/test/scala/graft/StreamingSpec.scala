@@ -995,6 +995,91 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("X18 ranking is replay-stable: identical under two candidate " +
+      "arrival orders, ties broken by vec_id") {
+    import graft.streaming.StreamingOps.StreamVec
+    import spark.implicits._
+    // ONE cell, eight corpus vectors, two of them IDENTICAL (ids 6/7
+    // tie at the same cosine — the (cosine DESC, vec_id) rule must
+    // decide, not the heap's insertion order). The candidate order a
+    // query's group iterator sees comes from the stream-static join,
+    // so the two runs repartition/sort the static side two opposite
+    // ways — the X24 shuffled-two-ways pattern for the X18 heap.
+    val base = Array.tabulate(8)(d => (d + 1).toFloat)
+    def vec(scale: Float, tweak: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, d) =>
+        v * scale + (if (d == tweak) 1.0f else 0.0f) }
+    val corpus = Seq[(Long, Long, Array[Float])](
+      (0L, 1L, vec(1.0f, 0)), (0L, 2L, vec(1.0f, 1)),
+      (0L, 3L, vec(1.0f, 2)), (0L, 4L, vec(1.0f, 3)),
+      (0L, 5L, vec(1.0f, 4)), (0L, 6L, vec(2.0f, -1)),
+      (0L, 7L, vec(2.0f, -1)), // exact duplicate of 6: cosine tie
+      (0L, 8L, vec(1.0f, 5)))
+    val export = Array((0L, base.map(_.toDouble)))
+    def ranked(shuffled: Boolean, name: String): Set[(Long, Long, Int)] = {
+      val assigned0 = corpus.toDF("cell_id", "vec_id", "emb")
+      val assigned =
+        if (shuffled) assigned0.orderBy(col("vec_id").desc).repartition(7)
+        else assigned0.repartition(2)
+      val in = MemoryStream[StreamVec]
+      val q = StreamingOps.streamingAnnTopK(in.toDS(), export, assigned,
+          nProbe = 1, k = 5)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(StreamVec(100L, ts(0), base))
+        q.processAllAvailable()
+        in.addData(StreamVec(999L, ts(120), base)) // watermark push
+        q.processAllAvailable()
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getAs[Long]("query_id"),
+            r.getAs[Long]("neighbor_id"), r.getAs[Int]("rnk")))
+          .filter(_._1 == 100L).toSet
+      } finally q.stop()
+    }
+    val fwd = ranked(shuffled = false, "anntopk_replay_fwd")
+    val rev = ranked(shuffled = true, "anntopk_replay_rev")
+    assert(fwd == rev, s"replay drift: $fwd vs $rev")
+    // the tied duplicates rank adjacently with 6 before 7 (vec_id ASC)
+    val rankOf = fwd.map(r => r._2 -> r._3).toMap
+    assert(rankOf.contains(6L) && rankOf.contains(7L), s"got $fwd")
+    assert(rankOf(6L) + 1 == rankOf(7L),
+      s"tie not broken by vec_id: $fwd")
+  }
+
+  test("X7 within-batch suppression is replay-stable: pinned to " +
+      "(ts, doc_id), independent of enqueue order") {
+    import graft.streaming.StreamingOps.StreamDoc
+    // four copies of one doc in ONE micro-batch, ts order deliberately
+    // disagreeing with doc_id order and one (ts) tie — the sort pin
+    // must keep the SAME survivor (smallest (ts, doc_id) = 11) under
+    // both enqueue orders; unpinned, the group iterator's raw order
+    // would crown whichever copy the batch partitioning put first
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      StreamDoc(10, ts(2), base),
+      StreamDoc(11, ts(0), base),
+      StreamDoc(14, ts(0), base), // ts tie with 11: doc_id decides
+      StreamDoc(12, ts(1), base))
+    def survivors(order: Seq[StreamDoc], name: String): Set[Long] = {
+      val in = MemoryStream[StreamDoc]
+      val q = StreamingOps.streamingNearDup(in.toDS(), theta = 0.7)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(order: _*)
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+      } finally q.stop()
+    }
+    val fwd = survivors(docs, "neardup_replay_fwd")
+    val rev = survivors(docs.reverse, "neardup_replay_rev")
+    assert(fwd == Set(11L), s"got $fwd") // smallest (ts, doc_id)
+    assert(rev == fwd, s"replay drift: $rev vs $fwd")
+  }
+
   test("X29 streaming domain line dedup scrubs only the arriving doc's own domain frontier") {
     import graft.streaming.StreamingOps.StreamSiteDoc
     // historical corpus: a.com has 3 docs sharing the "nav" line

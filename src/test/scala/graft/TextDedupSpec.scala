@@ -543,6 +543,12 @@ class TextDedupSpec extends AnyFunSuite {
       .contaminationReportJoinQuery(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(regJoin == regBroadcast)
+    // the r17 shared-split checkpoint changes only how many times the
+    // split is derived, never the rows (the P1 share-on/off pin)
+    val unshared = graft.operators.Dedup
+      .contaminationReportJoin(docs, share = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(unshared == broadcastShape)
   }
 
   test("registered holdout_carve fixture is non-vacuous at sf") {

@@ -15,6 +15,7 @@ import sys
 def main() -> None:
     out_path, runs = sys.argv[1], sys.argv[2:]
     merged: dict[str, float] = {}
+    errored: set[str] = set()  # queries seen with v <= 0 in some run
     sf = None
     n_runs = 0
     for path in runs:
@@ -26,6 +27,7 @@ def main() -> None:
             continue
         n_runs += 1
         qs = {k: v for k, v in d["queries"].items() if v > 0}
+        errored.update(k for k, v in d["queries"].items() if v <= 0)
         sf = d.get("sf", sf)
         tot = sum(qs.values())
         canary = qs.get("q_range_join", float("nan"))
@@ -33,6 +35,14 @@ def main() -> None:
         for k, v in qs.items():
             if k not in merged or v < merged[k]:
                 merged[k] = v
+    # a query that errored in EVERY run would silently vanish from the
+    # merged dict, shrinking the anchor's query set — a cross-round
+    # total comparison would then read the regression as a speedup
+    lost = sorted(errored - merged.keys())
+    if lost:
+        print(f"ERROR: {len(lost)} query(ies) errored in every run and "
+              f"would shrink the anchor: {', '.join(lost)}")
+        sys.exit(1)
     total = sum(merged.values())
     line = {
         "metric": "total", "value": total, "unit": "sec",
