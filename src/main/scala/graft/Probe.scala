@@ -86,6 +86,17 @@ object Probe {
       "q_events_tumbling", "q_events_sliding", "q_sessionize",
       "q_conditional_agg")
 
+    // the sparse-leak plant for the contamination_report_*_sparse
+    // rows: same hv phrase as the registry fixture, 200× rarer
+    def sparseLeakPlanted(dir: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val phrase = (0 until 13).map(i => s"hv$i").mkString(" ")
+      graft.Tables.documents(spark, dir).select(col("doc_id"),
+        when(col("doc_id") % 1000 === 3,
+          concat(col("text"), lit(" " + phrase)))
+          .otherwise(col("text")).as("text"))
+    }
+
     val scaled: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       // head-to-head with the registry's contamination_screen: the
       // driver-indexed flatMap shape vs the broadcast-join + count agg
@@ -186,6 +197,19 @@ object Probe {
           .select(col("doc_id"))
         det.union(smp)
       }),
+      // D21/D21b in the join shape's DESIGN regime (the r16 verdict's
+      // #5): the registry fixture plants its phrase on 20% of docs,
+      // which at 100× saturates the D18 Bloom pre-filter AND makes
+      // the plant grams' eval×train posting product the dominant
+      // cost — the committed 1394.7 s row measures the worst case
+      // only. This pair plants on 0.1% of docs (doc_id ≡ 3 mod 1000),
+      // the realistic benchmark-leak rate, on the SAME corpus for
+      // both shapes so the broadcast/join ratio in the probe file is
+      // the filter's actual win, not its saturation price
+      "contamination_report_sparse" -> (() =>
+        operators.Dedup.contaminationReport(sparseLeakPlanted(sfDir))),
+      "contamination_report_join_sparse" -> (() =>
+        operators.Dedup.contaminationReportJoin(sparseLeakPlanted(sfDir))),
       // LAST on purpose: the deliberately-degraded join fallback is
       // the probe's heaviest stressor and has twice taken the whole
       // session down with a driver OOM under host memory pressure —

@@ -985,6 +985,55 @@ object HashKernels {
       nBigrams))
   }
 
+  /** Spark `least(a, b)` for doubles, exactly: the comparison is
+    * java.lang.Double.compare (NaN greatest, -0.0 < 0.0), NOT
+    * math.min — least(NaN, 1.0) must be 1.0 where math.min gives NaN
+    * (empty docs produce NaN ratios and the historical Column tree
+    * clamps them through Least).
+    */
+  @inline private def leastD(a: Double, b: Double): Double =
+    if (java.lang.Double.compare(b, a) < 0) b else a
+
+  /** The T15 model score in ONE call — the [[modelStats]] pass plus
+    * the rational clamp arithmetic, every double operation in the
+    * SAME order as the historical Column tree
+    * ([[graft.operators.TextOps.modelQualityScoreTree]], retained as
+    * the executable spec), so the score is bit-identical
+    * (ModelStatsSpec's differential battery + the ScalaCheck property
+    * vs the interpreted tree).
+    *
+    * Why a fused kernel and not the tree: `FilterExec` does NO
+    * subexpression elimination (only Project/Aggregate do), so a
+    * quality-gate predicate built from the tree re-evaluates
+    * `model_stats` once per element_at reference — measured 10× per
+    * corpus row in the P1/P2 gates. One static call makes the score
+    * an indivisible unit in any predicate, and drops ~40 expression
+    * nodes from every fused projection that carries it.
+    *
+    * Division semantics are IEEE (the DuckDB oracle's), not ANSI's
+    * divide-by-zero error: the only zero divisor is `numChars == 0`
+    * — the empty string, which no corpus row produces — and there
+    * the NaN ratio clamps through Least to a defined score exactly
+    * as the tree does under `spark.sql.ansi.enabled = false`.
+    */
+  def modelScore(text: UTF8String): Double = {
+    val ms = modelStats(text)
+    val ntI = ms.getLong(0)
+    val nt = ntI.toDouble
+    val lenF = leastD(nt, 400.0) / 400.0
+    val swF = leastD(ms.getLong(1).toDouble / nt * 4.0, 1.0)
+    val punctR = ms.getLong(2).toDouble / text.numChars().toDouble
+    val topR = ms.getLong(3).toDouble / nt
+    val dupFrac =
+      if (ntI <= 1L) 0.0
+      else (ntI - 1L - ms.getLong(4)).toDouble / (ntI - 1L).toDouble
+    lenF * 0.35 +
+      swF * 0.25 +
+      (1.0 - leastD(punctR * 5.0, 1.0)) * 0.15 +
+      (1.0 - topR) * 0.15 +
+      (1.0 - dupFrac) * 0.10
+  }
+
   /** Minimal open-addressed long→int map for gram-pair interning:
     * fixed capacity (no resizing — the caller knows the gram count
     * bound), linear probing, no deletes.
@@ -1982,6 +2031,26 @@ case class ModelStats(child: Expression)
     copy(child = c)
 }
 
+/** model_score(text) → double — the T15 score as ONE kernel call
+  * (see HashKernels.modelScore): Filter-safe where the Column tree
+  * was not — FilterExec does no subexpression elimination, so the
+  * tree form re-ran model_stats ~10× per row inside quality-gate
+  * predicates. Bit-identical to the tree by the ModelStatsSpec
+  * differential battery + the TextKernelPropSpec property.
+  */
+case class ModelScore(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.modelScore(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.modelScore($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** minhash_signature(shingles, k) → array<bigint> */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -2429,4 +2498,7 @@ object HashFunctions {
     ColumnBridge.column(TopTokenCount(ColumnBridge.expression(text)))
   def model_stats(text: Column): Column =
     ColumnBridge.column(ModelStats(ColumnBridge.expression(text)))
+
+  def model_score(text: Column): Column =
+    ColumnBridge.column(ModelScore(ColumnBridge.expression(text)))
 }

@@ -160,7 +160,11 @@ object Pipeline {
     val nearDup = IncrementalDedup
       .screenNearSigs(incIx, index, minEst = minEst)
       .select(col("doc_id")).distinct()
-    val gopher = TextOps.qualityGopherDocs(inc, stopWords)
+    // fenced: the keep === 0 predicate otherwise pushes below the
+    // gopher projection and re-runs the gopher_stats kernel once per
+    // substituted rule reference (×18/row — the r17 Filter lint)
+    val gopher = graft.plans.Fence.stageBarrier(
+      TextOps.qualityGopherDocsOf(inc, stopWords))
     val lowQuality = gopher.filter(col("keep") === 0).select(col("doc_id"))
     inc.select(col("doc_id"), col("source"))
       .join(exactDup, Seq("doc_id"), "left_anti")
@@ -208,7 +212,9 @@ object Pipeline {
     val nearDup = IncrementalDedup
       .verifyNearPairs(cand, inc, corpus, threshold)
       .select(col("doc_id")).distinct()
-    val gopher = TextOps.qualityGopherDocs(inc, stopWords)
+    // fenced — the P3 rationale (gopher_stats ×18/row otherwise)
+    val gopher = graft.plans.Fence.stageBarrier(
+      TextOps.qualityGopherDocsOf(inc, stopWords))
     val lowQuality = gopher.filter(col("keep") === 0).select(col("doc_id"))
     inc.select(col("doc_id"), col("source"))
       .join(exactDup, Seq("doc_id"), "left_anti")

@@ -64,6 +64,14 @@ object TextOps {
     * swaps the list, the thresholds stay.
     */
   def qualityGopherDocs(docs: DataFrame,
+      stopWords: Seq[String] = GopherStopList): DataFrame =
+    qualityGopherDocsOf(docs, stopWords).orderBy(col("doc_id"))
+
+  /** The gopher projection without the batch face's output sort —
+    * for composition (P3 fences this frame; fencing the sorted face
+    * would execute the sort Catalyst otherwise prunes under a join).
+    */
+  private[graft] def qualityGopherDocsOf(docs: DataFrame,
       stopWords: Seq[String] = GopherStopList): DataFrame = {
     import graft.functions.HashFunctions.gopher_stats
     require(stopWords.nonEmpty && stopWords.size <= 64,
@@ -79,7 +87,6 @@ object TextOps {
         g(7).as("n_symbols"), g(8).as("stop_hits"),
         g(9).as("line_chars"), g(10).as("dup_line_chars"))
       .withColumn("keep", gopherKeepOf(col(_)).cast("int"))
-      .orderBy(col("doc_id"))
   }
 
   /** The Gopher document-rule keep decision over named stat columns
@@ -365,12 +372,16 @@ object TextOps {
   def pipelineClean(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byFp = Window.partitionBy(col("fp"))
-    documents(spark, sfDir)
+    // fence between the kernel projection and the gate (the
+    // releaseCapped rationale): pushed down, the quality predicate
+    // re-ran the ws_token_count kernel once per substituted
+    // reference (×5/row — the r17 Filter lint's finding)
+    graft.plans.Fence.stageBarrier(documents(spark, sfDir)
       .select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
         qualityScore(col("text")).as("quality"),
         langId(col("text")).as("lang_pred"),
-        fingerprintMd5(col("text")).as("fp"))
+        fingerprintMd5(col("text")).as("fp")))
       .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
       .filter(col("keep"))
@@ -500,14 +511,26 @@ object TextOps {
   /** The T15 linear model as a COLUMN — a stateless projection, so it
     * composes unchanged into batch scans and `readStream` pipelines
     * alike (StreamingSpec drives it through a MemoryStream query).
-    * Term order is load-bearing: the oracle SQL mirrors it.
+    * ONE fused `model_score` kernel call since r17: the historical
+    * arithmetic tree ([[modelQualityScoreTree]], retained below as
+    * the executable spec) re-evaluated `model_stats` once per
+    * element_at reference — ~10× per row, measured — whenever the
+    * score landed in a Filter predicate, because FilterExec does no
+    * subexpression elimination. The kernel reproduces the tree's
+    * double arithmetic operation-for-operation, so the score — and
+    * every hash-checked consumer — is bit-identical (ModelStatsSpec
+    * battery + TextKernelPropSpec property vs the interpreted tree).
     */
-  def modelQualityScore(text: Column): Column = {
+  def modelQualityScore(text: Column): Column =
+    graft.functions.HashFunctions.model_score(text)
+
+  /** The historical T15 Column tree — THE executable spec of
+    * [[modelQualityScore]]'s kernel (the htmlTextRegex precedent):
+    * term order is load-bearing, the oracle SQL and the kernel both
+    * mirror it. Not used on any hot path.
+    */
+  private[graft] def modelQualityScoreTree(text: Column): Column = {
     import graft.functions.HashFunctions.model_stats
-    // ONE fused kernel pass feeds all five features (each integer
-    // bit-identical to its standalone kernel — ModelStatsSpec); the
-    // rational arithmetic below is unchanged, so the score — and
-    // every hash-checked consumer — is bit-identical too
     val ms = model_stats(text)
     val ntI = element_at(ms, 1)
     val nt = ntI.cast("double")

@@ -210,4 +210,28 @@ class KernelEvalAuditSpec extends AnyFunSuite {
     info(s"T15: $evals model_stats evals for $n rows (sort sample + output)")
     assert(evals == 2 * n, s"model_stats ran $evals times for $n rows")
   }
+
+  test("T15 quality gate runs model_stats ONCE per row inside a Filter") {
+    // FilterExec does no subexpression elimination (only Project/
+    // Aggregate do), so the historical Column tree re-ran model_stats
+    // once per element_at reference — measured 10× per corpus row —
+    // whenever the score sat in a predicate, which is EXACTLY the
+    // P1/P2 quality-gate shape. The r17 fused model_score kernel is
+    // the fix; this pins 1 eval/row in the bare-filter shape so the
+    // tree can never silently return to a hot predicate.
+    import org.apache.spark.sql.functions.{col, lit}
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    KernelMetrics.reset(); KernelMetrics.enabled = true
+    try {
+      docs.filter(graft.operators.TextOps.modelQualityScore(col("text"))
+        >= lit(0.5)).count()
+      val evals = KernelMetrics.modelStatsEvals.sum()
+      info(s"gate: $evals model_stats evals for $n rows")
+      assert(evals == n, s"model_stats ran $evals times for $n rows " +
+        "in the quality-gate filter (tree shape would read 10n)")
+    } finally { KernelMetrics.enabled = false; KernelMetrics.reset() }
+  }
 }

@@ -297,6 +297,36 @@ class PlanAuditSpec extends AnyFunSuite {
         offenders.mkString("\n"))
   }
 
+  test("no graft kernel repeats >=3x inside one Filter (whole surface)") {
+    // the alias-substitution trap, kernel edition (r17): FilterExec
+    // does no subexpression elimination, so a predicate that pushed
+    // through a kernel projection re-evaluates the kernel once per
+    // substituted reference — the T15 tree measured 10×/row, the
+    // release pipelines' keep conjuncts blew the 64 KB codegen limit.
+    // Lint every registered query's OPTIMIZED plan (post-pushdown):
+    // the same graft kernel appearing >= 3 times in one Filter
+    // condition means a multi-reference score/stat tree leaked into a
+    // predicate — fuse it into one kernel call (model_score) or fence
+    // the projection (releaseCapped). 1–2 occurrences stay legal: a
+    // direct gate on one kernel output is the intended shape.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      plan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case e if e.getClass.getName.startsWith("graft.functions.") =>
+              e.getClass.getSimpleName
+          }.groupBy(identity).collect {
+            case (k, occ) if occ.size >= 3 => s"$name: $k x${occ.size}"
+          }
+      }.flatten
+    }
+    assert(offenders.isEmpty,
+      s"kernel re-evaluated in a Filter in ${offenders.size} case(s):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("pipeline_release: keyed windows, broadcast blocklist, no cartesian") {
     // stages 1-4 (the shard prefix-sum is eager, so the audit pins
     // the lazy pre-shard frame): the blocklist must broadcast, both

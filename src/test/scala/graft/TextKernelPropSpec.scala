@@ -252,4 +252,55 @@ object TextKernelPropSpec extends Properties("TextKernels") {
     forAll(htmlish) { s =>
       HashKernels.htmlText(u(s)).toString == chainRef(s)
     }
+
+  // the model_score kernel vs the LITERAL historical Column tree,
+  // evaluated by Spark's own interpreted expression machinery (Least
+  // NaN ordering, long→double casts, CaseWhen) — the T45 lesson: pin
+  // the kernel against the real thing, not a mental model of it.
+  // Bit-compare via doubleToLongBits so a NaN ≡ NaN and -0.0 ≠ 0.0.
+  private lazy val treeEval: String => Double = {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    // resolve the Column tree ONCE through the analyzer (Spark 4
+    // Columns are unresolved ColumnNodes until analysis), then bind
+    // and eval interpreted per sample — Spark's own Least/Cast/
+    // CaseWhen semantics, not a re-implementation of them. ANSI off
+    // for the REFERENCE only: under ANSI the tree's punct division
+    // throws on the empty string (the one zero-divisor input, which
+    // no corpus row produces), where the kernel — like the DuckDB
+    // oracle — uses IEEE semantics: NaN, clamped by Least to a
+    // defined score
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    val analyzed = try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      Seq("seed").toDF("text")
+        .select(graft.operators.TextOps.modelQualityScoreTree(
+          org.apache.spark.sql.functions.col("text")).as("q"))
+        .queryExecution.analyzed.asInstanceOf[Project]
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    val bound = BindReferences.bindReference(
+      analyzed.projectList.head, analyzed.child.output)
+    s => bound.eval(org.apache.spark.sql.catalyst.InternalRow(u(s)))
+      .asInstanceOf[Double]
+  }
+
+  // token-ish docs: stopwords, repeats, punct runs, unicode, empties —
+  // every branch of the score (length clamp, stop ratio, punct clamp,
+  // top-token, bigram dup) plus the NaN edges (0 tokens, 0 chars)
+  private val scoreDoc: Gen[String] = for {
+    n <- Gen.choose(0, 600)
+    toks <- Gen.listOfN(n, Gen.frequency(
+      4 -> Gen.oneOf("the", "a", "of", "and", "to", "in"),
+      4 -> Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString),
+      2 -> Gen.oneOf("x", "!!", "...", "a,b", "", " ", "中文", "töké"),
+      1 -> Gen.oneOf("(y)", "[z]", "#tag", "100%")))
+  } yield toks.mkString(" ")
+
+  property("model_score kernel == interpreted historical tree") =
+    forAll(Gen.oneOf(texty, scoreDoc)) { s =>
+      java.lang.Double.doubleToLongBits(HashKernels.modelScore(u(s))) ==
+        java.lang.Double.doubleToLongBits(treeEval(s))
+    }
 }
