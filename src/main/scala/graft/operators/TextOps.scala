@@ -702,9 +702,19 @@ object TextOps {
     * hash-exact.
     */
   def modelThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
-    val scores = documents(spark, sfDir).select(
-      modelQualityScore(col("text")).as("q_score"),
-      octet_length(col("text")).cast("long").as("n_bytes"))
+    // fenced (r17): whole-stage codegen evaluates a deferred
+    // single-call projection AT ITS USE SITE — inside the broadcast
+    // grid join's loop, so the fused model_score kernel ran 21× per
+    // row (the old arithmetic tree was saved by accident: its
+    // repeated subtrees triggered subexpression elimination, whose
+    // functions evaluate EAGERLY before the loop). The fence
+    // materializes (q_score, n_bytes) rows, making the fan-out read
+    // a column, not re-run a kernel — KernelEvalAuditSpec pins
+    // 1 eval/row through the sweep
+    val scores = graft.plans.Fence.stageBarrier(
+      documents(spark, sfDir).select(
+        modelQualityScore(col("text")).as("q_score"),
+        octet_length(col("text")).cast("long").as("n_bytes")))
     val grid = spark.range(0, 21)
       .select((col("id") * 5).cast("int").as("threshold_pct"))
     val kept = col("q_score") >= col("threshold_pct") / lit(100.0)

@@ -234,4 +234,27 @@ class KernelEvalAuditSpec extends AnyFunSuite {
         "in the quality-gate filter (tree shape would read 10n)")
     } finally { KernelMetrics.enabled = false; KernelMetrics.reset() }
   }
+
+  test("T43 threshold sweep runs model_stats ONCE per row through " +
+      "the 21-way grid fan-out") {
+    // whole-stage codegen evaluates a deferred single-call projection
+    // AT ITS USE SITE — for a projection under a broadcast join
+    // fan-out that is INSIDE the join loop, so the fused model_score
+    // kernel ran 21×/row (the old tree was saved by accident: its
+    // repeated subtrees triggered subexpression elimination, whose
+    // functions evaluate eagerly before the loop; the r17 100× probe
+    // caught the 1.8 s → 10.3 s regression). The sweep now fences its
+    // scores frame; this pins 1 eval/row so neither the fence nor the
+    // kernel can regress silently.
+    val sfDir = "/root/testdata/sf0.001"
+    val n = graft.Tables.documents(spark, sfDir).count()
+    KernelMetrics.reset(); KernelMetrics.enabled = true
+    try {
+      graft.operators.TextOps.modelThresholdSweep(spark, sfDir).collect()
+      val evals = KernelMetrics.modelStatsEvals.sum()
+      info(s"sweep: $evals model_stats evals for $n rows")
+      assert(evals == n, s"model_stats ran $evals times for $n rows " +
+        "through the sweep (deferred-eval fan-out would read 21n)")
+    } finally { KernelMetrics.enabled = false; KernelMetrics.reset() }
+  }
 }
