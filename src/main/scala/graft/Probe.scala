@@ -86,16 +86,19 @@ object Probe {
       "q_events_tumbling", "q_events_sliding", "q_sessionize",
       "q_conditional_agg")
 
-    // the sparse-leak plant for the contamination_report_*_sparse
-    // rows: same hv phrase as the registry fixture, 200× rarer
-    def sparseLeakPlanted(dir: String): org.apache.spark.sql.DataFrame = {
+    // the hv-phrase leak plant: mod 5 = the registry fixture's rate
+    // (20% of docs — saturates the Bloom pre-filter at 100×), mod
+    // 1000 = the sparse design-regime rate for the *_sparse rows
+    def leakPlanted(dir: String, mod: Int): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.functions.{col, concat, lit, when}
       val phrase = (0 until 13).map(i => s"hv$i").mkString(" ")
       graft.Tables.documents(spark, dir).select(col("doc_id"),
-        when(col("doc_id") % 1000 === 3,
+        when(col("doc_id") % mod === 3,
           concat(col("text"), lit(" " + phrase)))
           .otherwise(col("text")).as("text"))
     }
+    def sparseLeakPlanted(dir: String): org.apache.spark.sql.DataFrame =
+      leakPlanted(dir, 1000)
 
     val scaled: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       // head-to-head with the registry's contamination_screen: the
@@ -210,6 +213,16 @@ object Probe {
         operators.Dedup.contaminationReport(sparseLeakPlanted(sfDir))),
       "contamination_report_join_sparse" -> (() =>
         operators.Dedup.contaminationReportJoin(sparseLeakPlanted(sfDir))),
+      // the share A/B face for the SATURATED regime: the r17 split
+      // checkpoint is a win when the downstream is scan-bound (the
+      // sparse row) but must be measured against the recompute plan
+      // where the join dominates and memory is tight
+      "contamination_report_join_noshare" -> (() =>
+        operators.Dedup.contaminationReportJoin(leakPlanted(sfDir, 5),
+          share = false)),
+      "contamination_report_join_sparse_noshare" -> (() =>
+        operators.Dedup.contaminationReportJoin(sparseLeakPlanted(sfDir),
+          share = false)),
       // LAST on purpose: the deliberately-degraded join fallback is
       // the probe's heaviest stressor and has twice taken the whole
       // session down with a driver OOM under host memory pressure —
