@@ -238,6 +238,19 @@ object Probe {
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
+    // pre-fault the TARGET corpus before timing: run 1 of the r17
+    // probe read the freshly-generated parquet cold from disk and
+    // paid 2–6× on the first ~10 heavy rows — entirely erased by a
+    // second run (page cache) and by isolated re-runs of the same
+    // binary. One untimed full scan per input table makes run 1
+    // cache-consistent with every later run, so min-merging two runs
+    // measures the engine, not the disk (the sf0.01 warmup above
+    // compiles the plans but never touches these files)
+    Seq(Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir),
+        Tables.events(spark, sfDir)).foreach { df =>
+      try df.queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+    }
 
     val all =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) ++
