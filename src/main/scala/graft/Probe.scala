@@ -86,17 +86,13 @@ object Probe {
       "q_events_tumbling", "q_events_sliding", "q_sessionize",
       "q_conditional_agg")
 
-    // the hv-phrase leak plant: mod 5 = the registry fixture's rate
-    // (20% of docs — saturates the Bloom pre-filter at 100×), mod
-    // 1000 = the sparse design-regime rate for the *_sparse rows
-    def leakPlanted(dir: String, mod: Int): org.apache.spark.sql.DataFrame = {
-      import org.apache.spark.sql.functions.{col, concat, lit, when}
-      val phrase = (0 until 13).map(i => s"hv$i").mkString(" ")
-      graft.Tables.documents(spark, dir).select(col("doc_id"),
-        when(col("doc_id") % mod === 3,
-          concat(col("text"), lit(" " + phrase)))
-          .otherwise(col("text")).as("text"))
-    }
+    // the hv-phrase leak plant — Dedup.holdoutPlanted itself, so the
+    // share/broadcast A/B rows provably plant the registered corpus:
+    // mod 5 = the registry fixture's rate (20% of docs — saturates
+    // the Bloom pre-filter at 100×), mod 1000 = the sparse
+    // design-regime rate for the *_sparse rows
+    def leakPlanted(dir: String, mod: Int): org.apache.spark.sql.DataFrame =
+      operators.Dedup.holdoutPlanted(spark, dir, mod)
     def sparseLeakPlanted(dir: String): org.apache.spark.sql.DataFrame =
       leakPlanted(dir, 1000)
 

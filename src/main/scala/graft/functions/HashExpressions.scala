@@ -168,6 +168,7 @@ object HashKernels {
     * (the termCounts memo).
     */
   def gopherStats(text: UTF8String, stops: String): ArrayData = {
+    if (KernelMetrics.enabled) KernelMetrics.gopherStatsEvals.increment()
     val stopWords = gopherStopTables.computeIfAbsent(stops, { sp =>
       val arr = sp.split(" ").filter(_.nonEmpty).map(_.getBytes("UTF-8"))
       // the stop-hit accumulator is a 64-bit presence mask (1L << w):

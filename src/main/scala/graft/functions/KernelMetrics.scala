@@ -27,11 +27,13 @@ object KernelMetrics {
   val piiScrubEvals = new LongAdder
   val modelStatsEvals = new LongAdder
   val pageStatsEvals = new LongAdder
+  val gopherStatsEvals = new LongAdder
 
   def reset(): Unit = {
     shingleEvals.reset(); minhashEvals.reset(); termEvals.reset()
     topTokenEvals.reset(); piiCountEvals.reset(); piiScrubEvals.reset()
     modelStatsEvals.reset(); pageStatsEvals.reset()
+    gopherStatsEvals.reset()
   }
 
   /** Run `body` with counting on; returns (result, shingles, minhashes). */

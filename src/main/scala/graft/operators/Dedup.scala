@@ -528,12 +528,17 @@ object Dedup {
     * sf0.01 AND sf0.001, making both the holdout gram set and the
     * contaminated class non-vacuous (spec-asserted). The oracle
     * builds the identical text and split in SQL.
+    *
+    * `mod` widens the face for the 100× probe's SPARSE leak rows
+    * (doc_id ≡ 3 mod 1000 ≈ the realistic benchmark-leak rate) —
+    * one definition, so the probe's share/broadcast A/B provably
+    * plants the same corpus as the registered mod-5 fixture.
     */
-  private def holdoutPlanted(spark: SparkSession,
-      sfDir: String): DataFrame = {
+  private[graft] def holdoutPlanted(spark: SparkSession,
+      sfDir: String, mod: Int = 5): DataFrame = {
     val phrase = (0 until 13).map(i => s"hv$i").mkString(" ")
     documents(spark, sfDir).select(col("doc_id"),
-      when(col("doc_id") % 5 === 3,
+      when(col("doc_id") % mod === 3,
         concat(col("text"), lit(" " + phrase)))
         .otherwise(col("text")).as("text"))
   }

@@ -162,15 +162,19 @@ object Pipeline {
       .select(col("doc_id")).distinct()
     // fenced: the keep === 0 predicate otherwise pushes below the
     // gopher projection and re-runs the gopher_stats kernel once per
-    // substituted rule reference (×18/row — the r17 Filter lint)
+    // substituted rule reference (×18/row — the r17 Filter lint).
+    // ONE consumer of the fenced frame: a fence is an iterator
+    // handoff, not a materialization, so the former keep===0
+    // anti-join branch + n_words join pair re-ran the kernel scan
+    // once per consumer (2×/row); keep===1 on the inner join is
+    // row-identical (gopher emits exactly one row per inc doc)
     val gopher = graft.plans.Fence.stageBarrier(
       TextOps.qualityGopherDocsOf(inc, stopWords))
-    val lowQuality = gopher.filter(col("keep") === 0).select(col("doc_id"))
     inc.select(col("doc_id"), col("source"))
       .join(exactDup, Seq("doc_id"), "left_anti")
       .join(nearDup, Seq("doc_id"), "left_anti")
-      .join(lowQuality, Seq("doc_id"), "left_anti")
-      .join(gopher.select(col("doc_id"), col("n_words")), Seq("doc_id"))
+      .join(gopher.filter(col("keep") === 1)
+        .select(col("doc_id"), col("n_words")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n_words"))
       .orderBy(col("doc_id"))
   }
@@ -212,15 +216,15 @@ object Pipeline {
     val nearDup = IncrementalDedup
       .verifyNearPairs(cand, inc, corpus, threshold)
       .select(col("doc_id")).distinct()
-    // fenced — the P3 rationale (gopher_stats ×18/row otherwise)
+    // fenced — the P3 rationale (gopher_stats ×18/row otherwise),
+    // and ONE consumer of the fenced frame (the P3 2×/row fix)
     val gopher = graft.plans.Fence.stageBarrier(
       TextOps.qualityGopherDocsOf(inc, stopWords))
-    val lowQuality = gopher.filter(col("keep") === 0).select(col("doc_id"))
     inc.select(col("doc_id"), col("source"))
       .join(exactDup, Seq("doc_id"), "left_anti")
       .join(nearDup, Seq("doc_id"), "left_anti")
-      .join(lowQuality, Seq("doc_id"), "left_anti")
-      .join(gopher.select(col("doc_id"), col("n_words")), Seq("doc_id"))
+      .join(gopher.filter(col("keep") === 1)
+        .select(col("doc_id"), col("n_words")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n_words"))
       .orderBy(col("doc_id"))
   }

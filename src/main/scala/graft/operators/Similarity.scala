@@ -213,10 +213,7 @@ object Similarity {
     * cosine computed inside buckets, bucket-size cap so a degenerate
     * signature cannot go quadratic. `simJoin` (label-blocked) stays
     * as the small-scale oracle verifier; this path's recall against
-    * it is spec'd ≥ 0.9 at threshold 0.45 (SimilaritySpec). Defaults
-    * chosen by measured recall on the test corpus: 64 planes × 16
-    * bands finds every label-blocked pair ≥ 0.45 at sf0.01 AND sf0.1
-    * (and ≥ 0.93 of ALL such pairs corpus-wide).
+    * it is spec'd ≥ 0.9 at threshold 0.45 (SimilaritySpec).
     *
     * Scale shape: two shuffles (bucket groupBy, pair distinct); the
     * threshold filter runs INSIDE the pair flatMap so only qualifying
@@ -233,6 +230,22 @@ object Similarity {
     * loudly (the observe metric) but zero, the
     * empty-but-plausible failure the r16 verdict flagged. Pass an
     * explicit band count only to pin a measured recall regime.
+    *
+    * RECALL IS A FUNCTION OF SIMILARITY AND SCALE, not a constant of
+    * the face: candidate recall at pair similarity s is analytically
+    * 1 − (1 − p(s)^bits)^bands with p(s) = 1 − acos(s)/π
+    * ([[lshExpectedRecall]]), and the occupancy-forced band WIDTH
+    * grows with the corpus, so the curve steepens: the sf0.01 auto
+    * sizing (16×4) holds ~0.96 at s = 0.45, but the 200k sizing
+    * (4×16) holds ~0.004 there while still catching near-duplicates
+    * (~1.0 at s ≥ 0.99) — at corpus scale the blocked join degrades
+    * GRACEFULLY FROM A θ-JOIN INTO A NEAR-DUP JOIN. That number is
+    * surfaced per run as the observed `expected_recall_ppm` metric
+    * next to the bucket-cap count; callers who need a guaranteed
+    * recall at their threshold use [[simJoinLshAt]], which solves
+    * the banding from the contract and REFUSES infeasible ones; for
+    * mid-similarity retrieval at scales where that refuses, use
+    * [[annIvf]]/[[knnGraphIvf]].
     */
   def simJoinLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.45, nPlanes: Int = 64, nBands: Int = 0,
@@ -243,6 +256,13 @@ object Similarity {
     val bands =
       if (nBands == 0) simJoinLshBandsFor(emb.count(), nPlanes, maxBucket)
       else nBands
+    // parts-per-million so the analytic recall at the CALLER'S
+    // threshold rides the long-typed observe channel — the same
+    // loud-metric convention as the bucket cap (a 0-rows result at
+    // expected_recall_ppm ≈ 0 is the banding working as sized, not
+    // a corpus without near-duplicates)
+    val recallPpm =
+      (lshExpectedRecall(threshold, nPlanes / bands, bands) * 1e6).toLong
     bandedVectors(spark, emb, nPlanes, bands)
       .groupBy(col("band"), col("bsig"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("emb"))))
@@ -250,7 +270,8 @@ object Similarity {
       .filter(size(col("members")) > 1)
       .observe("simjoinlsh_bucket_cap",
         sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
-          .as("dropped_buckets"))
+          .as("dropped_buckets"),
+        max(lit(recallPpm)).as("expected_recall_ppm"))
       .filter(size(col("members")) <= maxBucket)
       .select(col("members"))
       // identical member sets across bands (e.g. every band of an
@@ -324,12 +345,90 @@ object Similarity {
       maxBucket: Int = 5000): Int = {
     require(nPlanes >= 4 && Integer.bitCount(nPlanes) == 1,
       s"nPlanes must be a power of two >= 4: $nPlanes")
-    val maxBits = math.min(nPlanes / 2, 32)
+    math.max(2,
+      nPlanes / simJoinLshBitsFor(n, math.min(nPlanes / 2, 32), maxBucket))
+  }
+
+  /** The occupancy-forced band WIDTH alone (the [[simJoinLshBandsFor]]
+    * loop, shared with [[simJoinLshAt]]'s contract solver): smallest
+    * power-of-two bits with E[bucket] = n/2^bits ≤ maxBucket/10,
+    * clamped to [4, maxBits].
+    */
+  private[graft] def simJoinLshBitsFor(n: Long, maxBits: Int,
+      maxBucket: Int): Int = {
     var bits = 4
     while (bits < maxBits &&
         n.toDouble / math.pow(2.0, bits) > maxBucket / 10.0)
       bits *= 2
-    math.max(2, nPlanes / bits)
+    bits
+  }
+
+  /** P[one random hyperplane agrees on a pair at cosine `s`] —
+    * Goemans–Williamson: 1 − acos(s)/π.
+    */
+  private[graft] def planeAgreeP(s: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, s))) / math.Pi
+
+  /** Analytic candidate recall of (bits, bands) sign-LSH banding at
+    * pair similarity `s`: 1 − (1 − p(s)^bits)^bands. This is the
+    * number the `expected_recall_ppm` observe metric reports and the
+    * one [[simJoinLshAt]] solves for — exact for random hyperplanes
+    * and independent bands (the construction used here), so a spec
+    * can pin it arithmetically rather than by Monte Carlo.
+    */
+  private[graft] def lshExpectedRecall(s: Double, bits: Int,
+      bands: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(planeAgreeP(s), bits), bands)
+
+  /** The (bits, bands) plan [[simJoinLshAt]] runs: width forced by
+    * bucket occupancy exactly as the auto default, band count solved
+    * from the recall contract — smallest B with
+    * 1 − (1 − p^bits)^B ≥ targetRecall. Throws when the contract
+    * needs more than `maxPlanes` total planes: at corpus scale
+    * sign-LSH cannot serve mid-similarity thresholds with bounded
+    * buckets (p(0.45)^16 ≈ 1e-3 ⇒ thousands of bands) — a property
+    * of the method, not a tuning miss — and the honest refusals name
+    * the alternatives. Reproduces the historical hand sizing as a
+    * THEOREM rather than a measurement: n = 2000, θ = 0.45,
+    * R = 0.95 solves to 16 bands of 4 bits = the 64-plane registry
+    * default (spec-pinned).
+    */
+  private[graft] def simJoinLshPlanFor(n: Long, threshold: Double,
+      targetRecall: Double = 0.95, maxBucket: Int = 5000,
+      maxPlanes: Int = 1024): (Int, Int) = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0,1): $targetRecall")
+    val bits = simJoinLshBitsFor(n, maxBits = 32, maxBucket)
+    val pBand = math.pow(planeAgreeP(threshold), bits)
+    val bands =
+      if (pBand >= 1.0) 1
+      else math.max(1, math.ceil(
+        math.log1p(-targetRecall) / math.log1p(-pBand)).toInt)
+    require(bands * bits <= maxPlanes,
+      f"recall $targetRecall%.2f at threshold $threshold%.2f needs " +
+        f"$bands bands of $bits bits = ${bands * bits} planes " +
+        f"(> $maxPlanes): bucket occupancy at n=$n forces $bits-bit " +
+        "bands, where this threshold's per-band match rate " +
+        f"${pBand}%.2e makes banding infeasible — use annIvf/" +
+        "knnGraphIvf for mid-similarity retrieval at this scale, " +
+        "raise the threshold, or accept the auto default's " +
+        "near-dup regime (simJoinLsh, expected_recall_ppm metric)")
+    (bits, bands)
+  }
+
+  /** S5-recall — [[simJoinLsh]] with the banding solved from an
+    * EXPLICIT recall contract at the caller's threshold
+    * ([[simJoinLshPlanFor]]) instead of a fixed plane budget;
+    * refuses loudly when no affordable banding can honor it.
+    */
+  def simJoinLshAt(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.45, targetRecall: Double = 0.95,
+      maxBucket: Int = 5000, maxPlanes: Int = 1024): DataFrame = {
+    val n = embeddings(spark, sfDir).count()
+    val (bits, bands) =
+      simJoinLshPlanFor(n, threshold, targetRecall, maxBucket, maxPlanes)
+    simJoinLsh(spark, sfDir, threshold, nPlanes = bits * bands,
+      nBands = bands, maxBucket)
   }
 
   /** S4-auto — [[simJoinLsh]] with the band width sized from the

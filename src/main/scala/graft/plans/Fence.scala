@@ -26,10 +26,18 @@ import org.apache.spark.sql.graft.ColumnBridge
   * physical `RDDScanExec` starts a FRESH whole-stage-codegen span, so
   * each half compiles comfortably. Cost: none in data movement (the
   * handoff is a same-task iterator of the child plan's unsafe rows —
-  * no shuffle, no serialization, no materialization; planning of the
-  * child happens at fence-construction time, execution stays lazy).
-  * Because pruning cannot cross it, SELECT exactly the columns the
-  * upper half needs before fencing.
+  * no shuffle, no serialization, no materialization of the ROW
+  * stream). Planning of the child happens at fence-construction
+  * time, and under AQE (on by default) `toRdd` on an
+  * `AdaptiveSparkPlanExec` also materializes the child's non-result
+  * EXCHANGE stages eagerly — so constructing a fence over a child
+  * with a broadcast join submits that broadcast job at composition
+  * time (the current release-pipeline children do exactly this;
+  * it is the same work, paid earlier). Do NOT fence a child with a
+  * large shuffle unless eager execution at composition time is
+  * acceptable. Because pruning cannot cross it, SELECT exactly the
+  * columns the upper half needs before fencing. Row-stream execution
+  * (the scan itself) stays lazy.
   *
   * Batch-only (`LogicalRDD` is a batch leaf) — streaming faces of the
   * same operators (X25/X27) keep their un-fenced single plan; their

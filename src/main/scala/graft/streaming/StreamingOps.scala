@@ -79,7 +79,12 @@ object StreamingOps {
         state.remove()
         return out.iterator
       }
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      // the X24 replay pin, applied here too: (getTime, getNanos,
+      // event_id) — getTime alone truncates to ms, and two same-ms
+      // events in replay-dependent order would accumulate st.total
+      // in a different float order (addition is not associative)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .foreach { e =>
         val t = e.ts.getTime
         if (st == null) st = SessionState(t, t, 1, e.value)
         else if (t - st.end > gapMs) {

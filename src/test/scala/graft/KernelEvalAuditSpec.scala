@@ -235,6 +235,25 @@ class KernelEvalAuditSpec extends AnyFunSuite {
     } finally { KernelMetrics.enabled = false; KernelMetrics.reset() }
   }
 
+  test("P3 ingest runs gopher_stats ONCE per increment row per pass") {
+    // the fenced gopher frame must have ONE consumer: a Fence is an
+    // iterator handoff, not a materialization, so the former
+    // keep===0 anti-join branch + n_words join pair re-executed the
+    // whole gopher kernel scan once per consumer (2x/row — 4n here
+    // with the orderBy's range-partitioner sample pass). The single
+    // keep===1 inner join reads 2n: sample pass + output pass.
+    val sfDir = "/root/testdata/sf0.001"
+    val n = graft.operators.IncrementalDedup.newDocs(spark, sfDir).count()
+    KernelMetrics.reset(); KernelMetrics.enabled = true
+    try {
+      graft.operators.Pipeline.pipelineIngestQuery(spark, sfDir).collect()
+      val evals = KernelMetrics.gopherStatsEvals.sum()
+      info(s"P3: $evals gopher_stats evals for $n increment rows")
+      assert(evals <= 2 * n, s"gopher_stats ran $evals times for $n " +
+        "rows (two consumers of the fenced frame would read 4n)")
+    } finally { KernelMetrics.enabled = false; KernelMetrics.reset() }
+  }
+
   test("T43 threshold sweep runs model_stats ONCE per row through " +
       "the 21-way grid fan-out") {
     // whole-stage codegen evaluates a deferred single-call projection

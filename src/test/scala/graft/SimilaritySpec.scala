@@ -136,6 +136,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(auto.nonEmpty)
   }
 
+  test("sim_join_lsh recall curve is analytic and simJoinLshAt solves " +
+      "the contract or refuses") {
+    import Similarity.{planeAgreeP, lshExpectedRecall, simJoinLshPlanFor}
+    // Goemans–Williamson agreement probability
+    assert(planeAgreeP(1.0) == 1.0 && planeAgreeP(-1.0) == 0.0)
+    assert(math.abs(planeAgreeP(0.0) - 0.5) < 1e-12)
+    assert(math.abs(planeAgreeP(0.45) - 0.64858) < 1e-4)
+    // the r17 review's numbers, pinned: the sf0.01 auto sizing holds
+    // ~0.96 at the registered threshold; the 200k occupancy-forced
+    // sizing holds ~0.004 there (a NEAR-DUP join, not a θ-join) while
+    // still ~0.998 on near-duplicates
+    assert(math.abs(lshExpectedRecall(0.45, 4, 16) - 0.9557) < 1e-3)
+    assert(lshExpectedRecall(0.45, 16, 4) < 0.005)
+    assert(lshExpectedRecall(0.999, 16, 4) > 0.99)
+    // the contract solver re-derives the historical hand sizing as a
+    // theorem: n=2000, θ=0.45, R=0.95 ⇒ 16 bands of 4 bits = the
+    // 64-plane registry default
+    assert(simJoinLshPlanFor(2000, 0.45) == (4, 16))
+    // near-dup contracts stay affordable at 200k (15 bands of 16)...
+    assert(simJoinLshPlanFor(200000, 0.95) == (16, 15))
+    // ...but a mid-similarity contract at 200k needs ~3055 bands and
+    // must REFUSE, naming the alternatives, instead of silently
+    // emitting the 0.004-recall face
+    val ex = intercept[IllegalArgumentException] {
+      simJoinLshPlanFor(200000, 0.45)
+    }
+    assert(ex.getMessage.contains("annIvf"), ex.getMessage)
+    // at small n the contract face and the fixed 16-band face are
+    // the same computation
+    val sf01 = "/root/testdata/sf0.01"
+    val at = pairSet(Similarity.simJoinLshAt(spark, sf01, 0.45))
+    val fixed = pairSet(Similarity.simJoinLsh(spark, sf01, 0.45,
+      nBands = 16))
+    assert(at == fixed && at.nonEmpty)
+  }
+
   test("sim_join_lsh bucket cap bounds pair generation") {
     // with a tiny cap every bucket at sf0.01 is dropped or bounded:
     // the join must still run and emit only pairs from small buckets

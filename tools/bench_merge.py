@@ -35,6 +35,12 @@ def main() -> None:
         for k, v in qs.items():
             if k not in merged or v < merged[k]:
                 merged[k] = v
+    # the lost-query guard below is vacuous when NOTHING parsed — all
+    # runs unreadable would still write an anchor with total 0.0s,
+    # the shrunken-anchor failure through the other hole
+    if n_runs == 0 or not merged:
+        sys.exit("ERROR: no parseable runs / no positive timings — "
+                 "refusing to write an empty anchor")
     # a query that errored in EVERY run would silently vanish from the
     # merged dict, shrinking the anchor's query set — a cross-round
     # total comparison would then read the regression as a speedup
