@@ -108,6 +108,15 @@ object Probe {
       "sim_join_lsh_scaled" -> (() =>
         Similarity.simJoinLsh(spark, sfDir, threshold = 0.99,
           nPlanes = 64, nBands = 4, maxBucket = 5000)),
+      // the S5-recall contract face at a contract the solver CAN
+      // honor at 200k vectors: θ=0.95, R=0.95 solves to 16-bit bands
+      // × 15 (240 planes — simJoinLshPlanFor(200000, 0.95), spec-
+      // pinned), logged per run via the lsh_bits/lsh_bands observe
+      // metrics. The registered default contract (θ=0.45) REFUSES at
+      // this scale by design, naming annIvf — also spec-pinned
+      "sim_join_lsh_at_scaled" -> (() =>
+        Similarity.simJoinLshAt(spark, sfDir, threshold = 0.95,
+          targetRecall = 0.95)),
       // SemDeDup regime: k grows with the corpus so clusters stay
       // bounded (~3k vectors/cell at the 100× probe's 200k)
       "dedup_semantic_scaled" -> (() =>

@@ -287,7 +287,9 @@ object Multimodal {
     * ≤ `maxHamming` = 3, candidates verified by popcount inside
     * bounded buckets (`maxBucket`, observed + dropped loudly).
     * Signatures are localCheckpointed so the decode pass runs once
-    * across the exact and near branches (the ppl_select convention).
+    * across the exact and near branches (the ppl_select convention;
+    * executor-local blocks — see the [[graft.operators.Pipeline]]
+    * fault-tolerance contract, SURVEY §5).
     * Transitive closure composes downstream via Clusters — this
     * operator's contract is the per-doc earlier-duplicate verdict.
     */

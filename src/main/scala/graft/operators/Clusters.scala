@@ -198,6 +198,13 @@ object Clusters {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
+      // FAULT TOLERANCE: the per-round localCheckpoint is what keeps
+      // 10+ contraction rounds from exponential lineage, but its
+      // blocks live on executors only — an executor loss mid-
+      // resolution fails the job (lineage cannot recompute across
+      // the truncation). Cluster-scale runs that need retry-ability
+      // should resolve via a reliable checkpoint dir instead; see
+      // the graft.operators.Pipeline contract (SURVEY §5).
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       // fixpoint test: identical edge SETS. Both sides are distinct
       // canonical pairs, so set equality = equal counts + empty

@@ -735,7 +735,11 @@ object Dedup {
     // exists for corpus-scale holdouts, where two extra full-text
     // scans are exactly the cost it was built to avoid (the r16
     // verdict's #3). share = false keeps the pure-recompute plan for
-    // the equivalence spec.
+    // the equivalence spec. FAULT TOLERANCE: localCheckpoint blocks
+    // live on executors only — an executor loss mid-run fails the
+    // query where the recompute plan would retry; see the
+    // graft.operators.Pipeline contract (SURVEY §5) for cluster
+    // guidance.
     val ds0 = holdoutSplit(docsDf, seed, evalNum, evalDen)
     val ds = if (share) ds0.localCheckpoint(true) else ds0
     val bits = ngramBloomBuild(ds.filter(col("is_eval"))

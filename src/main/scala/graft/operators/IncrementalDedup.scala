@@ -65,6 +65,16 @@ object IncrementalDedup {
     */
   def buildIndex(docs: DataFrame, k: Int = 32): DataFrame =
     docs
+      // a null text has no fingerprint or shingle identity: exclude
+      // the row from the index instead of letting it crash the
+      // screens (the typed screen kernels deserialize n_sh as an
+      // Int, and size(null) is null — one bad crawl record killed
+      // the whole ingest job). The ingest recipes agree: a null-text
+      // doc is absent from the index AND dropped by the gopher
+      // keep===1 gate, so "the doc does not exist" is consistent
+      // end-to-end (spec-pinned in PipelineSpec). The predicate is
+      // scan-pushed — zero cost on clean corpora.
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), canonical_md5(col("text")).as("fp"),
         shingle_keys(col("text"), lit(""), 3).as("sh"))
       .select(col("doc_id"), col("fp"), size(col("sh")).as("n_sh"),
@@ -228,7 +238,12 @@ object IncrementalDedup {
     * candidate frame from the nondeterministic LSH screen could
     * otherwise show each consumer a different candidate set and
     * silently drop or mis-verify pairs. The checkpoint is pair-sized
-    * (ids + one double), never text.
+    * (ids + one double), never text. FAULT TOLERANCE: unlike the
+    * `share` sites this checkpoint is CORRECTNESS-bearing (one
+    * candidate set, not a scan saving), so there is no recompute
+    * fallback — cluster runs that need executor-loss retry-ability
+    * should give Spark a reliable checkpoint dir; see the
+    * [[graft.operators.Pipeline]] contract (SURVEY §5).
     *
     * Equivalence contract (IncrementalDedupSpec): on an old/new
     * corpus split this equals `minhashPairs(full, minEst =

@@ -46,6 +46,26 @@ import graft.Tables.documents
   * and offset packing — every output column is an int or string, so
   * the whole recipe hash-matches; PipelineSpec additionally pins the
   * stagewise set-equality and share-on/off equivalence.
+  *
+  * FAULT-TOLERANCE CONTRACT OF `share` (every `localCheckpoint` site
+  * in this library — the canonical statement; SURVEY §5 carries the
+  * deployment guidance): `localCheckpoint(true)` truncates lineage
+  * and stores the blocks on EXECUTOR storage only. On a
+  * multi-executor cluster, losing any executor that holds a block
+  * makes the truncated lineage unrecoverable and FAILS the query —
+  * Spark cannot recompute past a local checkpoint — where the
+  * un-checkpointed plan would have recomputed and survived. The
+  * trade is: `share = true` buys one derivation instead of N scans
+  * but stakes the run on zero executor loss; `share = false` keeps
+  * full retry-ability at the price of re-deriving the shared frame
+  * per consumer. At local[32] (one JVM) the risk term is zero and
+  * the default is right unconditionally. For multi-hour
+  * 1000-executor runs, either pass `share = false`, or materialize
+  * the shared frame yourself to reliable storage (write/read
+  * parquet, or `setCheckpointDir` + `.checkpoint()`) and feed the
+  * stage-level operators — every composed recipe here has standalone
+  * stage faces exactly so that callers can own the materialization
+  * boundary.
   */
 object Pipeline {
 
@@ -110,7 +130,9 @@ object Pipeline {
     * Oracle-checked end to end like P1: the scrub stage's
     * window-ownership/coverage SQL composes into the same CTE chain;
     * output is all ints/strings. PipelineSpec pins the stagewise
-    * set-equality and the length-gate invariant.
+    * set-equality and the length-gate invariant. `share = true`
+    * trades executor-loss retry-ability for scan count — see the
+    * [[Pipeline]] fault-tolerance contract (SURVEY §5).
     */
   def pipelineScrub(docs: DataFrame,
       minDf: Int = 3, w: Int = 8, minTokens: Long = 8L,
@@ -147,7 +169,9 @@ object Pipeline {
     * real deployment — tomorrow's [[IncrementalDedup.appendIndex]]
     * rows for the kept ids (the shared-derivation convention). Stage
     * handoffs are id-only anti joins; the old corpus contributes
-    * nothing but its ~280 B/doc index.
+    * nothing but its ~280 B/doc index. `share = true` trades
+    * executor-loss retry-ability for one sketch pass — see the
+    * [[Pipeline]] fault-tolerance contract (SURVEY §5).
     */
   def pipelineIngest(inc: DataFrame, index: DataFrame,
       minEst: Double = 0.5,
@@ -166,8 +190,14 @@ object Pipeline {
     // ONE consumer of the fenced frame: a fence is an iterator
     // handoff, not a materialization, so the former keep===0
     // anti-join branch + n_words join pair re-ran the kernel scan
-    // once per consumer (2×/row); keep===1 on the inner join is
-    // row-identical (gopher emits exactly one row per inc doc)
+    // once per consumer (2×/row). keep===1 on the inner join is
+    // row-identical for every doc with non-null text (gopher emits
+    // exactly one row per inc doc); a NULL text yields null stats
+    // and null keep, which this shape DROPS where the old keep===0
+    // anti-join retained it — deliberate, not incidental: a document
+    // with no text cannot satisfy a word-count gate, and admitting
+    // it with null n_words only defers the failure downstream
+    // (spec-pinned in PipelineSpec)
     val gopher = graft.plans.Fence.stageBarrier(
       TextOps.qualityGopherDocsOf(inc, stopWords))
     inc.select(col("doc_id"), col("source"))
@@ -198,6 +228,9 @@ object Pipeline {
     * the kept CORPUS frame, which P3's index-only contract
     * deliberately avoids; use P3 when yesterday's text is not
     * reachable, P3b when a false near-dup drop is the dearer error).
+    * `share = true` trades executor-loss retry-ability for one
+    * sketch pass — see the [[Pipeline]] fault-tolerance contract
+    * (SURVEY §5).
     */
   def pipelineIngestVerified(inc: DataFrame, index: DataFrame,
       corpus: DataFrame, threshold: Double = 0.5,
@@ -217,7 +250,9 @@ object Pipeline {
       .verifyNearPairs(cand, inc, corpus, threshold)
       .select(col("doc_id")).distinct()
     // fenced — the P3 rationale (gopher_stats ×18/row otherwise),
-    // and ONE consumer of the fenced frame (the P3 2×/row fix)
+    // and ONE consumer of the fenced frame (the P3 2×/row fix);
+    // null-text docs are dropped by keep===1 exactly as in P3
+    // (deliberate — see the P3 comment; spec-pinned)
     val gopher = graft.plans.Fence.stageBarrier(
       TextOps.qualityGopherDocsOf(inc, stopWords))
     inc.select(col("doc_id"), col("source"))
@@ -250,6 +285,9 @@ object Pipeline {
     * the corpus BEFORE the span pass mines its frontier (the
     * pipeline_full ordering rationale), and the handoff carries only
     * (doc_id, clean_text) — no re-derivation, no extra shuffle.
+    * `share = true` trades executor-loss retry-ability for the
+    * second clean-corpus scan — see the [[Pipeline]] fault-tolerance
+    * contract (SURVEY §5).
     */
   def pipelineC4(docs: DataFrame, badWords: Seq[String] = Nil,
       minLineWords: Int = 5, minSentences: Int = 3, spanUnits: Int = 3,

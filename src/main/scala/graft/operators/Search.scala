@@ -828,7 +828,9 @@ object Search {
     val withLang = s.join(
         documents(spark, sfDir).select(col("doc_id"), col("lang")),
         Seq("doc_id"))
-      .localCheckpoint() // count + ranked pass share one scoring run
+      // count + ranked pass share one scoring run (executor-local
+      // blocks — see the Pipeline fault-tolerance contract, SURVEY §5)
+      .localCheckpoint()
     val counts = withLang.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_lang"))
     graft.plans.GlobalOrder.withPrefixSumKeyed(

@@ -249,12 +249,18 @@ object Similarity {
     */
   def simJoinLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.45, nPlanes: Int = 64, nBands: Int = 0,
-      maxBucket: Int = 5000): DataFrame = {
+      maxBucket: Int = 5000, knownN: Long = 0L): DataFrame = {
     import spark.implicits._
     val emb = embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").as("emb"))
+    // `knownN > 0` skips the auto-sizing count: daily-loop callers
+    // already hold the corpus cardinality in their D14/S12 index
+    // artifacts, and at 100 TB even a metadata-cheap parquet count
+    // is a scan the caller shouldn't pay per invocation. Auto with
+    // an explicit n is spec-pinned ≡ auto with the counted n.
     val bands =
-      if (nBands == 0) simJoinLshBandsFor(emb.count(), nPlanes, maxBucket)
+      if (nBands == 0) simJoinLshBandsFor(
+        if (knownN > 0) knownN else emb.count(), nPlanes, maxBucket)
       else nBands
     // parts-per-million so the analytic recall at the CALLER'S
     // threshold rides the long-typed observe channel — the same
@@ -267,11 +273,31 @@ object Similarity {
       .groupBy(col("band"), col("bsig"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("emb"))))
         .as("members"))
-      .filter(size(col("members")) > 1)
+      // observed ABOVE the size>1 filter: a banding whose buckets are
+      // all singletons is EXACTLY the 0-pairs case the ppm metric
+      // exists to explain, and observing below the filter aggregated
+      // zero rows there — reporting null instead of the number (the
+      // r17 ADVICE finding). Size-1 buckets can never exceed the cap,
+      // so dropped_buckets is unchanged by the move. The solved
+      // banding rides along so every run logs the (bits, bands) it
+      // actually used. CAVEAT (found fixing the above, spec-pinned):
+      // under AQE an EMPTY final result erases the whole observe row
+      // no matter where it sits — AQEPropagateEmptyRelation replaces
+      // the executed stages with EmptyRelationExec, and the
+      // CollectMetrics node (already run, accumulators populated)
+      // drops out of the final plan that observedMetrics walks. The
+      // observe channel is therefore best-effort on empty results;
+      // the DETERMINISTIC channel for "why 0 pairs?" is the analytic
+      // solver itself — [[lshExpectedRecall]] at the caller's
+      // threshold, and [[simJoinLshAt]] which refuses contracts the
+      // banding cannot honor instead of emitting the empty frame.
       .observe("simjoinlsh_bucket_cap",
         sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
           .as("dropped_buckets"),
-        max(lit(recallPpm)).as("expected_recall_ppm"))
+        max(lit(recallPpm)).as("expected_recall_ppm"),
+        max(lit((nPlanes / bands).toLong)).as("lsh_bits"),
+        max(lit(bands.toLong)).as("lsh_bands"))
+      .filter(size(col("members")) > 1)
       .filter(size(col("members")) <= maxBucket)
       .select(col("members"))
       // identical member sets across bands (e.g. every band of an
@@ -400,31 +426,50 @@ object Similarity {
       s"targetRecall must be in (0,1): $targetRecall")
     val bits = simJoinLshBitsFor(n, maxBits = 32, maxBucket)
     val pBand = math.pow(planeAgreeP(threshold), bits)
-    val bands =
-      if (pBand >= 1.0) 1
-      else math.max(1, math.ceil(
-        math.log1p(-targetRecall) / math.log1p(-pBand)).toInt)
-    require(bands * bits <= maxPlanes,
+    // the band count is solved as a LONG and guarded by DIVISION: at
+    // very low thresholds pBand underflows toward 0 and the ceil
+    // blows up — Infinity.toInt clamps to Int.MaxValue, and
+    // Int.MaxValue * bits WRAPS NEGATIVE, so the old product-form
+    // require passed and the documented refusal decayed into a
+    // confusing downstream bitsPerBand error (the r17 ADVICE
+    // finding). `bands <= maxPlanes / bits` (bands integral, bits
+    // positive) is equivalent to bands*bits <= maxPlanes and cannot
+    // overflow either side; the message prints the exact plane count
+    // via BigInt.
+    val bands: Long =
+      if (pBand >= 1.0) 1L
+      else {
+        val c = math.ceil(
+          math.log1p(-targetRecall) / math.log1p(-pBand))
+        if (c >= Long.MaxValue.toDouble) Long.MaxValue
+        else math.max(1L, c.toLong)
+      }
+    require(bands <= maxPlanes / bits,
       f"recall $targetRecall%.2f at threshold $threshold%.2f needs " +
-        f"$bands bands of $bits bits = ${bands * bits} planes " +
+        f"$bands bands of $bits bits = ${BigInt(bands) * bits} planes " +
         f"(> $maxPlanes): bucket occupancy at n=$n forces $bits-bit " +
         "bands, where this threshold's per-band match rate " +
         f"${pBand}%.2e makes banding infeasible — use annIvf/" +
         "knnGraphIvf for mid-similarity retrieval at this scale, " +
         "raise the threshold, or accept the auto default's " +
         "near-dup regime (simJoinLsh, expected_recall_ppm metric)")
-    (bits, bands)
+    (bits, bands.toInt)
   }
 
   /** S5-recall — [[simJoinLsh]] with the banding solved from an
     * EXPLICIT recall contract at the caller's threshold
     * ([[simJoinLshPlanFor]]) instead of a fixed plane budget;
     * refuses loudly when no affordable banding can honor it.
+    * `knownN > 0` skips the cardinality count exactly as on
+    * [[simJoinLsh]]. The solved (bits, bands) surface per run in the
+    * observe metrics (`lsh_bits`, `lsh_bands`).
     */
   def simJoinLshAt(spark: SparkSession, sfDir: String,
       threshold: Double = 0.45, targetRecall: Double = 0.95,
-      maxBucket: Int = 5000, maxPlanes: Int = 1024): DataFrame = {
-    val n = embeddings(spark, sfDir).count()
+      maxBucket: Int = 5000, maxPlanes: Int = 1024,
+      knownN: Long = 0L): DataFrame = {
+    val n =
+      if (knownN > 0) knownN else embeddings(spark, sfDir).count()
     val (bits, bands) =
       simJoinLshPlanFor(n, threshold, targetRecall, maxBucket, maxPlanes)
     simJoinLsh(spark, sfDir, threshold, nPlanes = bits * bands,
@@ -1152,7 +1197,9 @@ object Similarity {
       }
     val centroids = fitCentroids(spark, emb, cells, lloydIters)
     val assigned = assignCells(emb, centroids)
-      .localCheckpoint(eager = true) // one assignment pass feeds both sides
+      // one assignment pass feeds both sides (executor-local blocks —
+      // see the Pipeline fault-tolerance contract, SURVEY §5)
+      .localCheckpoint(eager = true)
     // both rank stages are R26 bounded heaps, NOT windows: a window
     // would shuffle-and-sort every (vector, centroid) and every
     // (vector, candidate) row — #vectors·nProbe·E[cell] rows at

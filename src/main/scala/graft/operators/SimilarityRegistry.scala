@@ -25,6 +25,17 @@ object SimilarityRegistry {
     // the explicit S5-auto name, now the same computation
     "sim_join_lsh" -> ((s, d) => Similarity.simJoinLsh(s, d)),
     "sim_join_lsh_auto" -> ((s, d) => Similarity.simJoinLshAuto(s, d)),
+    // S5-recall contract face at its default contract (θ=0.45,
+    // R=0.95): at the harness corpora this SOLVES to the historical
+    // 16 bands × 4 bits (the spec's theorem), so the row is non-empty
+    // and identical to the fixed-16-band face; at 200k vectors the
+    // same contract REFUSES by design (SimilaritySpec pins the
+    // refusal naming annIvf), so the 100× probe runs the contract
+    // face through its `sim_join_lsh_at_scaled` row — a θ=0.95
+    // near-dup contract the solver can honor there (16 bits × 15
+    // bands, also spec-pinned). The solved banding is logged per run
+    // by the lsh_bits/lsh_bands observe metrics
+    "sim_join_lsh_at" -> ((s, d) => Similarity.simJoinLshAt(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     // rows-only like ann_ivf (float cosine ranks); SimilaritySpec

@@ -46,11 +46,38 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 object Fence {
 
+  /** Structural audit of the "do NOT fence a shuffle-bearing child"
+    * rule (the scaladoc paragraph above): when enabled, every
+    * [[stageBarrier]] call records the child's schema and any
+    * shuffle exchanges in its pre-AQE physical plan. OFF by default
+    * — production fences pay only the flag check; PlanAuditSpec
+    * enables it, re-composes every fenced recipe (P3/P3b, P6/P7/P8,
+    * T43), and asserts the log shows zero shuffles below any fence,
+    * so the next composition cannot violate the rule silently (the
+    * r17 verdict's #3). Broadcast exchanges are deliberately NOT
+    * flagged: eager broadcast of a small side at composition time is
+    * the same work paid earlier, which the fence contract accepts.
+    */
+  @volatile private[graft] var auditEnabled = false
+  private[graft] val auditLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[String])]()
+
   /** Re-root `df` as a leaf: everything below is planned now and
     * becomes one (or more) independent codegen span(s); everything
     * above plans against an opaque scan with `df.schema`.
     */
-  def stageBarrier(df: DataFrame): DataFrame =
+  def stageBarrier(df: DataFrame): DataFrame = {
+    if (auditEnabled) {
+      // sparkPlan (not executedPlan) so AQE wrapping cannot hide the
+      // exchanges; it is computed on the way to toRdd anyway, so the
+      // audit adds no planning work
+      val shuffles = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          s.nodeName
+      }
+      auditLog.add((df.schema.fieldNames.mkString(","), shuffles))
+    }
     ColumnBridge.internalDataFrame(df.sparkSession,
       df.queryExecution.toRdd, df.schema)
+  }
 }

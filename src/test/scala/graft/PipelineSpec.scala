@@ -398,4 +398,36 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(unshared == expected)
   }
+
+  test("ingest recipes drop null-text docs deliberately") {
+    import graft.operators.{IncrementalDedup, Pipeline}
+    val inc0 = IncrementalDedup.newDocs(spark, sf)
+    val old = IncrementalDedup.oldDocs(spark, sf)
+    val index = IncrementalDedup.buildIndex(old)
+    val stops = Seq("the", "a")
+    val keptIds = Pipeline.pipelineIngest(inc0, index, stopWords = stops)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty)
+    // null the text of a doc the recipe otherwise KEEPS: its gopher
+    // stats and keep go null (nullSafeEval), and the keep===1 inner
+    // join DROPS it — where the pre-r17 keep===0 anti-join shape
+    // retained it with null n_words. The r17 ADVICE finding, resolved
+    // as deliberate semantics rather than a row-identity claim: a
+    // document with no text cannot satisfy a word-count gate, and the
+    // screens judge each inc doc independently, so no other verdict
+    // moves.
+    val victim = keptIds.min
+    val inc = inc0.withColumn("text",
+      when(col("doc_id") === victim, lit(null: String))
+        .otherwise(col("text")))
+    val got = Pipeline.pipelineIngest(inc, index, stopWords = stops)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == keptIds - victim,
+      s"extra=${got -- (keptIds - victim)} " +
+        s"missing=${(keptIds - victim) -- got}")
+    val gotVerified = Pipeline
+      .pipelineIngestVerified(inc, index, old, stopWords = stops)
+      .collect().map(_.getLong(0)).toSet
+    assert(!gotVerified.contains(victim))
+  }
 }

@@ -569,4 +569,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
+
+  test("no registered fence sits above a shuffle exchange " +
+      "(structural form of the Fence scaladoc rule)") {
+    import graft.plans.Fence
+    import scala.jdk.CollectionConverters._
+    // every registered query that composes through Fence.stageBarrier
+    // — a fence plans its child eagerly (toRdd), so a shuffle below
+    // it would RUN at composition time; the scaladoc forbids it and
+    // this lint makes the rule structural (the r17 verdict's #3).
+    // Broadcast exchanges are allowed by contract (same work, paid
+    // earlier); only ShuffleExchangeLike nodes fail the audit.
+    val fencedQueries = Seq("pipeline_clean", "model_threshold_sweep",
+      "pipeline_ingest", "pipeline_ingest_verified", "pipeline_signals",
+      "pipeline_release", "pipeline_web", "pipeline_release_carve")
+    Fence.auditLog.clear()
+    Fence.auditEnabled = true
+    try fencedQueries.foreach(n => SparkEntry.queries(n)(spark, sf))
+    finally Fence.auditEnabled = false
+    val entries = Fence.auditLog.asScala.toList
+    // staleness guard: each listed query constructs >= 1 fence; a
+    // zero-entry run means the site list or the audit hook rotted
+    assert(entries.size >= fencedQueries.size,
+      s"only ${entries.size} fence constructions recorded for " +
+        s"${fencedQueries.size} fenced queries — site list stale?")
+    val bad = entries.filter(_._2.nonEmpty)
+    assert(bad.isEmpty,
+      "shuffle exchange(s) below a fence (eager execution at " +
+        "composition time): " +
+        bad.map { case (schema, sh) => s"[$schema -> ${sh.mkString(", ")}]" }
+          .mkString("; "))
+  }
 }

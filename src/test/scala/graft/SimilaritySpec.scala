@@ -172,6 +172,77 @@ class SimilaritySpec extends AnyFunSuite {
     assert(at == fixed && at.nonEmpty)
   }
 
+  test("simJoinLshPlanFor refuses (never wraps) at extreme thresholds") {
+    import Similarity.simJoinLshPlanFor
+    // pBand underflows toward 0 here, so the solved band count
+    // explodes; the r17 guard computed bands*bits as an Int, which
+    // WRAPPED NEGATIVE (Int.MaxValue*16 = -16) — the require passed
+    // and the documented refusal decayed into a downstream
+    // bitsPerBand error. Both the huge-finite and the Infinity-ceil
+    // (threshold -1.0 ⇒ pBand exactly 0) paths must refuse by name.
+    for (t <- Seq(-0.99, -1.0)) {
+      val ex = intercept[IllegalArgumentException] {
+        simJoinLshPlanFor(200000, t)
+      }
+      assert(ex.getMessage.contains("annIvf"), s"t=$t: ${ex.getMessage}")
+    }
+    // the probe's scaled contract, pinned: θ=0.95 at 200k is the
+    // 16-bit × 15-band solution (240 planes)
+    assert(simJoinLshPlanFor(200000, 0.95) == (16, 15))
+  }
+
+  test("auto banding with knownN is the counted auto banding") {
+    val sf01 = "/root/testdata/sf0.01"
+    // 500 = the corpus cardinality a daily-loop caller reads from its
+    // D14/S12 index artifact instead of paying a per-call count
+    val counted = pairSet(Similarity.simJoinLsh(spark, sf01, 0.45))
+    val known = pairSet(
+      Similarity.simJoinLsh(spark, sf01, 0.45, knownN = 500L))
+    assert(counted == known && counted.nonEmpty)
+    val atCounted = pairSet(Similarity.simJoinLshAt(spark, sf01, 0.45))
+    val atKnown = pairSet(
+      Similarity.simJoinLshAt(spark, sf01, 0.45, knownN = 500L))
+    assert(atCounted == atKnown)
+  }
+
+  test("expected_recall_ppm and the solved banding ride the observe " +
+      "channel; AQE erases the row on empty results (documented)") {
+    import Similarity.lshExpectedRecall
+    // non-empty run: the observe row carries the analytic recall at
+    // the caller's threshold AND the solved banding (the auto default
+    // at sf0.01 = 16 bands of 4 bits)
+    val df = Similarity.simJoinLsh(spark, "/root/testdata/sf0.01",
+      threshold = 0.45)
+    assert(df.collect().nonEmpty)
+    val m = df.queryExecution.observedMetrics.get("simjoinlsh_bucket_cap")
+    assert(m.isDefined, "observe metric row missing on non-empty run")
+    val row = m.get
+    assert(row.getAs[Long]("expected_recall_ppm") ==
+      (lshExpectedRecall(0.45, 4, 16) * 1e6).toLong)
+    assert(row.getAs[Long]("lsh_bits") == 4L)
+    assert(row.getAs[Long]("lsh_bands") == 16L)
+    assert(row.getAs[Long]("dropped_buckets") == 0L)
+
+    // the documented AQE caveat, pinned so a Spark upgrade that fixes
+    // it gets noticed: 2 bands of 32 bits over 500 distinct
+    // mid-similarity vectors (max pairwise cosine 0.51) makes every
+    // bucket a singleton — the final frame is EMPTY, and
+    // AQEPropagateEmptyRelation erases the executed stages (and with
+    // them the CollectMetrics row) from the plan observedMetrics
+    // walks. The deterministic "why 0 pairs?" channel is the analytic
+    // solver, which needs no run at all.
+    val empty = Similarity.simJoinLsh(spark, "/root/testdata/sf0.01",
+      threshold = 0.45, nPlanes = 64, nBands = 2)
+    assert(empty.collect().isEmpty,
+      "expected all-singleton buckets at 32-bit bands")
+    assert(empty.queryExecution.observedMetrics.isEmpty,
+      "AQE now preserves observe rows on empty results — " +
+        "update the simJoinLsh scaladoc caveat and strengthen this pin")
+    assert(lshExpectedRecall(0.45, 32, 2) < 1e-3,
+      "the analytic channel explains the 0 pairs: candidate recall " +
+        "at θ=0.45 under 32-bit bands is negligible")
+  }
+
   test("sim_join_lsh bucket cap bounds pair generation") {
     // with a tiny cap every bucket at sf0.01 is dropped or bounded:
     // the join must still run and emit only pairs from small buckets

@@ -2,18 +2,28 @@
 """Min-merge bench runs into a round anchor.
 
 usage: tools/bench_merge.py OUT.json RUN.json [RUN.json ...]
+       tools/bench_merge.py --allow-single OUT.json RUN.json
 
 Per query takes the minimum positive timing across runs (negative =
 the run errored on that query; a run missing a query contributes
 nothing for it). Prints a per-run summary (total + canary
 q_range_join) and the merged total.
+
+Refuses to write an anchor from fewer than TWO parseable runs unless
+--allow-single is passed: the committed protocol (verify SKILL.md) is
+a min-merge of at least two runs — single runs carry 1.2-4x head/tail
+debris on this host, and a silently-written one-run anchor poisons
+every cross-round comparison that reads it.
 """
 import json
 import sys
 
 
 def main() -> None:
-    out_path, runs = sys.argv[1], sys.argv[2:]
+    argv = sys.argv[1:]
+    allow_single = "--allow-single" in argv
+    argv = [a for a in argv if a != "--allow-single"]
+    out_path, runs = argv[0], argv[1:]
     merged: dict[str, float] = {}
     errored: set[str] = set()  # queries seen with v <= 0 in some run
     sf = None
@@ -41,6 +51,12 @@ def main() -> None:
     if n_runs == 0 or not merged:
         sys.exit("ERROR: no parseable runs / no positive timings — "
                  "refusing to write an empty anchor")
+    # the two-run minimum is the committed protocol; a one-run anchor
+    # still carries the head/tail debris min-merging exists to cancel
+    if n_runs < 2 and not allow_single:
+        sys.exit(f"ERROR: only {n_runs} parseable run(s) — the anchor "
+                 "protocol is a min-merge of >= 2 runs (verify "
+                 "SKILL.md); pass --allow-single to override")
     # a query that errored in EVERY run would silently vanish from the
     # merged dict, shrinking the anchor's query set — a cross-round
     # total comparison would then read the regression as a speedup

@@ -2,25 +2,39 @@
 """Min-merge probe runs into PROBE_r{N}_perturbed.jsonl.
 
 usage: tools/probe_merge.py OUT.jsonl LOG [LOG ...]
+       tools/probe_merge.py --allow-single OUT.jsonl LOG
 
 Each LOG is a graft.Probe stdout capture (JSON lines mixed with Spark
 noise). Per query keeps the minimum-sec row; row counts must agree
 across runs (loud error otherwise — a row-count drift is a
 correctness bug, not noise).
+
+Refuses to write an anchor from fewer than TWO logs that actually
+contributed rows, unless --allow-single is passed: the committed
+protocol (verify SKILL.md) is a min-merge of at least two runs —
+single probe runs carry 1.2-4x head/tail debris, and a silently
+written one-run anchor poisons the next round's comparison (the
+bench_merge.py guard, mirrored).
 """
 import json
 import sys
 
 
 def main() -> None:
-    out_path, logs = sys.argv[1], sys.argv[2:]
+    argv = sys.argv[1:]
+    allow_single = "--allow-single" in argv
+    argv = [a for a in argv if a != "--allow-single"]
+    out_path, logs = argv[0], argv[1:]
     best: dict[str, dict] = {}
     order: list[str] = []
+    contributing = 0  # logs with at least one probe row
     for path in logs:
+        rows_seen = 0
         for line in open(path):
             line = line.strip()
             if not line.startswith('{"query"'):
                 continue
+            rows_seen += 1
             r = json.loads(line)
             q = r["query"]
             if q in best:
@@ -32,10 +46,21 @@ def main() -> None:
             else:
                 best[q] = r
                 order.append(q)
+        if rows_seen:
+            contributing += 1
+        else:
+            print(f"WARNING: {path} contributed no probe rows")
+    if not best:
+        sys.exit("ERROR: no probe rows in any log — refusing to "
+                 "write an empty anchor")
+    if contributing < 2 and not allow_single:
+        sys.exit(f"ERROR: only {contributing} log(s) contributed rows "
+                 "— the anchor protocol is a min-merge of >= 2 runs "
+                 "(verify SKILL.md); pass --allow-single to override")
     with open(out_path, "w") as f:
         for q in order:
             f.write(json.dumps(best[q]) + "\n")
-    print(f"{out_path}: {len(order)} rows, "
+    print(f"{out_path}: {len(order)} rows from {contributing} runs, "
           f"total {sum(r['sec'] for r in best.values()):.1f}s")
 
 
