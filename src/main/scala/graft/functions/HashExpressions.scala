@@ -545,6 +545,12 @@ object HashKernels {
     */
   def c4CleanPage(text: String, badwords: String, minWords: Int,
       minSentences: Int): String = {
+    // null text = the page does not exist: same verdict as a page
+    // every rule drops (null return ⇒ caller emits no row). Without
+    // this, ONE null crawl record NPE'd the whole C4 job — the typed
+    // flatMap face has no nullSafeEval wrapper to hide behind
+    // (PipelineSpec's null-text pin).
+    if (text == null) return null
     val bad = c4BadwordTables.computeIfAbsent(badwords, c4ParseBadwords)
     val bytes = text.getBytes("UTF-8")
     val n = bytes.length

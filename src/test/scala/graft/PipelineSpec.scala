@@ -430,4 +430,37 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(!gotVerified.contains(victim))
   }
+
+  test("every composed recipe survives a null-text doc and drops it") {
+    // a 100 TB crawl corpus HAS null records; a recipe that crashes
+    // the whole job on one (the pre-r18 buildIndex did, via the
+    // typed screen kernels) is a scale defect, not an edge case.
+    // Contract: null text = the doc does not exist — no crash, no
+    // null-keyed output row.
+    import graft.operators.{DomainOps, Pipeline}
+    import org.apache.spark.sql.DataFrame
+    val docs = graft.Tables.documents(spark, sf)
+    val victim = 11L // doc_id kept by several recipes at sf0.001
+    def nulled(d: DataFrame) = d.withColumn("text",
+      when(col("doc_id") === victim, lit(null: String))
+        .otherwise(col("text")))
+    val blocklist = {
+      import spark.implicits._
+      DomainOps.DefaultBlockedDomains.toDF("domain")
+    }
+    val recipes: Seq[(String, DataFrame)] = Seq(
+      "full" -> Pipeline.pipelineFull(nulled(docs)),
+      "scrub" -> Pipeline.pipelineScrub(nulled(docs)),
+      "c4" -> Pipeline.pipelineC4(nulled(docs)),
+      "signals" -> Pipeline.pipelineSignals(nulled(docs),
+        stopWords = Seq("the", "a"), badWords = Seq("badword")),
+      "release" -> Pipeline.pipelineRelease(
+        DomainOps.plantUrl(nulled(docs)), blocklist,
+        stopWords = Seq("the", "a"), badWords = Seq("badword")))
+    recipes.foreach { case (name, df) =>
+      val out = df.collect() // must not throw
+      assert(!out.exists(r => !r.isNullAt(0) && r.getLong(0) == victim),
+        s"$name emitted the null-text doc")
+    }
+  }
 }
