@@ -318,6 +318,11 @@ object Multimodal {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("phash"))))
         .as("members"))
       .filter(size(col("members")) > 1)
+      // NOTE: observe rows are ERASED by AQE when the FINAL result is
+      // empty (AQEPropagateEmptyRelation drops the executed
+      // CollectMetrics from the plan observedMetrics walks) — the
+      // metric is best-effort on empty output; see the canonical
+      // caveat + spec pin on Similarity.simJoinLsh.
       .observe("media_bucket_cap",
         sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
           .as("dropped_buckets"))

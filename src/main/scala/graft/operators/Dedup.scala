@@ -960,6 +960,11 @@ object Dedup {
         "r")
       .groupBy(col("shingle"))
       .agg(collect_list(col("r")).as("rs"))
+      // NOTE: observe rows are ERASED by AQE when the FINAL result is
+      // empty (AQEPropagateEmptyRelation drops the executed
+      // CollectMetrics from the plan observedMetrics walks) — the
+      // metric is best-effort on empty output; see the canonical
+      // caveat + spec pin on Similarity.simJoinLsh.
       .observe("contamination_ref_cap",
         sum(when(size(col("rs")) > maxRefDf, 1L).otherwise(0L))
           .as("dropped_shingles"))
@@ -1285,6 +1290,11 @@ object Dedup {
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("packed"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      // NOTE: observe rows are ERASED by AQE when the FINAL result is
+      // empty (AQEPropagateEmptyRelation drops the executed
+      // CollectMetrics from the plan observedMetrics walks) — the
+      // metric is best-effort on empty output; see the canonical
+      // caveat + spec pin on Similarity.simJoinLsh.
       .observe(observeName,
         sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L))
           .as("dropped_buckets"))

@@ -189,6 +189,11 @@ object IncrementalDedup {
       .groupBy(col("band"), col("bsig"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
         .as("members"))
+      // NOTE: observe rows are ERASED by AQE when the FINAL result is
+      // empty (AQEPropagateEmptyRelation drops the executed
+      // CollectMetrics from the plan observedMetrics walks) — the
+      // metric is best-effort on empty output; see the canonical
+      // caveat + spec pin on Similarity.simJoinLsh.
       .observe("incremental_bucket_cap",
         sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
           .as("dropped_buckets"))

@@ -74,6 +74,11 @@ object MinHashDedup {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
         .as("members"))
       .filter(size(col("members")) > 1)
+      // NOTE: observe rows are ERASED by AQE when the FINAL result is
+      // empty (AQEPropagateEmptyRelation drops the executed
+      // CollectMetrics from the plan observedMetrics walks) — the
+      // metric is best-effort on empty output; see the canonical
+      // caveat + spec pin on Similarity.simJoinLsh.
       .observe("minhash_bucket_cap",
         sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
           .as("dropped_buckets"))
@@ -154,6 +159,11 @@ object MinHashDedup {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
         .as("members"))
       .filter(size(col("members")) > 1)
+      // NOTE: observe rows are ERASED by AQE when the FINAL result is
+      // empty (AQEPropagateEmptyRelation drops the executed
+      // CollectMetrics from the plan observedMetrics walks) — the
+      // metric is best-effort on empty output; see the canonical
+      // caveat + spec pin on Similarity.simJoinLsh.
       .observe("simhash_bucket_cap",
         sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
           .as("dropped_buckets"))
@@ -218,6 +228,11 @@ object MinHashDedup {
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("packed"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      // NOTE: observe rows are ERASED by AQE when the FINAL result is
+      // empty (AQEPropagateEmptyRelation drops the executed
+      // CollectMetrics from the plan observedMetrics walks) — the
+      // metric is best-effort on empty output; see the canonical
+      // caveat + spec pin on Similarity.simJoinLsh.
       .observe("winnow_bucket_cap",
         sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L))
           .as("dropped_buckets"))
