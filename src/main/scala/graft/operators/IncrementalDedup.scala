@@ -120,7 +120,14 @@ object IncrementalDedup {
     */
   def screenExactDocs(newBatch: DataFrame, index: DataFrame): DataFrame =
     screenExactSigs(
-      newBatch.select(col("doc_id"), canonical_md5(col("text")).as("fp")),
+      // null text = the doc does not exist, UNIFORMLY across the
+      // index and both screens: without this, a null crawl record
+      // got a (doc_id, is_dup = 0) verdict here — "novel", admitted —
+      // while the near screen and the index treated it as
+      // nonexistent, and (being absent from the index) it would
+      // re-screen as novel every day (the r18 review's finding)
+      newBatch.filter(col("text").isNotNull)
+        .select(col("doc_id"), canonical_md5(col("text")).as("fp")),
       index)
 
   /** [[screenExactDocs]] over PRE-COMPUTED increment fingerprints
@@ -148,6 +155,10 @@ object IncrementalDedup {
       maxBucket: Int = 5000): DataFrame =
     screenNearSigs(
       newBatch
+        // null text has no shingle identity — same exclusion as
+        // [[buildIndex]] (a null n_sh crashes the typed banding
+        // flatMap; the doc simply does not exist to the screen)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"),
           shingle_keys(col("text"), lit(""), 3).as("sh"))
         .select(col("doc_id"), size(col("sh")).as("n_sh"),

@@ -68,14 +68,27 @@ object Fence {
     */
   def stageBarrier(df: DataFrame): DataFrame = {
     if (auditEnabled) {
-      // sparkPlan (not executedPlan) so AQE wrapping cannot hide the
-      // exchanges; it is computed on the way to toRdd anyway, so the
-      // audit adds no planning work
-      val shuffles = df.queryExecution.sparkPlan.collect {
+      // the EXECUTED plan, not sparkPlan: EnsureRequirements inserts
+      // Exchange nodes only in the preparation pipeline, so sparkPlan
+      // NEVER contains them (an audit there is vacuous — found by the
+      // r18 review, with a negative control in PlanAuditSpec now
+      // pinning it). Under AQE the executedPlan is an un-executed
+      // AdaptiveSparkPlanExec whose current plan IS the prepared
+      // initial plan, exchanges included; this runs before the toRdd
+      // below, so no stage has been replaced yet, and already-
+      // materialized stages would still surface via QueryStageExec.
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[String] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          shuffles(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shuffles(q.plan)
         case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
-          s.nodeName
+          s.nodeName +: s.children.flatMap(shuffles)
+        case other => other.children.flatMap(shuffles)
       }
-      auditLog.add((df.schema.fieldNames.mkString(","), shuffles))
+      auditLog.add((df.schema.fieldNames.mkString(","),
+        shuffles(df.queryExecution.executedPlan)))
     }
     ColumnBridge.internalDataFrame(df.sparkSession,
       df.queryExecution.toRdd, df.schema)

@@ -179,6 +179,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(near.count() == 0) // no shingles -> no (meaningless) pairs
   }
 
+  test("null-text docs are invisible to the index and both screens") {
+    // one bad crawl record must not crash the day's screen (the r18
+    // contract: null text = the doc does not exist — buildIndex and
+    // screenNearDocs both exclude it before the typed banding, whose
+    // Int n_sh deserialization dies on null)
+    val spark2 = spark
+    import spark2.implicits._
+    val old = Seq(1L -> "one two three four five six seven eight",
+      2L -> "totally different words here nine ten eleven twelve")
+      .toDF("doc_id", "text")
+    val oldNulled = old.union(
+      Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val fresh = Seq(10L -> "one two three four five six seven eight")
+      .toDF("doc_id", "text")
+    val freshNulled = fresh.union(
+      Seq((11L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val ix = IncrementalDedup.buildIndex(oldNulled)
+    assert(ix.count() == 2) // the null row never enters the index
+    val near = IncrementalDedup.screenNearDocs(freshNulled, ix)
+      .collect()
+    assert(near.map(_.getLong(0)).toSet == Set(10L)) // 11 invisible
+    // the exact screen emits NO verdict row for the null doc — an
+    // is_dup = 0 row here would admit it as "novel" while the index
+    // and near screen say it does not exist (and, absent from the
+    // index, it would re-screen as novel every day)
+    val ex = IncrementalDedup.screenExactDocs(freshNulled, ix)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(ex == Map(10L -> 1))
+  }
+
   test("registered queries are well-formed and non-degenerate at sf") {
     val build = IncrementalDedup.indexBuildQuery(spark, sf)
     assert(build.columns.toSeq == Seq("doc_id", "fp", "n_sh"))

@@ -583,21 +583,41 @@ class PlanAuditSpec extends AnyFunSuite {
     val fencedQueries = Seq("pipeline_clean", "model_threshold_sweep",
       "pipeline_ingest", "pipeline_ingest_verified", "pipeline_signals",
       "pipeline_release", "pipeline_web", "pipeline_release_carve")
+    // NEGATIVE CONTROL first — the r18 review found the original lint
+    // collected from sparkPlan, where EnsureRequirements never runs,
+    // so NO child ever showed a shuffle and the lint was vacuous. A
+    // deliberately shuffle-bearing child must be seen, or the audit
+    // itself is broken and every green assertion below is meaningless.
     Fence.auditLog.clear()
     Fence.auditEnabled = true
-    try fencedQueries.foreach(n => SparkEntry.queries(n)(spark, sf))
-    finally Fence.auditEnabled = false
-    val entries = Fence.auditLog.asScala.toList
-    // staleness guard: each listed query constructs >= 1 fence; a
-    // zero-entry run means the site list or the audit hook rotted
-    assert(entries.size >= fencedQueries.size,
-      s"only ${entries.size} fence constructions recorded for " +
-        s"${fencedQueries.size} fenced queries — site list stale?")
-    val bad = entries.filter(_._2.nonEmpty)
+    try {
+      import spark.implicits._
+      Fence.stageBarrier(
+        Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("k", "v")
+          .groupBy("k").count())
+    } finally Fence.auditEnabled = false
+    val control = Fence.auditLog.asScala.toList
+    assert(control.exists(_._2.nonEmpty),
+      "audit failed to see the control groupBy's shuffle — the " +
+        "exchange walk is vacuous again (sparkPlan has no exchanges; " +
+        "walk the AQE executedPlan)")
+    // per-query staleness guard: EVERY listed query must construct at
+    // least one fence on its own — a total-count check lets one
+    // recipe silently lose its fence behind another's multiple sites
+    val bad = fencedQueries.flatMap { n =>
+      Fence.auditLog.clear()
+      Fence.auditEnabled = true
+      try SparkEntry.queries(n)(spark, sf)
+      finally Fence.auditEnabled = false
+      val entries = Fence.auditLog.asScala.toList
+      assert(entries.nonEmpty,
+        s"$n constructed no fence — site list stale?")
+      entries.filter(_._2.nonEmpty).map { case (schema, sh) =>
+        s"[$n: $schema -> ${sh.mkString(", ")}]"
+      }
+    }
     assert(bad.isEmpty,
       "shuffle exchange(s) below a fence (eager execution at " +
-        "composition time): " +
-        bad.map { case (schema, sh) => s"[$schema -> ${sh.mkString(", ")}]" }
-          .mkString("; "))
+        s"composition time): ${bad.mkString("; ")}")
   }
 }

@@ -16,6 +16,7 @@ debris on this host, and a silently-written one-run anchor poisons
 every cross-round comparison that reads it.
 """
 import json
+import os
 import sys
 
 
@@ -24,6 +25,13 @@ def main() -> None:
     allow_single = "--allow-single" in argv
     argv = [a for a in argv if a != "--allow-single"]
     out_path, runs = argv[0], argv[1:]
+    # the same file passed twice (a glob/retype slip) must not count
+    # as two runs — that writes a one-run anchor through the guard
+    deduped = list(dict.fromkeys(os.path.realpath(r) for r in runs))
+    if len(deduped) < len(runs):
+        print(f"WARNING: {len(runs) - len(deduped)} duplicate run "
+              "path(s) ignored")
+    runs = deduped
     merged: dict[str, float] = {}
     errored: set[str] = set()  # queries seen with v <= 0 in some run
     sf = None

@@ -8,8 +8,12 @@
 #
 # usage: tools/probe_ab.sh <pairs> <tagA> <tagB> <query> [query ...]
 #   Tags name prebuilt snapshots target/bench_cls_<tag> (see
-#   bench_ab.sh for the build recipe). Probe data dir comes from
-#   SPARK_GRAFT_SF_DIR (default /tmp/sfbig2).
+#   tools/ab_lib.sh for the build recipe). Probe data dir comes from
+#   SPARK_GRAFT_SF_DIR, defaulting to /tmp/sfpert — the PERTURBED
+#   corpus the committed PROBE_r{N}_perturbed.jsonl anchors run on
+#   (this tool exists to interrogate THOSE rows; row counts diverge
+#   on the plain replica corpus — 36,173 vs 48,946 for
+#   contamination_report_join).
 set -u
 cd /root/repo
 PAIRS=${1:?pairs}
@@ -18,24 +22,13 @@ TAG_B=${3:?tagB}
 shift 3
 QUERIES="$*"
 [ -n "$QUERIES" ] || { echo "ERROR: no probe queries named" >&2; exit 1; }
-for t in "$TAG_A" "$TAG_B"; do
-  if [ ! -d "target/bench_cls_${t}/graft" ]; then
-    echo "ERROR: snapshot target/bench_cls_${t} missing or not a" \
-      "class tree — build it first (see bench_ab.sh)" >&2
-    exit 1
-  fi
-done
-ADDOPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
-         java.nio java.util java.util.concurrent \
-         java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
-         sun.security.action sun.util.calendar; do
-  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
-run_one() { # $1 = binary tag, $2 = pair idx
-  SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/tmp/sfbig2} \
+. tools/ab_lib.sh
+ab_check_snapshot "$TAG_A"
+ab_check_snapshot "$TAG_B"
+ab_run_one() { # $1 = binary tag, $2 = pair idx
+  SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/tmp/sfpert} \
   SPARK_GRAFT_CPUS=32 \
-  java $ADDOPENS -Xmx${SPARK_DRIVER_MEM:-16g} \
+  java $AB_ADDOPENS -Xmx${SPARK_DRIVER_MEM:-16g} \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "target/bench_cls_${1}:/opt/spark/jars/*" graft.Probe $QUERIES \
     > target/probe_ab_${1}_p${2}.log 2>&1
@@ -46,9 +39,4 @@ run_one() { # $1 = binary tag, $2 = pair idx
   fi
   echo "pair $2 $1: $(grep '"query"' target/probe_ab_${1}_p${2}.log | tr '\n' ' ')"
 }
-i=1
-while [ "$i" -le "$PAIRS" ]; do
-  run_one "$TAG_A" "$i"
-  run_one "$TAG_B" "$i"
-  i=$((i + 1))
-done
+ab_pairs "$PAIRS" "$TAG_A" "$TAG_B"

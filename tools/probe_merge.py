@@ -17,6 +17,7 @@ written one-run anchor poisons the next round's comparison (the
 bench_merge.py guard, mirrored).
 """
 import json
+import os
 import sys
 
 
@@ -25,7 +26,15 @@ def main() -> None:
     allow_single = "--allow-single" in argv
     argv = [a for a in argv if a != "--allow-single"]
     out_path, logs = argv[0], argv[1:]
+    # the same log passed twice (a glob/retype slip) must not count as
+    # two runs — that writes a one-run anchor through the guard below
+    deduped = list(dict.fromkeys(os.path.realpath(p) for p in logs))
+    if len(deduped) < len(logs):
+        print(f"WARNING: {len(logs) - len(deduped)} duplicate log "
+              "path(s) ignored")
+    logs = deduped
     best: dict[str, dict] = {}
+    samples: dict[str, int] = {}
     order: list[str] = []
     contributing = 0  # logs with at least one probe row
     for path in logs:
@@ -37,6 +46,7 @@ def main() -> None:
             rows_seen += 1
             r = json.loads(line)
             q = r["query"]
+            samples[q] = samples.get(q, 0) + 1
             if q in best:
                 if best[q]["rows"] != r["rows"]:
                     sys.exit(f"row-count drift on {q}: "
@@ -57,6 +67,14 @@ def main() -> None:
         sys.exit(f"ERROR: only {contributing} log(s) contributed rows "
                  "— the anchor protocol is a min-merge of >= 2 runs "
                  "(verify SKILL.md); pass --allow-single to override")
+    # partial-subset logs can leave individual queries single-sampled
+    # even with >= 2 contributing logs — surface them (warn, not fail:
+    # a query that errored in one run legitimately has one sample)
+    single = [q for q in order if samples[q] < 2]
+    if single and not allow_single:
+        print(f"WARNING: {len(single)} query(ies) min-merged from a "
+              f"single sample: {', '.join(single[:10])}"
+              + (" ..." if len(single) > 10 else ""))
     with open(out_path, "w") as f:
         for q in order:
             f.write(json.dumps(best[q]) + "\n")
