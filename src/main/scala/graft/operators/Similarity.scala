@@ -258,9 +258,21 @@ object Similarity {
     // artifacts, and at 100 TB even a metadata-cheap parquet count
     // is a scan the caller shouldn't pay per invocation. Auto with
     // an explicit n is spec-pinned ≡ auto with the counted n.
+    // knownN is TRUSTED, deliberately (the r18 ADVICE): any guard
+    // that re-estimates n pays the count the parameter exists to
+    // skip. A wrong knownN (a stale artifact, or a doc count where a
+    // vector count belongs) mis-sizes the banding and degrades recall
+    // SILENTLY — the loud channel is `lsh_sizing_n` on the observe
+    // row below, which logs the n every run actually sized with
+    // (erased on empty output under AQE like the rest of the row —
+    // the standing caveat — so reconcile it against the index
+    // artifact's own count on a cadence, not only on failures).
+    val sizedN: Long =
+      if (nBands != 0) 0L // explicit banding: no sizing count taken
+      else if (knownN > 0) knownN
+      else emb.count()
     val bands =
-      if (nBands == 0) simJoinLshBandsFor(
-        if (knownN > 0) knownN else emb.count(), nPlanes, maxBucket)
+      if (nBands == 0) simJoinLshBandsFor(sizedN, nPlanes, maxBucket)
       else nBands
     // parts-per-million so the analytic recall at the CALLER'S
     // threshold rides the long-typed observe channel — the same
@@ -296,7 +308,8 @@ object Similarity {
           .as("dropped_buckets"),
         max(lit(recallPpm)).as("expected_recall_ppm"),
         max(lit((nPlanes / bands).toLong)).as("lsh_bits"),
-        max(lit(bands.toLong)).as("lsh_bands"))
+        max(lit(bands.toLong)).as("lsh_bands"),
+        max(lit(sizedN)).as("lsh_sizing_n"))
       .filter(size(col("members")) > 1)
       .filter(size(col("members")) <= maxBucket)
       .select(col("members"))
@@ -424,6 +437,14 @@ object Similarity {
       maxPlanes: Int = 1024): (Int, Int) = {
     require(targetRecall > 0.0 && targetRecall < 1.0,
       s"targetRecall must be in (0,1): $targetRecall")
+    // cosine lives in [-1,1]; REFUSE outside it rather than clamp (the
+    // r18 ADVICE): [[planeAgreeP]] clamps, so θ>1 silently solved to
+    // pBand=1 ⇒ bands=1, and θ=NaN poisoned the ceil into bands=1 the
+    // same way — the contract face ran with a meaningless banding
+    // instead of refusing. A NaN threshold fails both comparisons
+    // (IEEE NaN compares false), so it refuses here too.
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold must be a cosine in [-1,1]: $threshold")
     val bits = simJoinLshBitsFor(n, maxBits = 32, maxBucket)
     val pBand = math.pow(planeAgreeP(threshold), bits)
     // the band count is solved as a LONG and guarded by DIVISION: at

@@ -189,6 +189,17 @@ class SimilaritySpec extends AnyFunSuite {
     // the probe's scaled contract, pinned: θ=0.95 at 200k is the
     // 16-bit × 15-band solution (240 planes)
     assert(simJoinLshPlanFor(200000, 0.95) == (16, 15))
+    // out-of-range and NaN thresholds refuse by name (the r18 ADVICE):
+    // planeAgreeP CLAMPS, so θ=1.5 used to solve to pBand=1 ⇒ 1 band,
+    // and θ=NaN poisoned the ceil into bands=1 — both ran a
+    // meaningless banding instead of refusing
+    for (t <- Seq(1.5, -1.01, Double.NaN)) {
+      val ex = intercept[IllegalArgumentException] {
+        simJoinLshPlanFor(200000, t)
+      }
+      assert(ex.getMessage.contains("cosine in [-1,1]"),
+        s"t=$t: ${ex.getMessage}")
+    }
   }
 
   test("auto banding with knownN is the counted auto banding") {
@@ -196,9 +207,17 @@ class SimilaritySpec extends AnyFunSuite {
     // 500 = the corpus cardinality a daily-loop caller reads from its
     // D14/S12 index artifact instead of paying a per-call count
     val counted = pairSet(Similarity.simJoinLsh(spark, sf01, 0.45))
-    val known = pairSet(
-      Similarity.simJoinLsh(spark, sf01, 0.45, knownN = 500L))
+    // knownN is trusted by design (the count is what it skips); the
+    // loud channel for a WRONG knownN is the lsh_sizing_n observe
+    // metric — pin that a run logs exactly the n it sized with
+    // collect knownDf ITSELF (pairSet's select would execute a derived
+    // plan, leaving this queryExecution's observe accumulators empty)
+    val knownDf = Similarity.simJoinLsh(spark, sf01, 0.45, knownN = 500L)
+    val known = knownDf.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     assert(counted == known && counted.nonEmpty)
+    val m = knownDf.queryExecution.observedMetrics("simjoinlsh_bucket_cap")
+    assert(m.getAs[Long]("lsh_sizing_n") == 500L)
     val atCounted = pairSet(Similarity.simJoinLshAt(spark, sf01, 0.45))
     val atKnown = pairSet(
       Similarity.simJoinLshAt(spark, sf01, 0.45, knownN = 500L))
@@ -222,6 +241,9 @@ class SimilaritySpec extends AnyFunSuite {
     assert(row.getAs[Long]("lsh_bits") == 4L)
     assert(row.getAs[Long]("lsh_bands") == 16L)
     assert(row.getAs[Long]("dropped_buckets") == 0L)
+    // the counted auto path logs the n it sized with (sf0.01 = 500
+    // vectors) — the reconciliation channel for a wrong knownN
+    assert(row.getAs[Long]("lsh_sizing_n") == 500L)
 
     // the documented AQE caveat, pinned so a Spark upgrade that fixes
     // it gets noticed: 2 bands of 32 bits over 500 distinct

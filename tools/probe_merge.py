@@ -34,10 +34,14 @@ def main() -> None:
               "path(s) ignored")
     logs = deduped
     best: dict[str, dict] = {}
-    samples: dict[str, int] = {}
+    # distinct CONTRIBUTING LOG indices per query, not a raw row
+    # counter: one log holding a query twice (two captures >>'d into
+    # one file) is still ONE run of that query — counting rows let it
+    # suppress the single-sample warning (the r18 ADVICE finding)
+    samples: dict[str, set[int]] = {}
     order: list[str] = []
     contributing = 0  # logs with at least one probe row
-    for path in logs:
+    for li, path in enumerate(logs):
         rows_seen = 0
         for line in open(path):
             line = line.strip()
@@ -46,7 +50,7 @@ def main() -> None:
             rows_seen += 1
             r = json.loads(line)
             q = r["query"]
-            samples[q] = samples.get(q, 0) + 1
+            samples.setdefault(q, set()).add(li)
             if q in best:
                 if best[q]["rows"] != r["rows"]:
                     sys.exit(f"row-count drift on {q}: "
@@ -70,7 +74,7 @@ def main() -> None:
     # partial-subset logs can leave individual queries single-sampled
     # even with >= 2 contributing logs — surface them (warn, not fail:
     # a query that errored in one run legitimately has one sample)
-    single = [q for q in order if samples[q] < 2]
+    single = [q for q in order if len(samples[q]) < 2]
     if single and not allow_single:
         print(f"WARNING: {len(single)} query(ies) min-merged from a "
               f"single sample: {', '.join(single[:10])}"
