@@ -1,7 +1,11 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "flinkemqxconnectorspark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
+// Spark jars ship with the image at /opt/spark/jars (zero-egress).
+// Upgrade procedure: point this at the new distribution, bump
+// graft.SparkVersionAssumption.assumed, run the full suite, and
+// re-adjudicate the version-coupled pins that object lists (there is
+// no second-version CI compile in this offline environment).
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).

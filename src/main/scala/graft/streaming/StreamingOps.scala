@@ -1177,22 +1177,35 @@ object StreamingOps {
         badUrlWords)
       .filter(col("keep"))
       .select(col("doc_id"), col("ts"), col("text"), col("domain"))
+    // the quality gate is computed ONCE in the projection and applied
+    // INSIDE the typed stage below — never as a Column filter. A
+    // `.filter` on the four keep columns gets pushed below the signals
+    // projection with the kernel expressions alias-substituted per
+    // reference (the r9/r17 trap): the micro-batch plan re-ran
+    // PageStats 22× and GopherRepetition 18× PER ROW (caught by the
+    // r19 streaming plan lint, PlanAuditSpec). Batch recipes fence the
+    // projection (Fence.stageBarrier, an eager materialization) — a
+    // streaming plan cannot fence, so the deserialization barrier of
+    // the typed flatMap is the streaming-native equivalent: no Filter
+    // node exists for the optimizer to push.
     val kept = TextOps.qualitySignalsOf(gated, stopWords, badWords,
         carry = Seq("ts", "text", "domain"))
-      .filter(col("keep_gopher") === 1 && col("keep_rep") === 1 &&
-        col("keep_c4") === 1 && col("keep_model") === 1)
-      .select(col("doc_id"), col("ts"), col("text"), col("domain"))
+      .select(col("doc_id"), col("ts"), col("text"), col("domain"),
+        (col("keep_gopher") === 1 && col("keep_rep") === 1 &&
+          col("keep_c4") === 1 && col("keep_model") === 1).as("pass"))
     val bc = docs.sparkSession.sparkContext.broadcast(releasedBits)
-    val fresh = kept.as[(Long, Timestamp, String, String)]
-      .map { case (id, ts, text, domain) =>
-        val fp = Dedup.canonicalFpOf(text)
-        (id, ts, domain, fp,
-          Dedup.fpBloomHitFp(bc.value, fp, kHashes))
+    val fresh = kept.as[(Long, Timestamp, String, String, Boolean)]
+      .flatMap { case (id, ts, text, domain, pass) =>
+        if (!pass) None
+        else {
+          val fp = Dedup.canonicalFpOf(text)
+          if (Dedup.fpBloomHitFp(bc.value, fp, kHashes)) None
+          else Some((id, ts, domain, fp))
+        }
       }
-      .filter(!_._5)
 
     def update(domain: String,
-        rows: Iterator[(Long, Timestamp, String, String, Boolean)],
+        rows: Iterator[(Long, Timestamp, String, String)],
         state: GroupState[Long]): Iterator[IngestAdmitOut] = {
       var seen = state.getOption.getOrElse(0L)
       // the X24 replay pin: full-precision (ts, doc_id) order within
@@ -1200,9 +1213,9 @@ object StreamingOps {
       // re-partitioned replay admits the same doc at the quota
       // boundary; toVector + strict map drains BEFORE state.update
       val out = rows.toVector
-        .sortBy { case (id, ts, _, _, _) =>
+        .sortBy { case (id, ts, _, _) =>
           (ts.getTime, ts.getNanos, id) }
-        .map { case (id, ts, _, fp, _) =>
+        .map { case (id, ts, _, fp) =>
           seen += 1
           IngestAdmitOut(id, ts, domain, fp, seen, seen <= cap)
         }

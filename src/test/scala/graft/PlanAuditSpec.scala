@@ -580,6 +580,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // this lint makes the rule structural (the r17 verdict's #3).
     // Broadcast exchanges are allowed by contract (same work, paid
     // earlier); only ShuffleExchangeLike nodes fail the audit.
+    // VERSION-COUPLED: the walk unwraps today's AQE node shapes
+    // (recorded in graft.SparkVersionAssumption, tripped deliberately
+    // by SparkVersionSpec on a bump); the negative control below is
+    // what catches a Spark that changes them.
     val fencedQueries = Seq("pipeline_clean", "model_threshold_sweep",
       "pipeline_ingest", "pipeline_ingest_verified", "pipeline_signals",
       "pipeline_release", "pipeline_web", "pipeline_release_carve")
@@ -619,5 +623,106 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty,
       "shuffle exchange(s) below a fence (eager execution at " +
         s"composition time): ${bad.mkString("; ")}")
+  }
+
+  test("streaming faces: last-batch plans carry no HOF-in-Filter and " +
+      "no repeated kernel in a Filter (X10/X25/X27)") {
+    // lint parity with the batch whole-surface audits (the r18
+    // verdict's #5): the two alias-substitution traps — a lambda HOF
+    // pushed into a Filter, and one graft kernel re-evaluated >= 3×
+    // inside one Filter condition — are asserted green only on the
+    // BATCH surface above; a streaming recipe plans per micro-batch
+    // through IncrementalExecution, so its executed plans never pass
+    // through those lints. Audit the representative stateless
+    // projection (X10), the kernel-gate face (X25), and the composed
+    // admission recipe (X27, the one whose quality-gate conjunction
+    // is exactly the shape that blew up batch-side in r17).
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.{StreamDoc, StreamIngestDoc}
+    import graft.operators.{Dedup, Pipeline}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(3600_000L * 10 + min * 60_000L)
+
+    def auditLastBatch(name: String,
+        q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val exec = q.asInstanceOf[StreamingQueryWrapper]
+        .streamingQuery.lastExecution
+      assert(exec != null, s"$name: no micro-batch executed")
+      // HOF-in-Filter, streaming edition of the whole-surface lint
+      val plan = exec.executedPlan.toString
+      val filterOp = """(?:\*\(\d+\) )?(?:\+- )?Filter[ (]""".r
+      val hof = plan.linesIterator
+        .filter(l => filterOp.findFirstIn(l.trim).isDefined)
+        .filter(_.contains("lambdafunction")).toList
+      assert(hof.isEmpty,
+        s"$name: HOF inside a Filter in the micro-batch plan:\n" +
+          hof.mkString("\n"))
+      // kernel-in-pushed-filter: same >= 3 rule as the batch lint
+      // (1–2 occurrences = a direct gate on a kernel output, legal)
+      val offenders = exec.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case e if e.getClass.getName.startsWith("graft.functions.") =>
+              e.getClass.getSimpleName
+          }.groupBy(identity).collect {
+            case (k, occ) if occ.size >= 3 => s"$name: $k x${occ.size}"
+          }
+      }.flatten
+      assert(offenders.isEmpty,
+        s"kernel re-evaluated in a micro-batch Filter:\n" +
+          offenders.mkString("\n"))
+    }
+
+    // X10 — stream-side line dedup (stateless broadcast projection)
+    val banned = graft.operators.CorpusOps.bannedLineFrontier(
+      Seq((0L, "boiler\na"), (1L, "boiler\nb"), (2L, "boiler"))
+        .toDF("doc_id", "text"))
+    val in10 = MemoryStream[StreamDoc]
+    val q10 = StreamingOps.streamingLineDedup(in10.toDS(), banned)
+      .writeStream.format("memory").queryName("lint_x10")
+      .outputMode("append").start()
+    try {
+      in10.addData(StreamDoc(10L, ts(0), "boiler\nfresh"))
+      q10.processAllAvailable()
+      auditLastBatch("X10 streamingLineDedup", q10)
+    } finally q10.stop()
+
+    // X25 — quality signals (the batch kernel projection, stream face)
+    val in25 = MemoryStream[StreamDoc]
+    val q25 = StreamingOps.streamingQualitySignals(in25.toDS(),
+        stopWords = Seq("the", "a"), badWords = Seq("badword"))
+      .writeStream.format("memory").queryName("lint_x25")
+      .outputMode("append").start()
+    try {
+      in25.addData(StreamDoc(1L, ts(0),
+        "the quick brown fox jumps over a lazy dog. " * 20))
+      q25.processAllAvailable()
+      auditLastBatch("X25 streamingQualitySignals", q25)
+    } finally q25.stop()
+
+    // X27 — composed ingest admission (gates + fp screen + cap): the
+    // quality-gate conjunction filters on FOUR kernel-derived keep
+    // columns — exactly the multi-reference predicate shape the
+    // batch-side kernel lint exists for
+    val (docs, blocklist) = Pipeline.releaseFixture(spark, sf)
+    val bits = Dedup.fpBloomBuild(docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 5 === 2))
+    val rows = docs.collect().sortBy(_.getAs[Long]("doc_id"))
+      .zipWithIndex.map { case (r, i) =>
+        StreamIngestDoc(r.getAs[Long]("doc_id"), ts(i % 50),
+          r.getAs[String]("url"), r.getAs[String]("text")) }
+    val in27 = MemoryStream[StreamIngestDoc]
+    val q27 = StreamingOps.streamingIngestAdmission(in27.toDS(),
+        blocklist, bits, stopWords = Seq("the", "a"),
+        badWords = Seq("badword"), cap = 2)
+      .writeStream.format("memory").queryName("lint_x27")
+      .outputMode("append").start()
+    try {
+      in27.addData(rows.toIndexedSeq: _*)
+      q27.processAllAvailable()
+      auditLastBatch("X27 streamingIngestAdmission", q27)
+    } finally q27.stop()
   }
 }

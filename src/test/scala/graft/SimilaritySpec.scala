@@ -246,7 +246,9 @@ class SimilaritySpec extends AnyFunSuite {
     assert(row.getAs[Long]("lsh_sizing_n") == 500L)
 
     // the documented AQE caveat, pinned so a Spark upgrade that fixes
-    // it gets noticed: 2 bands of 32 bits over 500 distinct
+    // it gets noticed (VERSION-COUPLED — recorded in
+    // graft.SparkVersionAssumption, tripped deliberately by
+    // SparkVersionSpec on a bump): 2 bands of 32 bits over 500 distinct
     // mid-similarity vectors (max pairwise cosine 0.51) makes every
     // bucket a singleton — the final frame is EMPTY, and
     // AQEPropagateEmptyRelation erases the executed stages (and with
