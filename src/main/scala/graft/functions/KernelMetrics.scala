@@ -28,12 +28,13 @@ object KernelMetrics {
   val modelStatsEvals = new LongAdder
   val pageStatsEvals = new LongAdder
   val gopherStatsEvals = new LongAdder
+  val minedBpeEvals = new LongAdder
 
   def reset(): Unit = {
     shingleEvals.reset(); minhashEvals.reset(); termEvals.reset()
     topTokenEvals.reset(); piiCountEvals.reset(); piiScrubEvals.reset()
     modelStatsEvals.reset(); pageStatsEvals.reset()
-    gopherStatsEvals.reset()
+    gopherStatsEvals.reset(); minedBpeEvals.reset()
   }
 
   /** Run `body` with counting on; returns (result, shingles, minhashes). */

@@ -1,7 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import graft.Tables.documents
 
 /** T25 — corpus-mined BYTE-PAIR ENCODING for tokenizer-accurate
@@ -190,45 +195,53 @@ object Bpe {
     merges.toArray
   }
 
+  /** mined_bpe_count(text) → bigint — the T25 encoder as a codegen'd
+    * Catalyst expression (the r18 verdict's #3): subword counts under
+    * a corpus-mined merge table, evaluated in column space so the
+    * counter composes into fenced recipes and whole-stage codegen
+    * instead of forcing a typed-map deserialization boundary (the
+    * pre-r19 shape). Null text → null count (the r18 null contract:
+    * a record with no text has no token budget). Values are a pure
+    * function of (text, merges) — bit-identical to the typed
+    * predecessor, pinned by BpeSpec's differential test.
+    */
+  case class MinedBpeCount(child: Expression, eval: MinedBpeEval)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[ColumnBridge.AbstractType] =
+      Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      eval.countTokens(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minedBpe", eval,
+        classOf[MinedBpeEval].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.countTokens($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Column face of [[MinedBpeCount]]. */
+  def minedBpeCount(text: Column, model: BpeModel,
+      memoWords: Int = 2000000): Column =
+    ColumnBridge.column(MinedBpeCount(ColumnBridge.expression(text),
+      new MinedBpeEval(model.merges, memoWords)))
+
   /** Per-document BPE token counts `(doc_id, n_tokens)` under a mined
     * model — the pluggable counter for
     * [[CorpusOps.packSequencesCounted]] /
     * [[CorpusOps.mixSourcesCounted]] /
-    * [[Search.dsirSelectFromWeightsCounted]]. Broadcast ranks, one
-    * zero-shuffle typed map.
+    * [[Search.dsirSelectFromWeightsCounted]]. One zero-shuffle kernel
+    * projection ([[MinedBpeCount]] — codegen'd, stays inside
+    * whole-stage codegen; the r19 change from the typed map, same
+    * values bit-for-bit).
     */
   def bpeCounts(docs: DataFrame, model: BpeModel,
       memoWords: Int = 2000000): DataFrame = {
     require(memoWords >= 0, s"memoWords must be >= 0: $memoWords")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        val m = bc.value
-        // encodeCount is a pure function of the word, and token
-        // streams are Zipf-distributed: a per-partition memo turns
-        // the encoder loop from per-OCCURRENCE to per-DISTINCT-word.
-        // Bounded (~60 B/entry at the 2M default ≈ 120 MB worst-case
-        // per task; real vocabularies saturate far below it) — past
-        // the cap new words are encoded uncached, never evicted:
-        // correctness never depends on the cache.
-        val memo = new java.util.HashMap[String, Integer](1 << 16)
-        it.map { case (id, t) =>
-          var n = 0L
-          CorpusOps.duckTokens(t).foreach { w =>
-            val hit = memo.get(w)
-            if (hit ne null) n += hit.intValue()
-            else {
-              val c = m.encodeCount(w)
-              if (memo.size < memoWords) memo.put(w, Integer.valueOf(c))
-              n += c
-            }
-          }
-          (id, n)
-        }
-      }
-      .toDF("doc_id", "n_tokens")
+    docs.select(col("doc_id"),
+      minedBpeCount(col("text"), model, memoWords).as("n_tokens"))
   }
 
   /** The registered `bpe_train` query: the mined merge table itself,
@@ -294,4 +307,61 @@ object Bpe {
     CorpusOps.packSequencesCounted(
       bpeCounts(docs, bpeTrain(docs, nMerges)), targetTokens)
   }
+}
+
+/** The runtime evaluator [[Bpe.MinedBpeCount]] ships to executors
+  * (top-level so generated code can name it without a `$`-nested
+  * binary name): the merge table travels as plain data (a few KB at
+  * the default 200 merges — the plan's task binary is itself
+  * broadcast, so this is one copy per executor per stage, the
+  * nbModel convention), the rank map and memo rebuild lazily on the
+  * far side.
+  *
+  * The memo is the typed-map predecessor's per-partition cache as a
+  * per-(instance, thread) ThreadLocal: encodeCount is a pure
+  * function of the word and token streams are Zipf-distributed, so
+  * memoizing turns the encoder loop from per-OCCURRENCE to
+  * per-DISTINCT-word. ThreadLocal because an expression instance can
+  * be evaluated from interpreted and codegen paths concurrently and
+  * a shared HashMap would race; per-instance (not static) because a
+  * memo is only valid under ITS merge table. Bounded by `memoWords`
+  * (~60 B/entry; past the cap new words are encoded uncached, never
+  * evicted — correctness never depends on the cache).
+  */
+final class MinedBpeEval(val merges: Array[(String, String)],
+    val memoWords: Int) extends Serializable {
+  @transient private lazy val model = Bpe.BpeModel(merges)
+  @transient private lazy val memo =
+    ThreadLocal.withInitial[java.util.HashMap[String, Integer]](() =>
+      new java.util.HashMap[String, Integer](1 << 12))
+  def countTokens(s: UTF8String): Long = {
+    if (graft.functions.KernelMetrics.enabled)
+      graft.functions.KernelMetrics.minedBpeEvals.increment()
+    val cache = memo.get()
+    var n = 0L
+    CorpusOps.duckTokens(s.toString).foreach { w =>
+      val hit = cache.get(w)
+      if (hit ne null) n += hit.intValue()
+      else {
+        val c = model.encodeCount(w)
+        if (cache.size < memoWords) cache.put(w, Integer.valueOf(c))
+        n += c
+      }
+    }
+    n
+  }
+  // content equality so two columns built from the same mined model
+  // canonicalize together (expression-level subexpression
+  // elimination sees through separate wrapper instances)
+  override def equals(o: Any): Boolean = o match {
+    case e: MinedBpeEval =>
+      java.util.Arrays.equals(
+        merges.asInstanceOf[Array[AnyRef]],
+        e.merges.asInstanceOf[Array[AnyRef]]) &&
+        memoWords == e.memoWords
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]]) * 31 +
+      memoWords
 }

@@ -97,6 +97,69 @@ class BpeSpec extends AnyFunSuite {
     assert(cached == run(3), "saturated memo drifted")
   }
 
+  test("mined_bpe_count kernel equals the driver-side encoder per doc; " +
+      "null text counts null") {
+    // the r19 kernel change (typed map → codegen'd Catalyst
+    // expression) must be value-invisible: per doc, the column equals
+    // duckTokens(text).map(encodeCount).sum computed on the driver
+    val docs = graft.Tables.documents(spark, sf)
+    val model = Bpe.bpeTrain(docs, nMerges = 100)
+    val got = Bpe.bpeCounts(docs, model).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty && got.size == texts.length)
+    texts.foreach { case (id, t) =>
+      val expect = CorpusOps.duckTokens(t)
+        .map(model.encodeCount(_).toLong).sum
+      assert(got(id) == expect, s"doc $id: ${got(id)} != $expect")
+    }
+    // null text = no token budget (the r18 null contract) — the old
+    // typed map NPE'd here
+    import spark.implicits._
+    val nulled = Seq((1L, "ab ab"), (2L, null))
+      .toDF("doc_id", "text")
+    val rows = Bpe.bpeCounts(nulled, model).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(rows(1L).nonEmpty && rows(2L).isEmpty)
+  }
+
+  test("bpeCounts and packSequencesBpe evaluate the kernel once per row") {
+    // the KernelEvalAudit convention: Catalyst may duplicate a
+    // non-cheap projection into consumers (the Generate-input trap);
+    // the packer's window consumes n_tokens — if the alias ever
+    // substitutes, the encoder re-runs per reference
+    import graft.functions.KernelMetrics
+    val docs = graft.Tables.documents(spark, sf)
+    val n = docs.count()
+    val model = Bpe.bpeTrain(docs, nMerges = 50)
+    KernelMetrics.reset(); KernelMetrics.enabled = true
+    try {
+      Bpe.bpeCounts(docs, model).queryExecution.toRdd.count()
+      assert(KernelMetrics.minedBpeEvals.sum() == n,
+        s"bpeCounts ran the encoder ${KernelMetrics.minedBpeEvals.sum()}" +
+          s" times for $n rows")
+      KernelMetrics.reset()
+      graft.operators.CorpusOps.packSequencesCounted(
+        Bpe.bpeCounts(docs, model), 512L).queryExecution.toRdd.count()
+      // exactly 2n THROUGH THE PACKER, pinned: the prefix sum's
+      // global sort evaluates its child twice — once in the range
+      // exchange's key-sampling pass, once in the shuffle-map pass
+      // (the second prefix-sum job reuses the shuffle files, so it
+      // adds nothing). The typed-map predecessor paid the identical
+      // 2× invisibly; the counter makes it a pinned property. The
+      // 100 TB trade is deliberate: the alternative (sort raw docs,
+      // count after the exchange) would put TEXT on the wire instead
+      // of re-running a memoized counting kernel on the scan side.
+      // 3n or n here means the sort/sampling shape changed — re-audit.
+      assert(KernelMetrics.minedBpeEvals.sum() == 2 * n,
+        s"packSequencesBpe ran the encoder " +
+          s"${KernelMetrics.minedBpeEvals.sum()} times for $n rows " +
+          "(expected exactly 2n: sampling + shuffle-map passes)")
+    } finally { KernelMetrics.enabled = false; KernelMetrics.reset() }
+  }
+
   test("packSequencesBpe bins follow the sequential packer over BPE counts") {
     val out = Bpe.packSequencesBpe(spark, sf, targetTokens = 512)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
