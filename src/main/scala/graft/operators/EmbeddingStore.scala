@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.embeddings
+import graft.functions.VectorFunctions.{cosinePacked, packFloats, unpackFloats}
+
+/** S16 — PACKED EMBEDDING STORE: the fixed-width storage face of the
+  * embedding corpus (the r18 verdict's #2). A vector persists as ONE
+  * little-endian float32 blob (`binary`, 4·dim bytes) instead of
+  * `array<float>`.
+  *
+  * Why this matters at 100 TB (SURVEY §5): parquet stores a list
+  * column as a repeated group — every element carries definition/
+  * repetition levels, and the vectorized reader decodes per-element
+  * offsets into an offset-indexed array — so ANN scan cost grows with
+  * dim twice over (decode + access). A binary column is one value per
+  * row: level decode is per-ROW, the blob arrives as contiguous
+  * bytes, and the dot kernel reads floats straight out of it. At the
+  * harness dim (64) the difference is modest; at production dims
+  * (256–1024) element decode dominates the brute-force/re-rank scans
+  * — measured by the r19 dim-256 probe A/B (graft.PackedProbe,
+  * committed as PROBE_r19_packed_AB.json).
+  *
+  * Numeric contract: pack is floatToIntBits per element (exact for
+  * every finite float), and [[graft.functions.PackedVectorKernels]]
+  * widens each float to double before multiplying exactly as the
+  * array-face kernels, so packed cosines — and therefore the whole
+  * top-k result — are BIT-IDENTICAL to [[Similarity.annBruteForce]]
+  * (spec-pinned in EmbeddingStoreSpec). The array faces stay the
+  * oracle surface; this is the serving/storage shape.
+  *
+  * Scale shape: packing is a pure projection (zero shuffles); the
+  * packed search is the annBruteForce plan with the 4-byte-per-dim
+  * blob riding scans and broadcasts instead of the list column.
+  */
+object EmbeddingStore {
+
+  /** Pack `(vec_id, label, embedding)` into the store schema
+    * `(vec_id, label, dim, emb_bin)` — one codegen'd projection.
+    * `dim` is stored per row (the blob's length/4) so readers can
+    * validate width without decoding; mixed-dim stores are refused at
+    * load, not silently dot-truncated.
+    */
+  def packEmbeddings(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        packFloats(col("embedding")).as("emb_bin"))
+      .select(col("vec_id"), col("label"),
+        (length(col("emb_bin")) / 4).cast("int").as("dim"),
+        col("emb_bin"))
+
+  /** Write the packed store for a harness corpus. */
+  def saveEmbeddingStore(spark: SparkSession, sfDir: String,
+      path: String): Unit =
+    packEmbeddings(embeddings(spark, sfDir))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a packed store; refuses foreign tables and mixed-dim stores
+    * (the loadIvfIndex convention).
+    */
+  def loadEmbeddingStore(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(Seq("vec_id", "dim", "emb_bin").forall(df.columns.contains),
+      s"not a packed embedding store at $path: " +
+        df.columns.mkString("[", ",", "]"))
+    val dims = df.select(col("dim")).distinct().collect().map(_.getInt(0))
+    require(dims.length == 1,
+      s"mixed-dim store at $path: ${dims.sorted.mkString(",")} — " +
+        "a dot across widths would silently truncate; repack per dim")
+    df
+  }
+
+  /** Restore the array face from a packed store (round-trip exact —
+    * pack/unpack preserve bits).
+    */
+  def unpackEmbeddings(store: DataFrame): DataFrame =
+    store.select(col("vec_id"), col("label"),
+      unpackFloats(col("emb_bin")).as("embedding"))
+
+  /** S1 over the packed store: brute-force cosine top-k with the
+    * fused packed kernel — the [[Similarity.annBruteForce]] plan,
+    * bit-identical output (see the object scaladoc).
+    */
+  def annBruteForcePackedOn(store: DataFrame,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = store.select(col("vec_id"), col("emb_bin"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb_bin").as("q_bin"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosinePacked(col("emb_bin"), col("q_bin")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Registered `ann_bruteforce_packed`: the packed store persisted
+    * once per input dir (the annIvfIndexedQuery cache convention —
+    * production searches a store that already exists, and the cache
+    * key carries a content fingerprint so a regenerated corpus gets a
+    * fresh pack), searched from the loaded artifact. Rows-only (float
+    * cosine ranks, the ann family reasoning); EmbeddingStoreSpec pins
+    * the output bit-equal to ann_bruteforce.
+    */
+  def annBruteForcePackedQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcFp = Similarity.sourceFingerprint(s"$sfDir/embeddings.parquet")
+    val root = new java.io.File("/tmp/graft_packed_cache")
+    val cache = new java.io.File(root,
+      s"${new java.io.File(sfDir).getName}-$srcFp")
+    this.synchronized {
+      if (!new java.io.File(cache, "_SUCCESS").exists()) {
+        val tmp = new java.io.File(root,
+          s".build-$srcFp-${java.util.UUID.randomUUID}")
+        saveEmbeddingStore(spark, sfDir, tmp.toString)
+        if (!tmp.renameTo(cache)) {
+          // lost a cross-process race: the winner's store is complete
+          // (rename is atomic) — use it and drop our build
+          require(new java.io.File(cache, "_SUCCESS").exists(),
+            s"packed store cache $cache unusable and rename failed")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(tmp)
+        }
+      }
+    }
+    annBruteForcePackedOn(loadEmbeddingStore(spark, cache.toString))
+  }
+}

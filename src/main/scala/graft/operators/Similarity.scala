@@ -731,7 +731,7 @@ object Similarity {
     reapDirs.add(dir): Unit
   }
 
-  private def sourceFingerprint(path: String): String = {
+  private[operators] def sourceFingerprint(path: String): String = {
     // listFiles() is null on permission errors or a dir removed
     // mid-walk — treat as empty rather than NPE.
     def walk(f: java.io.File): Seq[java.io.File] =

@@ -16,6 +16,12 @@ object SimilarityRegistry {
 
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
+    // S16 packed-store face: brute force over the persisted binary
+    // blob store. Rows-only (float cosine ranks); EmbeddingStoreSpec
+    // pins the output BIT-equal to ann_bruteforce — pack/search must
+    // be value-invisible, only the storage width changes
+    "ann_bruteforce_packed" -> ((s, d) =>
+      EmbeddingStore.annBruteForcePackedQuery(s, d)),
     "sim_join" -> ((s, d) => Similarity.simJoin(s, d)),
     // production path: LSH-banded blocking, rows-only (bucket
     // internals engine-specific); recall vs sim_join spec'd ≥ 0.9.

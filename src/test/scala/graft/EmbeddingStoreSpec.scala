@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{EmbeddingStore, Similarity}
+import graft.functions.VectorFunctions
+
+/** S16 packed embedding store: pack/unpack bit-round-trip, packed
+  * cosine bit-equal to the array kernels, the packed brute-force face
+  * bit-equal to ann_bruteforce, and the store loader's refusals.
+  */
+class EmbeddingStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pack/unpack round-trips every bit of the corpus") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val back = EmbeddingStore.unpackEmbeddings(
+        EmbeddingStore.packEmbeddings(emb))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val orig = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    assert(orig.nonEmpty && back.keySet == orig.keySet)
+    orig.foreach { case (id, v) =>
+      assert(v.length == back(id).length, s"vec $id width")
+      v.indices.foreach { i =>
+        // bit comparison, not ==: NaN != NaN but pack preserves bits
+        assert(java.lang.Float.floatToIntBits(v(i)) ==
+          java.lang.Float.floatToIntBits(back(id)(i)),
+          s"vec $id dim $i drifted")
+      }
+    }
+  }
+
+  test("cosinePacked is bit-identical to the array-face cosineAny") {
+    // adversarial values: subnormals, negatives, mixed signs. A
+    // zero-norm vector is deliberately absent: under ANSI mode the
+    // array face THROWS on the 0/0 (Divide), where the packed kernel
+    // (a JVM double division) returns NaN — both refuse to emit a
+    // number, but only non-degenerate cosines can be compared
+    // bit-for-bit (documented on CosinePacked)
+    val rows = Seq(
+      (1L, Array(0.5f, -1.25f, 3.0f)),
+      (2L, Array(1e-30f, 2e-38f, -1e-30f)),
+      (4L, Array(7.125f, 0.875f, -2.5f)))
+    val df = rows.toDF("vec_id", "emb")
+      .withColumn("bin", VectorFunctions.packFloats(col("emb")))
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(
+        VectorFunctions.cosineAny(col("a.emb"), col("b.emb")).as("c_arr"),
+        VectorFunctions.cosinePacked(col("a.bin"), col("b.bin")).as("c_bin"))
+      .collect()
+    assert(pairs.length == rows.length * rows.length)
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+  }
+
+  test("packed brute-force search is bit-equal to ann_bruteforce") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_packed_store").toString
+    EmbeddingStore.saveEmbeddingStore(spark, sf, dir)
+    val store = EmbeddingStore.loadEmbeddingStore(spark, dir)
+    val packed = EmbeddingStore.annBruteForcePackedOn(store).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3)))
+    val exact = Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3)))
+    assert(exact.nonEmpty)
+    assert(packed.toSeq == exact.toSeq)
+  }
+
+  test("registered ann_bruteforce_packed equals ann_bruteforce " +
+      "(cache-built store)") {
+    val packed = SparkEntry.queries("ann_bruteforce_packed")(spark, sf)
+      .collect().map(_.toSeq)
+    val exact = SparkEntry.queries("ann_bruteforce")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(packed.nonEmpty && packed.toSeq == exact.toSeq)
+  }
+
+  test("loadEmbeddingStore refuses foreign tables and mixed dims") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_packed_bad").toString
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$dir/foreign")
+    val e1 = intercept[IllegalArgumentException] {
+      EmbeddingStore.loadEmbeddingStore(spark, s"$dir/foreign")
+    }
+    assert(e1.getMessage.contains("not a packed embedding store"))
+    EmbeddingStore.packEmbeddings(
+        Seq((1L, "l", Array(1f, 2f)), (2L, "l", Array(1f, 2f, 3f)))
+          .toDF("vec_id", "label", "embedding"))
+      .write.parquet(s"$dir/mixed")
+    val e2 = intercept[IllegalArgumentException] {
+      EmbeddingStore.loadEmbeddingStore(spark, s"$dir/mixed")
+    }
+    assert(e2.getMessage.contains("mixed-dim"))
+  }
+}
