@@ -56,16 +56,25 @@ import graft.Tables.documents
   * Spark cannot recompute past a local checkpoint — where the
   * un-checkpointed plan would have recomputed and survived. The
   * trade is: `share = true` buys one derivation instead of N scans
-  * but stakes the run on zero executor loss; `share = false` keeps
-  * full retry-ability at the price of re-deriving the shared frame
-  * per consumer. At local[32] (one JVM) the risk term is zero and
-  * the default is right unconditionally. For multi-hour
-  * 1000-executor runs, either pass `share = false`, or materialize
-  * the shared frame yourself to reliable storage (write/read
-  * parquet, or `setCheckpointDir` + `.checkpoint()`) and feed the
-  * stage-level operators — every composed recipe here has standalone
-  * stage faces exactly so that callers can own the materialization
-  * boundary.
+  * but stakes the run on zero executor loss; `share = false` removes
+  * the RECIPE-level checkpoints at the price of re-deriving the
+  * shared frame per consumer. CAVEAT (exposed by the r19
+  * executor-loss chaos harness, graft.ChaosCheck, which pins all
+  * three behaviors under real executor kills): `share = false` is
+  * full retry-ability only for recipes whose dedup stage is span- or
+  * line-level (P2 scrub, P4 C4) — the doc-level cluster dedup stage
+  * ([[Clusters]] clusterPairs, used by P1/P6-family recipes)
+  * truncates lineage per contraction round UNCONDITIONALLY (10+
+  * rounds of exponential lineage leave no alternative), so those
+  * recipes still fail loudly on executor loss under `share = false`.
+  * At local[32] (one JVM) the risk term is zero and the default is
+  * right unconditionally. For multi-hour 1000-executor runs, either
+  * pass `share = false` (span/line-level recipes), or materialize
+  * the shared frames — and for cluster-bearing recipes the pair
+  * resolution — to reliable storage (write/read parquet, or
+  * `setCheckpointDir` + `.checkpoint()`) and feed the stage-level
+  * operators: every composed recipe here has standalone stage faces
+  * exactly so that callers can own the materialization boundary.
   */
 object Pipeline {
 
