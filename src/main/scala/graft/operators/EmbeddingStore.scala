@@ -11,17 +11,24 @@ import graft.functions.VectorFunctions.{cosinePacked, packFloats, unpackFloats}
   * little-endian float32 blob (`binary`, 4·dim bytes) instead of
   * `array<float>`.
   *
-  * Why this matters at 100 TB (SURVEY §5): parquet stores a list
-  * column as a repeated group — every element carries definition/
-  * repetition levels, and the vectorized reader decodes per-element
-  * offsets into an offset-indexed array — so ANN scan cost grows with
-  * dim twice over (decode + access). A binary column is one value per
-  * row: level decode is per-ROW, the blob arrives as contiguous
-  * bytes, and the dot kernel reads floats straight out of it. At the
-  * harness dim (64) the difference is modest; at production dims
-  * (256–1024) element decode dominates the brute-force/re-rank scans
-  * — measured by the r19 dim-256 probe A/B (graft.PackedProbe,
-  * committed as PROBE_r19_packed_AB.json).
+  * What the r19 A/B actually measured (graft.PackedProbe, committed
+  * as PROBE_r19_packed_AB.jsonl — the design hypothesis was "parquet
+  * per-element list decode dominates at high dim"; the measurement
+  * partly REFUTED it, and this doc records the measured story):
+  * Spark's vectorized parquet reader serves `array<float>` elements
+  * as ZERO-COPY views into the column vectors, so a pure scan over
+  * the array face is already fast — at 2M×256 the packed scan is
+  * SLOWER (1.12 s vs 0.58 s: every binary value materializes a fresh
+  * 1 KB byte[], 2 GB of allocations the array face never pays). The
+  * packed face's real wins are in the COMPUTE faces: the fused
+  * one-pass cosine (dot + both norms in a single byte walk, vs three
+  * codegen'd array passes) and the 4-byte-per-dim width riding
+  * broadcasts/shuffles take the brute-force search to 0.58 s vs
+  * 0.87 s at dim 64, 0.80 vs 1.05 at dim 256, 2.14 vs 2.58 at
+  * dim 1024, and 5.75 vs 6.97 at 2M×256 (min-of-3, interleaved in
+  * one session). Use the packed store where vectors are REUSED per
+  * scan row (search joins, re-rank) or shuffled; keep the array face
+  * for scan-once reductions.
   *
   * Numeric contract: pack is floatToIntBits per element (exact for
   * every finite float), and [[graft.functions.PackedVectorKernels]]
