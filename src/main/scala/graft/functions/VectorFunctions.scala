@@ -104,11 +104,29 @@ object PackedVectorKernels {
         ((b(o + 2) & 0xff) << 16) | (b(o + 3) << 24))
   }
 
+  /** Width mismatch REFUSES rather than silently truncating (where
+    * the array kernels min() — a deliberate divergence): a packed
+    * store mixes widths only through a broken ingest, and a truncated
+    * dot is a silently-wrong similarity. This per-pair check is also
+    * WHY the store loader needs no validation scan of its own — every
+    * search touches every (query, row) pair, so a mixed store fails
+    * loudly on first contact (loading used to pay a full
+    * distinct-scan per call; the r19 probe measured it at ~15% of the
+    * registered face).
+    */
+  @inline private def checkWidths(a: Array[Byte], b: Array[Byte]): Unit =
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"packed vector width mismatch: ${a.length / 4} vs " +
+          s"${b.length / 4} dims — repack the store per dim " +
+          "(EmbeddingStore.validateStore audits a store offline)")
+
   /** Packed×packed dot, double accumulation — bit-identical to
     * [[VectorKernels.dotFF]] on the unpacked arrays.
     */
   def dotBB(a: Array[Byte], b: Array[Byte]): Double = {
-    val n = math.min(a.length, b.length) >> 2
+    checkWidths(a, b)
+    val n = a.length >> 2
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -126,7 +144,8 @@ object PackedVectorKernels {
     * array-face [[VectorFunctions.cosineAny]] arithmetic.
     */
   def cosineBB(a: Array[Byte], b: Array[Byte]): Double = {
-    val n = math.min(a.length, b.length) >> 2
+    checkWidths(a, b)
+    val n = a.length >> 2
     var ab = 0.0
     var aa = 0.0
     var bb = 0.0

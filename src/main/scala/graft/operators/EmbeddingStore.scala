@@ -63,19 +63,34 @@ object EmbeddingStore {
     packEmbeddings(embeddings(spark, sfDir))
       .write.mode("overwrite").parquet(path)
 
-  /** Load a packed store; refuses foreign tables and mixed-dim stores
-    * (the loadIvfIndex convention).
+  /** Load a packed store; refuses foreign tables (the loadIvfIndex
+    * convention). Width integrity is NOT scanned here: r19's probe
+    * measured the original per-load distinct-scan at ~15% of the
+    * registered search's cost, and the packed kernels REFUSE width
+    * mismatches per pair anyway (every search touches every row, so a
+    * mixed store fails loudly on first contact — see
+    * PackedVectorKernels). Run [[validateStore]] offline when ingest
+    * provenance is in doubt.
     */
   def loadEmbeddingStore(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
     require(Seq("vec_id", "dim", "emb_bin").forall(df.columns.contains),
       s"not a packed embedding store at $path: " +
         df.columns.mkString("[", ",", "]"))
-    val dims = df.select(col("dim")).distinct().collect().map(_.getInt(0))
-    require(dims.length == 1,
-      s"mixed-dim store at $path: ${dims.sorted.mkString(",")} — " +
-        "a dot across widths would silently truncate; repack per dim")
     df
+  }
+
+  /** Offline width audit of a packed store: one column-pruned scan,
+    * refuses mixed widths loudly. The search faces don't need it (the
+    * kernels carry the per-pair guard); an ingest pipeline runs this
+    * once per produced artifact.
+    */
+  def validateStore(store: DataFrame): Unit = {
+    val dims = store.select(col("dim")).distinct().collect()
+      .map(_.getInt(0))
+    require(dims.length == 1,
+      s"mixed-dim store: ${dims.sorted.mkString(",")} — a dot across " +
+        "widths is refused by the kernels; repack per dim")
   }
 
   /** Restore the array face from a packed store (round-trip exact —

@@ -85,7 +85,8 @@ class EmbeddingStoreSpec extends AnyFunSuite {
     assert(packed.nonEmpty && packed.toSeq == exact.toSeq)
   }
 
-  test("loadEmbeddingStore refuses foreign tables and mixed dims") {
+  test("foreign tables refuse at load; mixed dims refuse in the " +
+      "kernel and the offline audit") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_packed_bad").toString
     Seq((1L, "x")).toDF("a", "b").write.parquet(s"$dir/foreign")
@@ -93,13 +94,26 @@ class EmbeddingStoreSpec extends AnyFunSuite {
       EmbeddingStore.loadEmbeddingStore(spark, s"$dir/foreign")
     }
     assert(e1.getMessage.contains("not a packed embedding store"))
+    // width integrity is kernel-carried (no per-load scan — the r19
+    // probe measured that scan at ~15% of the registered search):
+    // a mixed store LOADS fine, the offline audit refuses it, and a
+    // search over it fails loudly on the first cross-width pair
+    // instead of silently truncating the dot
     EmbeddingStore.packEmbeddings(
         Seq((1L, "l", Array(1f, 2f)), (2L, "l", Array(1f, 2f, 3f)))
           .toDF("vec_id", "label", "embedding"))
       .write.parquet(s"$dir/mixed")
+    val mixed = EmbeddingStore.loadEmbeddingStore(spark, s"$dir/mixed")
     val e2 = intercept[IllegalArgumentException] {
-      EmbeddingStore.loadEmbeddingStore(spark, s"$dir/mixed")
+      EmbeddingStore.validateStore(mixed)
     }
     assert(e2.getMessage.contains("mixed-dim"))
+    val e3 = intercept[Exception] {
+      EmbeddingStore.annBruteForcePackedOn(mixed, nQueries = 2, k = 1)
+        .collect()
+    }
+    val chain = Iterator.iterate(e3: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_)).mkString(" <- ")
+    assert(chain.contains("width mismatch"), chain.take(300))
   }
 }
