@@ -268,9 +268,12 @@ case class UnpackFloats(child: Expression)
 /** cosine_packed(binary, binary) → double: fused one-pass cosine over
   * packed float32 blobs, bit-identical to the array-face
   * [[VectorFunctions.cosineAny]] (see [[PackedVectorKernels.cosineBB]])
-  * for every non-degenerate pair. Sole divergence: a zero-norm vector
-  * yields NaN here (JVM 0/0) where the array face's Divide THROWS
-  * under ANSI mode — both refuse to emit a number.
+  * for every non-degenerate equal-width pair. Two deliberate
+  * divergences: a zero-norm vector yields NaN here (JVM 0/0) where
+  * the array face's Divide THROWS under ANSI mode — both refuse to
+  * emit a number; and a WIDTH MISMATCH refuses loudly where the array
+  * kernels min()-truncate (see [[PackedVectorKernels]] — a truncated
+  * dot is a silently-wrong similarity).
   */
 case class CosinePacked(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -240,8 +240,17 @@ object Bpe {
   def bpeCounts(docs: DataFrame, model: BpeModel,
       memoWords: Int = 2000000): DataFrame = {
     require(memoWords >= 0, s"memoWords must be >= 0: $memoWords")
-    docs.select(col("doc_id"),
-      minedBpeCount(col("text"), model, memoWords).as("n_tokens"))
+    // null text = the doc does not exist (the r18 IncrementalDedup
+    // convention): EXCLUDED, not counted. Emitting a null n_tokens
+    // row instead would flow into the packer's prefix sum, whose
+    // InternalRow.getLong on a null slot silently reads 0 — a
+    // zero-token budget for a record that should be invisible (the
+    // typed-map predecessor crashed here, so no silent behavior ever
+    // existed to preserve). Scan-pushable predicate; the kernel's own
+    // null→null semantics remain for direct column use.
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        minedBpeCount(col("text"), model, memoWords).as("n_tokens"))
   }
 
   /** The registered `bpe_train` query: the mined merge table itself,

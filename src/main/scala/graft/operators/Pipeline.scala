@@ -63,7 +63,8 @@ import graft.Tables.documents
   * three behaviors under real executor kills): `share = false` is
   * full retry-ability only for recipes whose dedup stage is span- or
   * line-level (P2 scrub, P4 C4) — the doc-level cluster dedup stage
-  * ([[Clusters]] clusterPairs, used by P1/P6-family recipes)
+  * ([[Clusters]] clusterPairs — among the composed recipes only P1
+  * uses it; P6's dedup stage is exact fingerprints)
   * truncates lineage per contraction round UNCONDITIONALLY (10+
   * rounds of exponential lineage leave no alternative), so those
   * recipes still fail loudly on executor loss under `share = false`.

@@ -250,6 +250,13 @@ object Similarity {
   def simJoinLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.45, nPlanes: Int = 64, nBands: Int = 0,
       maxBucket: Int = 5000, knownN: Long = 0L): DataFrame = {
+    // same range refusal as the contract solver (r19 self-review):
+    // θ>1 can never pass the cosine filter, yet planeAgreeP clamps it
+    // to p=1 so the observe row would report expected_recall_ppm =
+    // 1e6 next to an inevitably-empty result — the one combination
+    // the loud-metric convention exists to prevent
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold must be a cosine in [-1,1]: $threshold")
     import spark.implicits._
     val emb = embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").as("emb"))

@@ -114,15 +114,22 @@ class BpeSpec extends AnyFunSuite {
         .map(model.encodeCount(_).toLong).sum
       assert(got(id) == expect, s"doc $id: ${got(id)} != $expect")
     }
-    // null text = no token budget (the r18 null contract) — the old
-    // typed map NPE'd here
+    // null text = the doc does not exist (the r18 null contract):
+    // EXCLUDED from the counts frame entirely — the old typed map
+    // NPE'd here, and a null n_tokens row would silently read as a
+    // ZERO budget in the packer's prefix sum (getLong on a null slot)
     import spark.implicits._
     val nulled = Seq((1L, "ab ab"), (2L, null))
       .toDF("doc_id", "text")
     val rows = Bpe.bpeCounts(nulled, model).collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
-        else Some(r.getLong(1)))).toMap
-    assert(rows(1L).nonEmpty && rows(2L).isEmpty)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.contains(1L) && !rows.contains(2L),
+      s"null-text doc must be invisible, got $rows")
+    // the kernel itself keeps null→null for direct column use
+    val direct = nulled.select(col("doc_id"),
+        Bpe.minedBpeCount(col("text"), model).as("n"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!direct(1L) && direct(2L))
   }
 
   test("bpeCounts and packSequencesBpe evaluate the kernel once per row") {

@@ -199,6 +199,13 @@ class SimilaritySpec extends AnyFunSuite {
       }
       assert(ex.getMessage.contains("cosine in [-1,1]"),
         s"t=$t: ${ex.getMessage}")
+      // the join face refuses the same range (r19 self-review): θ>1
+      // would otherwise observe expected_recall_ppm = 1e6 over an
+      // inevitably-empty result
+      val ex2 = intercept[IllegalArgumentException] {
+        Similarity.simJoinLsh(spark, "/root/testdata/sf0.001", t)
+      }
+      assert(ex2.getMessage.contains("cosine in [-1,1]"))
     }
   }
 
