@@ -67,42 +67,85 @@ object VectorKernels {
   * the array-face cosines (spec-pinned).
   */
 object PackedVectorKernels {
+  import org.apache.spark.unsafe.Platform
+
+  /** The blob format is LITTLE-ENDIAN by contract (a persisted store
+    * must read identically on every host). On LE hardware — every
+    * production Spark target — each element is ONE 4-byte load
+    * (`Platform.getFloat`, the UnsafeRow accessor: bit-preserving for
+    * every pattern including non-canonical NaNs); the shift-based
+    * byte decode below is the BE-host fallback only. The r19 kernels
+    * paid 4 byte loads + 3 shift-ors per element on every path —
+    * ~40% of the 2M×256 scan-once gap vs the vectorized reader's
+    * zero-copy array elements was this decode, not the byte[]
+    * materialization (measured by the r20 PackedProbe re-run).
+    */
+  private final val LE =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN
+
   def pack(a: ArrayData): Array[Byte] = {
     val n = a.numElements()
     val out = new Array[Byte](n << 2)
     var i = 0
-    while (i < n) {
-      val bits = java.lang.Float.floatToIntBits(a.getFloat(i))
-      val o = i << 2
-      out(o) = bits.toByte
-      out(o + 1) = (bits >>> 8).toByte
-      out(o + 2) = (bits >>> 16).toByte
-      out(o + 3) = (bits >>> 24).toByte
-      i += 1
+    if (LE) {
+      while (i < n) {
+        // store the FLOAT, not its int bits: a float-typed move is
+        // bit-preserving on the JVM, and skipping the int round-trip
+        // keeps the store a single instruction
+        Platform.putFloat(out, Platform.BYTE_ARRAY_OFFSET + (i.toLong << 2),
+          a.getFloat(i))
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val bits = java.lang.Float.floatToRawIntBits(a.getFloat(i))
+        val o = i << 2
+        out(o) = bits.toByte
+        out(o + 1) = (bits >>> 8).toByte
+        out(o + 2) = (bits >>> 16).toByte
+        out(o + 3) = (bits >>> 24).toByte
+        i += 1
+      }
     }
     out
   }
 
   def unpack(b: Array[Byte]): ArrayData = {
+    checkAligned(b)
     val n = b.length >> 2
     val out = new Array[Float](n)
     var i = 0
     while (i < n) {
-      val o = i << 2
-      out(i) = java.lang.Float.intBitsToFloat(
-        (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-          ((b(o + 2) & 0xff) << 16) | (b(o + 3) << 24))
+      out(i) = floatAt(b, i)
       i += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
-  @inline private def floatAt(b: Array[Byte], i: Int): Float = {
-    val o = i << 2
-    java.lang.Float.intBitsToFloat(
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-        ((b(o + 2) & 0xff) << 16) | (b(o + 3) << 24))
-  }
+  @inline private def floatAt(b: Array[Byte], i: Int): Float =
+    if (LE)
+      Platform.getFloat(b, Platform.BYTE_ARRAY_OFFSET + (i.toLong << 2))
+    else {
+      val o = i << 2
+      java.lang.Float.intBitsToFloat(
+        (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+          ((b(o + 2) & 0xff) << 16) | (b(o + 3) << 24))
+    }
+
+  /** A blob whose length is not a multiple of 4 is not a float32
+    * vector: the kernels' `length >> 2` would silently drop 1–3
+    * trailing bytes and compute a dot over a truncated vector —
+    * exactly the silently-wrong-similarity outcome the refuse-loudly
+    * contract exists to prevent (the r19 ADVICE finding: equal but
+    * misaligned lengths sailed through checkWidths, and the error
+    * message's `length / 4` masked the misalignment).
+    */
+  @inline private def checkAligned(a: Array[Byte]): Unit =
+    if ((a.length & 3) != 0)
+      throw new IllegalArgumentException(
+        s"packed vector blob is ${a.length} bytes — not a multiple " +
+          "of 4, so not a float32 vector: the store is corrupt or " +
+          "was not produced by pack_floats")
 
   /** Width mismatch REFUSES rather than silently truncating (where
     * the array kernels min() — a deliberate divergence): a packed
@@ -114,12 +157,15 @@ object PackedVectorKernels {
     * distinct-scan per call; the r19 probe measured it at ~15% of the
     * registered face).
     */
-  @inline private def checkWidths(a: Array[Byte], b: Array[Byte]): Unit =
+  @inline private def checkWidths(a: Array[Byte], b: Array[Byte]): Unit = {
+    checkAligned(a)
+    checkAligned(b)
     if (a.length != b.length)
       throw new IllegalArgumentException(
         s"packed vector width mismatch: ${a.length / 4} vs " +
           s"${b.length / 4} dims — repack the store per dim " +
           "(EmbeddingStore.validateStore audits a store offline)")
+  }
 
   /** Packed×packed dot, double accumulation — bit-identical to
     * [[VectorKernels.dotFF]] on the unpacked arrays.

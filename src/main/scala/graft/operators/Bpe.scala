@@ -327,15 +327,25 @@ object Bpe {
   * far side.
   *
   * The memo is the typed-map predecessor's per-partition cache as a
-  * per-(instance, thread) ThreadLocal: encodeCount is a pure
-  * function of the word and token streams are Zipf-distributed, so
-  * memoizing turns the encoder loop from per-OCCURRENCE to
-  * per-DISTINCT-word. ThreadLocal because an expression instance can
-  * be evaluated from interpreted and codegen paths concurrently and
-  * a shared HashMap would race; per-instance (not static) because a
-  * memo is only valid under ITS merge table. Bounded by `memoWords`
-  * (~60 B/entry; past the cap new words are encoded uncached, never
-  * evicted — correctness never depends on the cache).
+  * per-(instance, thread) ThreadLocal whose lifetime is ONE TASK:
+  * encodeCount is a pure function of the word and token streams are
+  * Zipf-distributed, so memoizing turns the encoder loop from
+  * per-OCCURRENCE to per-DISTINCT-word. ThreadLocal because an
+  * expression instance can be evaluated from interpreted and codegen
+  * paths concurrently and a shared HashMap would race; per-instance
+  * (not static) because a memo is only valid under ITS merge table.
+  * Bounded by `memoWords` (~60 B/entry; past the cap new words are
+  * encoded uncached, never evicted — correctness never depends on
+  * the cache), and REAPED at task completion: executor task threads
+  * are pooled and long-lived, so without the TaskCompletionListener
+  * below each thread would retain up to the full cap per live eval
+  * instance until the ThreadLocalMap's lazy expunge ran — repeated
+  * wide jobs could pin GB across a 32-thread pool (the r19 ADVICE
+  * finding). With the reap, peak retention is live-tasks ×
+  * min(distinct words seen by the task, memoWords) — the per-task
+  * profile the original per-partition HashMap had. Driver-side
+  * evaluation (no TaskContext: constant folding, tests) keeps the
+  * plain thread-local memo — those inputs are single rows.
   */
 final class MinedBpeEval(val merges: Array[(String, String)],
     val memoWords: Int) extends Serializable {
@@ -343,10 +353,27 @@ final class MinedBpeEval(val merges: Array[(String, String)],
   @transient private lazy val memo =
     ThreadLocal.withInitial[java.util.HashMap[String, Integer]](() =>
       new java.util.HashMap[String, Integer](1 << 12))
+  @transient private lazy val reapedFor =
+    ThreadLocal.withInitial[java.lang.Long](() =>
+      java.lang.Long.valueOf(-1L))
+  /** Test hook: the current thread's memo size (no allocation). */
+  private[graft] def memoSize: Int = memo.get().size
+  private def taskCache(): java.util.HashMap[String, Integer] = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null && reapedFor.get().longValue() != tc.taskAttemptId()) {
+      reapedFor.set(java.lang.Long.valueOf(tc.taskAttemptId()))
+      // listeners run LIFO on the task thread, so the remove() fires
+      // after every evaluation this task will do
+      tc.addTaskCompletionListener[Unit] { _ =>
+        memo.remove(); reapedFor.remove()
+      }
+    }
+    memo.get()
+  }
   def countTokens(s: UTF8String): Long = {
     if (graft.functions.KernelMetrics.enabled)
       graft.functions.KernelMetrics.minedBpeEvals.increment()
-    val cache = memo.get()
+    val cache = taskCache()
     var n = 0L
     CorpusOps.duckTokens(s.toString).foreach { w =>
       val hit = cache.get(w)

@@ -30,8 +30,12 @@ import graft.functions.VectorFunctions.{cosinePacked, packFloats, unpackFloats}
   * scan row (search joins, re-rank) or shuffled; keep the array face
   * for scan-once reductions.
   *
-  * Numeric contract: pack is floatToIntBits per element (exact for
-  * every finite float), and [[graft.functions.PackedVectorKernels]]
+  * Numeric contract: pack is a raw bit-preserving float store per
+  * element (exact for every float, non-canonical NaNs included —
+  * r20 moved the kernels from shift-based byte assembly to single
+  * `Platform` loads/stores on little-endian hosts; the blob format
+  * itself stays little-endian by contract with a BE-host fallback),
+  * and [[graft.functions.PackedVectorKernels]]
   * widens each float to double before multiplying exactly as the
   * array-face kernels, so packed cosines — and therefore the whole
   * top-k result — are BIT-IDENTICAL to [[Similarity.annBruteForce]]
@@ -131,29 +135,12 @@ object EmbeddingStore {
     */
   def annBruteForcePackedQuery(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val srcFp = Similarity.sourceFingerprint(s"$sfDir/embeddings.parquet")
-    val root = new java.io.File("/tmp/graft_packed_cache")
-    val cache = new java.io.File(root,
-      s"${new java.io.File(sfDir).getName}-$srcFp")
-    this.synchronized {
-      if (!new java.io.File(cache, "_SUCCESS").exists()) {
-        val tmp = new java.io.File(root,
-          s".build-$srcFp-${java.util.UUID.randomUUID}")
-        saveEmbeddingStore(spark, sfDir, tmp.toString)
-        if (!tmp.renameTo(cache)) {
-          // lost a cross-process race: the winner's store is complete
-          // (rename is atomic) — use it and drop our build
-          require(new java.io.File(cache, "_SUCCESS").exists(),
-            s"packed store cache $cache unusable and rename failed")
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory)
-              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(): Unit
-          }
-          rm(tmp)
-        }
-      }
-    }
+    val cache = ArtifactCache.ensure(
+      new java.io.File("/tmp/graft_packed_cache"),
+      new java.io.File(sfDir).getName,
+      Similarity.sourceFingerprint(s"$sfDir/embeddings.parquet"),
+      c => new java.io.File(c, "_SUCCESS").exists())(
+      tmp => saveEmbeddingStore(spark, sfDir, tmp.toString))
     annBruteForcePackedOn(loadEmbeddingStore(spark, cache.toString))
   }
 }

@@ -249,7 +249,8 @@ object Similarity {
     */
   def simJoinLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.45, nPlanes: Int = 64, nBands: Int = 0,
-      maxBucket: Int = 5000, knownN: Long = 0L): DataFrame = {
+      maxBucket: Int = 5000, knownN: Long = 0L,
+      sizedWithN: Long = 0L): DataFrame = {
     // same range refusal as the contract solver (r19 self-review):
     // θ>1 can never pass the cosine filter, yet planeAgreeP clamps it
     // to p=1 so the observe row would report expected_recall_ppm =
@@ -274,8 +275,16 @@ object Similarity {
     // (erased on empty output under AQE like the rest of the row —
     // the standing caveat — so reconcile it against the index
     // artifact's own count on a cadence, not only on failures).
+    // `sizedWithN`: the n an explicit banding was SOLVED from —
+    // simJoinLshAt passes its contract-solver n through so those runs
+    // also log the cardinality they were sized with on the observe
+    // row (the r19 ADVICE finding: the solver path sizes from the
+    // same trusted knownN the reconciliation channel exists for, but
+    // its n never reached `lsh_sizing_n`, so a stale knownN fed to
+    // simJoinLshAt stayed silent). 0 is reserved for truly
+    // hand-specified bandings, where no sizing n exists.
     val sizedN: Long =
-      if (nBands != 0) 0L // explicit banding: no sizing count taken
+      if (nBands != 0) sizedWithN
       else if (knownN > 0) knownN
       else emb.count()
     val bands =
@@ -501,7 +510,7 @@ object Similarity {
     val (bits, bands) =
       simJoinLshPlanFor(n, threshold, targetRecall, maxBucket, maxPlanes)
     simJoinLsh(spark, sfDir, threshold, nPlanes = bits * bands,
-      nBands = bands, maxBucket)
+      nBands = bands, maxBucket, sizedWithN = n)
   }
 
   /** S4-auto — [[simJoinLsh]] with the band width sized from the
@@ -765,31 +774,12 @@ object Similarity {
     * process either sees the complete index or builds its own.
     */
   def annIvfIndexedQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val srcFp = sourceFingerprint(s"$sfDir/embeddings.parquet")
-    val root = new java.io.File("/tmp/graft_ivf_cache")
-    val cache = new java.io.File(root,
-      s"${new java.io.File(sfDir).getName}-$srcFp")
-    this.synchronized {
-      if (!new java.io.File(cache, "assigned/_SUCCESS").exists()) {
-        val tmp = new java.io.File(root,
-          s".build-$srcFp-${java.util.UUID.randomUUID}")
-        saveIvfIndex(spark, sfDir, tmp.toString)
-        if (!tmp.renameTo(cache)) {
-          // lost a cross-process race: the winner's index is complete
-          // (rename is atomic) — use it and drop our build
-          require(new java.io.File(cache, "assigned/_SUCCESS").exists(),
-            s"IVF cache $cache unusable and rename failed")
-          def rm(f: java.io.File): Unit = {
-            // null on permission errors / concurrent removal: treat
-            // as empty rather than NPE mid-cleanup
-            if (f.isDirectory)
-              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(): Unit
-          }
-          rm(tmp)
-        }
-      }
-    }
+    val cache = ArtifactCache.ensure(
+      new java.io.File("/tmp/graft_ivf_cache"),
+      new java.io.File(sfDir).getName,
+      sourceFingerprint(s"$sfDir/embeddings.parquet"),
+      c => new java.io.File(c, "assigned/_SUCCESS").exists())(
+      tmp => saveIvfIndex(spark, sfDir, tmp.toString))
     val (centroids, assigned) = loadIvfIndex(spark, cache.toString)
     annIvfIndexed(centroids, assigned)
   }

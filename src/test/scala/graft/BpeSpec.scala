@@ -86,6 +86,37 @@ class BpeSpec extends AnyFunSuite {
       s"BPE did not compress: $totBpe pieces vs $totChars chars")
   }
 
+  test("MinedBpeEval memo lives for one task: populated during the " +
+      "task, reaped by its completion listener") {
+    // the r19 ADVICE finding: executor task threads are pooled and
+    // long-lived, so a plain per-thread memo retains up to the full
+    // cap per live eval instance until the ThreadLocalMap's lazy
+    // expunge — the TaskCompletionListener reap bounds retention to
+    // live tasks. Observed via accumulators: the probe listener is
+    // registered BEFORE the eval's reap listener, and listeners run
+    // LIFO, so the probe fires AFTER the reap and must see 0.
+    val sc = spark.sparkContext
+    val during = sc.longAccumulator("memoDuring")
+    val after = sc.longAccumulator("memoAfter")
+    val eval = new graft.operators.MinedBpeEval(
+      Array(("a", "b")), memoWords = 1000)
+    sc.parallelize(1 to 4, 4).mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      tc.addTaskCompletionListener[Unit] { _ =>
+        after.add(eval.memoSize)
+      }
+      eval.countTokens(org.apache.spark.unsafe.types.UTF8String
+        .fromString("abab cd abab"))
+      during.add(eval.memoSize)
+      it
+    }.count()
+    assert(during.value > 0,
+      "memo never populated inside the tasks — the probe is vacuous")
+    assert(after.value == 0,
+      s"memo survived task completion: ${after.value} entries across " +
+        "4 tasks — the reap listener is not firing last")
+  }
+
   test("bpeCounts memo is invisible: cached == uncached == cap-straddling") {
     val docs = graft.Tables.documents(spark, sf)
     val model = Bpe.bpeTrain(docs, nMerges = 100)

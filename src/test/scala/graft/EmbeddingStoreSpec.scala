@@ -116,4 +116,66 @@ class EmbeddingStoreSpec extends AnyFunSuite {
       .takeWhile(_ != null).map(String.valueOf(_)).mkString(" <- ")
     assert(chain.contains("width mismatch"), chain.take(300))
   }
+
+  test("misaligned blobs refuse by name — equal lengths do not " +
+      "license a truncated dot") {
+    // the r19 ADVICE finding: two 7-byte blobs pass a length-equality
+    // check, but n = length >> 2 silently drops 3 trailing bytes —
+    // refuse on alignment BEFORE the width comparison, in both the
+    // pair kernels and unpack
+    import graft.functions.PackedVectorKernels
+    val bad = Array.fill[Byte](7)(1)
+    for (f <- Seq[(Array[Byte], Array[Byte]) => Any](
+        PackedVectorKernels.dotBB, PackedVectorKernels.cosineBB)) {
+      val e = intercept[IllegalArgumentException](f(bad, bad))
+      assert(e.getMessage.contains("not a multiple of 4"), e.getMessage)
+    }
+    val e2 = intercept[IllegalArgumentException](
+      PackedVectorKernels.unpack(bad))
+    assert(e2.getMessage.contains("not a multiple of 4"))
+    // aligned blobs still flow
+    val ok = PackedVectorKernels.pack(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(1f, 2f)))
+    assert(PackedVectorKernels.dotBB(ok, ok) == 5.0)
+  }
+
+  test("ArtifactCache GCs stale fingerprint siblings and aged " +
+      "orphan builds; the live cache and young builds survive") {
+    import graft.operators.ArtifactCache
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cache_gc").toFile
+    def mk(name: String, ageMs: Long = 0L): java.io.File = {
+      val d = new java.io.File(root, name)
+      assert(d.mkdirs())
+      val f = new java.io.File(d, "payload")
+      assert(f.createNewFile())
+      if (ageMs > 0) {
+        assert(d.setLastModified(System.currentTimeMillis() - ageMs))
+      }
+      d
+    }
+    mk("corpus-oldfp1")          // stale sibling: same corpus, old fp
+    mk("other-fp")               // different corpus: must survive
+    mk(".build-dead", 25L * 3600 * 1000) // crashed build, >24h old
+    val young = mk(".build-live")        // concurrent build: survives
+    var built = 0
+    val cache = ArtifactCache.ensure(root, "corpus", "newfp",
+      c => new java.io.File(c, "_SUCCESS").exists()) { tmp =>
+      built += 1
+      assert(tmp.mkdirs())
+      assert(new java.io.File(tmp, "_SUCCESS").createNewFile())
+    }
+    assert(built == 1 && new java.io.File(cache, "_SUCCESS").exists())
+    val names = root.listFiles().map(_.getName).toSet
+    assert(names == Set("corpus-newfp", "other-fp", young.getName),
+      names.toString)
+    // second call: complete cache short-circuits (no rebuild, no GC)
+    ArtifactCache.ensure(root, "corpus", "newfp",
+      c => new java.io.File(c, "_SUCCESS").exists()) { _ =>
+      built += 1
+    }
+    assert(built == 1)
+    ArtifactCache.rm(root)
+  }
 }

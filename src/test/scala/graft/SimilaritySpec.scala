@@ -229,6 +229,23 @@ class SimilaritySpec extends AnyFunSuite {
     val atKnown = pairSet(
       Similarity.simJoinLshAt(spark, sf01, 0.45, knownN = 500L))
     assert(atCounted == atKnown)
+    // the contract-solver face threads its sizing n through to the
+    // observe row (the r19 ADVICE finding: explicit-banding solver
+    // runs logged 0, so a stale knownN fed to simJoinLshAt stayed
+    // silent); 0 stays reserved for truly hand-specified bandings
+    val atDf = Similarity.simJoinLshAt(spark, sf01, 0.45, knownN = 500L)
+    if (atDf.collect().nonEmpty) {
+      val mAt = atDf.queryExecution
+        .observedMetrics("simjoinlsh_bucket_cap")
+      assert(mAt.getAs[Long]("lsh_sizing_n") == 500L)
+    } else fail("solver run unexpectedly empty — the observe-row pin " +
+      "needs a non-empty result (AQE erases the row otherwise)")
+    val handDf = Similarity.simJoinLsh(spark, sf01, 0.45,
+      nPlanes = 64, nBands = 16)
+    assert(handDf.collect().nonEmpty)
+    assert(handDf.queryExecution
+      .observedMetrics("simjoinlsh_bucket_cap")
+      .getAs[Long]("lsh_sizing_n") == 0L)
   }
 
   test("expected_recall_ppm and the solved banding ride the observe " +
