@@ -75,10 +75,13 @@ object PackedVectorKernels {
     * (`Platform.getFloat`, the UnsafeRow accessor: bit-preserving for
     * every pattern including non-canonical NaNs); the shift-based
     * byte decode below is the BE-host fallback only. The r19 kernels
-    * paid 4 byte loads + 3 shift-ors per element on every path —
-    * ~40% of the 2M×256 scan-once gap vs the vectorized reader's
-    * zero-copy array elements was this decode, not the byte[]
-    * materialization (measured by the r20 PackedProbe re-run).
+    * paid 4 byte loads + 3 shift-ors per element on every path, and
+    * the r20 PackedProbe re-run showed that decode was effectively
+    * the WHOLE 2M×256 scan-once gap the r19 doc blamed on per-row
+    * byte[] materialization: with single loads the packed scan beats
+    * the array face in-session (0.52 s vs 0.65 s at 2M×256; the r19
+    * kernels read 1.12 s vs 0.58 s) — the allocation cost is in the
+    * noise (PROBE_r20_packed_AB.jsonl).
     */
   private final val LE =
     java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN

@@ -11,24 +11,24 @@ import graft.functions.VectorFunctions.{cosinePacked, packFloats, unpackFloats}
   * little-endian float32 blob (`binary`, 4·dim bytes) instead of
   * `array<float>`.
   *
-  * What the r19 A/B actually measured (graft.PackedProbe, committed
-  * as PROBE_r19_packed_AB.jsonl — the design hypothesis was "parquet
-  * per-element list decode dominates at high dim"; the measurement
-  * partly REFUTED it, and this doc records the measured story):
-  * Spark's vectorized parquet reader serves `array<float>` elements
-  * as ZERO-COPY views into the column vectors, so a pure scan over
-  * the array face is already fast — at 2M×256 the packed scan is
-  * SLOWER (1.12 s vs 0.58 s: every binary value materializes a fresh
-  * 1 KB byte[], 2 GB of allocations the array face never pays). The
-  * packed face's real wins are in the COMPUTE faces: the fused
-  * one-pass cosine (dot + both norms in a single byte walk, vs three
-  * codegen'd array passes) and the 4-byte-per-dim width riding
-  * broadcasts/shuffles take the brute-force search to 0.58 s vs
-  * 0.87 s at dim 64, 0.80 vs 1.05 at dim 256, 2.14 vs 2.58 at
-  * dim 1024, and 5.75 vs 6.97 at 2M×256 (min-of-3, interleaved in
-  * one session). Use the packed store where vectors are REUSED per
-  * scan row (search joins, re-rank) or shuffled; keep the array face
-  * for scan-once reductions.
+  * Measured story, two rounds of it (graft.PackedProbe, committed as
+  * PROBE_r19_packed_AB.jsonl and PROBE_r20_packed_AB.jsonl): the r18
+  * design hypothesis was "parquet per-element list decode dominates
+  * at high dim"; r19 half-refuted it — Spark's vectorized reader
+  * serves `array<float>` elements as zero-copy views, and the r19
+  * packed scan LOST the 2M×256 scan-once face (1.12 s vs 0.58 s),
+  * which that round's doc attributed to per-row byte[]
+  * materialization. r20 re-attributed it by fixing the kernels: the
+  * loss was the shift-based byte decode (4 loads + 3 shift-ors per
+  * element), not the allocation — with single `Platform` loads the
+  * packed store wins EVERY measured face at every dim in-session:
+  * scan-selfdot 0.13/0.20/0.29 s vs array 0.17/0.22/0.40 s at dims
+  * 64/256/1024 (200k rows) and 0.52 vs 0.65 s at 2M×256;
+  * brute-force search 0.50/0.74/1.12 s vs 0.73/0.86/1.62 s, and
+  * 3.33 vs 4.74 s at 2M×256 (min-of-3, interleaved in one session).
+  * The packed store is now the preferred serving shape across
+  * scan-once AND reuse-per-row faces; the array face remains the
+  * oracle surface and the interchange format.
   *
   * Numeric contract: pack is a raw bit-preserving float store per
   * element (exact for every float, non-canonical NaNs included —
