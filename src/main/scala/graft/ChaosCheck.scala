@@ -23,7 +23,15 @@ import org.apache.spark.sql.SparkSession
   *    cluster-scale answer);
   *  - P2 `share = false`: the span-scrub recipe is genuinely
   *    checkpoint-free — it recomputes on the replacement executors
-  *    and returns the identical count.
+  *    and returns the identical count;
+  *  - (r20, scenario 4) P1 `share = true` under
+  *    `spark.graft.reliableCheckpoint` + a checkpoint dir — the
+  *    PRESCRIBED cluster-scale answer the first three scenarios
+  *    point at: every Lineage.truncate site (the recipe shares AND
+  *    Clusters' per-round star contraction) becomes a reliable
+  *    `.checkpoint()`, a SECOND executor massacre follows, and the
+  *    recount must return the identical rows — retry-ability, not
+  *    just loud failure.
   *
   * Run as its own JVM (ChaosSpec forks it): the test session holds a
   * `local[*]` context and one JVM cannot host two SparkContexts.
@@ -123,24 +131,28 @@ object ChaosCheck {
 
     // the crash: kill every executor JVM outright, then wait for the
     // standalone master's replacements (fresh processes, zero blocks)
-    val victims = executorPids()
-    require(victims.size >= 2, s"expected >=2 executors, ${victims.size}")
-    victims.foreach(_.destroyForcibly())
-    waitFor("victims dead") { victims.forall(!_.isAlive) }
-    val victimPids = victims.map(_.pid).toSet
-    waitFor("replacement executor processes up") {
-      val now = executorPids()
-      now.size >= 2 && now.forall(p => !victimPids.contains(p.pid))
+    def killAllExecutors(): Unit = {
+      val victims = executorPids()
+      require(victims.size >= 2,
+        s"expected >=2 executors, ${victims.size}")
+      victims.foreach(_.destroyForcibly())
+      waitFor("victims dead") { victims.forall(!_.isAlive) }
+      val victimPids = victims.map(_.pid).toSet
+      waitFor("replacement executor processes up") {
+        val now = executorPids()
+        now.size >= 2 && now.forall(p => !victimPids.contains(p.pid))
+      }
+      // process existence ≠ registration: wait until the driver's
+      // block manager map shows two live executors again (the dead
+      // ones are removed on the worker's exit report), then prove
+      // they accept work with a trivial job before the assertions
+      waitFor("replacements registered with the driver") {
+        sc.getExecutorMemoryStatus.size - 1 >= 2
+      }
+      require(sc.parallelize(1 to 8, 8).count() == 8L,
+        "replacement executors not schedulable")
     }
-    // process existence ≠ registration: wait until the driver's block
-    // manager map shows two live executors again (the dead ones are
-    // removed on the worker's exit report), then prove they accept
-    // work with a trivial job before the contract assertions
-    waitFor("replacements registered with the driver") {
-      sc.getExecutorMemoryStatus.size - 1 >= 2
-    }
-    require(sc.parallelize(1 to 8, 8).count() == 8L,
-      "replacement executors not schedulable")
+    killAllExecutors()
 
     def mustFailLoudly(label: String, df: org.apache.spark.sql.DataFrame)
         : Unit =
@@ -181,6 +193,41 @@ object ChaosCheck {
         s"expected $expectScrub")
     println(s"CHAOS_OK pipelineScrub share=false recomputed " +
       s"$recomputed rows after executor loss")
+
+    // 4. the prescribed cluster-scale answer, EXERCISED (the r19
+    //    verdict's #4): reliable checkpoint dir + the Lineage knob.
+    //    Build the same cluster-bearing recipe on the replacement
+    //    executors — every truncate site (recipe shares AND the
+    //    star-contraction rounds) now writes checkpoint FILES — then
+    //    massacre the executors AGAIN and require the identical
+    //    recount. This is what scenarios 1–2 say localCheckpoint
+    //    cannot give you; here it must actually survive.
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_chaos_ckpt")
+    sc.setCheckpointDir(ckptDir.toString)
+    spark.conf.set(graft.plans.Lineage.ReliableConf, "true")
+    val fullReliable =
+      graft.operators.Pipeline.pipelineFull(docs, share = true)
+    require(fullReliable.count() == expectFull,
+      "reliable-checkpoint run disagreed with the pre-chaos count " +
+        "BEFORE the second executor loss")
+    killAllExecutors()
+    val survived = Try(fullReliable.count()) match {
+      case Success(n) => n
+      case Failure(e) =>
+        System.err.println(
+          s"CHAOS_FAIL: reliable-checkpoint recount THREW after " +
+            s"executor loss — the prescribed answer does not hold: " +
+            s"${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(200))
+        sys.exit(1)
+        -1L
+    }
+    require(survived == expectFull,
+      s"reliable-checkpoint recount returned $survived rows after " +
+        s"executor loss, expected $expectFull")
+    println(s"CHAOS_OK pipelineFull reliable-checkpoint recounted " +
+      s"$survived rows identically after a second executor loss")
 
     spark.stop()
   }

@@ -209,6 +209,67 @@ object PackedVectorKernels {
     }
     ab / (math.sqrt(aa) * math.sqrt(bb))
   }
+
+  @inline private def checkArrayWidth(a: Array[Byte],
+      c: ArrayData): Unit = {
+    checkAligned(a)
+    if ((a.length >> 2) != c.numElements())
+      throw new IllegalArgumentException(
+        s"packed vector width mismatch: ${a.length >> 2} packed dims " +
+          s"vs ${c.numElements()} array dims — the packed kernels " +
+          "refuse where the array kernels min()-truncate (a truncated " +
+          "dot is a silently-wrong similarity)")
+  }
+
+  /** Fused packed×array<double> cosine (the probe-vs-centroid step of
+    * the IVF faces: the corpus/query side rides as a blob, the Lloyd
+    * centroids are double[]). Each accumulator is an independent
+    * sequential double fold in element order, so the result is
+    * bit-identical to the array-face
+    * `cosineAny(unpack(a), c)` = dotFD(a,c) / (√dotFF(a,a)·√dot(c,c)).
+    */
+  def cosineBD(a: Array[Byte], c: ArrayData): Double = {
+    checkArrayWidth(a, c)
+    val n = a.length >> 2
+    var ab = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = floatAt(a, i).toDouble
+      val y = c.getDouble(i)
+      ab += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  /** [[cosineBD]] with an array<float> right side (iteration-zero
+    * centroids, raw embedding columns).
+    */
+  def cosineBF(a: Array[Byte], c: ArrayData): Double = {
+    checkArrayWidth(a, c)
+    val n = a.length >> 2
+    var ab = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = floatAt(a, i).toDouble
+      val y = c.getFloat(i).toDouble
+      ab += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  /** Driver-side pack of a raw float vector (query exports, tests). */
+  def packArray(v: Array[Float]): Array[Byte] =
+    pack(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v))
 }
 
 /** dot_product(array<double>, array<double>) → double.
@@ -342,6 +403,38 @@ case class CosinePacked(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** cosine_packed_any(binary, array<float|double>) → double: fused
+  * one-pass cosine between a packed blob and a raw vector column —
+  * the probe-vs-centroid step of the packed IVF faces. Dispatches to
+  * a per-type kernel at codegen time like [[DotProductAny]];
+  * bit-identical to `cosineAny(unpack_floats(blob), arr)` (see
+  * [[PackedVectorKernels.cosineBD]]), with the packed family's
+  * refuse-on-width-mismatch contract.
+  */
+case class CosinePackedAny(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private lazy val kernel: String = right.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => "cosineBF"
+    case ArrayType(DoubleType, _) => "cosineBD"
+    case other => throw new IllegalArgumentException(
+      s"cosinePackedAny requires array<float|double> right side, " +
+        s"got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (blob, arr) = (a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData])
+    if (kernel == "cosineBF") PackedVectorKernels.cosineBF(blob, arr)
+    else PackedVectorKernels.cosineBD(blob, arr)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PackedVectorKernels.$kernel($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** dot_packed(binary, binary) → double (see
   * [[PackedVectorKernels.dotBB]]).
   */
@@ -411,4 +504,11 @@ object VectorFunctions {
   def dotPacked(a: Column, b: Column): Column =
     ColumnBridge.column(DotPacked(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Fused cosine between a packed blob and a raw float/double array
+    * column — bit-identical to `cosineAny(unpackFloats(blob), arr)`.
+    */
+  def cosinePackedAny(blob: Column, arr: Column): Column =
+    ColumnBridge.column(CosinePackedAny(
+      ColumnBridge.expression(blob), ColumnBridge.expression(arr)))
 }

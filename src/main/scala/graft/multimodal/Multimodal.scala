@@ -297,7 +297,7 @@ object Multimodal {
       maxBucket: Int = 5000): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val sigs = mediaSignaturesOf(media).localCheckpoint()
+    val sigs = graft.plans.Lineage.truncate(mediaSignaturesOf(media))
 
     val exact = sigs.groupBy(col("content_digest"))
       .agg(min(col("doc_id")).as("exact_keeper"))

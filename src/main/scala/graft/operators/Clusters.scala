@@ -161,7 +161,7 @@ object Clusters {
       .filter(col("u") =!= col("v"))
       .distinct()
       .as[(Long, Long)]
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate(_))
 
     // Large-star: group every edge BOTH ways on u; for m = min of the
     // neighborhood (incl. u), rewire every neighbor v > u to m.
@@ -198,14 +198,18 @@ object Clusters {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      // FAULT TOLERANCE: the per-round localCheckpoint is what keeps
-      // 10+ contraction rounds from exponential lineage, but its
-      // blocks live on executors only — an executor loss mid-
-      // resolution fails the job (lineage cannot recompute across
-      // the truncation). Cluster-scale runs that need retry-ability
-      // should resolve via a reliable checkpoint dir instead; see
-      // the graft.operators.Pipeline contract (SURVEY §5).
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // FAULT TOLERANCE: the per-round lineage truncation is what
+      // keeps 10+ contraction rounds from exponential lineage. By
+      // default its blocks live on executors only — an executor
+      // loss mid-resolution fails the job loudly (lineage cannot
+      // recompute across the truncation; ChaosCheck scenario 2).
+      // Cluster-scale runs that need retry-ability set
+      // spark.graft.reliableCheckpoint + a checkpoint dir, which
+      // routes THESE per-round truncations (and every other
+      // production site) through reliable .checkpoint — exercised
+      // under real executor kills by ChaosCheck scenario 4; see the
+      // graft.operators.Pipeline contract (SURVEY §5).
+      val next = graft.plans.Lineage.truncate(smallStar(largeStar(edges)))
       // fixpoint test: identical edge SETS. Both sides are distinct
       // canonical pairs, so set equality = equal counts + empty
       // difference; one scalar action via a full outer count

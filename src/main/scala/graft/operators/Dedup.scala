@@ -741,7 +741,7 @@ object Dedup {
     // graft.operators.Pipeline contract (SURVEY §5) for cluster
     // guidance.
     val ds0 = holdoutSplit(docsDf, seed, evalNum, evalDen)
-    val ds = if (share) ds0.localCheckpoint(true) else ds0
+    val ds = if (share) graft.plans.Lineage.truncate(ds0) else ds0
     val bits = ngramBloomBuild(ds.filter(col("is_eval"))
       .toDF("doc_id", "text", "is_eval"), n, mBits, kHashes)
     val bcBits = spark.sparkContext.broadcast(bits)

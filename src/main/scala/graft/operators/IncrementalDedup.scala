@@ -269,7 +269,7 @@ object IncrementalDedup {
     */
   def verifyNearPairs(cand0: DataFrame, newBatch: DataFrame,
       corpus: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val cand = cand0.localCheckpoint()
+    val cand = graft.plans.Lineage.truncate(cand0)
     val newSets = newBatch
       .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),

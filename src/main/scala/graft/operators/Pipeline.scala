@@ -70,12 +70,21 @@ import graft.Tables.documents
   * recipes still fail loudly on executor loss under `share = false`.
   * At local[32] (one JVM) the risk term is zero and the default is
   * right unconditionally. For multi-hour 1000-executor runs, either
-  * pass `share = false` (span/line-level recipes), or materialize
-  * the shared frames — and for cluster-bearing recipes the pair
-  * resolution — to reliable storage (write/read parquet, or
-  * `setCheckpointDir` + `.checkpoint()`) and feed the stage-level
-  * operators: every composed recipe here has standalone stage faces
-  * exactly so that callers can own the materialization boundary.
+  * pass `share = false` (span/line-level recipes), or — the
+  * prescribed cluster-scale answer, EXERCISED since r20 — set
+  * [[graft.plans.Lineage.ReliableConf]] (`spark.graft.
+  * reliableCheckpoint = true`) plus `SparkContext.setCheckpointDir`
+  * on fault-tolerant storage BEFORE composing the recipe: every
+  * truncation site in the library (the recipe shares here, the
+  * [[Clusters]] per-round star contraction, D17's candidate frame,
+  * knnGraphIvf's shared assignment, the ppl-select score shares,
+  * media signatures) then rides a reliable `.checkpoint()` instead
+  * of executor-resident blocks — ChaosCheck scenario 4 kills every
+  * executor AFTER that composition and pins the identical recount.
+  * Alternatively, materialize the shared frames to parquet and feed
+  * the stage-level operators: every composed recipe here has
+  * standalone stage faces exactly so that callers can own the
+  * materialization boundary.
   */
 object Pipeline {
 
@@ -97,11 +106,11 @@ object Pipeline {
       .select(col("doc_id"), col("source"),
         col("clean_text").as("text"),
         length(col("clean_text")).cast("long").as("n_chars"))
-    val corpus = if (share) cleaned.localCheckpoint(true) else cleaned
+    val corpus = if (share) graft.plans.Lineage.truncate(cleaned) else cleaned
     // 3. ONE pair derivation → clusters → best-quality keeper
     val pairs0 = Dedup.jaccardPairsDocs(corpus, dedupThreshold)
       .select(col("doc_a"), col("doc_b"))
-    val pairs = if (share) pairs0.localCheckpoint(true) else pairs0
+    val pairs = if (share) graft.plans.Lineage.truncate(pairs0) else pairs0
     val clusters = Clusters.clusterPairs(pairs)
     val deduped = Clusters.dedupApplyBestKeepAll(corpus, clusters)
     screenMixPack(deduped, screenThreshold, refMod, mixBudget,
@@ -157,7 +166,7 @@ object Pipeline {
         .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
       .select(col("doc_id"), col("source"),
         col("clean_text").as("text"))
-    val corpus = if (share) cleaned.localCheckpoint(true) else cleaned
+    val corpus = if (share) graft.plans.Lineage.truncate(cleaned) else cleaned
     // 3'. span-level scrub over the cleaned text + length gate
     val scrubbed = corpus.select(col("doc_id"), col("source"))
       .join(CorpusOps.substringScrub(corpus, w)
@@ -188,7 +197,7 @@ object Pipeline {
       stopWords: Seq[String] = TextOps.GopherStopList,
       share: Boolean = true): DataFrame = {
     val incIx0 = IncrementalDedup.buildIndex(inc)
-    val incIx = if (share) incIx0.localCheckpoint(true) else incIx0
+    val incIx = if (share) graft.plans.Lineage.truncate(incIx0) else incIx0
     val exactDup = IncrementalDedup.screenExactSigs(incIx, index)
       .filter(col("is_dup") === 1).select(col("doc_id"))
     val nearDup = IncrementalDedup
@@ -247,7 +256,7 @@ object Pipeline {
       stopWords: Seq[String] = TextOps.GopherStopList,
       share: Boolean = true): DataFrame = {
     val incIx0 = IncrementalDedup.buildIndex(inc)
-    val incIx = if (share) incIx0.localCheckpoint(true) else incIx0
+    val incIx = if (share) graft.plans.Lineage.truncate(incIx0) else incIx0
     val exactDup = IncrementalDedup.screenExactSigs(incIx, index)
       .filter(col("is_dup") === 1).select(col("doc_id"))
     val cand = IncrementalDedup.screenNearSigs(incIx, index,
@@ -312,7 +321,7 @@ object Pipeline {
     val cleaned0 = TextOps
       .c4Apply(docs, badWords, minLineWords, minSentences)
       .select(col("doc_id"), col("clean_text").as("text"))
-    val cleaned = if (share) cleaned0.localCheckpoint(true) else cleaned0
+    val cleaned = if (share) graft.plans.Lineage.truncate(cleaned0) else cleaned0
     CorpusOps.sentenceSpanScrub(cleaned, spanUnits, maxShared)
   }
 

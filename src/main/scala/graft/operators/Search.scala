@@ -828,9 +828,10 @@ object Search {
     val withLang = s.join(
         documents(spark, sfDir).select(col("doc_id"), col("lang")),
         Seq("doc_id"))
-      // count + ranked pass share one scoring run (executor-local
-      // blocks — see the Pipeline fault-tolerance contract, SURVEY §5)
-      .localCheckpoint()
+      // count + ranked pass share one scoring run (the Pipeline
+      // fault-tolerance contract, SURVEY §5; reliable under the
+      // Lineage checkpoint knob)
+      .transform(graft.plans.Lineage.truncate(_))
     val counts = withLang.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_lang"))
     graft.plans.GlobalOrder.withPrefixSumKeyed(
@@ -848,8 +849,8 @@ object Search {
     require(nBands >= 2, s"nBands must be >= 2: $nBands")
     require(keepBand >= 0 && keepBand < nBands,
       s"keepBand must be in [0, $nBands): $keepBand")
-    val s = scores.select(col("doc_id"), col(scoreCol))
-      .localCheckpoint()
+    val s = graft.plans.Lineage.truncate(
+      scores.select(col("doc_id"), col(scoreCol)))
     val n = s.count()
     require(n > 0, "empty score frame")
     graft.plans.GlobalOrder.withPrefixSum(

@@ -784,6 +784,123 @@ object Similarity {
     annIvfIndexed(centroids, assigned)
   }
 
+  /** S12×S16 — the PACKED persisted IVF index: same deterministic
+    * centroids, cell lists stored as `(vec_id, cell_id, emb_bin)`
+    * float32 blobs instead of `array<float>` (the r19 verdict's #1 —
+    * the S16 store wired into the production serving artifact). Why
+    * this is the shape the serving path wants: every search scans
+    * the probed cell lists once per query batch, so the list
+    * elements are decoded once per (candidate, probing query) PAIR —
+    * the reuse-per-row face where PROBE_r20_packed_AB measured the
+    * fused single-load kernels winning at every dim — and the blob
+    * rides the cell_id equi-join shuffle at exactly 4·dim bytes with
+    * no per-element offsets. Searches are spec'd BIT-EQUAL to the
+    * array-face [[annIvfIndexed]] over the same fit
+    * ([[graft.functions.PackedVectorKernels]] widens floats to
+    * double in the same fold order as the array kernels).
+    */
+  def saveIvfIndexPackedOf(spark: SparkSession, emb: DataFrame,
+      path: String, nCells: Int = 8, lloydIters: Int = 2): Unit = {
+    val centroids = fitCentroids(spark, emb, nCells, lloydIters)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assignCells(emb, centroids)
+      .select(col("vec_id"), col("cell_id"),
+        packFloats(col("emb")).as("emb_bin"))
+      .write.mode("overwrite").parquet(s"$path/assigned")
+  }
+
+  /** [[saveIvfIndexPackedOf]] over a harness corpus dir. */
+  def saveIvfIndexPacked(spark: SparkSession, sfDir: String,
+      path: String, nCells: Int = 8, lloydIters: Int = 2): Unit =
+    saveIvfIndexPackedOf(spark, embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("emb")),
+      path, nCells, lloydIters)
+
+  /** Load a packed IVF index; refuses foreign tables and ARRAY-face
+    * indexes by name (the loadIvfIndex convention — the two formats
+    * are deliberately not interchangeable at load, so a path mix-up
+    * fails at the artifact boundary, not in a kernel).
+    */
+  def loadIvfIndexPacked(spark: SparkSession,
+      path: String): (DataFrame, DataFrame) = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read.parquet(s"$path/assigned")
+    require(Seq("cell_id", "c_emb").forall(centroids.columns.contains),
+      s"not an IVF centroid table at $path/centroids: " +
+        centroids.columns.mkString("[", ",", "]"))
+    require(
+      Seq("vec_id", "emb_bin", "cell_id").forall(assigned.columns.contains),
+      s"not a PACKED IVF assignment table at $path/assigned " +
+        "(array-face indexes load via loadIvfIndex): " +
+        assigned.columns.mkString("[", ",", "]"))
+    (centroids, assigned)
+  }
+
+  /** S13×S16 — append an increment to a packed index: assign against
+    * the frozen centroids, pack, append — per-row semantics, so
+    * append ≡ rebuilding the packed assignment of the unioned corpus
+    * under the SAME centroids (spec'd, the [[appendIvfIndex]]
+    * contract).
+    */
+  def appendIvfIndexPacked(spark: SparkSession, newVecs: DataFrame,
+      path: String): Unit = {
+    val (centroids, _) = loadIvfIndexPacked(spark, path)
+    assignCells(newVecs.select(col("vec_id"), col("emb")), centroids)
+      .select(col("vec_id"), col("cell_id"),
+        packFloats(col("emb")).as("emb_bin"))
+      .write.mode("append").parquet(s"$path/assigned")
+  }
+
+  /** Search a packed IVF index: the [[annIvfIndexed]] plan with the
+    * fused packed kernels — probe selection scores the query blob
+    * against the double[] centroids ([[CosinePackedAny]], one pass),
+    * candidate scoring is blob×blob ([[CosinePacked]]), and the
+    * corpus side shuffles 4·dim-byte blobs through the cell_id
+    * equi-join. Output bit-equal to the array face over the same fit
+    * (SimilaritySpec pin).
+    */
+  def annIvfIndexedPacked(centroids: DataFrame, assigned: DataFrame,
+      nProbe: Int = 2, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb_bin").as("q_bin"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosinePackedAny(col("q_bin"), col("c_emb")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist").desc, col("cell_id"))))
+      .filter(col("crnk") <= nProbe)
+      .select(col("query_id"), col("q_bin"), col("cell_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(probes, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosinePacked(col("emb_bin"), col("q_bin")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Registered `ann_ivf_indexed_packed`: the packed index persisted
+    * once per input dir (the annIvfIndexedQuery cache convention,
+    * its own root — the two formats never share a cache dir),
+    * searched from the loaded artifact. Rows-only (float cosine
+    * ranks, the ann family reasoning); SimilaritySpec pins the
+    * output bit-equal to ann_ivf_indexed over the same fit.
+    */
+  def annIvfIndexedPackedQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val cache = ArtifactCache.ensure(
+      new java.io.File("/tmp/graft_ivfpk_cache"),
+      new java.io.File(sfDir).getName,
+      sourceFingerprint(s"$sfDir/embeddings.parquet"),
+      c => new java.io.File(c, "assigned/_SUCCESS").exists())(
+      tmp => saveIvfIndexPacked(spark, sfDir, tmp.toString))
+    val (centroids, assigned) = loadIvfIndexPacked(spark, cache.toString)
+    annIvfIndexedPacked(centroids, assigned)
+  }
+
   /** Bounded centroid export for the stream-side probe step (the
     * nbModel budget convention: centroids are the ONLY collected
     * piece — the assignment lists stay distributed).
@@ -1130,13 +1247,20 @@ object Similarity {
 
     // exact re-rank: shortlist (nQueries·k·refine rows) broadcasts;
     // the corpus side never shuffles; cosine over the RAW vectors
-    // (normalization-invariant) keeps float width end to end
-    val qdf = queriesRaw.toSeq.toDF("query_id", "q_emb")
+    // (normalization-invariant). r20: the query vectors broadcast as
+    // PACKED blobs (4·dim bytes, no per-element offsets) and the
+    // re-rank is the fused one-pass blob×array kernel — bit-equal to
+    // cosineAny(emb, q_emb) because IEEE multiplication commutes
+    // (ab and the sqrt product are the same folds with the operand
+    // roles swapped; SimilaritySpec pins the face unchanged)
+    val qdf = queriesRaw.toSeq.map { case (qid, v) =>
+      (qid, graft.functions.PackedVectorKernels.packArray(v.toArray))
+    }.toDF("query_id", "q_bin")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     emb.join(broadcast(shortlist), "vec_id")
       .join(broadcast(qdf), "query_id")
-      .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
+      .withColumn("cosine", cosinePackedAny(col("q_bin"), col("emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1201,7 +1325,8 @@ object Similarity {
     */
   def knnGraphIvf(spark: SparkSession, sfDir: String,
       k: Int = 5, nCells: Int = 0, nProbe: Int = 2,
-      lloydIters: Int = 2, targetCell: Int = 1024): DataFrame = {
+      lloydIters: Int = 2, targetCell: Int = 1024,
+      packed: Boolean = true): DataFrame = {
     require(targetCell > 0, s"targetCell must be > 0: $targetCell")
     import graft.functions.AggFunctions.topk_by
     val emb = embeddings(spark, sfDir)
@@ -1214,10 +1339,25 @@ object Similarity {
           1 << 20).toInt
       }
     val centroids = fitCentroids(spark, emb, cells, lloydIters)
+    // `packed` (the r20 default — the S16 store on the graph build's
+    // hot path): the assignment pass packs each vector into its
+    // float32 blob ONCE, so the checkpointed blocks, the
+    // vector-vs-centroid probe pass and the corpus-sized cell_id
+    // equi-join all carry the 4·dim-byte blob and the candidate
+    // scoring runs the fused one-pass kernels. Bit-equal to the
+    // array face (packed=false, kept as the differential pin's
+    // reference): pack is bit-preserving and every packed kernel
+    // folds in the array kernels' element order.
+    val vecCol = if (packed) packFloats(col("emb")) else col("emb")
     val assigned = assignCells(emb, centroids)
+      .select(col("vec_id"), col("cell_id"), vecCol.as("v"))
       // one assignment pass feeds both sides (executor-local blocks —
       // see the Pipeline fault-tolerance contract, SURVEY §5)
-      .localCheckpoint(eager = true)
+      .transform(graft.plans.Lineage.truncate(_))
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      if (packed) cosinePacked(a, b) else cosineAny(a, b)
+    def cosC(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      if (packed) cosinePackedAny(v, c) else cosineAny(v, c)
     // both rank stages are R26 bounded heaps, NOT windows: a window
     // would shuffle-and-sort every (vector, centroid) and every
     // (vector, candidate) row — #vectors·nProbe·E[cell] rows at
@@ -1225,19 +1365,19 @@ object Similarity {
     // entries per vector per partition, map-side combined. The heap's
     // native order (ord DESC, id ASC) IS the library ANN tie rule.
     val probes = assigned
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"))
       .crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosineAny(col("q_emb"), col("c_emb")))
+      .withColumn("cdist", cosC(col("q_v"), col("c_emb")))
       .groupBy(col("query_id"))
       .agg(topk_by(col("cdist"), col("cell_id"), nProbe).as("pc"),
-        first(col("q_emb")).as("q_emb"))
-      .select(col("query_id"), col("q_emb"),
+        first(col("q_v")).as("q_v"))
+      .select(col("query_id"), col("q_v"),
         explode(col("pc")).as("p"))
-      .select(col("query_id"), col("q_emb"),
+      .select(col("query_id"), col("q_v"),
         col("p.id").as("cell_id"))
     assigned.join(probes, Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
+      .withColumn("cosine", cos(col("v"), col("q_v")))
       .groupBy(col("query_id"))
       .agg(topk_by(col("cosine"), col("vec_id"), k).as("top"))
       .select(col("query_id").as("vec_id"),

@@ -48,6 +48,12 @@ object SimilarityRegistry {
     // pins the indexed search BIT-equal to the monolithic annIvf
     // under one deterministic fit
     "ann_ivf_indexed" -> ((s, d) => Similarity.annIvfIndexedQuery(s, d)),
+    // S12×S16: the packed persisted index (cell lists as float32
+    // blobs) searched with the fused kernels. Rows-only (float cosine
+    // ranks); SimilaritySpec pins the output bit-equal to
+    // ann_ivf_indexed over the same deterministic fit
+    "ann_ivf_indexed_packed" -> ((s, d) =>
+      Similarity.annIvfIndexedPackedQuery(s, d)),
     // rows-only: the S13 maintenance loop (fit 4/5, append 1/5 under
     // frozen centroids, search); SimilaritySpec pins append ≡
     // rebuild-under-fixed-centroids bit-exactly

@@ -6,12 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * JVM: it needs a `local-cluster` master with real executor
   * processes, and this test JVM already holds the shared `local[*]`
   * context — one JVM cannot host two SparkContexts. The harness exits
-  * 0 only when all three localCheckpoint-contract behaviors hold
-  * under a real executor kill (see the ChaosCheck scaladoc).
+  * 0 only when all four checkpoint-contract behaviors hold under
+  * real executor kills: the three localCheckpoint outcomes plus the
+  * reliable-checkpoint-dir survival (see the ChaosCheck scaladoc).
   */
 class ChaosSpec extends AnyFunSuite {
-  test("localCheckpoint contract holds under executor loss " +
-      "(local-cluster, forked)") {
+  test("checkpoint contracts hold under executor loss: 3 loud " +
+      "localCheckpoint outcomes + reliable-dir survival (forked)") {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val addOpens = Seq("java.lang", "java.lang.invoke",
       "java.lang.reflect", "java.io", "java.net", "java.nio",
@@ -34,13 +35,13 @@ class ChaosSpec extends AnyFunSuite {
     val buf = new java.io.ByteArrayOutputStream()
     val reader = new Thread(() => proc.getInputStream.transferTo(buf))
     reader.start()
-    val finished = proc.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)
+    val finished = proc.waitFor(12, java.util.concurrent.TimeUnit.MINUTES)
     if (!finished) proc.destroyForcibly()
     reader.join(10000)
     val out = buf.toString("UTF-8")
-    assert(finished, "chaos harness timed out after 8 minutes")
+    assert(finished, "chaos harness timed out after 12 minutes")
     val oks = out.linesIterator.filter(_.startsWith("CHAOS_OK")).toSeq
-    assert(proc.exitValue() == 0 && oks.size == 3,
+    assert(proc.exitValue() == 0 && oks.size == 4,
       s"chaos harness exit ${proc.exitValue()}, CHAOS_OK x${oks.size}\n" +
         out.linesIterator.filter(l => l.contains("CHAOS_") ||
           l.contains("Exception")).take(20).mkString("\n"))

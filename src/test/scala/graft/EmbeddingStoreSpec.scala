@@ -117,6 +117,34 @@ class EmbeddingStoreSpec extends AnyFunSuite {
     assert(chain.contains("width mismatch"), chain.take(300))
   }
 
+  test("cosinePackedAny is bit-identical to the array face on float " +
+      "and double right sides, including the swapped-operand shape") {
+    val vs = Seq(
+      (1L, Array(0.5f, -1.25f, 3.0f)),
+      (2L, Array(1e-30f, 2e-38f, -1e-30f)),
+      (3L, Array(7.125f, 0.875f, -2.5f)))
+    val df = vs.toDF("vec_id", "emb")
+      .withColumn("bin", VectorFunctions.packFloats(col("emb")))
+      .withColumn("embd", col("emb").cast("array<double>"))
+    def bits(c: org.apache.spark.sql.Column) = df.as("a")
+      .crossJoin(df.as("b")).select(c.as("c")).collect()
+      .map(r => java.lang.Double.doubleToLongBits(r.getDouble(0))).toSeq
+    // blob x array<float> == cosineAny on the raw arrays
+    assert(bits(VectorFunctions.cosinePackedAny(col("a.bin"),
+        col("b.emb"))) ==
+      bits(VectorFunctions.cosineAny(col("a.emb"), col("b.emb"))))
+    // blob x array<double> (the IVF centroid shape)
+    assert(bits(VectorFunctions.cosinePackedAny(col("a.bin"),
+        col("b.embd"))) ==
+      bits(VectorFunctions.cosineAny(col("a.emb"), col("b.embd"))))
+    // the annPq re-rank shape: cosinePackedAny(q_bin, emb) must equal
+    // cosineAny(emb, q_emb) — IEEE multiplication commutes, so the
+    // swapped operand roles fold to the same bits
+    assert(bits(VectorFunctions.cosinePackedAny(col("b.bin"),
+        col("a.emb"))) ==
+      bits(VectorFunctions.cosineAny(col("a.emb"), col("b.emb"))))
+  }
+
   test("misaligned blobs refuse by name — equal lengths do not " +
       "license a truncated dot") {
     // the r19 ADVICE finding: two 7-byte blobs pass a length-equality

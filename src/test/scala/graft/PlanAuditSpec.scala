@@ -625,22 +625,24 @@ class PlanAuditSpec extends AnyFunSuite {
         s"composition time): ${bad.mkString("; ")}")
   }
 
-  test("streaming faces: last-batch plans carry no HOF-in-Filter and " +
-      "no repeated kernel in a Filter (X10/X25/X27)") {
+  test("streaming faces: last-batch plans across the FULL X registry " +
+      "carry no HOF-in-Filter and no repeated kernel in a Filter") {
     // lint parity with the batch whole-surface audits (the r18
-    // verdict's #5): the two alias-substitution traps — a lambda HOF
+    // verdict's #5, widened to the whole registry per the r19
+    // verdict's #3): the two alias-substitution traps — a lambda HOF
     // pushed into a Filter, and one graft kernel re-evaluated >= 3×
-    // inside one Filter condition — are asserted green only on the
-    // BATCH surface above; a streaming recipe plans per micro-batch
-    // through IncrementalExecution, so its executed plans never pass
-    // through those lints. Audit the representative stateless
-    // projection (X10), the kernel-gate face (X25), and the composed
-    // admission recipe (X27, the one whose quality-gate conjunction
-    // is exactly the shape that blew up batch-side in r17).
+    // inside one Filter condition — plan per micro-batch through
+    // IncrementalExecution, so no batch lint ever sees them. The
+    // 3-face pilot of this lint caught X27 re-evaluating PageStats
+    // 22× per row on its FIRST run; every constructor in
+    // StreamingOps now passes through the same audit, one executed
+    // micro-batch each (the audit reads the executed plan — emission
+    // is irrelevant, so watermark-held aggregations lint fine).
     import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
     import graft.streaming.StreamingOps
-    import graft.streaming.StreamingOps.{StreamDoc, StreamIngestDoc}
-    import graft.operators.{Dedup, Pipeline}
+    import graft.streaming.StreamingOps._
+    import graft.operators.{Classify, CorpusOps, Dedup, DomainOps, IncrementalDedup, Pipeline, Search, Similarity}
+    import org.apache.spark.sql.functions.col
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def ts(min: Int) = new java.sql.Timestamp(3600_000L * 10 + min * 60_000L)
@@ -675,54 +677,215 @@ class PlanAuditSpec extends AnyFunSuite {
           offenders.mkString("\n"))
     }
 
-    // X10 — stream-side line dedup (stateless broadcast projection)
-    val banned = graft.operators.CorpusOps.bannedLineFrontier(
-      Seq((0L, "boiler\na"), (1L, "boiler\nb"), (2L, "boiler"))
-        .toDF("doc_id", "text"))
-    val in10 = MemoryStream[StreamDoc]
-    val q10 = StreamingOps.streamingLineDedup(in10.toDS(), banned)
-      .writeStream.format("memory").queryName("lint_x10")
-      .outputMode("append").start()
-    try {
-      in10.addData(StreamDoc(10L, ts(0), "boiler\nfresh"))
-      q10.processAllAvailable()
-      auditLastBatch("X10 streamingLineDedup", q10)
-    } finally q10.stop()
+    var qn = 0
+    val audited = scala.collection.mutable.ListBuffer[String]()
+    def run(name: String, mode: String = "append")(
+        mk: => org.apache.spark.sql.Dataset[_]): Unit = {
+      qn += 1
+      val q = mk.writeStream.format("memory")
+        .queryName(s"lintx$qn").outputMode(mode).start()
+      try {
+        q.processAllAvailable()
+        auditLastBatch(name, q)
+        audited += name
+      } finally q.stop()
+    }
 
-    // X25 — quality signals (the batch kernel projection, stream face)
-    val in25 = MemoryStream[StreamDoc]
-    val q25 = StreamingOps.streamingQualitySignals(in25.toDS(),
-        stopWords = Seq("the", "a"), badWords = Seq("badword"))
-      .writeStream.format("memory").queryName("lint_x25")
-      .outputMode("append").start()
-    try {
-      in25.addData(StreamDoc(1L, ts(0),
-        "the quick brown fox jumps over a lazy dog. " * 20))
-      q25.processAllAvailable()
-      auditLastBatch("X25 streamingQualitySignals", q25)
-    } finally q25.stop()
+    // ---- shared fixtures (sf0.001 artifacts built once) ----
+    val hist = Seq(
+      (0L, "boiler\nalpha beta. gamma delta. eps zeta."),
+      (1L, "boiler\nalpha beta. gamma delta. other text."),
+      (2L, "boiler\nalpha beta. gamma delta. third doc."))
+      .toDF("doc_id", "text")
+    def doc(id: Long, m: Int, t: String) = StreamDoc(id, ts(m), t)
+    val sampleText =
+      "the quick brown fox jumps over a lazy dog near the river bank. " * 4
+    def events(in: MemoryStream[Event]): MemoryStream[Event] = {
+      in.addData(Event(1L, ts(0), 1L, "view", 1.0),
+        Event(2L, ts(5), 1L, "buy", 2.0),
+        Event(3L, ts(10), 2L, "view", 3.0))
+      in
+    }
 
-    // X27 — composed ingest admission (gates + fp screen + cap): the
-    // quality-gate conjunction filters on FOUR kernel-derived keep
-    // columns — exactly the multi-reference predicate shape the
-    // batch-side kernel lint exists for
-    val (docs, blocklist) = Pipeline.releaseFixture(spark, sf)
-    val bits = Dedup.fpBloomBuild(docs.filter(
-      org.apache.spark.sql.functions.col("doc_id") % 5 === 2))
-    val rows = docs.collect().sortBy(_.getAs[Long]("doc_id"))
+    // X1/X1b/X2 window family + X6 dedup over event streams
+    run("X1 windowedCounts")(
+      StreamingOps.windowedCounts(events(MemoryStream[Event]).toDF()))
+    run("X1b slidingCounts")(
+      StreamingOps.slidingCounts(events(MemoryStream[Event]).toDF()))
+    run("X2a sessionWindowAgg")(
+      StreamingOps.sessionWindowAgg(events(MemoryStream[Event]).toDF()))
+    run("X2 statefulSessionize")(
+      StreamingOps.statefulSessionize(events(MemoryStream[Event]).toDS()))
+    run("X6 streamingDedup")(
+      StreamingOps.streamingDedup(events(MemoryStream[Event]).toDF()))
+
+    // X3 stream-static enrichment; X5 stream-stream join
+    run("X3 enrich")(StreamingOps.enrich(
+      events(MemoryStream[Event]).toDF(),
+      Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")))
+    run("X5 streamStreamJoin")(StreamingOps.streamStreamJoin(
+      events(MemoryStream[Event]).toDF(),
+      events(MemoryStream[Event]).toDF()))
+
+    // C10 running word count (complete mode: unwatermarked running agg)
+    val inWc = MemoryStream[String]
+    inWc.addData("alpha beta alpha", "beta gamma")
+    run("C10 runningWordCount", mode = "complete")(
+      StreamingOps.runningWordCount(
+        inWc.toDF().withColumnRenamed("value", "payload")))
+
+    // document-stream faces
+    def docStream(texts: String*): MemoryStream[StreamDoc] = {
+      val in = MemoryStream[StreamDoc]
+      in.addData(texts.zipWithIndex.map { case (t, i) =>
+        doc(100L + i, i, t) }.toIndexedSeq: _*)
+      in
+    }
+    run("X7 streamingNearDup")(StreamingOps.streamingNearDup(
+      docStream(sampleText, sampleText + " tail", "unrelated words")
+        .toDS()))
+    run("X8 contaminationScreen")(StreamingOps.contaminationScreen(
+      docStream(sampleText).toDS(),
+      StreamingOps.referenceIndex(hist.withColumnRenamed(
+        "doc_id", "ref_id"))))
+    run("X10 streamingLineDedup")(StreamingOps.streamingLineDedup(
+      docStream("boiler\nfresh").toDS(),
+      CorpusOps.bannedLineFrontier(hist)))
+    run("X21 streamingParagraphDedup")(
+      StreamingOps.streamingParagraphDedup(
+        docStream("boiler\n\nfresh para").toDS(),
+        CorpusOps.bannedParagraphFrontier(hist)))
+    run("X11 streamingDsirScore")(StreamingOps.streamingDsirScore(
+      docStream(sampleText).toDS(), Search.dsirModel(spark, sf)))
+    run("X12 streamingSubstringScrub")(
+      StreamingOps.streamingSubstringScrub(
+        docStream("alpha beta. gamma delta. eps zeta. fresh tail here")
+          .toDS(), CorpusOps.sharedWindowFrontier(hist)))
+    run("X20 streamingSentenceScrub")(
+      StreamingOps.streamingSentenceScrub(
+        docStream("alpha beta. fresh sentence here.").toDS(),
+        CorpusOps.sharedSentenceFrontier(hist)))
+    run("X13 streamingNbClassify")(StreamingOps.streamingNbClassify(
+      docStream(sampleText).toDS(), Classify.nbModel(spark, sf)))
+    run("X14 streamingLm2Score")(StreamingOps.streamingLm2Score(
+      docStream(sampleText).toDS(), Search.lm2Model(spark, sf)))
+    run("X19 streamingC4")(StreamingOps.streamingC4(
+      docStream(sampleText).toDS(), badWords = Seq("badword")))
+    run("X25 streamingQualitySignals")(
+      StreamingOps.streamingQualitySignals(docStream(sampleText).toDS(),
+        stopWords = Seq("the", "a"), badWords = Seq("badword")))
+    run("X15 streamingChunk")(StreamingOps.streamingChunk(
+      docStream(sampleText).toDS()))
+    run("X26 streamingBloomScreen")(StreamingOps.streamingBloomScreen(
+      docStream(sampleText).toDS(),
+      Dedup.ngramBloomBuild(
+        spark.read.parquet(s"$sf/documents.parquet").limit(20))))
+    val phrase = (0 until 13).map(i => s"hv$i").mkString(" ")
+    run("X30 streamingHoldoutScreen")(
+      StreamingOps.streamingHoldoutScreen(
+        docStream(s"quoted $phrase here").toDS(),
+        Dedup.ngramFnvKeys(s"pre $phrase post", 13).distinct.sorted))
+
+    // X28 HTML extraction (its own arrival type)
+    val inH = MemoryStream[StreamHtml]
+    inH.addData(StreamHtml(1L, ts(0), "<p>hello <b>world</b></p>"))
+    run("X28 streamingHtmlExtract")(
+      StreamingOps.streamingHtmlExtract(inH.toDS()))
+
+    // X29 per-domain boilerplate scrub
+    val histSite = Seq(
+      (0L, "a.com", "nav\nu zero"), (1L, "a.com", "nav\nu one"),
+      (2L, "a.com", "nav\nu two"), (3L, "b.com", "nav\nu three"))
+      .toDF("doc_id", "domain", "text")
+    val inSite = MemoryStream[StreamSiteDoc]
+    inSite.addData(StreamSiteDoc(10L, ts(0), "a.com", "nav\nfresh"))
+    run("X29 streamingDomainLineDedup")(
+      StreamingOps.streamingDomainLineDedup(inSite.toDS(),
+        CorpusOps.bannedDomainLineFrontier(histSite, minDf = 3)))
+
+    // X16/X22 incremental screens over one persisted minhash index
+    val incDir = java.nio.file.Files
+      .createTempDirectory("graft_lint_incix").toString
+    val oldDocs = IncrementalDedup.oldDocs(spark, sf)
+    IncrementalDedup.saveIndex(oldDocs, incDir)
+    val incIx = IncrementalDedup.loadIndex(spark, incDir)
+    run("X16 streamingIncrementalScreen")(
+      StreamingOps.streamingIncrementalScreen(
+        docStream(sampleText).toDS(), incIx))
+    run("X22 streamingIncrementalScreenVerified")(
+      StreamingOps.streamingIncrementalScreenVerified(
+        docStream(sampleText).toDS(), incIx, oldDocs))
+
+    // X17/X18 ANN faces over one persisted IVF index, both formats
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_lint_ivf").toString
+    Similarity.saveIvfIndex(spark, sf, ivfDir)
+    val (centroids, assigned) = Similarity.loadIvfIndex(spark, ivfDir)
+    val export = Similarity.ivfCentroidsExport(centroids)
+    val qEmb = assigned.select(col("emb")).limit(1).collect()
+      .head.getSeq[Float](0).toArray
+    def vecStream(): MemoryStream[StreamVec] = {
+      val in = MemoryStream[StreamVec]
+      in.addData(StreamVec(0L, ts(0), qEmb))
+      in
+    }
+    run("X17 streamingAnnScreen")(StreamingOps.streamingAnnScreen(
+      vecStream().toDS(), export, assigned))
+    run("X18 streamingAnnTopK")(StreamingOps.streamingAnnTopK(
+      vecStream().toDS(), export, assigned))
+    val pkDir = java.nio.file.Files
+      .createTempDirectory("graft_lint_ivfpk").toString
+    Similarity.saveIvfIndexPacked(spark, sf, pkDir)
+    val (cPk, aPk) = Similarity.loadIvfIndexPacked(spark, pkDir)
+    run("X17p streamingAnnScreenPacked")(
+      StreamingOps.streamingAnnScreenPacked(vecStream().toDS(),
+        Similarity.ivfCentroidsExport(cPk), aPk))
+    run("X18p streamingAnnTopKPacked")(
+      StreamingOps.streamingAnnTopKPacked(vecStream().toDS(),
+        Similarity.ivfCentroidsExport(cPk), aPk))
+
+    // X23 URL gate + per-domain cap; X27 composed admission
+    val (docsFx, blocklist) = Pipeline.releaseFixture(spark, sf)
+    val inUrl = MemoryStream[StreamUrlDoc]
+    inUrl.addData(StreamUrlDoc(1L, ts(0), "https://a.com/x"),
+      StreamUrlDoc(2L, ts(1), "https://b.com/y"))
+    run("X23 streamingDomainGate")(StreamingOps.streamingDomainGate(
+      inUrl.toDS(), blocklist))
+    val inUrl2 = MemoryStream[StreamUrlDoc]
+    inUrl2.addData(StreamUrlDoc(1L, ts(0), "https://a.com/x"),
+      StreamUrlDoc(2L, ts(1), "https://a.com/z"))
+    run("X23b streamingDomainCap")(StreamingOps.streamingDomainCap(
+      inUrl2.toDS()))
+    // X27 keeps the pilot's full-corpus feed: the quality-gate
+    // conjunction filters on four kernel-derived keep columns — the
+    // exact multi-reference predicate shape this lint caught live
+    val bits = Dedup.fpBloomBuild(docsFx.filter(col("doc_id") % 5 === 2))
+    val rows = docsFx.collect().sortBy(_.getAs[Long]("doc_id"))
       .zipWithIndex.map { case (r, i) =>
         StreamIngestDoc(r.getAs[Long]("doc_id"), ts(i % 50),
           r.getAs[String]("url"), r.getAs[String]("text")) }
     val in27 = MemoryStream[StreamIngestDoc]
-    val q27 = StreamingOps.streamingIngestAdmission(in27.toDS(),
+    in27.addData(rows.toIndexedSeq: _*)
+    run("X27 streamingIngestAdmission")(
+      StreamingOps.streamingIngestAdmission(in27.toDS(),
         blocklist, bits, stopWords = Seq("the", "a"),
-        badWords = Seq("badword"), cap = 2)
-      .writeStream.format("memory").queryName("lint_x27")
-      .outputMode("append").start()
-    try {
-      in27.addData(rows.toIndexedSeq: _*)
-      q27.processAllAvailable()
-      auditLastBatch("X27 streamingIngestAdmission", q27)
-    } finally q27.stop()
+        badWords = Seq("badword"), cap = 2))
+
+    // staleness guard: a constructor added to StreamingOps without a
+    // catalog entry fails here, not silently un-linted. Every PUBLIC
+    // `def` in StreamingOps is a face except the batch-side artifact
+    // builder(s) named below (private helpers like annTopKTail don't
+    // match the two-space `def` pattern).
+    val builders = Set("referenceIndex")
+    val defLine = """  def (\w+)\(.*""".r
+    val faces = scala.io.Source.fromFile(
+        "src/main/scala/graft/streaming/StreamingOps.scala",
+        "UTF-8").getLines()
+      .collect { case defLine(n) if !builders(n) => n }.toSeq
+    assert(audited.size == faces.size,
+      s"StreamingOps has ${faces.size} face constructors but the " +
+        s"lint catalog audited ${audited.size} — add the new face " +
+        s"here. Constructors: ${faces.mkString(", ")}; audited: " +
+        audited.mkString(", "))
   }
 }

@@ -421,6 +421,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(S.annIvfAppendQuery(spark, sf).count() > 0)
   }
 
+  test("packed IVF index (S12xS16): search bit-equal to the array " +
+      "face, append == rebuild, loaders refuse cross-format") {
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Similarity
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_ivf_arr").toString
+    val dirP = java.nio.file.Files
+      .createTempDirectory("graft_ivf_pk").toString
+    S.saveIvfIndex(spark, sf, dirA)
+    S.saveIvfIndexPacked(spark, sf, dirP)
+    val (cA, aA) = S.loadIvfIndex(spark, dirA)
+    val (cP, aP) = S.loadIvfIndexPacked(spark, dirP)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        r.getInt(3))).toSeq
+    val arr = rows(S.annIvfIndexed(cA, aA))
+    val pk = rows(S.annIvfIndexedPacked(cP, aP))
+    assert(arr == pk && arr.nonEmpty,
+      "packed index search drifted from the array face")
+    // registered faces agree end to end (each through its own cache)
+    assert(rows(S.annIvfIndexedPackedQuery(spark, sf)) ==
+      rows(S.annIvfIndexedQuery(spark, sf)))
+    // S13xS16 append == rebuilding the packed assignment of the
+    // unioned corpus under the frozen centroids
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_ivf_pk_app").toString
+    S.saveIvfIndexPackedOf(spark, emb.filter(col("vec_id") % 5 =!= 0),
+      dir2)
+    S.appendIvfIndexPacked(spark, emb.filter(col("vec_id") % 5 === 0),
+      dir2)
+    val (c2, appended) = S.loadIvfIndexPacked(spark, dir2)
+    val rebuilt = S.assignCells(emb, c2)
+      .select(col("vec_id"), col("cell_id"),
+        graft.functions.VectorFunctions.packFloats(col("emb"))
+          .as("emb_bin"))
+    assert(rows(S.annIvfIndexedPacked(c2, appended)) ==
+      rows(S.annIvfIndexedPacked(c2, rebuilt)))
+    // cross-format loads refuse at the artifact boundary, by name
+    val e1 = intercept[IllegalArgumentException](
+      S.loadIvfIndexPacked(spark, dirA))
+    assert(e1.getMessage.contains("not a PACKED IVF assignment"))
+    val e2 = intercept[IllegalArgumentException](
+      S.loadIvfIndex(spark, dirP))
+    assert(e2.getMessage.contains("not an IVF assignment"))
+  }
+
+  test("knnGraphIvf packed candidate side (the default) is bit-equal " +
+      "to the array face") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        r.getInt(3))).toSeq
+    val pk = rows(Similarity.knnGraphIvf(spark, sf))
+    val arr = rows(Similarity.knnGraphIvf(spark, sf, packed = false))
+    assert(pk == arr && pk.nonEmpty,
+      "packed graph build drifted from the array face")
+  }
+
   test("ivfDrift flags an out-of-distribution increment") {
     import org.apache.spark.sql.functions._
     val S = graft.operators.Similarity

@@ -995,6 +995,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("X18xS16 packed streaming top-k equals batch " +
+      "annIvfIndexedPacked under one packed index, bit-for-bit") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingOps.StreamVec
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_x18_pk").toString
+    Similarity.saveIvfIndexPacked(spark, sf, dir)
+    val (centroids, assigned) = Similarity.loadIvfIndexPacked(spark, dir)
+    val export = Similarity.ivfCentroidsExport(centroids)
+    val expected = Similarity.annIvfIndexedPacked(centroids, assigned)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3)))
+      .toSet
+    assert(expected.nonEmpty)
+    // stream the SAME query vectors (unpacked from the store, so the
+    // pack-at-arrival path is exercised end to end)
+    val qvecs = graft.operators.EmbeddingStore
+      .unpackEmbeddings(assigned.withColumnRenamed("cell_id", "label"))
+      .filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(qvecs.length == 10)
+    val in = MemoryStream[StreamVec]
+    val q = StreamingOps.streamingAnnTopKPacked(in.toDS(), export,
+        assigned)
+      .writeStream.format("memory").queryName("anntopk_pk_out")
+      .outputMode("append").start()
+    try {
+      in.addData(qvecs.zipWithIndex.map { case ((id, e), i) =>
+        StreamVec(id, ts(i), e) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(spark.table("anntopk_pk_out").isEmpty)
+      in.addData(StreamVec(999999L, ts(120), qvecs.head._2))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("anntopk_pk_out").collect()
+        .map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("cosine")),
+          r.getAs[Int]("rnk")))
+        .filter(_._1 < 10).toSet
+      assert(got == expected,
+        s"stream-only=${got -- expected} batch-only=${expected -- got}")
+    } finally q.stop()
+  }
+
   test("X18 ranking is replay-stable: identical under two candidate " +
       "arrival orders, ties broken by vec_id") {
     import graft.streaming.StreamingOps.StreamVec
