@@ -23,6 +23,14 @@ package graft.operators
   *    dirs from crashed builds are reaped once they are older than
   *    [[orphanMs]] — young ones may belong to a live concurrent
   *    build.
+  *
+  * Known narrow window (accepted trade of the GC): a process still
+  * lazily reading a PRIOR fingerprint's artifact while another
+  * process installs the regenerated corpus's cache loses its files
+  * (unlink-during-read keeps open handles alive, but later actions
+  * over the lazy frame re-list the dir and fail LOUDLY). That takes
+  * a corpus regeneration mid-flight of a concurrent reader; the
+  * pre-GC behavior was unbounded /tmp growth on every regeneration.
   */
 private[graft] object ArtifactCache {
 
