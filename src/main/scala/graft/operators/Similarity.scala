@@ -882,6 +882,67 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** S18 — BATCHED PACKED IVF SERVING: [[annIvfIndexedPacked]] for an
+    * ARBITRARY query table `(query_id, q_bin)` instead of a corpus
+    * prefix — the realistic serving shape, where thousands-to-
+    * millions of queries amortize one pass over the probed cell
+    * lists. Plan: probe selection is one crossJoin against the
+    * broadcast centroids (nQ·nCells fused packed cosines), then ONE
+    * cell_id equi-join against the packed lists — un-hinted, so AQE
+    * broadcasts a small probe table and shuffles a corpus-sized one
+    * (the knnGraphIvf join shape; at full-corpus query volume this
+    * face IS the graph build) — and both rank stages are R26 bounded
+    * heaps, not windows: at nQ queries a window would shuffle-and-
+    * sort nQ·nProbe·E[cell] candidate rows, while the heaps move at
+    * most nProbe (resp. k) entries per query per partition,
+    * map-side combined. The heap's native (ord DESC, id ASC) order
+    * IS the library ANN tie rule, so on a corpus-prefix query table
+    * this face is BIT-EQUAL to the window-ranked
+    * [[annIvfIndexedPacked]] (spec-pinned — which also re-pins
+    * heap ≡ window on the served shape). A query whose id matches a
+    * corpus vec_id excludes that vector (self-exclusion, the ann
+    * family rule); foreign ids exclude nothing.
+    */
+  def annIvfSearchPacked(centroids: DataFrame, assigned: DataFrame,
+      queries: DataFrame, nProbe: Int = 2, k: Int = 5): DataFrame = {
+    import graft.functions.AggFunctions.topk_by
+    val probes = queries.select(col("query_id"), col("q_bin"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosinePackedAny(col("q_bin"), col("c_emb")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cdist"), col("cell_id"), nProbe).as("pc"),
+        first(col("q_bin")).as("q_bin"))
+      .select(col("query_id"), col("q_bin"), explode(col("pc")).as("p"))
+      .select(col("query_id"), col("q_bin"), col("p.id").as("cell_id"))
+    assigned.join(probes, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosinePacked(col("emb_bin"), col("q_bin")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cosine"), col("vec_id"), k).as("top"))
+      .select(col("query_id"),
+        posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.ord").as("cosine"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Registered `ann_ivf_search_packed`: the S18 batch face over the
+    * cached packed index — every fifth corpus vector (vec_id % 5 ==
+    * 2) as the query batch, so the row exercises a query table an
+    * order of magnitude past the prefix faces' nQueries=10.
+    * Rows-only (float cosine ranks); SimilaritySpec pins the face
+    * bit-equal to [[annIvfIndexedPacked]] on a prefix query table.
+    */
+  def annIvfSearchPackedQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (centroids, assigned) = packedIndexFor(spark, sfDir)
+    annIvfSearchPacked(centroids, assigned,
+      assigned.filter(col("vec_id") % 5 === 2)
+        .select(col("vec_id").as("query_id"),
+          col("emb_bin").as("q_bin")))
+  }
+
   /** Registered `ann_ivf_indexed_packed`: the packed index persisted
     * once per input dir (the annIvfIndexedQuery cache convention,
     * its own root — the two formats never share a cache dir),
@@ -891,14 +952,20 @@ object Similarity {
     */
   def annIvfIndexedPackedQuery(spark: SparkSession,
       sfDir: String): DataFrame = {
+    val (centroids, assigned) = packedIndexFor(spark, sfDir)
+    annIvfIndexedPacked(centroids, assigned)
+  }
+
+  /** The cached packed index both packed registered faces search. */
+  private def packedIndexFor(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     val cache = ArtifactCache.ensure(
       new java.io.File("/tmp/graft_ivfpk_cache"),
       new java.io.File(sfDir).getName,
       sourceFingerprint(s"$sfDir/embeddings.parquet"),
       c => new java.io.File(c, "assigned/_SUCCESS").exists())(
       tmp => saveIvfIndexPacked(spark, sfDir, tmp.toString))
-    val (centroids, assigned) = loadIvfIndexPacked(spark, cache.toString)
-    annIvfIndexedPacked(centroids, assigned)
+    loadIvfIndexPacked(spark, cache.toString)
   }
 
   /** Bounded centroid export for the stream-side probe step (the

@@ -54,6 +54,11 @@ object SimilarityRegistry {
     // ann_ivf_indexed over the same deterministic fit
     "ann_ivf_indexed_packed" -> ((s, d) =>
       Similarity.annIvfIndexedPackedQuery(s, d)),
+    // S18 batch serving face: arbitrary (query_id, q_bin) table,
+    // bounded-heap ranking. Rows-only; SimilaritySpec pins it
+    // bit-equal to annIvfIndexedPacked on a prefix query table
+    "ann_ivf_search_packed" -> ((s, d) =>
+      Similarity.annIvfSearchPackedQuery(s, d)),
     // rows-only: the S13 maintenance loop (fit 4/5, append 1/5 under
     // frozen centroids, search); SimilaritySpec pins append ≡
     // rebuild-under-fixed-centroids bit-exactly

@@ -470,6 +470,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not an IVF assignment"))
   }
 
+  test("S18 batch packed serving: bounded-heap face bit-equal to the " +
+      "window-ranked prefix face; foreign ids exclude nothing; " +
+      "registered batch face serves 1-in-5 of the corpus") {
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_srv").toString
+    S.saveIvfIndexPacked(spark, sf, dir)
+    val (centroids, assigned) = S.loadIvfIndexPacked(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        r.getInt(3))).toSeq
+    // prefix query table == the window-ranked face, bit for bit
+    // (also re-pins bounded-heap order ≡ window order on this shape)
+    val prefix = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb_bin").as("q_bin"))
+    assert(rows(S.annIvfSearchPacked(centroids, assigned, prefix)) ==
+      rows(S.annIvfIndexedPacked(centroids, assigned)))
+    // a FOREIGN query id (no corpus vec_id collision) excludes
+    // nothing: reusing vec 0's blob under id 10_000_000 must rank
+    // vec 0 itself as the top-1 neighbor at cosine 1
+    val foreign = assigned.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 10000000L).as("query_id"),
+        col("emb_bin").as("q_bin"))
+    val got = rows(S.annIvfSearchPacked(centroids, assigned, foreign))
+    assert(got.nonEmpty && got.head._1 == 10000000L &&
+      got.head._2 == 0L && got.head._4 == 1,
+      s"foreign-id self hit missing: ${got.take(3)}")
+    // registered face: 1-in-5 of the corpus as queries, k rows each,
+    // contiguous ranks
+    val served = S.annIvfSearchPackedQuery(spark, sf)
+    val byQ = served.collect().groupBy(_.getLong(0))
+    val nVec = assigned.count()
+    assert(byQ.size.toLong == (nVec + 2) / 5,
+      s"${byQ.size} query groups for $nVec vectors")
+    assert(byQ.values.forall(g =>
+      g.map(_.getInt(3)).sorted.toSeq == (1 to g.length)))
+  }
+
   test("knnGraphIvf packed candidate side (the default) is bit-equal " +
       "to the array face") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
