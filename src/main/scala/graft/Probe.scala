@@ -57,6 +57,7 @@ object Probe {
       "holdout_carve", "holdout_carve_bloom", "contamination_report",
       "contamination_report_join",
       "domain_line_dedup", "corpus_diversity",
+      "ann_ivf_search_packed",
       "embed_prune_proto", "signals_ablation", "model_threshold_sweep",
       "top_ngrams", "top_ngrams_approx", "boilerplate_share",
       "bpe_train", "pack_sequences_bpe",
