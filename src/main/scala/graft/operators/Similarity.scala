@@ -773,13 +773,35 @@ object Similarity {
     * temp dir and is renamed into place atomically, so a concurrent
     * process either sees the complete index or builds its own.
     */
+  /** The cell count the CACHED serving indexes are built with: the
+    * knnGraphIvf auto rule (`max(8, ceil(n / 1024))`, capped). A
+    * FIXED count would let E[cell] — and with it every search's
+    * candidate volume — grow linearly with the corpus: the r20 probe
+    * measured the 40k-query S18 row at 564 s over a stale 8-cell
+    * 200k-vector index (25k-member cells) where the auto-sized index
+    * bounds it to ~1k-member cells. At the harness correctness
+    * scales (≤ 1024 vectors per 0.01 SF) the rule returns exactly
+    * the historical 8, so every registered-face value is unchanged
+    * where the oracle looks. The parquet count is footer-metadata
+    * only; the cell count keys the cache fingerprint so a resized
+    * corpus cannot be served a stale-geometry index.
+    */
+  private[graft] def autoCells(n: Long): Int = {
+    // overflow-safe ceil: (n + 1023) wraps negative at Long.MaxValue
+    // and the max() would silently hand a planet-sized corpus 8
+    // cells (caught by the spec pin on first run)
+    val ceil = n / 1024 + (if (n % 1024 == 0) 0L else 1L)
+    math.min(math.max(8L, ceil), 1L << 20).toInt
+  }
+
   def annIvfIndexedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = autoCells(embeddings(spark, sfDir).count())
     val cache = ArtifactCache.ensure(
       new java.io.File("/tmp/graft_ivf_cache"),
       new java.io.File(sfDir).getName,
-      sourceFingerprint(s"$sfDir/embeddings.parquet"),
+      s"c$cells-" + sourceFingerprint(s"$sfDir/embeddings.parquet"),
       c => new java.io.File(c, "assigned/_SUCCESS").exists())(
-      tmp => saveIvfIndex(spark, sfDir, tmp.toString))
+      tmp => saveIvfIndex(spark, sfDir, tmp.toString, nCells = cells))
     val (centroids, assigned) = loadIvfIndex(spark, cache.toString)
     annIvfIndexed(centroids, assigned)
   }
@@ -956,15 +978,20 @@ object Similarity {
     annIvfIndexedPacked(centroids, assigned)
   }
 
-  /** The cached packed index both packed registered faces search. */
+  /** The cached packed index both packed registered faces search —
+    * same [[autoCells]] geometry as the array cache, so the
+    * cross-format bit-equality pin holds at every scale.
+    */
   private def packedIndexFor(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
+    val cells = autoCells(embeddings(spark, sfDir).count())
     val cache = ArtifactCache.ensure(
       new java.io.File("/tmp/graft_ivfpk_cache"),
       new java.io.File(sfDir).getName,
-      sourceFingerprint(s"$sfDir/embeddings.parquet"),
+      s"c$cells-" + sourceFingerprint(s"$sfDir/embeddings.parquet"),
       c => new java.io.File(c, "assigned/_SUCCESS").exists())(
-      tmp => saveIvfIndexPacked(spark, sfDir, tmp.toString))
+      tmp => saveIvfIndexPacked(spark, sfDir, tmp.toString,
+        nCells = cells))
     loadIvfIndexPacked(spark, cache.toString)
   }
 

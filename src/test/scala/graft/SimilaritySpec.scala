@@ -499,6 +499,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty && got.head._1 == 10000000L &&
       got.head._2 == 0L && got.head._4 == 1,
       s"foreign-id self hit missing: ${got.take(3)}")
+    // the cached serving indexes auto-scale their cell count (the
+    // knnGraphIvf rule): identical to the historical 8 at every
+    // harness correctness scale, corpus-proportional past it — a
+    // fixed count lets E[cell] grow linearly and the r20 probe
+    // measured the 40k-query batch face at 564 s over a stale
+    // 8-cell 200k index
+    assert(S.autoCells(50) == 8 && S.autoCells(500) == 8 &&
+      S.autoCells(2000) == 8 && S.autoCells(200000) == 196 &&
+      S.autoCells(Long.MaxValue) == (1 << 20))
     // registered face: 1-in-5 of the corpus as queries, k rows each,
     // contiguous ranks
     val served = S.annIvfSearchPackedQuery(spark, sf)
