@@ -163,35 +163,69 @@ object Clusters {
       .as[(Long, Long)]
       .transform(graft.plans.Lineage.truncate(_))
 
+    // Convergence signal (r20 optimization round): a per-round
+    // accumulator counting REWIRES, populated for free by the same
+    // job that materializes the round's checkpoint — zero extra
+    // actions. The old test (count(edges) + count(next) + an
+    // except().isEmpty anti-join whenever the counts matched) cost
+    // 2–3 full passes per round; at sf0.1 the checks were ~35% of
+    // the loop. Equivalence: the star operators leave the edge set
+    // unchanged iff it is a set of disjoint min-rooted stars
+    // (Kiveris et al.), which is exactly when no group rewires —
+    // largeStar rewires iff some neighborhood with a v > u member
+    // has min ≠ u; smallStar rewires iff some larger-endpoint group
+    // has ≥ 2 (distinct) smaller neighbors. Successful tasks add
+    // exactly once, so a zero delta proves a no-op round; retried
+    // tasks can only over-count, i.e. force one extra (idempotent)
+    // round, never a premature stop.
+    val rewired = spark.sparkContext.longAccumulator("graft.cc.rewired")
+
     // Large-star: group every edge BOTH ways on u; for m = min of the
     // neighborhood (incl. u), rewire every neighbor v > u to m.
     // Small-star: group each edge on its LARGER endpoint; rewire the
     // smaller neighbors (and u itself) to the neighborhood min.
     // Both emit canonical (min, max) pairs, so the converged fixpoint
-    // is a set of stars rooted at component minima.
+    // is a set of stars rooted at component minima. largeStar's
+    // per-round distinct is GONE (r20): its input is distinct (the
+    // round-final distinct below), so neighborhoods are duplicate-
+    // free; its cross-group duplicate emissions are deduped in-group
+    // by smallStar's sort (one shuffle saved per round).
     def largeStar(e: org.apache.spark.sql.Dataset[(Long, Long)]) = e
       .flatMap { case (u, v) => Seq((u, v), (v, u)) }
       .groupByKey(_._1)
       .flatMapGroups { (u, it) =>
         val ns = it.map(_._2).toArray
         var m = u
+        var any = false
         var i = 0
-        while (i < ns.length) { if (ns(i) < m) m = ns(i); i += 1 }
+        while (i < ns.length) {
+          if (ns(i) < m) m = ns(i)
+          if (ns(i) > u) any = true
+          i += 1
+        }
+        if (any && m != u) rewired.add(1)
         ns.iterator.filter(_ > u).map(v => (m, v))
       }
-      .distinct()
 
     def smallStar(e: org.apache.spark.sql.Dataset[(Long, Long)]) = e
       .map { case (u, v) => (math.max(u, v), math.min(u, v)) }
       .groupByKey(_._1)
       .flatMapGroups { (u, it) =>
         val ns = it.map(_._2).toArray
-        var m = u
+        java.util.Arrays.sort(ns)
+        // in-place dedupe of the sorted neighborhood (largeStar's
+        // cross-group duplicates land here now)
+        var n = 0
         var i = 0
-        while (i < ns.length) { if (ns(i) < m) m = ns(i); i += 1 }
-        // rewire u and its smaller neighbors to the minimum
-        (Iterator.single(u) ++ ns.iterator).filter(_ != m)
-          .map(x => (m, x)).toSeq.distinct.iterator
+        while (i < ns.length) {
+          if (n == 0 || ns(n - 1) != ns(i)) { ns(n) = ns(i); n += 1 }
+          i += 1
+        }
+        // rewire u and its smaller neighbors to the minimum ns(0)
+        val m = ns(0)
+        if (n > 1) rewired.add(1)
+        (ns.iterator.slice(1, n) ++ Iterator.single(u))
+          .map(x => (m, x))
       }
       .distinct()
 
@@ -209,14 +243,12 @@ object Clusters {
       // production site) through reliable .checkpoint — exercised
       // under real executor kills by ChaosCheck scenario 4; see the
       // graft.operators.Pipeline contract (SURVEY §5).
+      val base = rewired.value
       val next = graft.plans.Lineage.truncate(smallStar(largeStar(edges)))
-      // fixpoint test: identical edge SETS. Both sides are distinct
-      // canonical pairs, so set equality = equal counts + empty
-      // difference; one scalar action via a full outer count
-      val before = edges.count()
-      val after = next.count()
-      converged = before == after &&
-        next.toDF("u", "v").except(edges.toDF("u", "v")).isEmpty
+      // the eager truncate materialized every partition, so the
+      // accumulator is fully populated: zero delta = no-op round =
+      // the star fixpoint (identical edge set, proven above)
+      converged = rewired.value == base
       // release the superseded round's checkpoint cache — without
       // this every round's edge set stays resident and a long-lived
       // session accumulates storage (measured: 54 s fresh vs 193 s
@@ -226,12 +258,16 @@ object Clusters {
       rounds += 1
     }
 
-    // stars: (root, member); roots label themselves
+    // stars: (root, member); roots label themselves. When the loop
+    // CONVERGED the stars are disjoint (members unique, no root is a
+    // member), so the outer distinct is a provable no-op — skipped
+    // (one shuffle saved); it is kept on the maxRounds bail-out where
+    // the edge set has no star guarantee.
     val members = edges.toDF("cluster_id", "doc_id")
-    members.select(col("doc_id"), col("cluster_id"))
+    val labeled = members.select(col("doc_id"), col("cluster_id"))
       .union(members.select(col("cluster_id").as("doc_id"),
         col("cluster_id")).distinct())
-      .distinct()
+    (if (converged) labeled else labeled.distinct())
       .orderBy(col("doc_id"))
   }
 }

@@ -733,7 +733,10 @@ object CorpusOps {
     require(maxBanned > 0, s"maxBanned must be > 0: $maxBanned")
     val spark = docs.sparkSession
     import spark.implicits._
-    val bannedRows = docs.select(col("doc_id"), col("text"))
+    // r20: spread the mine scan (the segmentDedup rationale — one
+    // small file = one scan partition for the split+hash kernel)
+    val bannedRows = graft.plans.Spread.spreadIfNarrow(
+        docs.select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .flatMap { case (_, t) =>
         val hs = split(t).map(lineHash)
@@ -767,6 +770,44 @@ object CorpusOps {
       maxBanned: Int = 4000000): DataFrame =
     segmentDedup(docs, splitLines, "\n", minDf, maxBanned)
 
+  /** [[lineDedup]] carrying `source` through the rebuild scan — the
+    * composed-pipeline entry point: P1/P2 previously re-attached
+    * `source` by joining the cleaned corpus back onto the input on
+    * doc_id — a corpus-sized join on BOTH sides whose two exchanges
+    * carry the full cleaned text. The typed rebuild map can just
+    * carry the column. One row per input doc (no filtering), so the
+    * rows are identical to `docs.select(doc_id, source) ⋈
+    * lineDedup(docs)`, minus the registered face's diagnostic
+    * orderBy and counters.
+    */
+  private[operators] def lineDedupWithSource(docs: DataFrame,
+      minDf: Int = 3, maxBanned: Int = 4000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      bannedSegmentFrontier(docs, splitLines, minDf, maxBanned))
+    graft.plans.Spread.spreadIfNarrow(
+        docs.select(col("doc_id"), col("source"), col("text")))
+      .as[(Long, String, String)]
+      .map { case (id, src, t) =>
+        val ls = splitLines(t)
+        val sb = new java.lang.StringBuilder
+        var kept = 0L
+        var i = 0
+        while (i < ls.length) {
+          if (java.util.Arrays.binarySearch(bc.value,
+              lineHash(ls(i))) < 0) {
+            if (kept > 0) sb.append("\n")
+            sb.append(ls(i))
+            kept += 1
+          }
+          i += 1
+        }
+        (id, src, sb.toString)
+      }
+      .toDF("doc_id", "source", "clean_text")
+  }
+
   /** T34 — PARAGRAPH-LEVEL corpus dedup: [[lineDedup]] at
     * blank-line granularity (the RefinedWeb/MassiveText variant —
     * whole boilerplate BLOCKS like license headers or nav sections
@@ -794,7 +835,10 @@ object CorpusOps {
       maxBanned: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ds = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // r20: spread the rebuild scan (kernel-per-doc on a possibly
+    // single-partition small-file scan; no-op at real scale)
+    val ds = graft.plans.Spread.spreadIfNarrow(
+      docs.select(col("doc_id"), col("text"))).as[(Long, String)]
     val bc = spark.sparkContext.broadcast(
       bannedSegmentFrontier(docs, split, minDf, maxBanned))
     ds.map { case (id, t) =>
@@ -1109,7 +1153,11 @@ object CorpusOps {
     require(maxShared > 0, s"maxShared must be > 0: $maxShared")
     val spark = docs.sparkSession
     import spark.implicits._
-    val shared = docs.select(col("doc_id"), col("text"))
+    // r20: spread the mine scan — the tokenize+hash kernel otherwise
+    // runs on the small file's single scan partition (guide §2.5);
+    // no-op on any real multi-split input
+    val shared = graft.plans.Spread.spreadIfNarrow(
+        docs.select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         val hs = windowHashes(duckTokens(t), w).clone()
@@ -1250,7 +1298,8 @@ object CorpusOps {
     import spark.implicits._
     val (keys, owners) = sharedWindowFrontier(docs, w, maxShared)
     val bc = spark.sparkContext.broadcast((keys, owners))
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.plans.Spread.spreadIfNarrow(
+        docs.select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, t) =>
         val (txt, kept, dropped) = scrubTokens(duckTokens(t), id,
           bc.value._1, bc.value._2, w)
@@ -1258,6 +1307,31 @@ object CorpusOps {
       }
       .toDF("doc_id", "clean_text", "n_kept", "n_dropped")
       .orderBy(col("doc_id"))
+  }
+
+  /** [[substringScrub]] carrying `source` through the rebuild scan —
+    * the composed-pipeline entry point (the [[lineDedupWithSource]]
+    * rationale): P2 previously re-attached `source` with a
+    * corpus-sized self-join on doc_id, shuffling the scrubbed text
+    * twice for a column the typed map can just carry. Rows identical
+    * to `docs.select(doc_id, source) ⋈ substringScrub(docs)` minus
+    * the registered face's diagnostic orderBy and n_dropped.
+    */
+  private[operators] def substringScrubWithSource(docs: DataFrame,
+      w: Int = 8, maxShared: Int = 4000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (keys, owners) = sharedWindowFrontier(docs, w, maxShared)
+    val bc = spark.sparkContext.broadcast((keys, owners))
+    graft.plans.Spread.spreadIfNarrow(
+        docs.select(col("doc_id"), col("source"), col("text")))
+      .as[(Long, String, String)]
+      .map { case (id, src, t) =>
+        val (txt, kept, _) = scrubTokens(duckTokens(t), id,
+          bc.value._1, bc.value._2, w)
+        (id, src, txt, kept)
+      }
+      .toDF("doc_id", "source", "clean_text", "n_kept")
   }
 
   /** The registered `substring_scrub` query: natural word-soup shares

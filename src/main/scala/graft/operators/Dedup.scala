@@ -889,13 +889,12 @@ object Dedup {
     * sat idle. Spread the DOC rows (one row per doc, before the
     * ~200× shingle fan-out and before the kernel) when the scan is
     * narrower than the shuffle width; on a real multi-TB input the
-    * scan has plenty of splits and this is a no-op.
+    * scan has plenty of splits and this is a no-op. (Promoted to
+    * [[graft.plans.Spread]] in r20 for the similarity/text kernel
+    * paths; this alias keeps the local call sites.)
     */
-  private def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.isStreaming || df.rdd.getNumPartitions >= target) df
-    else df.repartition(target)
-  }
+  private def spreadIfNarrow(df: DataFrame): DataFrame =
+    graft.plans.Spread.spreadIfNarrow(df)
 
   /** No size(keys) > 0 pre-filter: the postings flatMap emits nothing
     * for an empty key array, and a pushed-down filter would run the
@@ -1243,7 +1242,7 @@ object Dedup {
     // real scale, zero at oracle scale). The flatMap (not explode) is
     // deliberate: Catalyst re-evaluates a computed array per OUTPUT
     // row under Generate.
-    val postings = docs
+    val postings = spreadIfNarrow(docs)
       .select(col("doc_id"), graft.functions.HashFunctions
         .shingle_keys(col("text"), col("source"), 3).as("keys"))
       .as[(Long, Array[Long])]

@@ -99,10 +99,12 @@ object Pipeline {
       .filter(TextOps.modelQualityScore(col("text")) >= lit(0.5))
     // 2. line dedup over the survivors; clean_text becomes the text
     //    every later stage sees (empty-text docs stay — corpus
-    //    membership is the dedup stages' decision, per T19's contract)
-    val cleaned = kept.select(col("doc_id"), col("source"))
-      .join(CorpusOps.lineDedup(kept, minDf)
-        .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+    //    membership is the dedup stages' decision, per T19's contract).
+    //    r20: `source` is CARRIED through the rebuild map instead of
+    //    re-attached with a corpus-sized self-join on doc_id — the
+    //    join's two exchanges moved the full cleaned text for an
+    //    8-byte column (rows identical; PipelineSpec's stagewise pin)
+    val cleaned = CorpusOps.lineDedupWithSource(kept, minDf)
       .select(col("doc_id"), col("source"),
         col("clean_text").as("text"),
         length(col("clean_text")).cast("long").as("n_chars"))
@@ -161,17 +163,15 @@ object Pipeline {
     require(minTokens >= 1, s"minTokens must be >= 1: $minTokens")
     val kept = docs
       .filter(TextOps.modelQualityScore(col("text")) >= lit(0.5))
-    val cleaned = kept.select(col("doc_id"), col("source"))
-      .join(CorpusOps.lineDedup(kept, minDf)
-        .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+    // r20: source carried through the rebuild maps instead of
+    // re-attached by corpus-sized doc_id self-joins (the P1 change)
+    val cleaned = CorpusOps.lineDedupWithSource(kept, minDf)
       .select(col("doc_id"), col("source"),
         col("clean_text").as("text"))
     val corpus = if (share) graft.plans.Lineage.truncate(cleaned) else cleaned
     // 3'. span-level scrub over the cleaned text + length gate
-    val scrubbed = corpus.select(col("doc_id"), col("source"))
-      .join(CorpusOps.substringScrub(corpus, w)
-        .filter(col("n_kept") >= minTokens)
-        .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+    val scrubbed = CorpusOps.substringScrubWithSource(corpus, w)
+      .filter(col("n_kept") >= minTokens)
       .select(col("doc_id"), col("source"),
         col("clean_text").as("text"))
     screenMixPack(scrubbed, screenThreshold, refMod, mixBudget,

@@ -19,22 +19,36 @@ object Similarity {
 
   /** S1 — brute-force cosine top-k: exact baseline (and the verifier
     * for the approximate paths). Queries = vec_id < 10, k = 5.
+    *
+    * r20 optimization round (guide §2.5/§4, bit-identical rows):
+    * the corpus side is SPREAD (one small parquet file = ONE scan
+    * partition, so the n·nQueries pair loop ran on one core), each
+    * side's norm is computed ONCE per row instead of once per pair
+    * (cosineAny re-derives both self-dots per pair — 3× the kernel
+    * flops), and the per-query rank is the R26 bounded heap instead
+    * of a window sort (same (cosine DESC, vec_id ASC) tie rule, so
+    * rows are bit-equal — the knnGraphIvf precedent).
     */
   def annBruteForce(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import graft.functions.AggFunctions.topk_by
     val emb = embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").as("emb"))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    emb.crossJoin(broadcast(queries))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        normAny(col("emb")).as("q_nrm"))
+    graft.plans.Spread.spreadIfNarrow(emb)
+      .select(col("vec_id"), col("emb"), normAny(col("emb")).as("nrm"))
+      .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rnk"))
+      .withColumn("cosine", dotAny(col("emb"), col("q_emb")) /
+        (col("nrm") * col("q_nrm")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cosine"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.ord").as("cosine"),
+        (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -59,13 +73,18 @@ object Similarity {
       s"simJoin is the quadratic label-blocked VERIFIER ($n rows > " +
         s"maxRows=$maxRows): use Similarity.simJoinLsh for production " +
         "similarity joins, or raise maxRows deliberately")
+    // r20: norms computed once per INPUT row (not once per pair —
+    // cosineAny re-derives both self-dots per pair, 3× the kernel
+    // flops on a quadratic pair volume); dot/(nrm_a*nrm_b) is the
+    // same fold in the same operand order, rows bit-equal.
     val a = emb.select(col("vec_id").as("vec_a"), col("label"),
-      col("emb").as("emb_a"))
+      col("emb").as("emb_a"), normAny(col("emb")).as("nrm_a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("label"),
-      col("emb").as("emb_b"))
+      col("emb").as("emb_b"), normAny(col("emb")).as("nrm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", cosineAny(col("emb_a"), col("emb_b")))
+      .withColumn("cosine", dotAny(col("emb_a"), col("emb_b")) /
+        (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -106,17 +125,24 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
+    // r20: per-side norms once per row + bounded-heap rank (same tie
+    // rule as the window it replaces — bit-equal rows, the
+    // knnGraphIvf precedent)
+    import graft.functions.AggFunctions.topk_by
     val qEmb = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    candIds.join(emb, "vec_id")
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        normAny(col("emb")).as("q_nrm"))
+    candIds.join(emb.select(col("vec_id"), col("emb"),
+        normAny(col("emb")).as("nrm")), "vec_id")
       .join(broadcast(qEmb), "query_id")
-      .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rnk"))
+      .withColumn("cosine", dotAny(col("emb"), col("q_emb")) /
+        (col("nrm") * col("q_nrm")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cosine"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.ord").as("cosine"),
+        (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -147,7 +173,10 @@ object Similarity {
     require(bitsPerBand >= 1 && bitsPerBand <= 63,
       s"bitsPerBand must be in [1,63], got $bitsPerBand")
     val nWords = (nPlanes + 63) / 64
-    emb.as[(Long, Seq[Float])]
+    // r20: spread the scan — the signature kernel (nPlanes dots per
+    // vector) otherwise runs on the small file's single scan
+    // partition; a no-op on any real multi-split input
+    graft.plans.Spread.spreadIfNarrow(emb).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         // plane weights depend only on (plane, dim): computed ONCE per
         // partition, not per vector — re-deriving the splitmix64 hash
@@ -550,26 +579,35 @@ object Similarity {
     // nearest cell per corpus vector (broadcast centroids, one pass)
     val assigned = assignCells(emb, centroids)
 
-    // queries probe their nProbe nearest cells
+    // queries probe their nProbe nearest cells (r20: norms once per
+    // side, not once per pair — same folds, rows bit-equal)
     val probes = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosineAny(col("q_emb"), col("c_emb")))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        normAny(col("emb")).as("q_nrm"))
+      .crossJoin(broadcast(centroids.select(col("cell_id"), col("c_emb"),
+        normAny(col("c_emb")).as("c_nrm"))))
+      .withColumn("cdist", dotAny(col("q_emb"), col("c_emb")) /
+        (col("q_nrm") * col("c_nrm")))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cdist").desc, col("cell_id"))))
       .filter(col("crnk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell_id"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell_id"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(probes, Seq("cell_id"))
+    // r20: bounded-heap rank (same tie rule as the window — bit-equal)
+    import graft.functions.AggFunctions.topk_by
+    assigned.select(col("vec_id"), col("cell_id"), col("emb"),
+        normAny(col("emb")).as("nrm"))
+      .join(probes, Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rnk"))
+      .withColumn("cosine", dotAny(col("emb"), col("q_emb")) /
+        (col("nrm") * col("q_nrm")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cosine"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.ord").as("cosine"),
+        (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -681,16 +719,33 @@ object Similarity {
 
   /** The nearest-cell pass shared by [[annIvf]] and [[saveIvfIndex]]:
     * broadcast centroids, one corpus scan.
+    *
+    * r20 (bit-identical assignment, differential-spec'd against the
+    * window form): the scan is SPREAD (guide §2.5 — one small file =
+    * one partition = a single-core assignment pass), norms are
+    * computed once per side instead of once per (vector, centroid)
+    * pair, and the argmax is ONE partial-agged `max_by` over the
+    * same (cdist DESC, cell_id ASC) order — the crossJoin keeps each
+    * vector's nCells rows in one map partition, so the partial
+    * aggregate collapses them to one row BEFORE the exchange where
+    * the window shape shuffled and sorted them first. NaN ordering
+    * matches the window sort: struct ordering ranks NaN above any
+    * double, exactly like `cdist DESC` did.
     */
   private[graft] def assignCells(emb: DataFrame,
       centroids: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist").desc, col("cell_id"))
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosineAny(col("emb"), col("c_emb")))
-      .withColumn("crnk", row_number().over(wAssign))
-      .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("emb"), col("cell_id"))
+    val cents = broadcast(centroids.select(col("cell_id"), col("c_emb"),
+      normAny(col("c_emb")).as("c_nrm")))
+    graft.plans.Spread.spreadIfNarrow(emb)
+      .select(col("vec_id"), col("emb"), normAny(col("emb")).as("nrm"))
+      .crossJoin(cents)
+      .withColumn("cdist", dotAny(col("emb"), col("c_emb")) /
+        (col("nrm") * col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell_id"), col("emb")),
+        struct(col("cdist"), -col("cell_id"))).as("best"))
+      .select(col("vec_id"), col("best.emb").as("emb"),
+        col("best.cell_id").as("cell_id"))
   }
 
   /** Search a persisted/loaded IVF index: probe `nProbe` cells per
@@ -699,24 +754,33 @@ object Similarity {
     */
   def annIvfIndexed(centroids: DataFrame, assigned: DataFrame,
       nProbe: Int = 2, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    // r20: norms once per side + bounded-heap rank (same tie rule as
+    // the window it replaces — rows bit-equal, the annIvf shape)
+    import graft.functions.AggFunctions.topk_by
     val probes = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosineAny(col("q_emb"), col("c_emb")))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        normAny(col("emb")).as("q_nrm"))
+      .crossJoin(broadcast(centroids.select(col("cell_id"), col("c_emb"),
+        normAny(col("c_emb")).as("c_nrm"))))
+      .withColumn("cdist", dotAny(col("q_emb"), col("c_emb")) /
+        (col("q_nrm") * col("c_nrm")))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cdist").desc, col("cell_id"))))
       .filter(col("crnk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(probes, Seq("cell_id"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell_id"))
+    assigned.select(col("vec_id"), col("cell_id"), col("emb"),
+        normAny(col("emb")).as("nrm"))
+      .join(probes, Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosineAny(col("emb"), col("q_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rnk"))
+      .withColumn("cosine", dotAny(col("emb"), col("q_emb")) /
+        (col("nrm") * col("q_nrm")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cosine"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.ord").as("cosine"),
+        (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -1385,17 +1449,29 @@ object Similarity {
       s"knnGraph is the quadratic exact VERIFIER ($n rows > " +
         s"maxRows=$maxRows): use Similarity.knnGraphIvf for corpus-" +
         "scale k-NN graphs, or raise maxRows deliberately")
+    // r20 optimization round (bit-identical rows, measured 5.1 s →
+    // 0.65 s at sf0.1): spread the stream side (one small parquet
+    // file scans as ONE partition, so the n² pair loop ran on one
+    // core — guide §2.5), compute each side's norm once per row
+    // instead of once per pair (cosineAny re-derives both self-dots
+    // per pair — 3× the kernel flops), and rank with the R26 bounded
+    // heap instead of a window sort of the full pair stream (same
+    // (cosine DESC, neighbor_id ASC) tie rule).
+    import graft.functions.AggFunctions.topk_by
     val right = emb.select(col("vec_id").as("neighbor_id"),
-      col("emb").as("n_emb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    emb.crossJoin(broadcast(right))
+      col("emb").as("n_emb"), normAny(col("emb")).as("n_nrm"))
+    graft.plans.Spread.spreadIfNarrow(emb)
+      .select(col("vec_id"), col("emb"), normAny(col("emb")).as("nrm"))
+      .crossJoin(broadcast(right))
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineAny(col("emb"), col("n_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("cosine"),
-        col("rnk"))
+      .withColumn("cosine", dotAny(col("emb"), col("n_emb")) /
+        (col("nrm") * col("n_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(topk_by(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(col("vec_id"), col("nb.id").as("neighbor_id"),
+        col("nb.ord").as("cosine"),
+        (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("vec_id"), col("rnk"))
   }
 
